@@ -1,0 +1,42 @@
+"""Parquet table loaders for the driver fixtures.
+
+The reference's scans (SURVEY §2.1: S3 full-table scan ``SELECT * FROM
+embeddings`` at src/rag/sqlx.rs:84-92, S4/S5 contacts/groups scans, S6 range
+scan) all become ``spark.read.parquet`` here — Catalyst gets predicate
+pushdown and column pruning for free, which the reference's ``SELECT *``
+never had.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.01"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TESTDATA_TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
+    # Pin timestamp semantics to UTC so filters/renders agree with the
+    # DuckDB oracle's naive timestamps regardless of the caller's session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # events.ts is parquet INT64 TIMESTAMP(NANOS), which Spark rejects
+        # by default.  Read nanos as long, then truncate ns -> us exactly
+        # like DuckDB does when it surfaces the column as TIMESTAMP.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    names = names or TESTDATA_TABLES
+    return {n: load_table(spark, sf_dir, n) for n in names}

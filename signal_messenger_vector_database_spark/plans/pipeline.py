@@ -1,0 +1,313 @@
+"""Ingest-pipeline + vector-retrieval query surface.
+
+Re-expresses the reference's per-message pipeline (SURVEY §3.1:
+dispatch -> suppress -> enrich -> tokenize -> chunk -> embed -> append) as
+batch DataFrame queries over the ``documents``/``events``/``embeddings``
+fixtures, and ships the vector retrieval the reference declared but never
+implemented (E3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import TOKEN_PATTERN, fingerprint_md5, token_count
+from ..functions.vector import cosine_similarity, l2_distance
+from ..io.sources import load_table
+from ..operators.chunking import chunk_text
+from ..operators.embed import with_embeddings
+from ..operators.suppression import (
+    SUPPRESSED_EXACT,
+    SUPPRESSED_PREFIXES,
+    filter_control_messages,
+)
+from .registry import QuerySpec
+
+# DuckDB-side copies of shared scalar expressions.  Kept adjacent to their
+# Spark twins (functions/text.py) — any change must touch both.
+_SQL_TOKEN_COUNT = (
+    "CASE WHEN {c} IS NULL OR {c} = '' THEN 0 "
+    "ELSE CAST(len(regexp_extract_all({c}, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS INTEGER) END"
+)
+_SQL_FINGERPRINT = "md5(regexp_replace(trim(COALESCE({c}, '')), '\\s+', ' ', 'g'))"
+
+
+# --- E3 flagship: brute-force cosine top-k ------------------------------
+# The retrieval pgvector/pgvectorscale were installed for
+# (src/rag/sqlx.rs:22-29,42) but no similarity operator ever shipped
+# (SURVEY §0).  Exact scan: narrow projection + codegen'd cosine +
+# TakeOrderedAndProject; the query vector rides along as a broadcast row.
+def _topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine_similarity("embedding", "qv"), 4).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+_TOPK_COSINE_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, e.label,
+       ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv) /
+             (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(q.qv, q.qv))), 4) AS sim
+FROM embeddings e, q
+ORDER BY sim DESC, e.vec_id
+LIMIT 10
+"""
+
+
+def _topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 1).select(F.col("embedding").alias("qv"))
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(l2_distance("embedding", "qv"), 4).alias("dist"))
+        .orderBy(F.asc("dist"), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+_TOPK_L2_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 1)
+SELECT e.vec_id,
+       ROUND(sqrt(list_sum(list_transform(
+           list_zip(e.embedding::DOUBLE[], q.qv),
+           p -> (p[1] - p[2]) * (p[1] - p[2])))), 4) AS dist
+FROM embeddings e, q
+ORDER BY dist ASC, e.vec_id
+LIMIT 10
+"""
+
+
+# --- F1: suppression filter ---------------------------------------------
+# The fixture texts never match the control patterns, so the Spark side
+# unions in one synthetic row per pattern (doc_id >= 10_000_000) and the
+# oracle does the same with VALUES — proving all 14 patterns drop.
+def _suppression_values_sql() -> str:
+    rows = []
+    for i, s in enumerate(list(SUPPRESSED_EXACT) + [p + " tail" for p in SUPPRESSED_PREFIXES]):
+        rows.append(f"({10_000_000 + i}, '{s}')")
+    return ", ".join(rows)
+
+
+def _suppression_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    synth = spark.createDataFrame(
+        [
+            (10_000_000 + i, s)
+            for i, s in enumerate(
+                list(SUPPRESSED_EXACT) + [p + " tail" for p in SUPPRESSED_PREFIXES]
+            )
+        ],
+        "doc_id long, text string",
+    )
+    return filter_control_messages(docs.union(synth), body_col="text")
+
+
+_SUPPRESSION_FILTER_SQL = f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES {_suppression_values_sql()}) t(doc_id, text)
+)
+SELECT doc_id, text FROM aug
+WHERE COALESCE(text, '') NOT IN ({", ".join("'" + s + "'" for s in SUPPRESSED_EXACT)})
+  AND NOT ({" OR ".join("COALESCE(text, '') LIKE '" + p + "%'" for p in SUPPRESSED_PREFIXES)})
+"""
+
+
+# --- T1: token count -----------------------------------------------------
+def _tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count("text").alias("tokens"))
+
+
+_TOKENIZE_SQL = f"""
+SELECT doc_id, {_SQL_TOKEN_COUNT.format(c="text")} AS tokens FROM documents
+"""
+
+
+# --- T2/T3/T4/F4/F5: chunk explode --------------------------------------
+# Thresholds scaled down (32 tokens / 24 words instead of 512/384,
+# src/rag/dataframes.rs:48-49) so the fixture's 50-550-char docs actually
+# take the long path; the arithmetic shape (ceil-div, slice bounds,
+# empty-chunk guard) is identical.
+_CHUNK_TOKENS = 32
+_CHUNK_WORDS = 24
+
+
+def _chunk_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = chunk_text(
+        docs, text_col="text", ideal_token_size=_CHUNK_TOKENS, chunk_words=_CHUNK_WORDS
+    )
+    return out.select("doc_id", "tokens", "chunk_id", "chunk_text", "chunk_tokens")
+
+
+_CHUNK_EXPLODE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(COALESCE(text, '')) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS words,
+         {_SQL_TOKEN_COUNT.format(c="text")} AS tokens
+  FROM documents
+),
+long_chunks AS (
+  SELECT doc_id, tokens,
+         CAST(unnest(generate_series(0,
+              CAST(ceil(len(words) / {_CHUNK_WORDS}.0) AS INTEGER) - 1)) AS INTEGER) AS chunk_id,
+         words
+  FROM t WHERE tokens > {_CHUNK_TOKENS}
+),
+chunked AS (
+  SELECT doc_id, tokens, 0 AS chunk_id, text AS chunk_text
+  FROM t WHERE tokens <= {_CHUNK_TOKENS}
+  UNION ALL
+  SELECT doc_id, tokens, chunk_id,
+         array_to_string(words[(chunk_id * {_CHUNK_WORDS} + 1):((chunk_id + 1) * {_CHUNK_WORDS})], ' ') AS chunk_text
+  FROM long_chunks
+)
+SELECT doc_id, tokens, chunk_id, chunk_text,
+       {_SQL_TOKEN_COUNT.format(c="chunk_text")} AS chunk_tokens
+FROM chunked
+WHERE tokens <= {_CHUNK_TOKENS} OR {_SQL_TOKEN_COUNT.format(c="chunk_text")} > 0
+"""
+
+
+# --- P4/P5: newline scrub + llama3 prompt template ----------------------
+# Template string verbatim from src/rag/prompt_template.rs:10-26; scrub
+# from src/rag/dataframes.rs:120.
+_LLAMA3_SYSTEM = "You are a friendly and useful Chatbot. Be of assistance the best you can.\n"
+_LLAMA3_PREFIX = (
+    "\n<|begin_of_text|>\n<|start_header_id|>system<|end_header_id|>\n"
+    + _LLAMA3_SYSTEM
+    + "<|eot_id|>\n\n<|start_header_id|>user<|end_header_id|>\n"
+)
+_LLAMA3_SUFFIX = "<|eot_id|>\n\n<|start_header_id|>assistant<|end_header_id|>"
+
+
+def _prompt_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(F.col("text"), "\n", " ")  # P5
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit(_LLAMA3_PREFIX), scrubbed, F.lit(_LLAMA3_SUFFIX)).alias("prompt"),
+    )
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+
+
+_PROMPT_TEMPLATE_SQL = f"""
+SELECT doc_id,
+       {_sql_quote(_LLAMA3_PREFIX)} || regexp_replace(text, '\\n', ' ', 'g')
+       || {_sql_quote(_LLAMA3_SUFFIX)} AS prompt
+FROM documents
+"""
+
+
+# --- P1/P2: message-type dispatch + render cascade ----------------------
+# 10-arm ContentBody match (src/signal/format_message.rs:59-177) as a
+# when/otherwise cascade over the events fixture's event_type column;
+# direction 'to' only for the sync-sent-like arm, else 'from'.
+def _dispatch_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    body = (
+        # round-then-cast, not %.2f: Java printf rounds HALF_UP while C
+        # printf rounds half-even, so formatted floats are not portable.
+        F.when(
+            F.col("event_type") == "click",
+            F.concat(F.lit("clicked at "), F.round("value", 2).cast("string")),
+        )
+        .when(F.col("event_type") == "view", F.lit("new story: viewed"))
+        .when(F.col("event_type") == "error", F.lit("Something went wrong!"))
+        .when(
+            F.col("event_type") == "signup",
+            F.concat(F.lit("user "), F.col("user_id").cast("string"), F.lit(" signed up")),
+        )
+        .otherwise(F.lit("Empty data message"))
+    )
+    direction = F.when(F.col("event_type") == "signup", F.lit("to")).otherwise(F.lit("from"))
+    rendered = events.select(
+        "event_id", direction.alias("direction"), body.alias("body")
+    )
+    # Compose with F1 exactly like store_in_db: render, then suppress.
+    return filter_control_messages(rendered, body_col="body")
+
+
+_DISPATCH_RENDER_SQL = f"""
+WITH rendered AS (
+  SELECT event_id,
+         CASE WHEN event_type = 'signup' THEN 'to' ELSE 'from' END AS direction,
+         CASE event_type
+           WHEN 'click'  THEN 'clicked at ' || CAST(ROUND(value, 2) AS VARCHAR)
+           WHEN 'view'   THEN 'new story: viewed'
+           WHEN 'error'  THEN 'Something went wrong!'
+           WHEN 'signup' THEN 'user ' || CAST(user_id AS VARCHAR) || ' signed up'
+           ELSE 'Empty data message'
+         END AS body
+  FROM events
+)
+SELECT event_id, direction, body FROM rendered
+WHERE body NOT IN ({", ".join("'" + s + "'" for s in SUPPRESSED_EXACT)})
+  AND NOT ({" OR ".join("body LIKE '" + p + "%'" for p in SUPPRESSED_PREFIXES)})
+"""
+
+
+# --- Exact dedup by md5 fingerprint -------------------------------------
+def _exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", fingerprint_md5("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+_EXACT_DEDUP_SQL = f"""
+SELECT {_SQL_FINGERPRINT.format(c="text")} AS fp,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY fp
+"""
+
+
+# --- E1: deterministic mock embed (rows-only check; not SQL-expressible) -
+def _mock_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = with_embeddings(docs, text_col="text", out_col="embedding", dim=64)
+    return out.select(
+        "doc_id",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.aggregate(
+                F.col("embedding").cast("array<double>"),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            ),
+            3,
+        ).alias("sq_norm"),
+    )
+
+
+SPECS: dict[str, QuerySpec] = {
+    "topk_cosine": QuerySpec(_topk_cosine, _TOPK_COSINE_SQL, "E3 exact cosine top-k (flagship)"),
+    "topk_l2": QuerySpec(_topk_l2, _TOPK_L2_SQL, "E3 exact L2 top-k"),
+    "suppression_filter": QuerySpec(_suppression_filter, _SUPPRESSION_FILTER_SQL, "F1 control-message suppression (14 patterns)"),
+    "tokenize": QuerySpec(_tokenize, _TOKENIZE_SQL, "T1 token count (JVM regex tokenizer)"),
+    "chunk_explode": QuerySpec(_chunk_explode, _CHUNK_EXPLODE_SQL, "T2/T3/T4/F4/F5 word chunking, 1->N explode"),
+    "prompt_template": QuerySpec(_prompt_template, _PROMPT_TEMPLATE_SQL, "P4 llama3 template + P5 newline scrub"),
+    "dispatch_render": QuerySpec(_dispatch_render, _DISPATCH_RENDER_SQL, "P1/P2 type dispatch + render + F1 compose"),
+    "exact_dedup": QuerySpec(_exact_dedup, _EXACT_DEDUP_SQL, "exact dedup via md5 fingerprint"),
+    "mock_embed": QuerySpec(_mock_embed, None, "E1 deterministic mapInPandas embedder (rows-only)"),
+}
