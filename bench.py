@@ -1,0 +1,75 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>}
+
+Each query is forced through full evaluation with the noop sink (count()
+would let Catalyst prune the projections we mean to measure).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "topk_cosine",
+    "topk_l2",
+    "pricing_summary",
+    "region_rollup",
+    "contact_enrich",
+    "reaction_render",
+    "topk_per_group",
+    "chunk_explode",
+    "tokenize",
+    "exact_dedup",
+    "dispatch_render",
+    "mock_embed",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from signal_messenger_vector_database_spark.session import get_spark
+    from signal_messenger_vector_database_spark.plans.catalog import all_specs
+
+    spark = get_spark("smvd-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_specs()
+
+    # JVM/codegen warmup on the smallest sf so per-query timings reflect
+    # steady-state execution, not first-query JIT.
+    specs["topk_cosine"].fn(spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in specs:
+            continue
+        t0 = time.time()
+        specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -38,22 +38,25 @@ def _scrub(text: str | None) -> str:
 
 
 class HashEmbedder:
-    """Deterministic unit-norm vector seeded from the text bytes."""
+    """Deterministic unit-norm vector derived from the text bytes.
+
+    One shake_256 XOF call per row (dim*4 bytes), bytes -> uint32 ->
+    [-1, 1) floats -> L2-normalize.  ~micro-seconds per row; no RNG-object
+    construction in the loop."""
 
     def __init__(self, dim: int = 64):
         self.dim = dim
 
     def embed_batch(self, texts: list[str]) -> np.ndarray:
-        out = np.empty((len(texts), self.dim), dtype=np.float32)
+        nbytes = self.dim * 4
+        raw = np.empty((len(texts), self.dim), dtype=np.uint32)
         for i, t in enumerate(texts):
-            seed = int.from_bytes(
-                hashlib.sha256(_scrub(t).encode("utf-8")).digest()[:4], "big"
-            )
-            rng = np.random.RandomState(seed)
-            v = rng.standard_normal(self.dim)
-            n = np.linalg.norm(v)
-            out[i] = (v / n if n > 0 else v).astype(np.float32)
-        return out
+            digest = hashlib.shake_256(_scrub(t).encode("utf-8")).digest(nbytes)
+            raw[i] = np.frombuffer(digest, dtype=np.uint32)
+        v = (raw.astype(np.float64) / 2147483648.0) - 1.0
+        norms = np.linalg.norm(v, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return (v / norms).astype(np.float32)
 
 
 class HttpEmbedder:

@@ -285,7 +285,13 @@ FROM documents GROUP BY fp
 # --- E1: deterministic mock embed (rows-only check; not SQL-expressible) -
 def _mock_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    out = with_embeddings(docs, text_col="text", out_col="embedding", dim=64)
+    # The fixture parquet is a single row-group => one partition; spread the
+    # Python-side embed stage (SURVEY §4: repartition before the embed
+    # stage).  8, not defaultParallelism: each partition costs a Python
+    # worker cold-start (~0.5 s/worker when 32 fork at once in this
+    # container), which dwarfs the compute at fixture scale.  At cluster
+    # scale workers are reused and this knob comes from the caller.
+    out = with_embeddings(docs.repartition(8), text_col="text", out_col="embedding", dim=64)
     return out.select(
         "doc_id",
         F.size("embedding").alias("dim"),
