@@ -51,6 +51,19 @@ def word_count(col: Column | str) -> Column:
     return F.size(whitespace_words(col))
 
 
+def portable_round(col: Column, digits: int = 4) -> Column:
+    """Engine-portable rounding: floor(x * 10^d + 0.5) / 10^d.
+
+    Spark's ROUND rounds the double's exact binary expansion (HALF_UP on
+    BigDecimal) while DuckDB rounds the shortest decimal repr — at a
+    .00005 boundary they disagree.  Small-denominator rationals (ratios,
+    Jaccard scores) hit such boundaries in practice.  Floor-based rounding
+    evaluates identically on both engines because both execute the same
+    double ops.  SQL twin: ``floor((x) * 10^d + 0.5) / 10^d``."""
+    s = float(10**digits)
+    return F.floor(col * s + F.lit(0.5)) / F.lit(s)
+
+
 def fingerprint_md5(col: Column | str) -> Column:
     """Exact-dup document fingerprint: md5 of whitespace-normalized text.
     md5 is bit-identical between Spark and DuckDB, so dedup keyed on it is

@@ -1,0 +1,110 @@
+"""Embedding similarity at scale: exact near-dup, hyperplane-LSH buckets,
+and IVF-style cluster-pruned search.
+
+E3 continuation (SURVEY §2.7): the brute-force top-k in ``topk.py`` is the
+exact baseline; these are the scale paths.  An exact all-pairs cosine is
+O(n^2) and only exists here as the small-data oracle-checkable variant;
+the LSH and IVF operators generate candidates with equi-joins on bucket
+keys, which is what survives 100 TB.
+
+Hyperplanes/centroids are deterministic (HashEmbedder on fixed seed
+strings / fixed fixture rows), so every run — and the DuckDB oracle, for
+IVF — sees identical geometry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_similarity, dot_product
+from .embed import HashEmbedder
+
+
+def exact_cosine_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine >= threshold — exact, O(n^2); the correctness
+    baseline the LSH variant is tested against."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.round(cosine_similarity("va", "vb"), 4).alias("sim")
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def hyperplane_bucket(vec_col: str, dim: int, n_planes: int, table: int = 0) -> F.Column:
+    """Random-hyperplane LSH bucket id for one hash table: the sign pattern
+    of <v, r_j> for deterministic hyperplanes r_j (seeded per table).
+    Vectors at angle theta collide with probability (1 - theta/pi)^n_planes."""
+    planes = HashEmbedder(dim).embed_batch(
+        [f"hyperplane-{table}-{j}" for j in range(n_planes)]
+    )
+    bits = [F.lit(f"t{table}:")]
+    for j in range(n_planes):
+        r = F.array(*[F.lit(float(x)) for x in planes[j]]).cast("array<double>")
+        bits.append(F.when(dot_product(F.col(vec_col), r) >= 0, "1").otherwise("0"))
+    return F.concat(*bits)
+
+
+def lsh_cosine_pairs(
+    emb: DataFrame,
+    threshold: float,
+    dim: int,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate near-dup pairs: bucket by hyperplane signs in each of
+    ``n_tables`` independent hash tables (OR-amplified recall), equi-join
+    on the bucket — the 100 TB path — then verify exact cosine within
+    buckets.  Recall < 1 by construction; tests measure it on the fixture
+    against ``exact_cosine_pairs``."""
+    buckets = F.array(
+        *[hyperplane_bucket(vec_col, dim, n_planes, t) for t in range(n_tables)]
+    )
+    bucketed = emb.select(
+        F.col(id_col), F.col(vec_col), F.explode(buckets).alias("bucket")
+    )
+    a = bucketed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
+    b = bucketed.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", F.round(cosine_similarity("va", "vb"), 4).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine, centroid id
+    tie-break): broadcast the centroid table, window-rank per vector.
+    This is the IVF build step; at scale the assignment shuffles once on
+    the vector id and the centroid table is always broadcast."""
+    from pyspark.sql.window import Window
+
+    joined = emb.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col("cid"),
+        cosine_similarity(vec_col, "cv").alias("csim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.col("cid"))
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(id_col, "cid")
+    )

@@ -1,0 +1,213 @@
+"""Dedup & similarity operators for the LLM-training-data path.
+
+The reference never needed these (single-user message stream), but they are
+first-class for the north-star 100 TB pipeline (BASELINE.json): exact dedup,
+MinHash+LSH near-dup, SimHash, n-gram Jaccard, and embedding near-dup.
+
+Design constraints honored throughout:
+
+- **Portable hashing.** Everything hash-based uses ``md5`` (bit-identical
+  in Spark and DuckDB) so even MinHash signatures and SimHash fingerprints
+  are oracle-checkable — no engine-specific murmur.
+- **No cross join on the scale path.**  Candidate generation is always an
+  equi-join (LSH band key / shingle posting list / hyperplane bucket), so
+  the shuffle key is the bucket, and only within-bucket pairs are verified.
+- **Pure Catalyst expressions.**  No Python in any of these operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shingling
+
+
+def normalized_text(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.regexp_replace(F.trim(F.coalesce(c, F.lit(""))), "\\s+", " "))
+
+
+def word_bigram_shingles(col: Column | str) -> Column:
+    """Distinct word-bigram shingles of the normalized text; texts with a
+    single word fall back to a one-element shingle set."""
+    norm = normalized_text(col)
+    words = F.split(norm, " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
+    )
+    return F.array_distinct(
+        F.when(F.size(words) >= 2, bigrams).otherwise(F.array(norm))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (md5-portable)
+
+NUM_MINHASHES = 8
+LSH_BANDS = 4  # 2 minhashes per band
+
+
+def _minhash_col(shingles: Column, j: int) -> Column:
+    # NB: the transform lambda must take exactly ONE parameter — Spark
+    # binds a second parameter to the element index.
+    prefix = f"{j}|"
+    return F.array_min(
+        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(prefix), s)))
+    ).alias(f"mh_{j}")
+
+
+def minhash_signature_cols(shingles: Column) -> list[Column]:
+    """minhash_j = lexicographic min over shingles of md5("{j}|" + shingle).
+    Min over hex strings == min over the underlying 128-bit values."""
+    return [_minhash_col(shingles, j) for j in range(NUM_MINHASHES)]
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    sh = word_bigram_shingles(text_col)
+    return df.select(F.col(id_col), *minhash_signature_cols(sh))
+
+
+def band_key_cols() -> list[Column]:
+    rows = NUM_MINHASHES // LSH_BANDS
+    return [
+        F.md5(F.concat(*[F.col(f"mh_{b * rows + r}") for r in range(rows)])).alias(
+            f"band_{b}"
+        )
+        for b in range(LSH_BANDS)
+    ]
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
+    """Docs sharing any band key.  The self-join is an equi-join on
+    (band_id, band_key) — i.e. a shuffle on the bucket, never a cross
+    join."""
+    banded = signatures.select(F.col(id_col), *band_key_cols())
+    exploded = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("key"))
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.key")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col(f"b.band"))
+            & (F.col(f"a.key") == F.col(f"b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    shingle_sets: DataFrame,
+    id_col: str,
+    threshold: float,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs (the verify stage after LSH)."""
+    sa = shingle_sets.select(
+        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = shingle_sets.select(
+        F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - common
+    jac = common / union
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(jac, round_digits).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit, md5-portable)
+
+SIMHASH_BITS = 16
+
+_HEX = "0123456789abcdef"
+
+
+def _hex4_to_int(h: Column) -> Column:
+    """First 4 hex chars of an md5 -> int in [0, 65536).  Pure arithmetic
+    (instr on a hex alphabet) so Spark and DuckDB evaluate identically."""
+    val = F.lit(0)
+    for pos, weight in ((1, 4096), (2, 256), (3, 16), (4, 1)):
+        val = val + (F.instr(F.lit(_HEX), F.substring(h, pos, 1)) - 1) * weight
+    return val
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash over the distinct words of the normalized text:
+    per word, a 16-bit md5-derived hash votes +1/-1 on each bit position;
+    fingerprint bit b is set iff the sum is positive."""
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(normalized_text(text_col), " "))).alias("w"),
+    )
+    hv = _hex4_to_int(F.md5(F.col("w")))
+    bit_sums = [
+        F.sum(
+            F.when((F.floor(hv / F.lit(2**b)) % 2) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sums = words.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return sums.select(F.col(id_col), fp.cast("int").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard via posting-list (inverted index) self-join
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float
+) -> DataFrame:
+    """Exact all-pairs Jaccard >= threshold WITHOUT a cross join: explode
+    shingles into a posting list, equi-join on the shingle, count common
+    shingles per pair, then combine with per-doc set sizes.  The shuffle
+    key is the shingle — at 100 TB hot shingles are the skew risk, handled
+    by AQE skew-join (and a stop-shingle cutoff would drop the head)."""
+    sh = df.select(F.col(id_col), word_bigram_shingles(text_col).alias("shingles"))
+    posting = sh.select(id_col, F.explode("shingles").alias("s"))
+    sizes = sh.select(F.col(id_col), F.size("shingles").alias("n"))
+    a, b = posting.alias("a"), posting.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        common.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

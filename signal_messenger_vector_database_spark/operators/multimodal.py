@@ -1,0 +1,139 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The reference downloads Signal attachments as raw bytes and writes them to
+disk with mime-guessed extensions (K3/K5,
+src/signal/process_incoming_message.rs:46-83,
+src/signal/upload_attachments.rs:6-43).  For a training-data pipeline the
+Spark-native model is: an opaque ``binary`` column + a typed metadata
+struct, with decode / feature-extract / frame-sample as Arrow-batched
+``mapInPandas`` stages.
+
+Real image/audio decoding libraries are not in this container, so decode is
+STUBBED (``decode_image`` raises NotImplementedError; the catalog uses the
+deterministic fake extractor) — but the Spark-side plumbing (schema,
+partitioning, UDF signature, batch shape, 1->N frame explode) is real and
+tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# mime-guess as a lookup map (reference: mime_guess crate,
+# src/signal/upload_attachments.rs:16-19) — a broadcastable dimension, not
+# a UDF.
+MIME_EXTENSIONS = {
+    "image/jpeg": "jpeg",
+    "image/png": "png",
+    "audio/ogg": "ogg",
+    "video/mp4": "mp4",
+    "text/plain": "txt",
+    "application/octet-stream": "bin",
+}
+
+
+def attach_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Turn a text column into an opaque binary payload + metadata struct —
+    the canonical multimodal row shape.  Pure JVM expressions."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.withColumn("payload", payload).withColumn(
+        "meta",
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.length(payload).alias("n_bytes"),
+            F.md5(F.col(text_col)).alias("checksum"),
+        ),
+    )
+
+
+def decode_image(payload: bytes) -> "np.ndarray":
+    """Real decode seam — image libs are not in this container."""
+    raise NotImplementedError(
+        "image decoding requires PIL/opencv; not available in this "
+        "environment — use fake_features() for the pipeline shape"
+    )
+
+
+def fake_features(payload: bytes, bins: int = 16) -> np.ndarray:
+    """Deterministic stand-in for a decode+featurize step: a normalized
+    byte histogram.  Same signature/shape a real extractor would have."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if arr.size == 0:
+        return np.zeros(bins, dtype=np.float32)
+    hist, _ = np.histogram(arr, bins=bins, range=(0, 256))
+    return (hist / arr.size).astype(np.float32)
+
+
+def extract_features(
+    df: DataFrame, payload_col: str = "payload", bins: int = 16
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads."""
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField("features", ArrayType(FloatType()), True)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["features"] = [
+                list(fake_features(p, bins)) for p in pdf[payload_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_frames: int = 3,
+) -> DataFrame:
+    """1->N frame sampling over binary 'video' payloads (frame count is a
+    deterministic function of the payload so tests are stable).  The real
+    version would emit decoded keyframes; the stub emits byte slices with
+    the same schema/row-explosion shape."""
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType(), True),
+            StructField("frame_id", IntegerType(), True),
+            StructField("frame_bytes", BinaryType(), True),
+            StructField("frame_note", StringType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = r[payload_col]
+                n = (len(payload) % max_frames) + 1
+                step = max(len(payload) // n, 1)
+                for f in range(n):
+                    rows.append(
+                        {
+                            id_col: r[id_col],
+                            "frame_id": f,
+                            "frame_bytes": payload[f * step : (f + 1) * step],
+                            "frame_note": "stub-frame",
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[id_col, "frame_id", "frame_bytes", "frame_note"])
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)

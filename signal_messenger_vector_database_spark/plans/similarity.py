@@ -1,0 +1,266 @@
+"""Dedup / similarity query surface (north-star LLM-pipeline operators).
+
+MinHash+LSH, SimHash, and n-gram Jaccard are fully oracle-checkable because
+every hash is md5 (bit-identical in Spark and DuckDB) — see
+operators/dedup.py.  The embedding near-dup has an exact oracle-paired
+variant (O(n^2), the correctness baseline) and an LSH-bucketed rows-only
+variant (the 100 TB path).  IVF search is oracle-paired end-to-end
+(assignment + cluster-pruned top-k).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_similarity
+from ..io.sources import load_table
+from ..operators.ann import exact_cosine_pairs, ivf_assign, lsh_cosine_pairs
+from ..operators.dedup import (
+    NUM_MINHASHES,
+    SIMHASH_BITS,
+    jaccard_verify,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    word_bigram_shingles,
+)
+from .registry import QuerySpec
+
+# ---------------------------------------------------------------------------
+# shared DuckDB fragments (twins of operators/dedup.py — change both or none)
+
+_SQL_NORM = "lower(regexp_replace(trim(COALESCE({c}, '')), '\\s+', ' ', 'g'))"
+_SQL_SHINGLES = (
+    "CASE WHEN len(string_split({norm}, ' ')) >= 2 THEN "
+    "list_distinct(list_transform(generate_series(1, len(string_split({norm}, ' ')) - 1), "
+    "i -> string_split({norm}, ' ')[i] || ' ' || string_split({norm}, ' ')[i + 1])) "
+    "ELSE list_value({norm}) END"
+)
+
+
+def _sql_shingle_cte(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    norm = _SQL_NORM.format(c=text_col)
+    return (
+        f"SELECT {id_col}, {_SQL_SHINGLES.format(norm=norm)} AS shingles FROM {table}"
+    )
+
+
+def _sql_minhash_cols() -> str:
+    return ", ".join(
+        f"list_sort(list_transform(shingles, s -> md5('{j}|' || s)))[1] AS mh_{j}"
+        for j in range(NUM_MINHASHES)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures (per-doc, always 500 rows)
+
+
+def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(docs, id_col="doc_id", text_col="text")
+
+
+_MINHASH_SIGNATURES_SQL = f"""
+WITH t AS ({_sql_shingle_cte()})
+SELECT doc_id, {_sql_minhash_cols()} FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash LSH near-dup pairs (band join -> exact Jaccard verify)
+
+_JACCARD_THRESHOLD = 0.05
+
+
+def _minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(F.col("doc_id"), word_bigram_shingles("text").alias("shingles"))
+    sigs = minhash_signatures(docs, id_col="doc_id", text_col="text")
+    cands = lsh_candidate_pairs(sigs, id_col="doc_id")
+    return jaccard_verify(cands, sh, id_col="doc_id", threshold=_JACCARD_THRESHOLD)
+
+
+_MINHASH_LSH_PAIRS_SQL = f"""
+WITH t AS ({_sql_shingle_cte()}),
+sig AS (SELECT doc_id, shingles, {_sql_minhash_cols()} FROM t),
+banded AS (
+  SELECT doc_id, 0 AS band, md5(mh_0 || mh_1) AS key FROM sig
+  UNION ALL SELECT doc_id, 1, md5(mh_2 || mh_3) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(mh_4 || mh_5) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(mh_6 || mh_7) FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+             (len(sa.shingles) + len(sb.shingles)
+              - len(list_intersect(sa.shingles, sb.shingles))), 4) AS jaccard
+FROM cand
+JOIN sig sa ON cand.id_a = sa.doc_id
+JOIN sig sb ON cand.id_b = sb.doc_id
+WHERE ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+            (len(sa.shingles) + len(sb.shingles)
+             - len(list_intersect(sa.shingles, sb.shingles))), 4) >= {_JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints
+
+
+def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, id_col="doc_id", text_col="text")
+
+
+def _sql_hex4(expr: str) -> str:
+    terms = [
+        f"(instr('0123456789abcdef', substr({expr}, {pos}, 1)) - 1) * {weight}"
+        for pos, weight in ((1, 4096), (2, 256), (3, 16), (4, 1))
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _simhash_sql() -> str:
+    norm = _SQL_NORM.format(c="text")
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN CAST(floor(hv / {2**b}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest(list_distinct(string_split({norm}, ' '))) AS w FROM documents
+),
+h AS (SELECT doc_id, {_sql_hex4("md5(w)")} AS hv FROM w),
+s AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({fp} AS INTEGER) AS simhash FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard all-pairs via posting-list join
+
+_NGRAM_THRESHOLD = 0.05
+
+
+def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", threshold=_NGRAM_THRESHOLD
+    )
+
+
+_NGRAM_JACCARD_SQL = f"""
+WITH t AS ({_sql_shingle_cte()}),
+posting AS (SELECT doc_id, unnest(shingles) AS s FROM t),
+sizes AS (SELECT doc_id, len(shingles) AS n FROM t),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+  FROM posting a JOIN posting b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(CAST(common AS DOUBLE) / (na.n + nb.n - common), 4) AS jaccard
+FROM common
+JOIN sizes na ON id_a = na.doc_id
+JOIN sizes nb ON id_b = nb.doc_id
+WHERE ROUND(CAST(common AS DOUBLE) / (na.n + nb.n - common), 4) >= {_NGRAM_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup: exact (oracle baseline) + LSH (scale path, rows-only)
+
+_NEARDUP_THRESHOLD = 0.35
+
+_SQL_COS = (
+    "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+    "(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+    "sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+)
+
+
+def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return exact_cosine_pairs(emb, threshold=_NEARDUP_THRESHOLD)
+
+
+_cos_ab = _SQL_COS.format(a="a.embedding", b="b.embedding")
+_EMBEDDING_NEARDUP_SQL = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({_cos_ab}, 4) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND({_cos_ab}, 4) >= {_NEARDUP_THRESHOLD}
+"""
+
+
+def _embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return lsh_cosine_pairs(emb, threshold=_NEARDUP_THRESHOLD, dim=dim)
+
+
+# ---------------------------------------------------------------------------
+# IVF-style cluster-pruned search (oracle-paired end-to-end)
+
+
+def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    assign = ivf_assign(emb, centroids)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    qcid = assign.filter(F.col("vec_id") == 0).select(F.col("cid").alias("qcid"))
+    return (
+        emb.join(assign, "vec_id")
+        .join(F.broadcast(qcid), F.col("cid") == F.col("qcid"))
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(cosine_similarity("embedding", "qv"), 4).alias("sim"))
+        .orderBy(F.desc("sim"), F.col("vec_id"))
+        .limit(5)
+    )
+
+
+_cos_ec = _SQL_COS.format(a="e.embedding", b="c.cv")
+_cos_eq = _SQL_COS.format(a="e.embedding", b="q.qv")
+_ANN_IVF_SQL = f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+sims AS (
+  SELECT e.vec_id, c.cid, {_cos_ec} AS csim FROM embeddings e, c
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rk
+    FROM sims
+  ) WHERE rk = 1
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qc AS (SELECT cid FROM assign WHERE vec_id = 0)
+SELECT e.vec_id, ROUND({_cos_eq}, 4) AS sim
+FROM embeddings e
+JOIN assign s ON e.vec_id = s.vec_id
+JOIN qc ON s.cid = qc.cid, q
+ORDER BY sim DESC, e.vec_id
+LIMIT 5
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "minhash_signatures": QuerySpec(_minhash_signatures, _MINHASH_SIGNATURES_SQL, "md5-portable MinHash signatures (8 hashes)"),
+    "minhash_lsh_pairs": QuerySpec(_minhash_lsh_pairs, _MINHASH_LSH_PAIRS_SQL, "LSH band join -> exact Jaccard verify"),
+    "simhash": QuerySpec(_simhash, _simhash_sql(), "16-bit SimHash fingerprints"),
+    "ngram_jaccard_pairs": QuerySpec(_ngram_jaccard, _NGRAM_JACCARD_SQL, "bigram Jaccard all-pairs via posting-list equi-join"),
+    "embedding_neardup": QuerySpec(_embedding_neardup, _EMBEDDING_NEARDUP_SQL, "exact cosine near-dup pairs (O(n^2) baseline)"),
+    "embedding_neardup_lsh": QuerySpec(_embedding_neardup_lsh, None, "hyperplane-LSH near-dup (scale path, approximate)"),
+    "ann_ivf": QuerySpec(_ann_ivf, _ANN_IVF_SQL, "IVF cluster-pruned cosine search, oracle-paired"),
+}

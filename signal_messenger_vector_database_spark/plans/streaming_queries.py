@@ -1,0 +1,55 @@
+"""Streaming query surface (SURVEY §2.10).
+
+The streaming queries run a real Structured Streaming job
+(Trigger.AvailableNow — the reference's drain-until-QueueEmpty) and return
+the materialized result; the oracle checks the *final state* with plain
+SQL, which is exactly the correctness contract of a drained stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming.ingest import dedup_ingest_availablenow, windowed_counts_availablenow
+from .registry import QuerySpec
+
+
+def _stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windowed_counts_availablenow(spark, sf_dir)
+
+
+_STREAM_WINDOWED_COUNTS_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events GROUP BY 1, 2
+"""
+
+
+def _stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ingested = dedup_ingest_availablenow(spark, sf_dir)
+    return ingested.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("event_id").alias("n_distinct"),
+    )
+
+
+_STREAM_DEDUP_COUNTS_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY event_type
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "stream_windowed_counts": QuerySpec(
+        _stream_windowed_counts,
+        _STREAM_WINDOWED_COUNTS_SQL,
+        "tumbling-window counts via AvailableNow streaming agg",
+    ),
+    "stream_dedup_counts": QuerySpec(
+        _stream_dedup_counts,
+        _STREAM_DEDUP_COUNTS_SQL,
+        "duplicated stream -> dropDuplicates -> foreachBatch append (exactly-once effect)",
+    ),
+}

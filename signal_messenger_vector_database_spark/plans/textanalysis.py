@@ -1,0 +1,165 @@
+"""Text-analysis query surface (north-star training-data operators):
+language ID, quality scoring, rolling-hash fingerprints, corpus stats.
+All oracle-paired — these are pure expression pipelines on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.sources import load_table
+from ..operators.textanalysis import (
+    LANG_MARKERS,
+    ROLLING_HASH_BASE,
+    ROLLING_HASH_MOD,
+    language_id,
+    quality_features,
+    rolling_hash,
+    word_frequencies,
+)
+from .registry import QuerySpec
+
+_SQL_WORDS_LOWER = (
+    "CASE WHEN trim(COALESCE({c}, '')) = '' THEN CAST([] AS VARCHAR[]) "
+    "ELSE regexp_split_to_array(trim(lower({c})), '\\s+') END"
+)
+
+
+# --- language ID ---------------------------------------------------------
+def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", language_id("text").alias("predicted_lang")
+    )
+
+
+def _lang_id_sql() -> str:
+    words = _SQL_WORDS_LOWER.format(c="text")
+    hits = {
+        lang: f"len(list_filter({words}, w -> w IN ({', '.join(repr(m) for m in markers)})))"
+        for lang, markers in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    arms = []
+    for lang in langs:
+        conds = [f"{hits[lang]} > 0"]
+        for other in langs:
+            if other == lang:
+                continue
+            op = ">" if langs.index(other) < langs.index(lang) else ">="
+            conds.append(f"{hits[lang]} {op} {hits[other]}")
+        arms.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(arms) + " ELSE 'und' END"
+    return f"SELECT doc_id, lang, {case} AS predicted_lang FROM documents"
+
+
+# --- quality scoring -----------------------------------------------------
+def _quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features("text")
+    return docs.select(
+        "doc_id", *[c.alias(name) for name, c in feats.items()]
+    )
+
+
+def _quality_sql() -> str:
+    c = "COALESCE(text, '')"
+    words = (
+        "CASE WHEN trim(COALESCE(text, '')) = '' THEN CAST([] AS VARCHAR[]) "
+        "ELSE regexp_split_to_array(trim(text), '\\s+') END"
+    )
+    stops = ", ".join(repr(m) for m in LANG_MARKERS["en"])
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len({words}) AS INTEGER) AS n_words,
+         CAST(length({c}) AS INTEGER) AS n_chars,
+         len(regexp_extract_all({c}, '[^A-Za-z0-9_\\s]')) AS punct,
+         len(regexp_extract_all({c}, '[0-9]')) AS digits,
+         len(list_filter({words}, w -> lower(w) IN ({stops}))) AS stop
+  FROM documents
+)
+SELECT doc_id, n_words, n_chars,
+       floor(((n_chars - (n_words - 1)) / CAST(greatest(n_words, 1) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS mean_word_len,
+       floor((punct / CAST(greatest(n_chars, 1) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
+       floor((digits / CAST(greatest(n_chars, 1) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS digit_ratio,
+       floor((stop / CAST(greatest(n_words, 1) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
+       floor((0.4 * least(n_words / 50.0, 1.0)
+           + 0.3 * (1 - least(punct / CAST(greatest(n_chars, 1) AS DOUBLE) * 5, 1.0))
+           + 0.3 * least(stop / CAST(greatest(n_words, 1) AS DOUBLE) * 5, 1.0)) * 10000.0 + 0.5) / 10000.0 AS quality_score
+FROM t
+"""
+
+
+# --- rolling-hash fingerprint -------------------------------------------
+def _rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_hash("text").alias("fingerprint"))
+
+
+_ROLLING_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       CAST(CASE WHEN length(COALESCE(text, '')) = 0 THEN 0
+            ELSE list_reduce(
+                   list_prepend(CAST(0 AS BIGINT), list_transform(
+                       generate_series(1, length(text)),
+                       i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+                   (acc, x) -> (acc * {ROLLING_HASH_BASE} + x) % {ROLLING_HASH_MOD})
+       END AS BIGINT) AS fingerprint
+FROM documents
+"""
+
+
+# --- corpus word frequencies (top 25) ------------------------------------
+def _word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        word_frequencies(docs, "text")
+        .orderBy(F.desc("freq"), "word")
+        .limit(25)
+    )
+
+
+_WORD_FREQ_SQL = f"""
+SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+FROM (SELECT unnest({_SQL_WORDS_LOWER.format(c="text")}) AS word FROM documents)
+GROUP BY word ORDER BY freq DESC, word LIMIT 25
+"""
+
+
+# --- per-source token stats ---------------------------------------------
+def _source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("tokens", token_count("text"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tokens").cast("long").alias("total_tokens"),
+            F.round(F.avg("tokens"), 4).alias("avg_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+_SOURCE_STATS_SQL = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN text IS NULL OR text = '' THEN 0
+                ELSE len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) END) AS BIGINT) AS total_tokens,
+       ROUND(AVG(CASE WHEN text IS NULL OR text = '' THEN 0
+                 ELSE len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) END), 4) AS avg_tokens,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents GROUP BY source
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "lang_id": QuerySpec(_lang_id, _lang_id_sql(), "marker-stopword language heuristic"),
+    "quality_score": QuerySpec(_quality, _quality_sql(), "doc quality features + composite score"),
+    "rolling_fingerprint": QuerySpec(_rolling_fingerprint, _ROLLING_FINGERPRINT_SQL, "polynomial rolling-hash fingerprint"),
+    "word_freq": QuerySpec(_word_freq, _WORD_FREQ_SQL, "corpus word frequency top-25"),
+    "source_stats": QuerySpec(_source_stats, _SOURCE_STATS_SQL, "per-source token stats"),
+}

@@ -1,0 +1,114 @@
+"""Structured Streaming ingest — the reference's receive loop, Spark-first.
+
+Reference semantics mapped (SURVEY §2.10):
+
+- continuous ``while let`` consume with a ``QueueEmpty`` caught-up signal
+  (src/signal/receive.rs:28-43) => ``Trigger.AvailableNow``: drain all
+  available input, then stop — exactly the reference's drain-until-empty
+  behavior, including the send path's drain-then-act barrier
+  (src/signal/send.rs:47-61).
+- per-event pipeline (format -> suppress -> store,
+  src/signal/process_incoming_message.rs:30-130) => the same batch
+  column expressions applied to the stream (shared-operator principle,
+  SURVEY §3.3).
+- delivery: the reference is at-least-once with swallowed insert errors
+  (src/rag/sqlx.rs:76-78); here checkpointing + ``dropDuplicates`` on the
+  event id + idempotent parquet append is a strict upgrade.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Read schema for the events stream (ts arrives as raw nanos because the
+# fixture parquet uses INT64 TIMESTAMP(NANOS); see io/sources.py).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", LongType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _tmpdir(tag: str) -> str:
+    return tempfile.mkdtemp(prefix=f"smvd-{tag}-")
+
+
+def windowed_counts_availablenow(
+    spark: SparkSession, sf_dir: str, window: str = "1 day"
+) -> DataFrame:
+    """Tumbling-window event counts via a streaming aggregation drained
+    with AvailableNow into a memory sink; returns the final table."""
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", window), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "cnt",
+        )
+    )
+    sink = f"win_counts_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", _tmpdir("ckpt-win"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(sink)
+
+
+def dedup_ingest_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once input (the stream unioned with itself => every event
+    duplicated) -> ``dropDuplicates`` on event_id -> idempotent parquet
+    append via foreachBatch -> read back.  Exactly-once effect on an
+    at-least-once feed: the strict upgrade over the reference's swallowed
+    insert errors."""
+    s1 = read_events_stream(spark, sf_dir)
+    s2 = read_events_stream(spark, sf_dir)
+    deduped = s1.union(s2).dropDuplicates(["event_id"])
+    out_dir = _tmpdir("ingest-out")
+
+    def append_batch(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("append").parquet(os.path.join(out_dir, "events"))
+
+    q = (
+        deduped.writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", _tmpdir("ckpt-dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(os.path.join(out_dir, "events"))
