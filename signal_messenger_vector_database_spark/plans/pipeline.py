@@ -306,8 +306,31 @@ def _mock_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full §3.1 pipeline over documents dressed as a message log:
+    suppress -> chunk -> tokenize -> embed -> embeddings-table rows."""
+    from ..operators.ingest_pipeline import ingest_pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    messages = docs.select(
+        F.col("text").alias("body"),
+        F.lit("from").alias("direction"),
+        F.col("source").alias("contact"),
+        F.lit(None).cast("string").alias("group_name"),
+        F.lit(None).cast("array<string>").alias("attachments"),
+    )
+    out = ingest_pipeline(
+        messages, embedding_dim=64, ideal_token_size=_CHUNK_TOKENS, embed_partitions=8
+    )
+    # project deterministic columns only (id/created_at are run-dependent)
+    return out.select(
+        "body", "direction", "contact", "tokens", F.size("embedding").alias("dim")
+    )
+
+
 SPECS: dict[str, QuerySpec] = {
     "topk_cosine": QuerySpec(_topk_cosine, _TOPK_COSINE_SQL, "E3 exact cosine top-k (flagship)"),
+    "ingest_pipeline": QuerySpec(_ingest_pipeline, None, "full §3.1 ingest pipeline (suppress->chunk->tokenize->embed), rows-only"),
     "topk_l2": QuerySpec(_topk_l2, _TOPK_L2_SQL, "E3 exact L2 top-k"),
     "suppression_filter": QuerySpec(_suppression_filter, _SUPPRESSION_FILTER_SQL, "F1 control-message suppression (14 patterns)"),
     "tokenize": QuerySpec(_tokenize, _TOKENIZE_SQL, "T1 token count (JVM regex tokenizer)"),

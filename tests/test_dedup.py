@@ -1,0 +1,86 @@
+"""Dedup operators: MinHash/LSH, SimHash, n-gram Jaccard, embedding LSH."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from signal_messenger_vector_database_spark.operators.ann import (
+    exact_cosine_pairs,
+    lsh_cosine_pairs,
+)
+from signal_messenger_vector_database_spark.operators.dedup import (
+    jaccard_verify,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    word_bigram_shingles,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 0
+    (2, "completely different content about spark query engines and shuffles"),
+    (3, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+    (4, "spark query engines shuffle data between executors for joins"),
+]
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dups_have_identical_signatures(spark):
+    sigs = {r.doc_id: tuple(r)[1:] for r in minhash_signatures(_docs_df(spark), "doc_id", "text").collect()}
+    assert sigs[0] == sigs[3]
+    assert sigs[0] != sigs[2]
+
+
+def test_lsh_finds_planted_near_dup(spark):
+    df = _docs_df(spark)
+    sigs = minhash_signatures(df, "doc_id", "text")
+    cands = lsh_candidate_pairs(sigs, "doc_id")
+    sh = df.select("doc_id", word_bigram_shingles("text").alias("shingles"))
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in jaccard_verify(cands, sh, "doc_id", 0.5).collect()}
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0  # exact dup
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 0.5  # near dup
+    assert all(2 not in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_simhash_exact_dup_same_fingerprint(spark):
+    fps = {r.doc_id: r.simhash for r in simhash(_docs_df(spark), "doc_id", "text").collect()}
+    assert fps[0] == fps[3]
+    near_dist = bin(fps[0] ^ fps[1]).count("1")
+    far_dist = bin(fps[0] ^ fps[2]).count("1")
+    assert near_dist < far_dist
+    assert near_dist <= 4
+
+
+def test_ngram_jaccard_pairs(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(_docs_df(spark), "doc_id", "text", 0.3).collect()
+    }
+    assert pairs[(0, 3)] == 1.0
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs
+
+
+def test_embedding_lsh_is_subset_of_exact_with_recall(spark):
+    rng = np.random.RandomState(3)
+    base = rng.randn(40, 16).astype(np.float32)
+    # plant 10 near-dup rows: tiny perturbations of the first 10
+    near = base[:10] + 0.05 * rng.randn(10, 16).astype(np.float32)
+    vecs = np.vstack([base, near])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    exact = {(r.id_a, r.id_b) for r in exact_cosine_pairs(df, 0.9).collect()}
+    approx = {(r.id_a, r.id_b) for r in lsh_cosine_pairs(df, 0.9, dim=16).collect()}
+    assert approx <= exact
+    planted = {(i, 40 + i) for i in range(10)}
+    assert planted <= exact  # perturbed copies are exact near-dups
+    recall = len(approx & planted) / len(planted)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"

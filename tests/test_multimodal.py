@@ -1,0 +1,57 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from signal_messenger_vector_database_spark.operators.multimodal import (
+    attach_binary,
+    decode_image,
+    extract_features,
+    fake_features,
+    sample_frames,
+)
+
+
+def test_attach_binary_metadata(spark):
+    df = spark.createDataFrame([(1, "héllo")], "doc_id long, text string")
+    row = attach_binary(df).first()
+    assert bytes(row.payload) == "héllo".encode("utf-8")
+    assert row.meta.n_bytes == 6  # multibyte é
+    assert row.meta.mime == "text/plain"
+
+
+def test_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+def test_fake_features_shape_and_mass():
+    f = fake_features(b"some bytes here", bins=16)
+    assert f.shape == (16,)
+    assert abs(float(f.sum()) - 1.0) < 1e-5
+    assert np.array_equal(f, fake_features(b"some bytes here", bins=16))
+    assert fake_features(b"", bins=16).sum() == 0.0
+
+
+def test_extract_features_df(spark):
+    df = attach_binary(
+        spark.createDataFrame([(i, f"text {i}") for i in range(5)], "doc_id long, text string")
+    )
+    out = extract_features(df).collect()
+    assert len(out) == 5
+    assert all(len(r.features) == 16 for r in out)
+
+
+def test_sample_frames_explodes_deterministically(spark):
+    df = attach_binary(
+        spark.createDataFrame([(i, "x" * (10 + i)) for i in range(4)], "doc_id long, text string")
+    )
+    frames = sample_frames(df).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i in range(4):
+        expected_n = ((10 + i) % 3) + 1
+        assert len(by_doc[i]) == expected_n
+        assert [r.frame_id for r in sorted(by_doc[i], key=lambda r: r.frame_id)] == list(range(expected_n))

@@ -1,0 +1,41 @@
+"""Streaming semantics (SURVEY §2.10): AvailableNow drain, windowed agg
+parity with batch, dedup-on-ingest exactly-once effect."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from signal_messenger_vector_database_spark.io.sources import load_table
+from signal_messenger_vector_database_spark.streaming.ingest import (
+    dedup_ingest_availablenow,
+    windowed_counts_availablenow,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_windowed_counts_match_batch(spark):
+    streamed = {
+        (r.day, r.event_type): r.cnt
+        for r in windowed_counts_availablenow(spark, SF).collect()
+    }
+    batch = {
+        (r.day, r.event_type): r.cnt
+        for r in load_table(spark, SF, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert streamed == batch
+
+
+def test_dedup_ingest_exactly_once_effect(spark):
+    ingested = dedup_ingest_availablenow(spark, SF)
+    n_events = load_table(spark, SF, "events").count()
+    # input stream was duplicated (union with itself) but dedup restores
+    # exactly-once effect
+    assert ingested.count() == n_events
+    assert ingested.select("event_id").distinct().count() == n_events
