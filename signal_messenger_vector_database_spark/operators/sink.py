@@ -1,0 +1,75 @@
+"""Sinks: K1 append, K2 DDL bootstrap, K3/P7 attachment-style file naming.
+
+Reference behavior mapped:
+
+- K2 (src/rag/sqlx.rs:9-54): ``CREATE EXTENSION`` + ``CREATE TABLE IF NOT
+  EXISTS embeddings`` => idempotent ``CREATE TABLE IF NOT EXISTS ... USING
+  PARQUET`` (no extension concept needed — vector math is native here).
+- K1 (src/rag/sqlx.rs:56-82): row-at-a-time INSERT loop with swallowed
+  errors => one atomic ``df.write.mode("append")`` (and exactly-once via
+  foreachBatch + checkpoint in streaming/ingest.py).
+- K3/P7 (src/signal/process_incoming_message.rs:46-83): attachment bytes
+  written under ``attachments/`` with a ``%Y-%m-%d-%H-%M-%s`` timestamped
+  name, mime-guessed extension and collision prefixing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .multimodal import MIME_EXTENSIONS
+
+EMBEDDINGS_DDL_COLS = """
+  id BIGINT,
+  body STRING,
+  direction STRING,
+  contact STRING,
+  group_name STRING,
+  attachments ARRAY<STRING>,
+  tokens INT,
+  embedding ARRAY<FLOAT>,
+  created_at TIMESTAMP
+"""
+
+
+def ensure_embeddings_table(
+    spark: SparkSession, name: str = "embeddings_out", location: str | None = None
+) -> None:
+    """K2: idempotent DDL bootstrap (CREATE TABLE IF NOT EXISTS,
+    src/rag/sqlx.rs:32-51)."""
+    loc = f" LOCATION '{location}'" if location else ""
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {name} ({EMBEDDINGS_DDL_COLS}) USING PARQUET{loc}"
+    )
+
+
+def append_embeddings(df: DataFrame, name: str = "embeddings_out") -> None:
+    """K1: atomic batch append (vs the reference's per-row INSERT with
+    printed-and-swallowed errors, src/rag/sqlx.rs:60-79)."""
+    df.write.mode("append").insertInto(name)
+
+
+def timestamped_filename(
+    mime_col: Column | str, file_name_col: Column | str | None = None
+) -> Column:
+    """P7: ``{%Y-%m-%d-%H-%M-%s}.{ext}`` default name; a provided original
+    filename is collision-prefixed with the timestamp
+    (src/signal/process_incoming_message.rs:53-69).  The mime -> extension
+    map is a literal lookup expression (mime_guess as data, not a UDF)."""
+    mime = F.col(mime_col) if isinstance(mime_col, str) else mime_col
+    ext = F.lit("bin")
+    for m, e in MIME_EXTENSIONS.items():
+        ext = F.when(mime == m, F.lit(e)).otherwise(ext)
+    stamp = F.concat(
+        F.date_format(F.current_timestamp(), "yyyy-MM-dd-HH-mm"),
+        F.lit("-"),
+        F.unix_timestamp(F.current_timestamp()).cast("string"),
+    )
+    default_name = F.concat(stamp, F.lit("."), ext)
+    if file_name_col is None:
+        return default_name
+    provided = F.col(file_name_col) if isinstance(file_name_col, str) else file_name_col
+    return F.when(provided.isNull() | (provided == default_name), default_name).otherwise(
+        F.concat(stamp, F.lit("-"), provided)
+    )

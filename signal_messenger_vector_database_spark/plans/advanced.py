@@ -1,0 +1,194 @@
+"""Advanced relational surface: nested scan/explode (S7/P10), binary file
+source (S11), JSON scalar functions, ROLLUP grouping sets, as-of and
+interval joins, hex projection (P6), approximate distinct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import portable_round
+from ..io.sources import load_table
+from ..operators.joins import asof_join, interval_join
+from .registry import QuerySpec
+
+
+# --- S7/P10: nested collect + explode -----------------------------------
+# Sticker-pack scan (src/lib.rs:268-292): iterate packs, then nested
+# stickers => build the nested shape with collect_list, read it back with
+# explode; attachment accumulation (P10) is the same collect_list shape.
+def _nested_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    packs = orders.groupBy("o_custkey").agg(
+        F.collect_list("o_orderkey").alias("order_ids")
+    )
+    return packs.select(
+        "o_custkey",
+        F.size("order_ids").alias("n_orders"),
+        F.explode("order_ids").alias("o_orderkey"),
+    )
+
+
+_NESTED_EXPLODE_SQL = """
+SELECT o_custkey,
+       CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS INTEGER) AS n_orders,
+       o_orderkey
+FROM orders
+"""
+
+
+# --- S11: binary file source --------------------------------------------
+def _binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # content column never selected => binaryFile reader prunes the bytes.
+    files = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
+    return files.select(
+        F.regexp_extract(F.col("path"), r"([^/]+)$", 1).alias("file_name"),
+        F.col("length"),
+    ).orderBy("file_name")
+
+
+# --- JSON scalar functions over props -----------------------------------
+def _json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return events.groupBy("event_type").agg(
+        portable_round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.when(k > 50, 1)).alias("n_gt50"),
+    )
+
+
+_JSON_PROPS_SQL = """
+SELECT event_type,
+       floor(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)) * 10000.0 + 0.5) / 10000.0 AS avg_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+       CAST(COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 50 THEN 1 END) AS BIGINT) AS n_gt50
+FROM events GROUP BY event_type
+"""
+
+
+# --- ROLLUP grouping sets ------------------------------------------------
+def _rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+_ROLLUP_AGG_SQL = """
+SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+# --- as-of join ----------------------------------------------------------
+# Each purchase matched to the user's most recent strictly-prior click.
+def _asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        purchases, clicks, on="user_id", ts_col="ts", right_value_cols=("value",)
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts_s"),
+        F.round("asof_value", 4).alias("click_value"),
+    )
+
+
+_ASOF_JOIN_SQL = """
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts_s,
+       ROUND(c.value, 4) AS click_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts > c.ts
+"""
+
+
+# --- interval join -------------------------------------------------------
+# Clicks within 1 hour after a signup by the same user.
+def _interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        F.col("user_id"), F.col("ts").alias("s_ts"), F.col("event_id").alias("s_id")
+    )
+    joined = interval_join(
+        clicks,
+        signups,
+        on="user_id",
+        left_ts="ts",
+        right_start=F.col("r.s_ts"),
+        right_end=F.col("r.s_ts") + F.expr("INTERVAL 1 HOUR"),
+    )
+    return joined.groupBy(F.col("l.user_id").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.countDistinct("s_id").alias("n_signups_hit"),
+    )
+
+
+_INTERVAL_JOIN_SQL = """
+SELECT c.user_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+       CAST(COUNT(DISTINCT s.event_id) AS BIGINT) AS n_signups_hit
+FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup') s
+  ON c.user_id = s.user_id
+ AND c.ts >= s.ts AND c.ts < s.ts + INTERVAL 1 HOUR
+GROUP BY c.user_id
+"""
+
+
+# --- P6 hex projection ---------------------------------------------------
+def _hex_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey", F.hex(F.col("c_name")).alias("name_hex")
+    ).filter(F.col("c_custkey") <= 100)
+
+
+_HEX_PROJECT_SQL = """
+SELECT c_custkey, hex(c_name) AS name_hex FROM customer WHERE c_custkey <= 100
+"""
+
+
+# --- approx distinct (sketch; rows-only — HLL != exact by design) -------
+def _approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    ).select(
+        "approx_parts",
+        "exact_parts",
+        F.round(
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            / F.col("exact_parts"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
+SPECS: dict[str, QuerySpec] = {
+    "nested_explode": QuerySpec(_nested_explode, _NESTED_EXPLODE_SQL, "S7/P10 collect_list -> explode round trip"),
+    "binaryfile_scan": QuerySpec(_binaryfile_scan, None, "S11 binary file source (content pruned)"),
+    "json_props": QuerySpec(_json_props, _JSON_PROPS_SQL, "JSON scalar extraction + agg over props"),
+    "rollup_agg": QuerySpec(_rollup_agg, _ROLLUP_AGG_SQL, "ROLLUP grouping sets"),
+    "asof_join": QuerySpec(_asof_join, _ASOF_JOIN_SQL, "as-of join via union+window (oracle: DuckDB ASOF JOIN)"),
+    "interval_join": QuerySpec(_interval_join, _INTERVAL_JOIN_SQL, "equi-keyed interval join"),
+    "hex_project": QuerySpec(_hex_project, _HEX_PROJECT_SQL, "P6 hex encode projection"),
+    "approx_distinct": QuerySpec(_approx_distinct, None, "HLL approx_count_distinct vs exact (sketch)"),
+}

@@ -17,7 +17,7 @@ def all_specs() -> dict[str, QuerySpec]:
         if overlap:
             raise ValueError(f"duplicate query names: {sorted(overlap)}")
         specs.update(module.SPECS)
-    for module_name in ("similarity", "textanalysis", "streaming_queries", "multimodal"):
+    for module_name in ("similarity", "textanalysis", "streaming_queries", "multimodal", "advanced"):
         try:
             import importlib
 
