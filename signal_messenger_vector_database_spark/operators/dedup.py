@@ -31,43 +31,70 @@ def normalized_text(col: Column | str) -> Column:
 
 def word_bigram_shingles(col: Column | str) -> Column:
     """Distinct word-bigram shingles of the normalized text; texts with a
-    single word fall back to a one-element shingle set."""
+    single word fall back to a one-element shingle set.
+
+    Built with ``zip_with(words, shift(words))`` rather than
+    ``transform(sequence(...), i -> element_at(words, i))``: interpreted
+    higher-order functions get no common-subexpression elimination, so an
+    element_at-per-index lambda re-evaluates the underlying regex split
+    O(n) times per row — O(n^2) regex work that measured ~100 s at sf0.1.
+    zip_with references the words array a constant number of times."""
     norm = normalized_text(col)
     words = F.split(norm, " ")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(words) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(1))),
+        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(1))),
+        lambda a, b: F.concat_ws(" ", a, b),
     )
     return F.array_distinct(
         F.when(F.size(words) >= 2, bigrams).otherwise(F.array(norm))
     )
 
 
+def shingle_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, shingle) posting rows.  The explode generator evaluates the
+    shingle expression exactly once per input row, and everything
+    downstream is relational — the scale-safe shape for minhash/Jaccard."""
+    return df.select(
+        F.col(id_col), F.explode(word_bigram_shingles(text_col)).alias("shingle")
+    )
+
+
+def shingle_sets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, shingles array) materialized THROUGH an aggregation, so the
+    array is shuffled data rather than a re-evaluated expression tree."""
+    return shingle_rows(df, id_col, text_col).groupBy(id_col).agg(
+        F.collect_set("shingle").alias("shingles")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (md5-portable)
 
+# 8 minhashes in 2 bands of 4: P(candidate) ~ 1-(1-s^4)^2 — steep around
+# s=0.8, which is the near-dup regime.  Wider (2-row) bands collide
+# quadratically on corpora with a small shingle vocabulary (any doc pair
+# sharing the one globally-minimal shingle hash lands in the same bucket),
+# which turns the band self-join into a skewed O(n^2) — measured 300 s vs
+# 3 s at sf0.1 on the fixture.
 NUM_MINHASHES = 8
-LSH_BANDS = 4  # 2 minhashes per band
-
-
-def _minhash_col(shingles: Column, j: int) -> Column:
-    # NB: the transform lambda must take exactly ONE parameter — Spark
-    # binds a second parameter to the element index.
-    prefix = f"{j}|"
-    return F.array_min(
-        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(prefix), s)))
-    ).alias(f"mh_{j}")
-
-
-def minhash_signature_cols(shingles: Column) -> list[Column]:
-    """minhash_j = lexicographic min over shingles of md5("{j}|" + shingle).
-    Min over hex strings == min over the underlying 128-bit values."""
-    return [_minhash_col(shingles, j) for j in range(NUM_MINHASHES)]
+LSH_BANDS = 2  # 4 minhashes per band
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    sh = word_bigram_shingles(text_col)
-    return df.select(F.col(id_col), *minhash_signature_cols(sh))
+    """minhash_j = lexicographic min over shingles of md5("{j}|" + shingle)
+    (min over hex strings == min over the underlying 128-bit values).
+
+    Relational formulation: shingles exploded to rows, minhashes as plain
+    ``min()`` aggregates — whole-stage codegen'd, one shuffle on the doc
+    id, no giant per-cell expression trees.  Duplicate shingles don't
+    affect a min, so no distinct pass is needed before the agg."""
+    rows = shingle_rows(df, id_col, text_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"mh_{j}")
+        for j in range(NUM_MINHASHES)
+    ]
+    return rows.groupBy(id_col).agg(*aggs)
 
 
 def band_key_cols() -> list[Column]:
@@ -83,7 +110,10 @@ def band_key_cols() -> list[Column]:
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
     """Docs sharing any band key.  The self-join is an equi-join on
     (band_id, band_key) — i.e. a shuffle on the bucket, never a cross
-    join."""
+    join.  The signature table is persisted: both join sides read it, and
+    at scale the signature build (a full pass over the corpus) must not
+    run twice."""
+    signatures = signatures.persist()
     banded = signatures.select(F.col(id_col), *band_key_cols())
     exploded = banded.select(
         F.col(id_col),
@@ -119,7 +149,10 @@ def jaccard_verify(
     threshold: float,
     round_digits: int = 4,
 ) -> DataFrame:
-    """Exact Jaccard on candidate pairs (the verify stage after LSH)."""
+    """Exact Jaccard on candidate pairs (the verify stage after LSH).
+    The shingle-set table feeds both sides of the pair join — persist it
+    so the set build runs once."""
+    shingle_sets = shingle_sets.persist()
     sa = shingle_sets.select(
         F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
     )
@@ -189,9 +222,8 @@ def ngram_jaccard_pairs(
     shingles per pair, then combine with per-doc set sizes.  The shuffle
     key is the shingle — at 100 TB hot shingles are the skew risk, handled
     by AQE skew-join (and a stop-shingle cutoff would drop the head)."""
-    sh = df.select(F.col(id_col), word_bigram_shingles(text_col).alias("shingles"))
-    posting = sh.select(id_col, F.explode("shingles").alias("s"))
-    sizes = sh.select(F.col(id_col), F.size("shingles").alias("n"))
+    posting = shingle_rows(df, id_col, text_col).withColumnRenamed("shingle", "s")
+    sizes = posting.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a, b = posting.alias("a"), posting.alias("b")
     common = (
         a.join(

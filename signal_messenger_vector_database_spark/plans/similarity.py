@@ -23,8 +23,8 @@ from ..operators.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    shingle_sets,
     simhash,
-    word_bigram_shingles,
 )
 from .registry import QuerySpec
 
@@ -71,26 +71,45 @@ SELECT doc_id, {_sql_minhash_cols()} FROM t
 
 # ---------------------------------------------------------------------------
 # MinHash LSH near-dup pairs (band join -> exact Jaccard verify)
+#
+# The fixture corpus has no true near-dups, so the query plants them
+# deterministically on BOTH sides: every 10th doc is duplicated (doc_id +
+# 1_000_000) with one appended token => Jaccard ~0.95, squarely in the
+# regime the 2x4 banding targets.
 
-_JACCARD_THRESHOLD = 0.05
+_JACCARD_THRESHOLD = 0.5
+
+
+def _augmented_docs(docs: DataFrame) -> DataFrame:
+    planted = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" planteddup")).alias("text"),
+    )
+    return docs.select("doc_id", "text").union(planted)
+
+
+_SQL_AUGMENTED_DOCS = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, text || ' planteddup' AS text
+FROM documents WHERE doc_id % 10 = 0
+"""
 
 
 def _minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(F.col("doc_id"), word_bigram_shingles("text").alias("shingles"))
+    docs = _augmented_docs(load_table(spark, sf_dir, "documents"))
+    sh = shingle_sets(docs, id_col="doc_id", text_col="text")
     sigs = minhash_signatures(docs, id_col="doc_id", text_col="text")
     cands = lsh_candidate_pairs(sigs, id_col="doc_id")
     return jaccard_verify(cands, sh, id_col="doc_id", threshold=_JACCARD_THRESHOLD)
 
 
 _MINHASH_LSH_PAIRS_SQL = f"""
-WITH t AS ({_sql_shingle_cte()}),
+WITH t AS ({_sql_shingle_cte(table=f"({_SQL_AUGMENTED_DOCS})")}),
 sig AS (SELECT doc_id, shingles, {_sql_minhash_cols()} FROM t),
 banded AS (
-  SELECT doc_id, 0 AS band, md5(mh_0 || mh_1) AS key FROM sig
-  UNION ALL SELECT doc_id, 1, md5(mh_2 || mh_3) FROM sig
-  UNION ALL SELECT doc_id, 2, md5(mh_4 || mh_5) FROM sig
-  UNION ALL SELECT doc_id, 3, md5(mh_6 || mh_7) FROM sig
+  SELECT doc_id, 0 AS band, md5(mh_0 || mh_1 || mh_2 || mh_3) AS key FROM sig
+  UNION ALL SELECT doc_id, 1, md5(mh_4 || mh_5 || mh_6 || mh_7) FROM sig
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

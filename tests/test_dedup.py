@@ -14,8 +14,8 @@ from signal_messenger_vector_database_spark.operators.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    shingle_sets,
     simhash,
-    word_bigram_shingles,
 )
 
 DOCS = [
@@ -41,7 +41,7 @@ def test_lsh_finds_planted_near_dup(spark):
     df = _docs_df(spark)
     sigs = minhash_signatures(df, "doc_id", "text")
     cands = lsh_candidate_pairs(sigs, "doc_id")
-    sh = df.select("doc_id", word_bigram_shingles("text").alias("shingles"))
+    sh = shingle_sets(df, "doc_id", "text")
     pairs = {(r.id_a, r.id_b): r.jaccard for r in jaccard_verify(cands, sh, "doc_id", 0.5).collect()}
     assert (0, 3) in pairs and pairs[(0, 3)] == 1.0  # exact dup
     assert (0, 1) in pairs and pairs[(0, 1)] >= 0.5  # near dup
