@@ -1,0 +1,179 @@
+"""Window / sessionization / set-membership analytics surface.
+
+The reference has no window functions, semi/anti joins, or sessionization
+(SURVEY §2.8-2.9: 'all come free from Spark') — these queries are that
+north-star analytics layer, each oracle-paired.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io.sources import load_table
+from .registry import QuerySpec
+
+
+# --- semi / anti joins ---------------------------------------------------
+def _semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big_orders = orders.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    with_big = customer.join(
+        big_orders, customer.c_custkey == big_orders.o_custkey, "left_semi"
+    ).select("c_custkey", F.lit("has_big_order").alias("cohort"))
+    without_any = customer.join(
+        orders.select("o_custkey"), customer.c_custkey == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", F.lit("no_orders").alias("cohort"))
+    return with_big.union(without_any)
+
+
+_SEMI_ANTI_JOIN_SQL = """
+SELECT c_custkey, 'has_big_order' AS cohort FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+UNION ALL
+SELECT c_custkey, 'no_orders' AS cohort FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# --- pivot (A1's per-kind counter block as a matrix) --------------------
+_PIVOT_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def _pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PIVOT_PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    renames = {p: f"p{p[0]}" for p in _PIVOT_PRIORITIES}
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out.na.fill(0)
+
+
+_PIVOT_COUNTS_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS BIGINT) AS p1,
+       CAST(COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS BIGINT) AS p2,
+       CAST(COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS BIGINT) AS p3,
+       CAST(COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS BIGINT) AS p4,
+       CAST(COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS BIGINT) AS p5
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# --- lag/lead + running aggregates over event streams -------------------
+def _running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = events.filter(F.col("user_id") < 20).select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("seq"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.round(F.sum("value").over(wsum), 2).alias("running_value"),
+    )
+    return out
+
+
+_RUNNING_WINDOW_SQL = """
+SELECT user_id, event_id,
+       ROW_NUMBER() OVER w AS seq,
+       LAG(event_type) OVER w AS prev_type,
+       LEAD(event_type) OVER w AS next_type,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS running_value
+FROM events WHERE user_id < 20
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# --- sessionization (gap-based) -----------------------------------------
+# Spark: native session_window groupBy.  Oracle: the classic lag + cumsum
+# new-session-flag formulation — two independent definitions that must
+# agree exactly.
+_SESSION_GAP = "30 minutes"
+
+
+def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", _SESSION_GAP).alias("sw"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+_SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS session_value
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+# --- cumulative distribution / ranking families -------------------------
+def _rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load_table(spark, sf_dir, "supplier")
+    w = Window.orderBy(F.desc("s_acctbal"), "s_suppkey")
+    return supplier.select(
+        "s_suppkey",
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+        F.round(F.cume_dist().over(w), 4).alias("cd"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+_RANK_FAMILY_SQL = """
+SELECT s_suppkey,
+       CAST(RANK() OVER w AS BIGINT) AS rk,
+       CAST(DENSE_RANK() OVER w AS BIGINT) AS drk,
+       ROUND(CUME_DIST() OVER w, 4) AS cd,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+FROM supplier
+WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey)
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "semi_anti_join": QuerySpec(_semi_anti_join, _SEMI_ANTI_JOIN_SQL, "left_semi/left_anti (EXISTS / NOT EXISTS)"),
+    "pivot_counts": QuerySpec(_pivot_counts, _PIVOT_COUNTS_SQL, "groupBy().pivot() counter matrix (A1 shape)"),
+    "running_window": QuerySpec(_running_window, _RUNNING_WINDOW_SQL, "lag/lead + running sum window"),
+    "sessionize": QuerySpec(_sessionize, _SESSIONIZE_SQL, "native session_window vs lag+cumsum oracle"),
+    "rank_family": QuerySpec(_rank_family, _RANK_FAMILY_SQL, "rank/dense_rank/cume_dist/ntile"),
+}

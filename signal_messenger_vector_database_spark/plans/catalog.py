@@ -17,7 +17,15 @@ def all_specs() -> dict[str, QuerySpec]:
         if overlap:
             raise ValueError(f"duplicate query names: {sorted(overlap)}")
         specs.update(module.SPECS)
-    for module_name in ("similarity", "textanalysis", "streaming_queries", "multimodal", "advanced"):
+    for module_name in (
+        "similarity",
+        "textanalysis",
+        "streaming_queries",
+        "multimodal",
+        "advanced",
+        "analytics",
+        "mllib_lsh",
+    ):
         try:
             import importlib
 

@@ -41,7 +41,28 @@ FROM events GROUP BY event_type
 """
 
 
+def _stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import stateful_user_totals
+
+    return stateful_user_totals(spark, sf_dir)
+
+
+# The source is fed twice (two micro-batches), so the stateful counter's
+# final per-user totals are exactly 2x the batch aggregate.
+_STREAM_STATEFUL_TOTALS_SQL = """
+SELECT user_id,
+       CAST(2 * COUNT(*) AS BIGINT) AS total_events,
+       ROUND(2 * SUM(value), 2) AS total_value
+FROM events GROUP BY user_id
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "stream_stateful_totals": QuerySpec(
+        _stream_stateful_totals,
+        _STREAM_STATEFUL_TOTALS_SQL,
+        "applyInPandasWithState running totals across micro-batches",
+    ),
     "stream_windowed_counts": QuerySpec(
         _stream_windowed_counts,
         _STREAM_WINDOWED_COUNTS_SQL,
