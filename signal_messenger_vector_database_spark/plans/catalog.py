@@ -25,6 +25,7 @@ def all_specs() -> dict[str, QuerySpec]:
         "advanced",
         "analytics",
         "mllib_lsh",
+        "tpch",
     ):
         try:
             import importlib

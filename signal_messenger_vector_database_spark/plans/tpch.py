@@ -1,0 +1,106 @@
+"""Benchmark-grade multi-join queries (TPC-H Q3/Q18 shapes) and the
+spark.sql surface (correlated subquery).
+
+These exercise the optimizer paths that matter at 100 TB: join ordering
+across fact-fact-dim chains, partial aggregation under HAVING, and
+subquery decorrelation — all free from Catalyst because the plans are
+declared, not hand-scheduled (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.sources import load_table
+from .registry import QuerySpec
+
+
+# --- TPC-H Q3 shape: shipping priority ----------------------------------
+def _q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.lit("1998-01-01"))
+        .groupBy(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+            "o_orderpriority",
+        )
+        .agg(F.round(revenue, 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+_Q3_SQL = """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate, o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# --- TPC-H Q18 shape: large-volume orders (HAVING) ----------------------
+def _q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_custkey", "c_name", "o_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+
+
+_Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_custkey, c_name, o_orderkey
+HAVING ROUND(SUM(l_quantity), 2) > 150
+"""
+
+
+# --- correlated scalar subquery via the spark.sql surface ---------------
+def _correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal
+        FROM customer_v c
+        WHERE c_acctbal > (SELECT 2 * AVG(c2.c_acctbal) FROM customer_v c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )
+
+
+_CORRELATED_SUBQUERY_SQL = """
+SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal
+FROM customer c
+WHERE c_acctbal > (SELECT 2 * AVG(c2.c_acctbal) FROM customer c2
+                   WHERE c2.c_nationkey = c.c_nationkey)
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "q3_shipping_priority": QuerySpec(_q3_shipping_priority, _Q3_SQL, "TPC-H Q3 shape: 3-way join + agg + top-k"),
+    "q18_large_orders": QuerySpec(_q18_large_orders, _Q18_SQL, "TPC-H Q18 shape: HAVING over 3-way join"),
+    "correlated_subquery": QuerySpec(_correlated_subquery, _CORRELATED_SUBQUERY_SQL, "correlated scalar subquery (spark.sql surface)"),
+}

@@ -1,0 +1,88 @@
+"""Scale mechanics: bucketed joins must not shuffle; salted joins must be
+correct and spread hot keys."""
+
+from __future__ import annotations
+
+import re
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from signal_messenger_vector_database_spark.io.sources import load_table
+from signal_messenger_vector_database_spark.operators.scale import (
+    bucketed_join,
+    salted_join,
+    write_bucketed,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    tag = uuid.uuid4().hex[:8]
+    lt, rt = f"b_lineitem_{tag}", f"b_orders_{tag}"
+    write_bucketed(
+        load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity"),
+        lt, bucket_col="l_orderkey", num_buckets=4, sort_col="l_orderkey",
+    )
+    write_bucketed(
+        load_table(spark, SF, "orders")
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"),
+        rt, bucket_col="l_orderkey", num_buckets=4, sort_col="l_orderkey",
+    )
+    # force sort-merge: at fixture size the planner would broadcast and
+    # skip the bucketed scan entirely (irrelevant at real scale)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, lt, rt, on="l_orderkey")
+        plan = _plan(joined)
+        # co-located buckets: the join happens without any shuffle exchange
+        assert "Exchange" not in plan, plan[:2000]
+        # and it's still a real join producing the right row count
+        expected = (
+            load_table(spark, SF, "lineitem")
+            .join(load_table(spark, SF, "orders"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .count()
+        )
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql(f"DROP TABLE {lt}")
+        spark.sql(f"DROP TABLE {rt}")
+
+
+def test_plain_join_does_exchange(spark):
+    # control: the same join on unbucketed data shuffles
+    l = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(l.join(o, "l_orderkey"))
+        assert "Exchange" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_salted_join_correctness(spark):
+    # skewed fact: one hot key with 5000 rows + uniform tail
+    fact = spark.range(5000).select(F.lit(1).alias("k"), F.col("id").alias("v")).union(
+        spark.range(100).select((F.col("id") + 2).alias("k"), F.col("id").alias("v"))
+    )
+    dim = spark.range(200).select(F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+    got = salted_join(fact, dim, on="k", salt_buckets=8)
+    plain = fact.join(dim, "k")
+    assert got.count() == plain.count()
+    assert sorted(got.columns) == sorted(plain.columns)
+    # spot-check content equality on the hot key
+    assert (
+        got.filter(F.col("k") == 1).agg(F.sum("v")).first()[0]
+        == plain.filter(F.col("k") == 1).agg(F.sum("v")).first()[0]
+    )
