@@ -26,6 +26,7 @@ def all_specs() -> dict[str, QuerySpec]:
         "analytics",
         "mllib_lsh",
         "tpch",
+        "traindata",
     ):
         try:
             import importlib

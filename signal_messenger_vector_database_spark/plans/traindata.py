@@ -1,0 +1,227 @@
+"""Training-data preparation surface: deterministic splits, sequence
+packing, repetition scoring (Gopher-style quality rule), TF-IDF, and the
+bug-compatible chunking variant (SURVEY T5 strict mode).
+
+All oracle-paired — these are the batch ops an LLM data pipeline runs at
+corpus scale, expressed as single-pass expressions/aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import portable_round, token_count
+from ..io.sources import load_table
+from ..operators.chunking import chunk_text
+from ..operators.dedup import shingle_rows
+from .registry import QuerySpec
+
+# --- deterministic train/val/test split ---------------------------------
+# Hash-based, not rand(): reproducible across runs, engines, and cluster
+# sizes — the property a 100 TB split must have.  md5 is the portable hash.
+
+
+def _split_assign(col):
+    bucket = F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10).cast("int") % 10
+    return (
+        F.when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test")
+    )
+
+
+def _train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", _split_assign(F.col("doc_id")).alias("split"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_id"))
+    )
+
+
+_SQL_HEX4_MD5 = (
+    "((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096 + "
+    "(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256 + "
+    "(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16 + "
+    "(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1))"
+)
+
+_TRAIN_TEST_SPLIT_SQL = f"""
+SELECT CASE WHEN {_SQL_HEX4_MD5} % 10 < 8 THEN 'train'
+            WHEN {_SQL_HEX4_MD5} % 10 < 9 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id
+FROM documents GROUP BY 1
+"""
+
+
+# --- sequence packing (context-window filling) --------------------------
+_PACK_BUDGET = 2048
+
+
+def _token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    packed = docs.select(
+        "doc_id",
+        token_count("text").alias("tokens"),
+        F.sum(token_count("text")).over(w).alias("cum"),
+    ).select(
+        "doc_id",
+        "tokens",
+        F.floor((F.col("cum") - F.col("tokens")) / F.lit(_PACK_BUDGET))
+        .cast("int")
+        .alias("pack_id"),
+    )
+    return packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tokens").cast("long").alias("pack_tokens"),
+    )
+
+
+_SQL_TOKENS = (
+    "CASE WHEN text IS NULL OR text = '' THEN 0 "
+    "ELSE len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) END"
+)
+
+_TOKEN_PACKING_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKENS} AS tokens,
+         SUM({_SQL_TOKENS}) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM documents
+)
+SELECT CAST(floor((cum - tokens) / {_PACK_BUDGET}.0) AS INTEGER) AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tokens) AS BIGINT) AS pack_tokens
+FROM t GROUP BY 1
+"""
+
+
+# --- repetition score (Gopher-style most-common-ngram fraction) ---------
+def _repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # shingle_rows is distinct-per-doc; for repetition we need raw counts,
+    # so explode the non-distinct bigram stream.
+    from ..operators.dedup import normalized_text
+
+    words = F.split(normalized_text(F.col("text")), " ")
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(1))),
+        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(1))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    exploded = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(F.size(words) >= 2, bigrams).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("bg"),
+    )
+    counts = exploded.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.max("c").alias("max_c"), F.sum("c").cast("long").alias("total")
+    )
+    return per_doc.select(
+        "doc_id",
+        portable_round(F.col("max_c") / F.col("total"), 4).alias("rep_ratio"),
+    )
+
+
+_REPETITION_SCORE_SQL = """
+WITH norm AS (
+  SELECT doc_id,
+         string_split(lower(regexp_replace(trim(COALESCE(text, '')), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i + 1])) AS bg
+  FROM norm WHERE len(w) >= 2
+),
+counts AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg)
+SELECT doc_id,
+       floor((CAST(MAX(c) AS DOUBLE) / SUM(c)) * 10000.0 + 0.5) / 10000.0 AS rep_ratio
+FROM counts GROUP BY doc_id
+"""
+
+
+# --- TF-IDF top terms ----------------------------------------------------
+def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    posting = shingle_rows(docs, "doc_id", "text")  # distinct bigrams per doc
+    df_counts = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0))
+    return (
+        df_counts.select("shingle", F.col("df"), portable_round(idf, 4).alias("idf"))
+        .orderBy(F.desc("df"), "shingle")
+        .limit(25)
+    )
+
+
+def _tfidf_sql(n_docs_expr: str = "(SELECT COUNT(*) FROM documents)") -> str:
+    norm = "lower(regexp_replace(trim(COALESCE(text, '')), '\\s+', ' ', 'g'))"
+    shingles = (
+        f"CASE WHEN len(string_split({norm}, ' ')) >= 2 THEN "
+        f"list_distinct(list_transform(generate_series(1, len(string_split({norm}, ' ')) - 1), "
+        f"i -> string_split({norm}, ' ')[i] || ' ' || string_split({norm}, ' ')[i + 1])) "
+        f"ELSE list_value({norm}) END"
+    )
+    return f"""
+WITH posting AS (
+  SELECT doc_id, unnest({shingles}) AS shingle FROM documents
+),
+dfs AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM posting GROUP BY shingle)
+SELECT shingle, df,
+       floor(ln(({n_docs_expr} + 1.0) / (df + 1.0)) * 10000.0 + 0.5) / 10000.0 AS idf
+FROM dfs ORDER BY df DESC, shingle LIMIT 25
+"""
+
+
+# --- strict-reference chunking (T5 bug-compatible) ----------------------
+_STRICT_TOKENS = 32
+
+
+def _chunk_strict_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = chunk_text(
+        docs, text_col="text", ideal_token_size=_STRICT_TOKENS, chunk_words=24,
+        strict_reference_mode=True,
+    )
+    return out.select("doc_id", "chunk_id", "chunk_text", "chunk_tokens")
+
+
+_CHUNK_STRICT_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(COALESCE(text, '')) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS words,
+         {_SQL_TOKENS} AS tokens
+  FROM documents
+),
+chunked AS (
+  SELECT doc_id, tokens, 0 AS chunk_id, text FROM t WHERE tokens <= {_STRICT_TOKENS}
+  UNION ALL
+  SELECT doc_id, tokens,
+         CAST(unnest(generate_series(0, CAST(ceil(len(words) / 24.0) AS INTEGER) - 1)) AS INTEGER),
+         text
+  FROM t WHERE tokens > {_STRICT_TOKENS}
+)
+-- T5 bug-compatible: every chunk row carries the FULL body and the
+-- full-text token count (src/rag/dataframes.rs:81,101); the F5 guard
+-- keys on the chunk's own text, which for short texts is the body itself.
+SELECT doc_id, chunk_id, text AS chunk_text, CAST(tokens AS INTEGER) AS chunk_tokens
+FROM chunked
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "train_test_split": QuerySpec(_train_test_split, _TRAIN_TEST_SPLIT_SQL, "deterministic md5-bucket train/val/test split"),
+    "token_packing": QuerySpec(_token_packing, _TOKEN_PACKING_SQL, "sequential context-window packing by running token total"),
+    "repetition_score": QuerySpec(_repetition_score, _REPETITION_SCORE_SQL, "Gopher-style max-bigram repetition fraction"),
+    "tfidf_top_terms": QuerySpec(_tfidf_top_terms, _tfidf_sql(), "document-frequency + IDF over bigram vocabulary"),
+    "chunk_strict_reference": QuerySpec(_chunk_strict_reference, _CHUNK_STRICT_SQL, "T5 bug-compatible chunking (full-body duplication)"),
+}
