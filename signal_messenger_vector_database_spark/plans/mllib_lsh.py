@@ -73,7 +73,26 @@ def _minhash_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_point_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approxNearestNeighbors: the single-query ANN point lookup (the
+    online-serving shape; Spark's answer is batch, but the API exists)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+
+    emb = _to_mllib_vectors(load_table(spark, sf_dir, "embeddings"))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes",
+        bucketLength=0.5, numHashTables=4, seed=_SEED,
+    )
+    model = lsh.fit(emb)
+    key = emb.filter(F.col("vec_id") == 0).first()["features"]
+    nn = model.approxNearestNeighbors(emb, key, numNearestNeighbors=10)
+    return nn.select("vec_id", F.round("distCol", 4).alias("dist")).orderBy(
+        "dist", "vec_id"
+    )
+
+
 SPECS: dict[str, QuerySpec] = {
     "brp_lsh_neighbors": QuerySpec(_brp_lsh_neighbors, None, "MLlib BucketedRandomProjectionLSH approxSimilarityJoin (L2)"),
     "minhash_lsh_mllib": QuerySpec(_minhash_lsh_mllib, None, "MLlib MinHashLSH approx Jaccard join"),
+    "ann_point_query": QuerySpec(_ann_point_query, None, "MLlib approxNearestNeighbors single-vector lookup"),
 }

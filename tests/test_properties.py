@@ -1,0 +1,56 @@
+"""Property tests (SURVEY §5.5): suppression purity, top-k row-order
+invariance, portable rounding consistency with DuckDB."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from signal_messenger_vector_database_spark.functions.text import portable_round
+from signal_messenger_vector_database_spark.operators.suppression import (
+    filter_control_messages,
+)
+from signal_messenger_vector_database_spark.operators.topk import cosine_topk
+
+
+def test_suppression_is_pure_function_of_body(spark):
+    rows = [(i, b) for i, b in enumerate(
+        ["hello", "is typing...", "presage", "Reacted with x", "ok then"] * 4
+    )]
+    df = spark.createDataFrame(rows, "i long, body string")
+    kept1 = sorted(r.i for r in filter_control_messages(df).collect())
+    shuffled = df.orderBy(F.rand(7))
+    kept2 = sorted(r.i for r in filter_control_messages(shuffled).collect())
+    assert kept1 == kept2
+
+
+def test_topk_invariant_under_row_order(spark):
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(60, 8).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    q = [float(x) for x in vecs[7]]
+    a = [r.vec_id for r in cosine_topk(df, q, k=8).collect()]
+    b = [r.vec_id for r in cosine_topk(df.orderBy(F.rand(11)), q, k=8).collect()]
+    assert a == b
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False))
+def test_portable_round_matches_duckdb(spark, x):
+    """floor(x*10^4+0.5)/10^4 must evaluate identically in Spark and
+    DuckDB — the cross-engine property oracle parity rests on."""
+    got_spark = spark.range(1).select(
+        portable_round(F.lit(x), 4).alias("r")
+    ).first().r
+    # CAST: a bare literal parses as DECIMAL in DuckDB; oracle inputs are
+    # always DOUBLE columns
+    got_duck = duckdb.sql(
+        f"SELECT floor(CAST({x!r} AS DOUBLE) * 10000.0 + 0.5) / 10000.0"
+    ).fetchone()[0]
+    assert got_spark == got_duck
