@@ -218,7 +218,82 @@ FROM chunked
 """
 
 
+# --- PII redaction -------------------------------------------------------
+# The fixture has no PII, so the query plants synthetic emails/phones
+# deterministically on both sides, then redacts — proving the patterns
+# catch and the pass-through leaves clean text untouched.
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\+?[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def _pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    planted = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +555-123-4567"),
+        ),
+    ).otherwise(F.col("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(planted, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        redacted.alias("clean_text"),
+        (redacted != F.col("text")).alias("was_redacted_or_planted"),
+    )
+
+
+_PII_REDACT_SQL = f"""
+WITH planted AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or +555-123-4567'
+              ELSE text END AS ptext
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(ptext, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+       regexp_replace(regexp_replace(ptext, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_PHONE_RE}', '<PHONE>', 'g') <> text AS was_redacted_or_planted
+FROM planted
+"""
+
+
+# --- dedup keep-first: materialize the deduped corpus -------------------
+def _dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import fingerprint_md5
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        docs.withColumn("fp", fingerprint_md5("text"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "fp", "lang")
+    )
+
+
+_DEDUP_KEEP_FIRST_SQL = """
+SELECT doc_id, fp, lang FROM (
+  SELECT doc_id, lang,
+         md5(regexp_replace(trim(COALESCE(text, '')), '\\s+', ' ', 'g')) AS fp,
+         ROW_NUMBER() OVER (
+           PARTITION BY md5(regexp_replace(trim(COALESCE(text, '')), '\\s+', ' ', 'g'))
+           ORDER BY doc_id) AS rk
+  FROM documents
+) WHERE rk = 1
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "pii_redact": QuerySpec(_pii_redact, _PII_REDACT_SQL, "email/phone redaction with planted PII"),
+    "dedup_keep_first": QuerySpec(_dedup_keep_first, _DEDUP_KEEP_FIRST_SQL, "materialize deduped corpus (keep lowest id per fingerprint)"),
     "train_test_split": QuerySpec(_train_test_split, _TRAIN_TEST_SPLIT_SQL, "deterministic md5-bucket train/val/test split"),
     "token_packing": QuerySpec(_token_packing, _TOKEN_PACKING_SQL, "sequential context-window packing by running token total"),
     "repetition_score": QuerySpec(_repetition_score, _REPETITION_SCORE_SQL, "Gopher-style max-bigram repetition fraction"),
