@@ -38,6 +38,9 @@ HEADLINE = [
     "json_props",
     "quality_score",
     "ingest_pipeline",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q10_returned_items",
 ]
 
 

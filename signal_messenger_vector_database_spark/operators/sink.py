@@ -50,6 +50,15 @@ def append_embeddings(df: DataFrame, name: str = "embeddings_out") -> None:
     df.write.mode("append").insertInto(name)
 
 
+def write_compacted(df: DataFrame, path: str, target_files: int = 1) -> None:
+    """Small-file compaction: coalesce to a bounded file count before the
+    write.  At 100 TB, streaming appends produce file counts that degrade
+    every later scan (listing + tiny row groups); periodic compaction with
+    ``coalesce`` (no shuffle) is the maintenance op.  Use ``repartition``
+    instead when output skew matters more than the extra shuffle."""
+    df.coalesce(target_files).write.mode("overwrite").parquet(path)
+
+
 def timestamped_filename(
     mime_col: Column | str, file_name_col: Column | str | None = None
 ) -> Column:
