@@ -80,12 +80,16 @@ HAVING ROUND(SUM(l_quantity), 2) > 150
 
 # --- correlated scalar subquery via the spark.sql surface ---------------
 def _correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    import uuid
+
+    # unique view name: the driver may evaluate queries concurrently
+    view = f"customer_v_{uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(view)
     return spark.sql(
-        """
+        f"""
         SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal
-        FROM customer_v c
-        WHERE c_acctbal > (SELECT 2 * AVG(c2.c_acctbal) FROM customer_v c2
+        FROM {view} c
+        WHERE c_acctbal > (SELECT 2 * AVG(c2.c_acctbal) FROM {view} c2
                            WHERE c2.c_nationkey = c.c_nationkey)
         """
     )
