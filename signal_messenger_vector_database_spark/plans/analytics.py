@@ -170,7 +170,32 @@ WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey)
 """
 
 
+def _user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import portable_round
+    from ..operators.groupedmap import per_user_trend
+
+    events = load_table(spark, sf_dir, "events")
+    out = per_user_trend(events.repartition(8, "user_id"))
+    return out.select("user_id", "n", portable_round(F.col("slope"), 4).alias("slope"))
+
+
+# oracle: DuckDB's closed-form regr_slope over the same normalized
+# regressor — an independent implementation of the same statistic
+_USER_TREND_SQL = """
+WITH t AS (
+  SELECT user_id,
+         (epoch(ts) - MIN(epoch(ts)) OVER (PARTITION BY user_id)) / 3600.0 AS t,
+         value
+  FROM events
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+       floor(regr_slope(value, t) * 10000.0 + 0.5) / 10000.0 AS slope
+FROM t GROUP BY user_id
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "user_trend": QuerySpec(_user_trend, _USER_TREND_SQL, "applyInPandas per-group OLS slope vs DuckDB regr_slope"),
     "semi_anti_join": QuerySpec(_semi_anti_join, _SEMI_ANTI_JOIN_SQL, "left_semi/left_anti (EXISTS / NOT EXISTS)"),
     "pivot_counts": QuerySpec(_pivot_counts, _PIVOT_COUNTS_SQL, "groupBy().pivot() counter matrix (A1 shape)"),
     "running_window": QuerySpec(_running_window, _RUNNING_WINDOW_SQL, "lag/lead + running sum window"),
