@@ -11,8 +11,55 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..streaming.ingest import dedup_ingest_availablenow, windowed_counts_availablenow
+from ..io.sources import load_table
+from ..streaming.ingest import (
+    dedup_ingest_availablenow,
+    read_events_stream,
+    windowed_counts_availablenow,
+)
 from .registry import QuerySpec
+
+
+def _stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the J1 shape applied DURING
+    streaming, which is exactly the reference's per-event contact lookup
+    (src/signal/format.rs:58-68 called from the receive loop).  The static
+    dim is broadcast once; every micro-batch joins against it."""
+    import uuid
+
+    stream = read_events_stream(spark, sf_dir)
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 150)
+        .select((F.col("c_custkey") - 1).alias("user_id"), "c_mktsegment")
+    )
+    joined = stream.join(F.broadcast(dim), "user_id", "left")
+    agg = joined.groupBy(
+        F.coalesce(F.col("c_mktsegment"), F.lit("<unknown>")).alias("segment")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    sink = f"stream_static_{uuid.uuid4().hex[:8]}"
+    import tempfile
+
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="smvd-ckpt-ss-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(sink)
+
+
+_STREAM_STATIC_JOIN_SQL = """
+SELECT COALESCE(c_mktsegment, '<unknown>') AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer
+                       WHERE c_custkey <= 150) d
+  ON d.c_custkey = events.user_id + 1
+GROUP BY 1
+"""
 
 
 def _stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,6 +105,11 @@ FROM events GROUP BY user_id
 
 
 SPECS: dict[str, QuerySpec] = {
+    "stream_static_join": QuerySpec(
+        _stream_static_join,
+        _STREAM_STATIC_JOIN_SQL,
+        "stream-static broadcast enrichment join (the J1 shape in streaming)",
+    ),
     "stream_stateful_totals": QuerySpec(
         _stream_stateful_totals,
         _STREAM_STATEFUL_TOTALS_SQL,
