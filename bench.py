@@ -41,6 +41,8 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier",
     "q10_returned_items",
+    "q19_bracket_revenue",
+    "window_range_frame",
 ]
 
 

@@ -27,6 +27,7 @@ def all_specs() -> dict[str, QuerySpec]:
         "mllib_lsh",
         "tpch",
         "traindata",
+        "olap",
     ):
         try:
             import importlib
