@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from ..functions.text import portable_round
 from ..io.sources import load_table
 from ..operators.joins import asof_join, interval_join
+from .pipeline import _CHUNK_EXPLODE_SQL
 from .registry import QuerySpec
 
 
@@ -182,6 +183,47 @@ def _approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Python UDTF: 1->N chunking via the table-function API --------------
+# Alternate path for T3 (the production path is the pure-expression
+# explode in operators/chunking.py — JVM-side, whole-stage codegen).  This
+# demonstrates the Spark 4 Python UDTF surface with a LATERAL join; it
+# reuses chunk_explode's DuckDB oracle, so the two implementations are
+# proven row-identical.  Row-at-a-time Python: keep off the 100 TB hot
+# path.
+def _chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+    import re
+    import uuid
+
+    from pyspark.sql.functions import udtf
+
+    from .pipeline import _CHUNK_TOKENS, _CHUNK_WORDS
+
+    token_re = re.compile(r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]")
+    max_tokens, chunk_words = _CHUNK_TOKENS, _CHUNK_WORDS
+
+    @udtf(returnType="doc_id bigint, tokens int, chunk_id int, chunk_text string, chunk_tokens int")
+    class ChunkUDTF:
+        def eval(self, doc_id, text):
+            txt = text or ""
+            toks = len(token_re.findall(txt))
+            if toks <= max_tokens:
+                yield doc_id, toks, 0, txt, toks
+                return
+            words = txt.split()
+            for j in range(math.ceil(len(words) / chunk_words)):
+                chunk = " ".join(words[j * chunk_words : (j + 1) * chunk_words])
+                ctoks = len(token_re.findall(chunk))
+                if ctoks > 0:
+                    yield doc_id, toks, j, chunk, ctoks
+
+    fn = f"chunk_udtf_{uuid.uuid4().hex[:8]}"
+    spark.udtf.register(fn, ChunkUDTF)
+    view = f"documents_udtf_{uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(view)
+    return spark.sql(f"SELECT f.* FROM {view} t, LATERAL {fn}(t.doc_id, t.text) f")
+
+
 SPECS: dict[str, QuerySpec] = {
     "nested_explode": QuerySpec(_nested_explode, _NESTED_EXPLODE_SQL, "S7/P10 collect_list -> explode round trip"),
     "binaryfile_scan": QuerySpec(_binaryfile_scan, None, "S11 binary file source (content pruned)"),
@@ -191,4 +233,11 @@ SPECS: dict[str, QuerySpec] = {
     "interval_join": QuerySpec(_interval_join, _INTERVAL_JOIN_SQL, "equi-keyed interval join"),
     "hex_project": QuerySpec(_hex_project, _HEX_PROJECT_SQL, "P6 hex encode projection"),
     "approx_distinct": QuerySpec(_approx_distinct, None, "HLL approx_count_distinct vs exact (sketch)"),
+    "chunk_udtf": QuerySpec(
+        _chunk_udtf,
+        # Same oracle as chunk_explode: the UDTF must be row-identical to
+        # the pure-expression path.
+        _CHUNK_EXPLODE_SQL,
+        "Python UDTF + LATERAL join variant of T3 chunking",
+    ),
 }

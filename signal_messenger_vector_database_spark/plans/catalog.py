@@ -28,6 +28,8 @@ def all_specs() -> dict[str, QuerySpec]:
         "tpch",
         "traindata",
         "olap",
+        "vectorops",
+        "scale_queries",
     ):
         try:
             import importlib

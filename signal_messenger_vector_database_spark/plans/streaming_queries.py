@@ -104,7 +104,78 @@ FROM events GROUP BY user_id
 """
 
 
+def _stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition:
+    purchases within 1 hour after a click by the same user.
+
+    Both sides carry watermarks so the join state is bounded — at 100 TB
+    of stream history this is what keeps the state store finite: a click
+    older than (watermark - 1 hour) can never match a future purchase and
+    is evicted.  Over a drained AvailableNow run the result equals the
+    batch time-range join, which is the oracle."""
+    import tempfile
+    import uuid
+
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+    sink = f"stream_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="smvd-ckpt-ssj-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(sink)
+
+
+_STREAM_STREAM_JOIN_SQL = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM events c JOIN events p
+  ON c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.user_id = c.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "stream_stream_join": QuerySpec(
+        _stream_stream_join,
+        _STREAM_STREAM_JOIN_SQL,
+        "watermarked stream-stream interval join (clicks -> purchases)",
+    ),
     "stream_static_join": QuerySpec(
         _stream_static_join,
         _STREAM_STATIC_JOIN_SQL,
