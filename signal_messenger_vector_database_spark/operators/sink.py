@@ -59,6 +59,35 @@ def write_compacted(df: DataFrame, path: str, target_files: int = 1) -> None:
     df.coalesce(target_files).write.mode("overwrite").parquet(path)
 
 
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    prefer_updates: bool = True,
+) -> DataFrame:
+    """MERGE/upsert semantics over immutable parquet: latest row per key
+    from ``base UNION updates``.
+
+    The reference's sink is append-only (src/rag/sqlx.rs:56-82, no UPDATE
+    anywhere), so this is the north-star table-maintenance operator a
+    CDC/training pipeline needs: rewrite-on-merge.  One shuffle on the
+    key, window ``row_number`` keeps the winner; at 100 TB you combine it
+    with partition pruning to rewrite only the partitions that received
+    updates."""
+    from pyspark.sql import Window
+
+    tagged = base.withColumn("_src", F.lit(0)).unionByName(
+        updates.withColumn("_src", F.lit(1))
+    )
+    order = F.col("_src").desc() if prefer_updates else F.col("_src").asc()
+    w = Window.partitionBy(*key_cols).orderBy(order)
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_src", "_rn")
+    )
+
+
 def timestamped_filename(
     mime_col: Column | str, file_name_col: Column | str | None = None
 ) -> Column:

@@ -45,10 +45,46 @@ GROUP BY 1, 2
 """
 
 
+def _upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics via operators/sink.py::merge_upsert: every 10th
+    order receives an update (price bump, status flip); the merged table
+    must contain exactly one row per key with updates winning."""
+    from ..operators.sink import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    merged = merge_upsert(orders, updates, key_cols=["o_orderkey"])
+    return merged.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.round("o_totalprice", 2).alias("totalprice"),
+    )
+
+
+_UPSERT_LATEST_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END AS status,
+       ROUND(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END, 2) AS totalprice
+FROM orders
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "skew_salted_join": QuerySpec(
         _skew_salted_join,
         _SKEW_SALTED_JOIN_SQL,
         "salted skew join on a 3-key fact column; multiset equals plain join",
+    ),
+    "upsert_latest": QuerySpec(
+        _upsert_latest,
+        _UPSERT_LATEST_SQL,
+        "MERGE/upsert: latest-row-per-key over base UNION updates",
     ),
 }

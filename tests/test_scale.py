@@ -71,6 +71,45 @@ def test_plain_join_does_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
 
 
+def test_static_partition_pruning(spark, tmp_path):
+    # Hive-style partition layout: a filter on the partition column must
+    # become a PartitionFilter (directory pruning), not a data filter —
+    # at 100 TB this is the difference between listing one directory and
+    # scanning every file.
+    path = str(tmp_path / "orders_by_priority")
+    load_table(spark, SF, "orders").write.partitionBy("o_orderpriority").parquet(path)
+    pruned = spark.read.parquet(path).filter(F.col("o_orderpriority") == "1-URGENT")
+    plan = _plan(pruned)
+    assert "PartitionFilters" in plan and "1-URGENT" in plan, plan[:3000]
+    expected = (
+        load_table(spark, SF, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .count()
+    )
+    assert pruned.count() == expected
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    # DPP: the partition filter is only known at runtime (it comes from a
+    # filtered dim-side broadcast). The fact scan must carry a
+    # dynamicpruning subquery instead of reading all partitions.
+    path = str(tmp_path / "orders_part_dpp")
+    load_table(spark, SF, "orders").write.partitionBy("o_orderpriority").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("1-URGENT", 1), ("3-MEDIUM", 0)], ["o_orderpriority", "keep"]
+    ).filter(F.col("keep") == 1)
+    joined = fact.join(dim, "o_orderpriority")
+    plan = _plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan[:3000]
+    expected = (
+        load_table(spark, SF, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .count()
+    )
+    assert joined.count() == expected
+
+
 def test_salted_join_correctness(spark):
     # skewed fact: one hot key with 5000 rows + uniform tail
     fact = spark.range(5000).select(F.lit(1).alias("k"), F.col("id").alias("v")).union(
