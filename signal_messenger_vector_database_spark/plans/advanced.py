@@ -183,6 +183,44 @@ def _approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- explode_outer: row-preserving explode (F6-adjacent edge case) ------
+# explode() DROPS rows whose array is empty/null; explode_outer keeps them
+# with a NULL element — the difference between losing and keeping
+# zero-attachment messages (P10's size==0 -> None case).  Short docs get
+# an empty word array here so both branches are exercised.
+def _explode_outer_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.when(
+        F.col("n_chars") < 80, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim("text"), "\\s+"))
+    return (
+        docs.select("doc_id", words.alias("words"))
+        .select(
+            "doc_id",
+            F.size("words").alias("n_words"),
+            F.explode_outer("words").alias("word"),
+        )
+        .filter((F.col("word").isNull()) | (F.length("word") <= 4))
+    )
+
+
+_EXPLODE_OUTER_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         CASE WHEN n_chars < 80 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS words
+  FROM documents
+)
+SELECT doc_id, n_words, word FROM (
+  SELECT doc_id, CAST(len(words) AS INTEGER) AS n_words, unnest(words) AS word
+  FROM w WHERE len(words) > 0
+) WHERE len(word) <= 4
+UNION ALL
+SELECT doc_id, 0 AS n_words, NULL AS word
+FROM w WHERE len(words) = 0
+"""
+
+
 # --- Python UDTF: 1->N chunking via the table-function API --------------
 # Alternate path for T3 (the production path is the pure-expression
 # explode in operators/chunking.py — JVM-side, whole-stage codegen).  This
@@ -233,6 +271,11 @@ SPECS: dict[str, QuerySpec] = {
     "interval_join": QuerySpec(_interval_join, _INTERVAL_JOIN_SQL, "equi-keyed interval join"),
     "hex_project": QuerySpec(_hex_project, _HEX_PROJECT_SQL, "P6 hex encode projection"),
     "approx_distinct": QuerySpec(_approx_distinct, None, "HLL approx_count_distinct vs exact (sketch)"),
+    "explode_outer_words": QuerySpec(
+        _explode_outer_words,
+        _EXPLODE_OUTER_SQL,
+        "row-preserving explode_outer incl. empty-array null rows",
+    ),
     "chunk_udtf": QuerySpec(
         _chunk_udtf,
         # Same oracle as chunk_explode: the UDTF must be row-identical to

@@ -186,7 +186,77 @@ LIMIT 20
 """
 
 
+# --- TPC-H Q4 shape: EXISTS subquery (semi-join decorrelation) ----------
+def _q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    ov, lv = f"orders_q4_{tag}", f"lineitem_q4_{tag}"
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(ov)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(lv)
+    # Catalyst decorrelates the EXISTS into a left-semi hash join — no
+    # per-row subquery execution survives in the physical plan.
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM {ov}
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM {lv}
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+# --- TPC-H Q2 shape: correlated MIN subquery (cheapest line per part) ---
+def _q2_min_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    pv, lv = f"part_q2_{tag}", f"lineitem_q2_{tag}"
+    load_table(spark, sf_dir, "part").createOrReplaceTempView(pv)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(lv)
+    return spark.sql(
+        f"""
+        SELECT p_partkey, p_brand, l_suppkey,
+               ROUND(l_extendedprice, 2) AS price
+        FROM {pv} p JOIN {lv} l ON p_partkey = l_partkey
+        WHERE p_size <= 5
+          AND l_extendedprice = (SELECT MIN(l2.l_extendedprice)
+                                 FROM {lv} l2 WHERE l2.l_partkey = p.p_partkey)
+        """
+    )
+
+
+_Q2_SQL = """
+SELECT p_partkey, p_brand, l_suppkey,
+       ROUND(l_extendedprice, 2) AS price
+FROM part p JOIN lineitem l ON p_partkey = l_partkey
+WHERE p_size <= 5
+  AND l_extendedprice = (SELECT MIN(l2.l_extendedprice)
+                         FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "q4_priority_exists": QuerySpec(
+        _q4_priority_exists, _Q4_SQL, "TPC-H Q4 shape: EXISTS decorrelated to semi join"
+    ),
+    "q2_min_price": QuerySpec(
+        _q2_min_price, _Q2_SQL, "TPC-H Q2 shape: correlated MIN subquery"
+    ),
     "q3_shipping_priority": QuerySpec(_q3_shipping_priority, _Q3_SQL, "TPC-H Q3 shape: 3-way join + agg + top-k"),
     "q5_local_supplier": QuerySpec(_q5_local_supplier, _Q5_SQL, "TPC-H Q5 shape: 6-way join with region filter"),
     "q10_returned_items": QuerySpec(_q10_returned_items, _Q10_SQL, "TPC-H Q10 shape: returned-items ranking"),
