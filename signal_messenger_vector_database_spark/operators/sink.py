@@ -64,6 +64,7 @@ def merge_upsert(
     updates: DataFrame,
     key_cols: list[str],
     prefer_updates: bool = True,
+    version_col: str | None = None,
 ) -> DataFrame:
     """MERGE/upsert semantics over immutable parquet: latest row per key
     from ``base UNION updates``.
@@ -79,8 +80,12 @@ def merge_upsert(
     tagged = base.withColumn("_src", F.lit(0)).unionByName(
         updates.withColumn("_src", F.lit(1))
     )
-    order = F.col("_src").desc() if prefer_updates else F.col("_src").asc()
-    w = Window.partitionBy(*key_cols).orderBy(order)
+    order = [F.col("_src").desc() if prefer_updates else F.col("_src").asc()]
+    if version_col is not None:
+        # CDC streams carry several updates per key; the version column
+        # (sequence number / event time) picks the latest deterministically.
+        order.append(F.col(version_col).desc())
+    w = Window.partitionBy(*key_cols).orderBy(*order)
     return (
         tagged.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -48,3 +48,28 @@ def test_timestamped_filename(spark):
     assert by_mime["image/png"].endswith(".png")
     assert by_mime["image/jpeg"].endswith("-cat.jpg")  # collision prefixing
     assert by_mime["application/x-unknown"].endswith(".bin")  # fallback ext
+
+
+def test_merge_upsert_versioned(spark):
+    from signal_messenger_vector_database_spark.operators.sink import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0), (3, "c", 0)], "k int, v string, ver int"
+    )
+    # two updates for key 1 — the higher version must win; key 9 is an insert
+    updates = spark.createDataFrame(
+        [(1, "a2", 5), (1, "a3", 7), (9, "new", 1)], "k int, v string, ver int"
+    )
+    got = {
+        r.k: (r.v, r.ver)
+        for r in merge_upsert(base, updates, ["k"], version_col="ver").collect()
+    }
+    assert got == {1: ("a3", 7), 2: ("b", 0), 3: ("c", 0), 9: ("new", 1)}
+    # prefer_updates=False: base rows shadow updates, inserts still appear
+    kept = {
+        r.k: r.v
+        for r in merge_upsert(
+            base, updates, ["k"], prefer_updates=False, version_col="ver"
+        ).collect()
+    }
+    assert kept[1] == "a" and kept[9] == "new"
