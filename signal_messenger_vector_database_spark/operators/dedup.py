@@ -243,3 +243,60 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """Near-dup PAIRS -> CLUSTERS: iterative min-label propagation.
+
+    Dedup at scale keeps one document per duplicate *cluster*, not per
+    pair (pairs (a,b),(b,c) must collapse to one survivor, not two).
+    Each iteration: every vertex takes the min label among itself and its
+    neighbors — converges in O(component diameter) rounds, which for
+    near-dup graphs (small, dense clusters) is 2-4.
+
+    Scale mechanics: one shuffle per iteration on the vertex id;
+    ``localCheckpoint`` truncates the lineage so the plan doesn't grow
+    exponentially with iterations (on a cluster use
+    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint`` for
+    fault-tolerant truncation). The convergence probe is a count()
+    aggregate, not a collect of the labels.
+
+    Returns (id, label) where label = min doc id in the component.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    edges = fwd.union(rev)
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy(F.col("dst").alias("nid"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["nid"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -19,6 +19,7 @@ from ..operators.ann import exact_cosine_pairs, ivf_assign, lsh_cosine_pairs
 from ..operators.dedup import (
     NUM_MINHASHES,
     SIMHASH_BITS,
+    connected_components,
     jaccard_verify,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -274,7 +275,43 @@ LIMIT 5
 """
 
 
+def _neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs -> clusters: the dedup completion step.  Keeping one doc per
+    PAIR over-deletes ((a,b),(b,c) would kill two of three); the survivor
+    set is one doc per connected component."""
+    pairs = _minhash_lsh_pairs(spark, sf_dir)
+    labels = connected_components(pairs)
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster")
+    )
+
+
+# Transitive closure via recursive CTE — tractable at oracle scale; the
+# Spark side uses iterative label propagation instead (bounded rounds,
+# lineage-truncated), which is the 100 TB-safe formulation.
+_NEARDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM ({_MINHASH_LSH_PAIRS_SQL}) p
+  UNION
+  SELECT id_b, id_a FROM ({_MINHASH_LSH_PAIRS_SQL}) p
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster
+FROM reach GROUP BY src
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "neardup_clusters": QuerySpec(
+        _neardup_clusters,
+        _NEARDUP_CLUSTERS_SQL,
+        "connected components over near-dup pairs (min-label propagation)",
+    ),
     "minhash_signatures": QuerySpec(_minhash_signatures, _MINHASH_SIGNATURES_SQL, "md5-portable MinHash signatures (8 hashes)"),
     "minhash_lsh_pairs": QuerySpec(_minhash_lsh_pairs, _MINHASH_LSH_PAIRS_SQL, "LSH band join -> exact Jaccard verify"),
     "simhash": QuerySpec(_simhash, _simhash_sql(), "16-bit SimHash fingerprints"),

@@ -84,3 +84,17 @@ def test_embedding_lsh_is_subset_of_exact_with_recall(spark):
     assert planted <= exact  # perturbed copies are exact near-dups
     recall = len(approx & planted) / len(planted)
     assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_connected_components_chain_and_clique(spark):
+    from signal_messenger_vector_database_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # chain 1-2-3-4 (diameter 3), triangle 10-11-12, isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {r.id: r.label for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
