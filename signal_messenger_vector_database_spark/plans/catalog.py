@@ -30,6 +30,7 @@ def all_specs() -> dict[str, QuerySpec]:
         "olap",
         "vectorops",
         "scale_queries",
+        "formats",
     ):
         try:
             import importlib

@@ -1,0 +1,79 @@
+"""Source-format coverage beyond parquet: CSV and JSON-lines round trips.
+
+The reference reads exactly one external format (attachment bytes, S11);
+a real lakehouse ingests delimited and JSON feeds.  Both queries write a
+fixture-derived file in the target format, read it back with an EXPLICIT
+schema (schema inference is a full extra pass at 100 TB — never rely on
+it), and aggregate; the oracle runs on the original parquet, so the
+round trip proves the format path is lossless for the carried types.
+
+Only integer/string columns ride the text formats here: float-in-text is
+not bit-roundtrippable in general and belongs in binary formats.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.sources import load_table
+from .registry import QuerySpec
+
+
+def _csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tempfile.mkdtemp(prefix="smvd-csv-")
+    path = os.path.join(out, "customer_csv")
+    load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    ).write.mode("overwrite").option("header", True).csv(path)
+    back = (
+        spark.read.schema("c_custkey bigint, c_nationkey bigint, c_mktsegment string")
+        .option("header", True)
+        .csv(path)
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("c_nationkey").alias("nation_sum"),
+    )
+
+
+_CSV_ROUNDTRIP_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       CAST(SUM(c_nationkey) AS BIGINT) AS nation_sum
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def _jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tempfile.mkdtemp(prefix="smvd-jsonl-")
+    path = os.path.join(out, "orders_jsonl")
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    ).write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_orderpriority string"
+    ).json(path)
+    return back.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+_JSONL_ROUNDTRIP_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       MAX(o_orderkey) AS max_key
+FROM orders GROUP BY 1, 2
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "csv_roundtrip": QuerySpec(
+        _csv_roundtrip, _CSV_ROUNDTRIP_SQL, "CSV sink+source round trip, explicit schema"
+    ),
+    "jsonl_roundtrip": QuerySpec(
+        _jsonl_roundtrip, _JSONL_ROUNDTRIP_SQL, "JSON-lines sink+source round trip, explicit schema"
+    ),
+}

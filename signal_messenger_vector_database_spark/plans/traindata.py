@@ -291,7 +291,49 @@ SELECT doc_id, fp, lang FROM (
 """
 
 
+# --- stratified sampling (dataset rebalancing) --------------------------
+# Same md5-bucket determinism as the split: per-stratum keep-rates via a
+# hash bucket in [0,100), so the sample is reproducible on any engine and
+# cluster size (rand()/sampleBy would not oracle-match).  Downsamples the
+# over-represented stratum ('en' 25%) and keeps half of the rest.
+_STRATUM_PCT = {"en": 25}
+_DEFAULT_PCT = 50
+
+
+def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    pct = F.lit(_DEFAULT_PCT)
+    for lang, p in _STRATUM_PCT.items():
+        pct = F.when(F.col("lang") == lang, F.lit(p)).otherwise(pct)
+    sampled = docs.filter(bucket < pct)
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+_STRATIFIED_SAMPLE_SQL = f"""
+SELECT lang, COUNT(*) AS n_sampled,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM documents
+WHERE {_SQL_HEX4_MD5} % 100 <
+      CASE WHEN lang = 'en' THEN {_STRATUM_PCT["en"]} ELSE {_DEFAULT_PCT} END
+GROUP BY lang
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "stratified_sample": QuerySpec(
+        _stratified_sample,
+        _STRATIFIED_SAMPLE_SQL,
+        "deterministic md5-bucket stratified sampling per language",
+    ),
     "pii_redact": QuerySpec(_pii_redact, _PII_REDACT_SQL, "email/phone redaction with planted PII"),
     "dedup_keep_first": QuerySpec(_dedup_keep_first, _DEDUP_KEEP_FIRST_SQL, "materialize deduped corpus (keep lowest id per fingerprint)"),
     "train_test_split": QuerySpec(_train_test_split, _TRAIN_TEST_SPLIT_SQL, "deterministic md5-bucket train/val/test split"),
