@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from ..io.sources import load_table
 from ..streaming.ingest import (
     dedup_ingest_availablenow,
+    dedup_within_watermark_availablenow,
     read_events_stream,
     windowed_counts_availablenow,
 )
@@ -170,7 +171,29 @@ FROM events c JOIN events p
 """
 
 
+def _stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ingested = dedup_within_watermark_availablenow(spark, sf_dir)
+    return ingested.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("event_id").alias("n_distinct"),
+    )
+
+
+# Every event exactly once: identical contract to the unbounded-state
+# dedup, but with watermark-evicted state.
+_STREAM_DEDUP_WATERMARK_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY event_type
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "stream_dedup_watermark": QuerySpec(
+        _stream_dedup_watermark,
+        _STREAM_DEDUP_WATERMARK_SQL,
+        "dropDuplicatesWithinWatermark: bounded-state streaming dedup",
+    ),
     "stream_stream_join": QuerySpec(
         _stream_stream_join,
         _STREAM_STREAM_JOIN_SQL,

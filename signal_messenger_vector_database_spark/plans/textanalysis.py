@@ -156,7 +156,57 @@ FROM documents GROUP BY source
 """
 
 
+# --- character-entropy quality signal -----------------------------------
+# Shannon entropy of the character distribution: near-zero for repetitive
+# junk ("aaaa..."), high for natural text — a standard cheap quality
+# filter alongside the ratio features.  Pure relational: explode chars,
+# two-key count, per-doc fold.  Both engines sum the same -p*ln(p) terms;
+# portable_round absorbs ulp-level summation-order drift.
+def _char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    ).filter(F.length("ch") == 1)
+    counts = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    tot = counts.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    from ..functions.text import portable_round
+
+    return (
+        counts.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            portable_round(-F.sum(p * F.log(p)), 4).alias("entropy"),
+            F.countDistinct("ch").alias("alphabet"),
+        )
+    )
+
+
+_CHAR_ENTROPY_SQL = """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+),
+counts AS (
+  SELECT doc_id, ch, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM chars WHERE len(ch) = 1 GROUP BY 1, 2
+),
+tot AS (SELECT doc_id, SUM(c) AS n FROM counts GROUP BY 1)
+SELECT doc_id,
+       FLOOR((-SUM((c / n) * ln(c / n))) * 10000 + 0.5) / 10000 AS entropy,
+       CAST(COUNT(DISTINCT ch) AS BIGINT) AS alphabet
+FROM counts JOIN tot USING (doc_id)
+GROUP BY doc_id
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "char_entropy": QuerySpec(
+        _char_entropy,
+        _CHAR_ENTROPY_SQL,
+        "Shannon character entropy + alphabet size per document",
+    ),
     "lang_id": QuerySpec(_lang_id, _lang_id_sql(), "marker-stopword language heuristic"),
     "quality_score": QuerySpec(_quality, _quality_sql(), "doc quality features + composite score"),
     "rolling_fingerprint": QuerySpec(_rolling_fingerprint, _ROLLING_FINGERPRINT_SQL, "polynomial rolling-hash fingerprint"),

@@ -112,3 +112,33 @@ def dedup_ingest_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     return spark.read.parquet(os.path.join(out_dir, "events"))
+
+
+def dedup_within_watermark_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark``: like the plain streaming dedup
+    but the dedup state is EVICTED once the watermark passes an event's
+    time — the formulation that keeps state bounded over unbounded
+    streams (plain ``dropDuplicates`` state grows forever).  Duplicates
+    here arrive within the same micro-batch, well inside the 1-hour
+    watermark, so the drained result still contains every event exactly
+    once."""
+    s1 = read_events_stream(spark, sf_dir)
+    s2 = read_events_stream(spark, sf_dir)
+    deduped = (
+        s1.union(s2)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    out_dir = _tmpdir("ingest-wm-out")
+
+    def append_batch(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("append").parquet(os.path.join(out_dir, "events"))
+
+    q = (
+        deduped.writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", _tmpdir("ckpt-wmdedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(os.path.join(out_dir, "events"))
