@@ -16,6 +16,7 @@ from ..streaming.ingest import (
     dedup_ingest_availablenow,
     dedup_within_watermark_availablenow,
     read_events_stream,
+    streaming_session,
     windowed_counts_availablenow,
 )
 from .registry import QuerySpec
@@ -28,6 +29,7 @@ def _stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim is broadcast once; every micro-batch joins against it."""
     import uuid
 
+    spark = streaming_session(spark)
     stream = read_events_stream(spark, sf_dir)
     dim = (
         load_table(spark, sf_dir, "customer")
@@ -117,6 +119,7 @@ def _stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
+    spark = streaming_session(spark)
     clicks = (
         read_events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "click")

@@ -57,6 +57,21 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def streaming_session(spark: SparkSession, state_partitions: int = 8) -> SparkSession:
+    """Cloned session (shared SparkContext, independent SQLConf) with the
+    stateful-shuffle partition count sized for the stream.
+
+    A stateful streaming query creates ``spark.sql.shuffle.partitions``
+    state stores at FIRST checkpoint and is pinned to that number for the
+    checkpoint's lifetime — it must be sized for the stream's key
+    cardinality, not inherited from whatever the batch session uses.
+    Cloning keeps the override invisible to concurrently-running batch
+    queries on the caller's session."""
+    s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    return s
+
+
 def _tmpdir(tag: str) -> str:
     return tempfile.mkdtemp(prefix=f"smvd-{tag}-")
 
@@ -66,6 +81,7 @@ def windowed_counts_availablenow(
 ) -> DataFrame:
     """Tumbling-window event counts via a streaming aggregation drained
     with AvailableNow into a memory sink; returns the final table."""
+    spark = streaming_session(spark)
     stream = read_events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "1 day")
@@ -96,6 +112,7 @@ def dedup_ingest_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
     append via foreachBatch -> read back.  Exactly-once effect on an
     at-least-once feed: the strict upgrade over the reference's swallowed
     insert errors."""
+    spark = streaming_session(spark)
     s1 = read_events_stream(spark, sf_dir)
     s2 = read_events_stream(spark, sf_dir)
     deduped = s1.union(s2).dropDuplicates(["event_id"])
@@ -122,6 +139,7 @@ def dedup_within_watermark_availablenow(spark: SparkSession, sf_dir: str) -> Dat
     here arrive within the same micro-batch, well inside the 1-hour
     watermark, so the drained result still contains every event exactly
     once."""
+    spark = streaming_session(spark)
     s1 = read_events_stream(spark, sf_dir)
     s2 = read_events_stream(spark, sf_dir)
     deduped = (

@@ -65,6 +65,9 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the stateful counter over the events source fed TWICE (two
     micro-batches via maxFilesPerTrigger=1), drain with AvailableNow, and
     return the final per-user totals (the max emitted row per user)."""
+    from .ingest import streaming_session
+
+    spark = streaming_session(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
