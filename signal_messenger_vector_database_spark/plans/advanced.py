@@ -183,6 +183,28 @@ def _approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- VariantType: semi-structured column (Spark 4) ----------------------
+# parse_json -> open-schema binary encoding; variant_get extracts typed
+# paths WITHOUT a declared struct schema.  At 100 TB this is the
+# schema-evolution answer for event payloads: no reparse per access, no
+# brittle from_json schema to migrate.
+def _variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        events.select("event_id", "event_type", k.alias("k"))
+        .filter(F.col("k") % 7 == 0)
+    )
+
+
+_VARIANT_PROPS_SQL = """
+SELECT event_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) % 7 = 0
+"""
+
+
 # --- explode_outer: row-preserving explode (F6-adjacent edge case) ------
 # explode() DROPS rows whose array is empty/null; explode_outer keeps them
 # with a NULL element — the difference between losing and keeping
@@ -271,6 +293,11 @@ SPECS: dict[str, QuerySpec] = {
     "interval_join": QuerySpec(_interval_join, _INTERVAL_JOIN_SQL, "equi-keyed interval join"),
     "hex_project": QuerySpec(_hex_project, _HEX_PROJECT_SQL, "P6 hex encode projection"),
     "approx_distinct": QuerySpec(_approx_distinct, None, "HLL approx_count_distinct vs exact (sketch)"),
+    "variant_props": QuerySpec(
+        _variant_props,
+        _VARIANT_PROPS_SQL,
+        "VariantType semi-structured extraction (parse_json + variant_get)",
+    ),
     "explode_outer_words": QuerySpec(
         _explode_outer_words,
         _EXPLODE_OUTER_SQL,

@@ -54,3 +54,22 @@ def test_portable_round_matches_duckdb(spark, x):
         f"SELECT floor(CAST({x!r} AS DOUBLE) * 10000.0 + 0.5) / 10000.0"
     ).fetchone()[0]
     assert got_spark == got_duck
+
+
+def test_sketch_error_bounds(spark):
+    """approx_count_distinct (HLL++) and approx_percentile (quantile
+    sketch) must land within their documented error envelopes of the
+    exact answers — the contract that makes sketches usable at 100 TB
+    where exact distinct/percentile would shuffle the world."""
+    from signal_messenger_vector_database_spark.io.sources import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    exact_d = li.select(F.countDistinct("l_orderkey")).first()[0]
+    approx_d = li.select(F.approx_count_distinct("l_orderkey", rsd=0.02)).first()[0]
+    assert abs(approx_d - exact_d) / exact_d < 0.06  # 3x rsd envelope
+
+    exact_p = li.select(F.expr("percentile(l_extendedprice, 0.5)")).first()[0]
+    approx_p = li.select(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)")
+    ).first()[0]
+    assert abs(approx_p - exact_p) / exact_p < 0.02
