@@ -194,7 +194,93 @@ FROM t GROUP BY user_id
 """
 
 
+# --- funnel analysis: strictly-ordered stage progression -----------------
+# view -> click -> purchase per user, each stage's timestamp strictly
+# after the previous stage's first occurrence.  Three aggregates on the
+# SAME shuffle key (user_id) — AQE reuses the partitioning; the
+# alternative (window over per-user event arrays) shuffles the same once
+# but materializes per-user state.
+def _event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    t2 = (
+        ev.join(t1, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    t3 = (
+        ev.join(t2, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        t1.agg(F.count(F.lit(1)).alias("n_view"))
+        .join(t2.agg(F.count(F.lit(1)).alias("n_click_after")), how="cross")
+        .join(t3.agg(F.count(F.lit(1)).alias("n_purchase_after")), how="cross")
+    )
+
+
+_EVENT_FUNNEL_SQL = """
+WITH t1 AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > t1.t_view
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN t2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t_click
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM t1) AS n_view,
+       (SELECT COUNT(*) FROM t2) AS n_click_after,
+       (SELECT COUNT(*) FROM t3) AS n_purchase_after
+"""
+
+
+# --- cohort retention matrix ---------------------------------------------
+def _retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(cohort, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+_RETENTION_COHORTS_SQL = """
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+       CAST(day - cohort_day AS INTEGER) AS day_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+FROM ev JOIN cohort USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "event_funnel": QuerySpec(
+        _event_funnel, _EVENT_FUNNEL_SQL, "strictly-ordered view->click->purchase funnel"
+    ),
+    "retention_cohorts": QuerySpec(
+        _retention_cohorts, _RETENTION_COHORTS_SQL, "first-day cohort retention matrix"
+    ),
     "user_trend": QuerySpec(_user_trend, _USER_TREND_SQL, "applyInPandas per-group OLS slope vs DuckDB regr_slope"),
     "semi_anti_join": QuerySpec(_semi_anti_join, _SEMI_ANTI_JOIN_SQL, "left_semi/left_anti (EXISTS / NOT EXISTS)"),
     "pivot_counts": QuerySpec(_pivot_counts, _PIVOT_COUNTS_SQL, "groupBy().pivot() counter matrix (A1 shape)"),
