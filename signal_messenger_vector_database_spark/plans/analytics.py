@@ -274,7 +274,41 @@ GROUP BY 1, 2
 """
 
 
+# --- LOCF gap filling (last observation carried forward) -----------------
+# Sensor/metric streams have holes; the fill is `last(x, ignorenulls)`
+# over an ordered per-key frame — one shuffle + one sort, versus the
+# naive "join each null row to its nearest predecessor" which is an
+# as-of join per null.  'error' events stand in for the holes.
+def _locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.last(v, ignorenulls=True).over(w), 2).alias("filled"),
+    )
+
+
+_LOCF_FILL_SQL = """
+SELECT event_id, user_id,
+       ROUND(last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+                        IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS filled
+FROM events
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "locf_fill": QuerySpec(
+        _locf_fill, _LOCF_FILL_SQL, "LOCF gap fill: last(ignorenulls) over ordered frame"
+    ),
     "event_funnel": QuerySpec(
         _event_funnel, _EVENT_FUNNEL_SQL, "strictly-ordered view->click->purchase funnel"
     ),

@@ -125,3 +125,38 @@ def test_salted_join_correctness(spark):
         got.filter(F.col("k") == 1).agg(F.sum("v")).first()[0]
         == plain.filter(F.col("k") == 1).agg(F.sum("v")).first()[0]
     )
+
+
+def test_filter_precedes_python_embed_stage(spark):
+    # SURVEY §4: F1 (cheap suppression filter) must stay upstream of E1
+    # (the expensive Python embed crossing).  In the printed physical plan
+    # (output at top, scan at bottom) "upstream" = a LARGER character
+    # offset than the Python node.
+    from signal_messenger_vector_database_spark.operators.ingest_pipeline import (
+        ingest_pipeline,
+    )
+
+    msgs = (
+        load_table(spark, SF, "documents")
+        .select(
+            F.col("text").alias("body"),
+            F.lit("from").alias("direction"),
+            F.lit(None).cast("string").alias("contact"),
+            F.lit(None).cast("string").alias("group_name"),
+            F.lit(None).cast("array<string>").alias("attachments"),
+        )
+    )
+    plan = _plan(ingest_pipeline(msgs))
+    python_at = max(plan.find("MapInPandas"), plan.find("MapInArrow"))
+    filter_at = plan.find("is typing...")  # a suppression literal
+    assert python_at != -1 and filter_at != -1, plan[:2000]
+    assert filter_at > python_at, "suppression filter ran after the embed stage"
+
+
+def test_binaryfile_scan_prunes_content(spark):
+    # Selecting only metadata from a binaryFile source must prune the
+    # `content` bytes out of the read schema.
+    files = spark.read.format("binaryFile").load(f"{SF}/*.parquet")
+    meta = files.select("path", "length")
+    plan = _plan(meta)
+    assert "content" not in plan, plan[:2000]
