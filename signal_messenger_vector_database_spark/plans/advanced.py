@@ -183,6 +183,87 @@ def _approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- scalable dense sequential ids --------------------------------------
+# SURVEY §1.2: the reference's bigserial has no dense Spark analog —
+# monotonically_increasing_id() leaves gaps, and row_number() over a
+# global ORDER BY collapses to ONE task.  The scalable pattern: range-
+# bucket the key, number within each bucket, add per-bucket offsets
+# (prefix sum over the tiny bucket-count table).  Every step is
+# parallel; only the |buckets|-row offset table goes through a window.
+def _dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    bucket = (F.col("doc_id") / 100).cast("long").alias("bucket")
+    within = F.row_number().over(
+        Window.partitionBy("bucket").orderBy("doc_id")
+    )
+    counts = docs.select(bucket).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    offsets = counts.select(
+        "bucket",
+        (
+            F.coalesce(
+                F.sum("n").over(
+                    Window.orderBy("bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            )
+        ).alias("offset"),
+    )
+    return (
+        docs.select("doc_id", bucket)
+        .withColumn("within", within)
+        .join(F.broadcast(offsets), "bucket")
+        .select("doc_id", (F.col("offset") + F.col("within")).alias("dense_id"))
+    )
+
+
+_DENSE_IDS_SQL = """
+SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS dense_id
+FROM documents
+"""
+
+
+# --- array set algebra ---------------------------------------------------
+def _array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(F.array_distinct(F.collect_list("event_type"))).alias("all_types"),
+        F.array_sort(
+            F.array_distinct(
+                F.collect_list(F.when(F.col("value") > 100, F.col("event_type")))
+            )
+        ).alias("hi_types"),
+    )
+    return per_user.select(
+        "user_id",
+        F.size("all_types").alias("n_types"),
+        F.array_sort(F.array_except("all_types", "hi_types")).alias("lo_only"),
+        F.array_sort(F.array_intersect("all_types", "hi_types")).alias("both"),
+    )
+
+
+_ARRAY_SET_OPS_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         list_sort(list_distinct(list(event_type))) AS all_types,
+         list_sort(list_distinct(COALESCE(
+             list(event_type) FILTER (WHERE value > 100),
+             CAST([] AS VARCHAR[])))) AS hi_types
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(all_types) AS INTEGER) AS n_types,
+       list_sort(list_filter(all_types, t -> NOT list_contains(hi_types, t))) AS lo_only,
+       list_sort(list_filter(all_types, t -> list_contains(hi_types, t))) AS both
+FROM per_user
+"""
+
+
 # --- VariantType: semi-structured column (Spark 4) ----------------------
 # parse_json -> open-schema binary encoding; variant_get extracts typed
 # paths WITHOUT a declared struct schema.  At 100 TB this is the
@@ -293,6 +374,16 @@ SPECS: dict[str, QuerySpec] = {
     "interval_join": QuerySpec(_interval_join, _INTERVAL_JOIN_SQL, "equi-keyed interval join"),
     "hex_project": QuerySpec(_hex_project, _HEX_PROJECT_SQL, "P6 hex encode projection"),
     "approx_distinct": QuerySpec(_approx_distinct, None, "HLL approx_count_distinct vs exact (sketch)"),
+    "dense_ids": QuerySpec(
+        _dense_ids,
+        _DENSE_IDS_SQL,
+        "dense sequential ids via range-bucket + offset prefix sum (no single-task window)",
+    ),
+    "array_set_ops": QuerySpec(
+        _array_set_ops,
+        _ARRAY_SET_OPS_SQL,
+        "array set algebra over per-key collected sets",
+    ),
     "variant_props": QuerySpec(
         _variant_props,
         _VARIANT_PROPS_SQL,
