@@ -1,0 +1,90 @@
+"""Iterative k-means, Spark-first (the pattern behind MLlib's impl).
+
+Complements ``plans/vectorops.py``'s single oracle-checked assignment
+step with the full training loop.  Per iteration:
+
+1. assignment — broadcast the k centroids (tiny), squared-L2 via
+   ``zip_with`` fold, argmin via ``min_by`` on a (distance, cluster)
+   struct; the vector table is scanned, never shuffled for the join;
+2. update — new centroids as per-(cluster, dim) means: posexplode +
+   two-key partial aggregate (one exchange of k*dim tiny rows).
+
+State per iteration is k arrays on the driver — O(k*dim), independent
+of table size, so 100 TB of vectors iterate at one scan per round.
+``localCheckpoint`` is unnecessary here because each iteration's plan is
+rebuilt from the (cached) input and the tiny collected centroids, not
+stacked on the previous iteration's plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Add ``cluster`` and ``d2`` (squared L2 to that cluster)."""
+    d2 = F.aggregate(
+        F.zip_with("embedding", "centroid", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = emb.join(F.broadcast(centroids)).select(
+        "vec_id", "embedding", "c_id", d2.alias("d2")
+    )
+    return scored.groupBy("vec_id").agg(
+        F.min_by(F.struct("c_id", "embedding"), F.struct("d2", "c_id")).alias("_w"),
+        F.min("d2").alias("d2"),
+    ).select(
+        "vec_id", F.col("_w.c_id").alias("cluster"), F.col("_w.embedding").alias("embedding"), "d2"
+    )
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    """New centroids: per-(cluster, dim) mean, re-assembled into arrays."""
+    expl = assigned.select(
+        "cluster", F.posexplode("embedding").alias("pos", "val")
+    )
+    return (
+        expl.groupBy("cluster", "pos")
+        .agg(F.avg("val").alias("m"))
+        .groupBy(F.col("cluster").alias("c_id"))
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pv"))
+        .select("c_id", F.col("pv.m").alias("centroid"))
+    )
+
+
+def kmeans_fit(
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int = 8,
+    max_iter: int = 10,
+    tol: float = 1e-4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[float]]:
+    """Lloyd's algorithm.  Returns (final assignment DataFrame with
+    ``vec_id, cluster, d2``, inertia history).  Deterministic: initial
+    centroids are the k lowest-id vectors (k-means++ would sample;
+    determinism matters more here for testability)."""
+    emb = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    emb = emb.persist()
+    centroids = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("c_id"),
+            F.col("embedding").alias("centroid"),
+        )
+    )
+    history: list[float] = []
+    assigned = None
+    for _ in range(max_iter):
+        assigned = _assign(emb, centroids)
+        inertia = assigned.agg(F.sum("d2")).first()[0]
+        history.append(float(inertia))
+        if len(history) >= 2 and abs(history[-2] - history[-1]) <= tol * max(history[-2], 1.0):
+            break
+        centroids = _update(assigned)
+    emb.unpersist()
+    return assigned.select("vec_id", "cluster", "d2"), history

@@ -127,7 +127,23 @@ WHERE rn = 1
 """
 
 
+def _kmeans_fit_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Lloyd's loop (operators/clustering.py): deterministic init,
+    iterate until inertia stabilizes, return the final assignment.
+    Non-SQL-expressible (driver-side iteration) => rows-only check."""
+    from ..operators.clustering import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _history = kmeans_fit(spark, emb, k=8, max_iter=5)
+    return assigned
+
+
 SPECS: dict[str, QuerySpec] = {
+    "kmeans_fit_assign": QuerySpec(
+        _kmeans_fit_assign,
+        None,
+        "full iterative k-means fit (Lloyd), final assignment",
+    ),
     "embedding_centroids": QuerySpec(
         _embedding_centroids,
         _CENTROIDS_SQL,
