@@ -250,7 +250,167 @@ WHERE p_size <= 5
 """
 
 
+# --- TPC-H Q7 shape: bilateral trade volume by year ---------------------
+def _q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    pair = (
+        (F.col("cust_nation") == "NATION_3") & (F.col("supp_nation") == "NATION_7")
+    ) | ((F.col("cust_nation") == "NATION_7") & (F.col("supp_nation") == "NATION_3"))
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+        .filter(pair)
+        .groupBy(
+            "cust_nation", "supp_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+_Q7_SQL = """
+SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+       CAST(date_part('year', l_shipdate) AS INTEGER) AS ship_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+GROUP BY 1, 2, 3
+"""
+
+
+# --- TPC-H Q13 shape: order-count distribution incl. zero ---------------
+def _q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(
+            orders.filter(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+_Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+# --- TPC-H Q17 shape: small-quantity revenue (correlated AVG) -----------
+def _q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    pv, lv = f"part_q17_{tag}", f"lineitem_q17_{tag}"
+    load_table(spark, sf_dir, "part").createOrReplaceTempView(pv)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(lv)
+    return spark.sql(
+        f"""
+        SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+               COUNT(*) AS n_rows
+        FROM {lv} l JOIN {pv} p ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#23' AND p_size <= 10
+          AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                            FROM {lv} l2 WHERE l2.l_partkey = p.p_partkey)
+        """
+    )
+
+
+_Q17_SQL = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       COUNT(*) AS n_rows
+FROM lineitem l JOIN part p ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23' AND p_size <= 10
+  AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+"""
+
+
+# --- TPC-H Q22 shape: dormant rich customers (anti join + scalar sub) ---
+def _q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = (
+        customer.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    eligible = (
+        customer.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY", "HOUSEHOLD"))
+    )
+    # every customer has some order at this SF; "dormant" = no URGENT
+    # order, so the anti join produces a real survivor set
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    dormant = eligible.join(
+        urgent, eligible["c_custkey"] == urgent["o_custkey"], "left_anti"
+    )
+    return dormant.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
+
+
+_Q22_SQL = """
+SELECT c_mktsegment, COUNT(*) AS numcust,
+       ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND c_mktsegment IN ('BUILDING', 'MACHINERY', 'HOUSEHOLD')
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "q7_nation_volume": QuerySpec(
+        _q7_nation_volume, _Q7_SQL, "TPC-H Q7 shape: bilateral nation-pair volume by year"
+    ),
+    "q13_order_distribution": QuerySpec(
+        _q13_order_distribution, _Q13_SQL, "TPC-H Q13 shape: double groupBy incl. zero-order customers"
+    ),
+    "q17_small_quantity": QuerySpec(
+        _q17_small_quantity, _Q17_SQL, "TPC-H Q17 shape: correlated AVG subquery"
+    ),
+    "q22_dormant_customers": QuerySpec(
+        _q22_dormant_customers, _Q22_SQL, "TPC-H Q22 shape: scalar subquery + anti join"
+    ),
     "q4_priority_exists": QuerySpec(
         _q4_priority_exists, _Q4_SQL, "TPC-H Q4 shape: EXISTS decorrelated to semi join"
     ),
