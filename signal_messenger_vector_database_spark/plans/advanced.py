@@ -183,6 +183,37 @@ def _approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- unpivot / melt: wide -> long ---------------------------------------
+# The inverse of pivot_counts: per-segment wide metrics melted to
+# (segment, metric, val) rows with df.unpivot — schema-stable long form
+# for metric stores.  Oracle: UNION ALL (the engine-neutral spelling).
+def _unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    wide = customer.groupBy("c_mktsegment").agg(
+        F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+        F.count(F.lit(1)).cast("double").alias("n_cust"),
+    )
+    return wide.unpivot(
+        ids=["c_mktsegment"],
+        values=["avg_bal", "n_cust"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+_UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT c_mktsegment,
+         ROUND(AVG(c_acctbal), 2) AS avg_bal,
+         CAST(COUNT(*) AS DOUBLE) AS n_cust
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, 'avg_bal' AS metric, avg_bal AS val FROM wide
+UNION ALL
+SELECT c_mktsegment, 'n_cust' AS metric, n_cust AS val FROM wide
+"""
+
+
 # --- scalable dense sequential ids --------------------------------------
 # SURVEY §1.2: the reference's bigserial has no dense Spark analog —
 # monotonically_increasing_id() leaves gaps, and row_number() over a
@@ -374,6 +405,9 @@ SPECS: dict[str, QuerySpec] = {
     "interval_join": QuerySpec(_interval_join, _INTERVAL_JOIN_SQL, "equi-keyed interval join"),
     "hex_project": QuerySpec(_hex_project, _HEX_PROJECT_SQL, "P6 hex encode projection"),
     "approx_distinct": QuerySpec(_approx_distinct, None, "HLL approx_count_distinct vs exact (sketch)"),
+    "unpivot_metrics": QuerySpec(
+        _unpivot_metrics, _UNPIVOT_SQL, "unpivot/melt wide metrics to long form"
+    ),
     "dense_ids": QuerySpec(
         _dense_ids,
         _DENSE_IDS_SQL,

@@ -398,7 +398,53 @@ GROUP BY c_mktsegment
 """
 
 
+# --- TPC-H Q15 shape: top supplier by derived revenue -------------------
+# Revenue is rounded BEFORE the max/equality compare: cross-engine double
+# sums differ at ulp, and a max-equality on unrounded doubles could pick
+# different winners.
+def _q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-07-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "q15_top_supplier": QuerySpec(
+        _q15_top_supplier, _Q15_SQL, "TPC-H Q15 shape: derived-view max-revenue supplier"
+    ),
     "q7_nation_volume": QuerySpec(
         _q7_nation_volume, _Q7_SQL, "TPC-H Q7 shape: bilateral nation-pair volume by year"
     ),
