@@ -441,7 +441,48 @@ WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
 """
 
 
+# --- TPC-H Q11 shape: groups exceeding a global-scalar share ------------
+def _q11_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    value = F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+    per_nation = (
+        lineitem.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(value, 2).alias("nation_value"))
+    )
+    total = per_nation.agg(
+        F.round(F.sum("nation_value"), 2).alias("total_value")
+    )
+    # HAVING against a global scalar: the tiny total rides a broadcast;
+    # the per-group table is not re-aggregated.
+    return (
+        per_nation.join(F.broadcast(total))
+        .filter(F.col("nation_value") > 0.05 * F.col("total_value"))
+        .select("n_name", "nation_value")
+    )
+
+
+_Q11_SQL = """
+WITH per_nation AS (
+  SELECT n_name, ROUND(SUM(l_extendedprice * l_quantity), 2) AS nation_value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, nation_value
+FROM per_nation
+WHERE nation_value > 0.05 * (SELECT ROUND(SUM(nation_value), 2) FROM per_nation)
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "q11_value_share": QuerySpec(
+        _q11_value_share, _Q11_SQL, "TPC-H Q11 shape: HAVING vs global-scalar share"
+    ),
     "q15_top_supplier": QuerySpec(
         _q15_top_supplier, _Q15_SQL, "TPC-H Q15 shape: derived-view max-revenue supplier"
     ),

@@ -39,3 +39,20 @@ def test_dedup_ingest_exactly_once_effect(spark):
     # exactly-once effect
     assert ingested.count() == n_events
     assert ingested.select("event_id").distinct().count() == n_events
+
+
+def test_streaming_session_isolation(spark):
+    """streaming_session must not leak its shuffle-partition override
+    into the caller's session (concurrent batch queries keep their
+    config)."""
+    from signal_messenger_vector_database_spark.streaming.ingest import (
+        streaming_session,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    s = streaming_session(spark, state_partitions=4)
+    assert s is not spark
+    assert s.conf.get("spark.sql.shuffle.partitions") == "4"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    # same JVM/SparkContext: the clone shares cluster resources
+    assert s.sparkContext is spark.sparkContext
