@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import portable_round
 from ..io.sources import load_table
 from .registry import QuerySpec
 
@@ -479,7 +480,83 @@ WHERE nation_value > 0.05 * (SELECT ROUND(SUM(nation_value), 2) FROM per_nation)
 """
 
 
+# --- TPC-H Q8 shape: market share ratio by year -------------------------
+def _q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target = F.sum(F.when(F.col("n_name") == "NATION_5", rev).otherwise(F.lit(0.0)))
+    total = F.sum(rev)
+    return (
+        lineitem.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.round(target, 2).alias("target_rev"),
+            F.round(total, 2).alias("total_rev"),
+            portable_round(target / total, 4).alias("mkt_share"),
+        )
+    )
+
+
+_Q8_SQL = """
+SELECT CAST(date_part('year', l_shipdate) AS INTEGER) AS ship_year,
+       ROUND(SUM(CASE WHEN n_name = 'NATION_5'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2)
+         AS target_rev,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_rev,
+       FLOOR((SUM(CASE WHEN n_name = 'NATION_5'
+                       THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+              / SUM(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000
+         AS mkt_share
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+
+# --- TPC-H Q9 shape: profit by nation and year --------------------------
+# partsupp/supplycost doesn't exist in the fixture; p_retailprice*0.6
+# stands in as unit cost — the optimizer shape (two dim joins + derived
+# measure + two-key agg) is what matters.
+def _q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * 0.6 * F.col("l_quantity")
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.year("l_shipdate").alias("ship_year"))
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+    )
+
+
+_Q9_SQL = """
+SELECT n_name, CAST(date_part('year', l_shipdate) AS INTEGER) AS ship_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)
+                 - p_retailprice * 0.6 * l_quantity), 2) AS profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "q8_market_share": QuerySpec(
+        _q8_market_share, _Q8_SQL, "TPC-H Q8 shape: conditional-share ratio by year"
+    ),
+    "q9_nation_profit": QuerySpec(
+        _q9_nation_profit, _Q9_SQL, "TPC-H Q9 shape: derived profit by nation x year"
+    ),
     "q11_value_share": QuerySpec(
         _q11_value_share, _Q11_SQL, "TPC-H Q11 shape: HAVING vs global-scalar share"
     ),
