@@ -20,10 +20,15 @@ from signal_messenger_vector_database_spark.plans.catalog import all_specs  # no
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: exact brute-force cosine top-k over the embeddings
-    table — the vector retrieval the reference declared (pgvector +
-    VECTOR(768), src/rag/sqlx.rs:22-42) but never implemented."""
-    return all_specs()["topk_cosine"].fn(spark, "/root/testdata/sf0.001")
+    """Flagship query: the reference's RAG retrieval path, end-to-end —
+    question (src/rag/questions.rs:1-5, hardcoded and never wired) ->
+    deterministic embed -> cosine top-k over the vector table (the
+    pgvector capability declared at src/rag/sqlx.rs:22-42 but never
+    implemented) -> ordered context -> llama3 prompt render
+    (src/rag/prompt_template.rs:10-26, never called in the reference).
+    Fully oracle-paired despite the Python embedder: the query vector is
+    computed driver-side and inlined as a literal in both engines."""
+    return all_specs()["rag_retrieve"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

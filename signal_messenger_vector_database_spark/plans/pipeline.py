@@ -17,6 +17,7 @@ from ..functions.vector import cosine_similarity, l2_distance
 from ..io.sources import load_table
 from ..operators.chunking import chunk_text
 from ..operators.embed import with_embeddings
+from ..operators.topk import cosine_topk
 from ..operators.suppression import (
     SUPPRESSED_EXACT,
     SUPPRESSED_PREFIXES,
@@ -216,6 +217,73 @@ FROM documents
 """
 
 
+# --- end-to-end RAG retrieval (the reference's stubbed query path) ------
+# get_questions (src/rag/questions.rs:1-5) returns ONE hardcoded question
+# and llama3 (src/rag/prompt_template.rs:10-26) is never called — this
+# query realizes that whole path: question -> deterministic embed ->
+# cosine top-k over the vector table -> ordered context assembly -> P4
+# prompt render.  The query vector is computed driver-side at call time
+# and inlined as a literal in BOTH engines, so the entire retrieval is
+# oracle-paired despite the Python embedder.
+_RAG_QUESTION = "What did my contacts say about the upcoming release?"
+_RAG_K = 5
+
+
+def _rag_query_vec() -> list[float]:
+    from ..operators.embed import HashEmbedder
+
+    return [float(x) for x in HashEmbedder(64).embed_batch([_RAG_QUESTION])[0]]
+
+
+def _rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    top = cosine_topk(emb, _rag_query_vec(), k=_RAG_K)
+    joined = top.join(docs, top["vec_id"] == docs["doc_id"])
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(
+                (-F.col("sim")).alias("negsim"),
+                F.col("vec_id"),
+                F.regexp_replace(F.col("text"), "\n", " ").alias("txt"),
+            )
+        )
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_ctx"),
+        F.array_join(F.transform(ordered, lambda x: x["vec_id"].cast("string")), ",").alias("ctx_ids"),
+        F.concat(
+            F.lit(_LLAMA3_PREFIX),
+            F.lit(_RAG_QUESTION),
+            F.lit(" Context: "),
+            F.array_join(F.transform(ordered, lambda x: x["txt"]), " | "),
+            F.lit(_LLAMA3_SUFFIX),
+        ).alias("prompt"),
+    )
+
+
+def _rag_retrieve_sql() -> str:
+    qv = "[" + ", ".join(repr(x) for x in _rag_query_vec()) + "]::DOUBLE[]"
+    return f"""
+WITH q AS (SELECT {qv} AS qv),
+top AS (
+  SELECT vec_id,
+         ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv) /
+               (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(q.qv, q.qv))), 4) AS sim
+  FROM embeddings e, q
+  ORDER BY sim DESC, vec_id
+  LIMIT {_RAG_K}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_ctx,
+       string_agg(CAST(t.vec_id AS VARCHAR), ',' ORDER BY sim DESC, t.vec_id) AS ctx_ids,
+       {_sql_quote(_LLAMA3_PREFIX)} || {_sql_quote(_RAG_QUESTION)} || ' Context: ' ||
+       string_agg(regexp_replace(d.text, '\\n', ' ', 'g'), ' | ' ORDER BY sim DESC, t.vec_id) ||
+       {_sql_quote(_LLAMA3_SUFFIX)} AS prompt
+FROM top t JOIN documents d ON t.vec_id = d.doc_id
+"""
+
+
 # --- P1/P2: message-type dispatch + render cascade ----------------------
 # 10-arm ContentBody match (src/signal/format_message.rs:59-177) as a
 # when/otherwise cascade over the events fixture's event_type column;
@@ -336,6 +404,11 @@ SPECS: dict[str, QuerySpec] = {
     "tokenize": QuerySpec(_tokenize, _TOKENIZE_SQL, "T1 token count (JVM regex tokenizer)"),
     "chunk_explode": QuerySpec(_chunk_explode, _CHUNK_EXPLODE_SQL, "T2/T3/T4/F4/F5 word chunking, 1->N explode"),
     "prompt_template": QuerySpec(_prompt_template, _PROMPT_TEMPLATE_SQL, "P4 llama3 template + P5 newline scrub"),
+    "rag_retrieve": QuerySpec(
+        _rag_retrieve,
+        _rag_retrieve_sql(),
+        "end-to-end RAG retrieval: question -> embed -> top-k -> prompt",
+    ),
     "dispatch_render": QuerySpec(_dispatch_render, _DISPATCH_RENDER_SQL, "P1/P2 type dispatch + render + F1 compose"),
     "exact_dedup": QuerySpec(_exact_dedup, _EXACT_DEDUP_SQL, "exact dedup via md5 fingerprint"),
     "mock_embed": QuerySpec(_mock_embed, None, "E1 deterministic mapInPandas embedder (rows-only)"),
