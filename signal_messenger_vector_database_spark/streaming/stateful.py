@@ -109,3 +109,83 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("total_events").alias("total_events"),
         F.round(F.max("total_value"), 2).alias("total_value"),
     )
+
+
+def tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same running per-user totals via ``transformWithStateInPandas`` —
+    Spark 4's successor to applyInPandasWithState: named state variables
+    on a handle (ValueState here; ListState/MapState/timers available),
+    per-key Arrow batches, exactly-once through the checkpoint.  Source is
+    fed twice (one file per trigger) so the final totals are 2x the batch
+    aggregate — proof the ValueState carried across micro-batches.
+
+    REQUIRES a functional ``google.protobuf`` runtime (the API's state
+    server speaks proto to the Python worker); this container's protobuf
+    is broken, so the operator is exercised by a skip-gated test
+    (tests/test_streaming.py) rather than a catalog entry — on a normal
+    cluster it runs as-is."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from .ingest import EVENTS_RAW_SCHEMA, streaming_session
+
+    spark = streaming_session(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    stage_dir = tempfile.mkdtemp(prefix="smvd-tws-src-")
+    import shutil
+
+    src = os.path.join(sf_dir, "events.parquet")
+    shutil.copy(src, os.path.join(stage_dir, "events-a.parquet"))
+    shutil.copy(src, os.path.join(stage_dir, "events-b.parquet"))
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, v = self._state.get()
+            else:
+                n, v = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                v += float(pdf["value"].sum())
+            self._state.update((n, v))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "total_events": [n], "total_value": [v]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage_dir)
+        .select("user_id", "value")
+    )
+    totals = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTotals(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+    sink = f"tws_{uuid.uuid4().hex[:8]}"
+    q = (
+        totals.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="smvd-ckpt-tws-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    emitted = spark.table(sink)
+    return emitted.groupBy("user_id").agg(
+        F.max("total_events").alias("total_events"),
+        F.round(F.max("total_value"), 2).alias("total_value"),
+    )

@@ -56,3 +56,26 @@ def test_streaming_session_isolation(spark):
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
     # same JVM/SparkContext: the clone shares cluster resources
     assert s.sparkContext is spark.sparkContext
+
+
+def test_tws_user_totals_if_protobuf_available(spark):
+    """transformWithStateInPandas (Spark 4 stateful API). Its state
+    server needs a working protobuf runtime — skip where absent."""
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+    from signal_messenger_vector_database_spark.streaming.stateful import (
+        tws_user_totals,
+    )
+    from signal_messenger_vector_database_spark.io.sources import load_table
+    from pyspark.sql import functions as F
+
+    got = tws_user_totals(spark, "/root/testdata/sf0.001")
+    expected = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .groupBy("user_id")
+        .agg((2 * F.count(F.lit(1))).alias("total_events"))
+    )
+    g = {r.user_id: r.total_events for r in got.collect()}
+    e = {r.user_id: r.total_events for r in expected.collect()}
+    assert g == e
