@@ -274,6 +274,52 @@ GROUP BY 1, 2
 """
 
 
+# --- date-spine densification (zero-fill missing days) -------------------
+# Time-series tables omit days with no activity; downstream windows and
+# charts need an explicit zero row.  The spine is generated with
+# sequence() from the observed span — no calendar table to maintain —
+# and the grid (days x types) left-joins the sparse daily counts.
+def _date_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = span.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    types = ev.select("event_type").distinct()
+    daily = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(daily, ["day", "event_type"], "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        )
+    )
+
+
+_DATE_SPINE_SQL = """
+WITH span AS (
+  SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1 FROM events
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span
+),
+daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(s.day, '%Y-%m-%d') AS day, t.event_type,
+       COALESCE(d.cnt, 0) AS cnt
+FROM spine s
+CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type
+"""
+
+
 # --- LOCF gap filling (last observation carried forward) -----------------
 # Sensor/metric streams have holes; the fill is `last(x, ignorenulls)`
 # over an ordered per-key frame — one shuffle + one sort, versus the
@@ -306,6 +352,9 @@ FROM events
 
 
 SPECS: dict[str, QuerySpec] = {
+    "date_spine_fill": QuerySpec(
+        _date_spine_fill, _DATE_SPINE_SQL, "calendar densification: date spine + zero-fill"
+    ),
     "locf_fill": QuerySpec(
         _locf_fill, _LOCF_FILL_SQL, "LOCF gap fill: last(ignorenulls) over ordered frame"
     ),
