@@ -92,19 +92,21 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (max cosine, centroid id
-    tie-break): broadcast the centroid table, window-rank per vector.
-    This is the IVF build step; at scale the assignment shuffles once on
-    the vector id and the centroid table is always broadcast."""
-    from pyspark.sql.window import Window
+    tie-break): broadcast the centroid table, then ``groupBy(id).min_by``.
 
+    The argmax is an aggregate, NOT a window: ``min_by`` over the
+    ``(-csim, cid)`` struct partial-aggregates map-side, so only n rows
+    (not n*k) ever cross the exchange.  A ``Window.partitionBy(id)`` +
+    ``row_number`` formulation gets no partial aggregation and shuffles
+    the full n*k cross product — the scale-killer this replaces.  This is
+    the IVF build step; the centroid table is always broadcast."""
     joined = emb.crossJoin(F.broadcast(centroids)).select(
         F.col(id_col),
         F.col("cid"),
         cosine_similarity(vec_col, "cv").alias("csim"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.col("cid"))
-    return (
-        joined.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(id_col, "cid")
+    return joined.groupBy(id_col).agg(
+        F.min_by("cid", F.struct((-F.col("csim")).alias("negsim"), F.col("cid"))).alias(
+            "cid"
+        )
     )

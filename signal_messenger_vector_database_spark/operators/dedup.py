@@ -215,14 +215,32 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, threshold: float
+    df: DataFrame, id_col: str, text_col: str, threshold: float,
+    max_df: int | None = None,
 ) -> DataFrame:
-    """Exact all-pairs Jaccard >= threshold WITHOUT a cross join: explode
+    """All-pairs Jaccard >= threshold WITHOUT a cross join: explode
     shingles into a posting list, equi-join on the shingle, count common
-    shingles per pair, then combine with per-doc set sizes.  The shuffle
-    key is the shingle — at 100 TB hot shingles are the skew risk, handled
-    by AQE skew-join (and a stop-shingle cutoff would drop the head)."""
+    shingles per pair, then combine with per-doc set sizes.
+
+    The shuffle key is the shingle, so hot shingles are the skew risk: the
+    posting-list self-join is O(df^2) per shingle, and at 100 TB a common
+    bigram degenerates toward the cross join this module forbids.
+    ``max_df`` is the mandatory-at-scale stop-shingle cutoff: shingles
+    whose document frequency exceeds it are dropped from the similarity
+    universe BEFORE the self-join (both from postings and from set sizes,
+    so the semantics stay self-consistent: Jaccard over the sub-universe
+    of discriminating shingles).  Trade-off: near-ubiquitous shingles
+    carry almost no pairwise signal (they inflate both intersection and
+    union for every pair alike), so precision/recall vs full-universe
+    Jaccard degrades only for pairs whose overlap was mostly stop
+    shingles — exactly the pairs dedup should NOT merge.  The hot set is
+    tiny by construction (df > max_df can hold for at most
+    n_postings/max_df shingles), so it broadcasts."""
     posting = shingle_rows(df, id_col, text_col).withColumnRenamed("shingle", "s")
+    if max_df is not None:
+        doc_freq = posting.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        hot = doc_freq.filter(F.col("df") > max_df).select("s")
+        posting = posting.join(F.broadcast(hot), "s", "left_anti")
     sizes = posting.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a, b = posting.alias("a"), posting.alias("b")
     common = (

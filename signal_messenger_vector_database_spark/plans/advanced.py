@@ -49,6 +49,17 @@ def _binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("file_name")
 
 
+# Oracle (VERDICT r1 task 5): DuckDB read_blob over the same directory.
+# The driver's correctness pass runs at sf0.01, so the path is pinned —
+# static SQL cannot receive the sf_dir parameter the Spark side gets.
+_BINARYFILE_SCAN_SQL = """
+SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+       CAST(size AS BIGINT) AS length
+FROM read_blob('/root/testdata/sf0.01/*.parquet')
+ORDER BY file_name
+"""
+
+
 # --- JSON scalar functions over props -----------------------------------
 def _json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
@@ -398,7 +409,7 @@ def _chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SPECS: dict[str, QuerySpec] = {
     "nested_explode": QuerySpec(_nested_explode, _NESTED_EXPLODE_SQL, "S7/P10 collect_list -> explode round trip"),
-    "binaryfile_scan": QuerySpec(_binaryfile_scan, None, "S11 binary file source (content pruned)"),
+    "binaryfile_scan": QuerySpec(_binaryfile_scan, _BINARYFILE_SCAN_SQL, "S11 binary file source (content pruned), read_blob oracle"),
     "json_props": QuerySpec(_json_props, _JSON_PROPS_SQL, "JSON scalar extraction + agg over props"),
     "rollup_agg": QuerySpec(_rollup_agg, _ROLLUP_AGG_SQL, "ROLLUP grouping sets"),
     "asof_join": QuerySpec(_asof_join, _ASOF_JOIN_SQL, "as-of join via union+window (oracle: DuckDB ASOF JOIN)"),

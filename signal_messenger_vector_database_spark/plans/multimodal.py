@@ -33,11 +33,22 @@ FROM documents
 
 
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-paired (VERDICT r1 task 9): the stub extractor's normalized
+    float32 byte histogram is inverted back to EXACT integer bin counts
+    (``round(frac * n_bytes)`` — float32 relative error ~1e-7 keeps the
+    product within 0.5 of the true count for any payload < ~1 MB), which
+    DuckDB recomputes from the hex encoding: 16 bins of width 16 over
+    [0,256) == the high nibble of each byte."""
     docs = load_table(spark, sf_dir, "documents")
     feats = extract_features(attach_binary(docs).repartition(8), payload_col="payload")
+    n_bytes = F.col("meta.n_bytes").cast("double")
     return feats.select(
         "doc_id",
         F.size("features").alias("n_bins"),
+        F.transform(
+            F.col("features"),
+            lambda x: F.round(x.cast("double") * n_bytes).cast("int"),
+        ).alias("bin_counts"),
         F.round(
             F.aggregate(
                 F.col("features").cast("array<double>"), F.lit(0.0), lambda a, x: a + x
@@ -45,6 +56,22 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             3,
         ).alias("hist_mass"),
     )
+
+
+# High-nibble histogram: strip the low nibble of every hex pair with one
+# regexp, then per-nibble counts via length-difference.
+_NIBBLES = "0123456789ABCDEF"
+_MULTIMODAL_FEATURES_SQL = (
+    "WITH x AS (SELECT doc_id, regexp_replace(upper(hex(encode(text))),"
+    " '(.).', '\\1', 'g') AS s FROM documents)\n"
+    "SELECT doc_id, 16 AS n_bins,\n  ["
+    + ", ".join(
+        f"CAST(length(s) - length(replace(s, '{c}', '')) AS INTEGER)"
+        for c in _NIBBLES
+    )
+    + "] AS bin_counts,\n"
+    "  CASE WHEN length(s) = 0 THEN 0.0 ELSE 1.0 END AS hist_mass\nFROM x"
+)
 
 
 def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -57,6 +84,6 @@ def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SPECS: dict[str, QuerySpec] = {
     "multimodal_metadata": QuerySpec(_multimodal_metadata, _MULTIMODAL_METADATA_SQL, "binary payload + typed metadata struct"),
-    "multimodal_features": QuerySpec(_multimodal_features, None, "stubbed decode->featurize over binary (mapInPandas)"),
+    "multimodal_features": QuerySpec(_multimodal_features, _MULTIMODAL_FEATURES_SQL, "stubbed decode->featurize over binary (mapInPandas), exact bin-count oracle"),
     "multimodal_frames": QuerySpec(_multimodal_frames, None, "1->N frame sampling over binary payloads"),
 }

@@ -98,3 +98,34 @@ def test_connected_components_chain_and_clique(spark):
     )
     got = {r.id: r.label for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_ngram_stop_shingle_cutoff_bounds_posting_head(spark):
+    """With max_df set, no surviving shingle's document frequency exceeds
+    the cutoff (the O(df^2) self-join head is bounded), the cutoff
+    actually drops something on real data, and exact dups still match."""
+    from signal_messenger_vector_database_spark.operators.dedup import shingle_rows
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    posting = shingle_rows(docs, "doc_id", "text").withColumnRenamed("shingle", "s")
+    head = posting.groupBy("s").count()
+    max_df_full = head.agg(F.max("count")).first()[0]
+    cutoff = max(2, max_df_full - 1)  # guaranteed to bind on this corpus
+
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", 0.9, max_df=cutoff)
+    # head bounded: rebuild the filtered posting the operator uses
+    hot = head.filter(F.col("count") > cutoff).select("s")
+    survived = posting.join(F.broadcast(hot), "s", "left_anti")
+    max_df_after = survived.groupBy("s").count().agg(F.max("count")).first()[0]
+    assert max_df_after <= cutoff < max_df_full
+    # identical docs still collide at jaccard 1.0 through the sub-universe
+    dup = docs.limit(1).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    pairs2 = ngram_jaccard_pairs(
+        docs.unionByName(dup), "doc_id", "text", 0.99, max_df=cutoff
+    )
+    assert pairs2.filter(F.col("jaccard") >= 0.99).count() >= 1

@@ -160,3 +160,22 @@ def test_binaryfile_scan_prunes_content(spark):
     meta = files.select("path", "length")
     plan = _plan(meta)
     assert "content" not in plan, plan[:2000]
+
+
+def test_ivf_assign_aggregates_not_windows(spark):
+    """ivf_assign's nearest-centroid argmax must be a partial-aggregable
+    groupBy (n rows cross the exchange), never a Window.partitionBy +
+    row_number (n*k rows cross).  VERDICT r1 flagged the window form as a
+    scale-killer; this pins the fix."""
+    from signal_messenger_vector_database_spark.operators.ann import ivf_assign
+
+    emb = load_table(spark, SF, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    plan = _plan(ivf_assign(emb, centroids))
+    assert "Window" not in plan, plan
+    # partial aggregation present: HashAggregate appears on both sides of
+    # the exchange (partial_min_by map-side, min_by reduce-side)
+    assert plan.count("HashAggregate") >= 2 or "SortAggregate" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
