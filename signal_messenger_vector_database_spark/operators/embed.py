@@ -13,9 +13,10 @@ Two embedders:
 - ``HashEmbedder`` — deterministic, dependency-free mock (seeded from
   sha256 of the normalized text) used for tests/goldens, mirroring SURVEY
   §5's 'deterministic mock embedder' strategy.
-- ``HttpEmbedder`` — the real client shape (Ollama-compatible endpoint);
-  the network call is stubbed with NotImplementedError in this offline
-  environment, but batching, retry seams, and partition plumbing are real.
+- ``HttpEmbedder`` — the real client (Ollama-compatible endpoint):
+  request build, response parse, dim validation, and exponential-backoff
+  retry are live code over an injectable ``transport`` seam (default
+  urllib POST); offline tests drive it with recorded responses.
 
 Both normalize newlines to spaces first, exactly like the reference
 (``text.replace("\\n", " ")``, src/rag/dataframes.rs:120 — P5).
@@ -60,21 +61,70 @@ class HashEmbedder:
 
 
 class HttpEmbedder:
-    """Ollama-compatible batched HTTP embedder (reference endpoint shape:
-    POST {url}/api/embeddings {"model": ..., "prompt": ...},
-    src/rag/dataframes.rs:114-128).  Offline here -> NotImplementedError,
-    but the mapInPandas integration (per-executor client, batch loop) is
-    the real production shape."""
+    """Ollama-compatible HTTP embedder (reference endpoint shape:
+    POST {url} with {"model": ..., "prompt": ...} per prompt, response
+    {"embedding": [...]} — src/rag/dataframes.rs:114-128).
+
+    The request build / response parse / retry loop is REAL code;
+    ``transport`` is the seam: a callable ``payload-dict -> response-dict``
+    that defaults to a urllib POST.  Offline tests inject a
+    recorded-response transport (tests/test_embed.py) so the whole path
+    short of the socket is exercised; no service runs in this container.
+
+    Unlike the reference — which opens a fresh connection per ROW of the
+    whole table — one HttpEmbedder instance exists per Python worker
+    (see ``with_embeddings``), so at scale the per-prompt loop below runs
+    Arrow-batch-at-a-time on every executor in parallel."""
 
     def __init__(self, url: str = "http://localhost:11434/api/embeddings",
-                 model: str = "nomic-embed-text", dim: int = 768):
+                 model: str = "nomic-embed-text", dim: int = 768,
+                 transport=None, max_retries: int = 3, backoff_s: float = 0.5,
+                 sleep=None):
+        import time
+
         self.url, self.model, self.dim = url, model, dim
+        self.transport = transport or self._http_transport
+        self.max_retries = max_retries
+        self.backoff_s = backoff_s
+        self._sleep = sleep or time.sleep
+
+    def _http_transport(self, payload: dict) -> dict:
+        import json
+        import urllib.request
+
+        req = urllib.request.Request(
+            self.url,
+            data=json.dumps(payload).encode("utf-8"),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return json.loads(resp.read().decode("utf-8"))
+
+    def _embed_one(self, text: str) -> list[float]:
+        payload = {"model": self.model, "prompt": _scrub(text)}
+        last_err: Exception | None = None
+        for attempt in range(self.max_retries):
+            try:
+                resp = self.transport(payload)
+                vec = resp["embedding"]
+                if len(vec) != self.dim:
+                    raise ValueError(
+                        f"embedding dim {len(vec)} != expected {self.dim}"
+                    )
+                return vec
+            except Exception as e:  # noqa: BLE001 — retry any transport fault
+                last_err = e
+                if attempt < self.max_retries - 1:
+                    self._sleep(self.backoff_s * (2**attempt))
+        raise RuntimeError(
+            f"embedding request failed after {self.max_retries} attempts"
+        ) from last_err
 
     def embed_batch(self, texts: list[str]) -> np.ndarray:
-        raise NotImplementedError(
-            "no embedding service in this environment; swap in HashEmbedder "
-            "or deploy an Ollama-compatible endpoint"
-        )
+        return np.asarray(
+            [self._embed_one(t) for t in texts], dtype=np.float32
+        ).reshape(len(texts), self.dim)
 
 
 def with_embeddings(

@@ -213,3 +213,46 @@ SPECS: dict[str, QuerySpec] = {
     "word_freq": QuerySpec(_word_freq, _WORD_FREQ_SQL, "corpus word frequency top-25"),
     "source_stats": QuerySpec(_source_stats, _SOURCE_STATS_SQL, "per-source token stats"),
 }
+
+
+# --- T1 cl100k parity path (VERDICT r1 task 4) ---------------------------
+# The reference counts cl100k_base BPE tokens (src/rag/dataframes.rs:32-39).
+# functions/bpe.py implements the same algorithm (public cl100k split regex
+# + lowest-rank byte-pair merge over a .tiktoken ranks table); with a real
+# cl100k_base.tiktoken on $SMVD_TIKTOKEN_FILE the counts are exactly the
+# reference's, offline the vendored mini vocabulary substitutes.  The
+# oracle is a checked-in snapshot precomputed by the PURE-PYTHON encoder
+# (tools/gen_cl100k_oracle.py, no Spark involved), so the compare proves
+# the distributed pandas-UDF path reproduces the sequential reference
+# implementation at sf0.01.
+
+
+def _tokenize_cl100k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.bpe import bpe_token_count_column
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", bpe_token_count_column(F.col("text")).alias("n_tokens")
+    )
+
+
+def _tokenize_cl100k_sql() -> str:
+    import os
+
+    from ..functions.bpe import _DATA_DIR
+
+    path = os.path.join(_DATA_DIR, "tokenize_cl100k_sf0.01.tsv")
+    with open(path) as f:
+        rows = [line.split() for line in f if line.strip()]
+    values = ", ".join(f"({d}, {n})" for d, n in rows)
+    return (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_tokens AS INTEGER) AS n_tokens "
+        f"FROM (VALUES {values}) AS t(doc_id, n_tokens)"
+    )
+
+
+SPECS["tokenize_cl100k"] = QuerySpec(
+    _tokenize_cl100k,
+    _tokenize_cl100k_sql(),
+    "cl100k-algorithm BPE token count (pandas UDF vs precomputed pure-Python snapshot)",
+)

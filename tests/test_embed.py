@@ -30,9 +30,78 @@ def test_newline_scrub_matches_reference():
     )
 
 
-def test_http_embedder_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        HttpEmbedder().embed_batch(["x"])
+class _RecordedTransport:
+    """Canned-JSON fake of the Ollama /api/embeddings endpoint shape
+    (src/rag/dataframes.rs:114-128): request {"model","prompt"}, response
+    {"embedding": [...]} — optionally failing the first N calls."""
+
+    def __init__(self, dim: int = 4, fail_first: int = 0):
+        self.dim = dim
+        self.fail_first = fail_first
+        self.requests: list[dict] = []
+
+    def __call__(self, payload: dict) -> dict:
+        self.requests.append(payload)
+        if len(self.requests) <= self.fail_first:
+            raise ConnectionError("recorded transient fault")
+        # deterministic vector derived from the prompt, Ollama shape
+        seed = sum(payload["prompt"].encode()) or 1
+        return {"embedding": [float(seed % (i + 2)) for i in range(self.dim)]}
+
+
+def test_http_embedder_recorded_roundtrip():
+    t = _RecordedTransport(dim=4)
+    e = HttpEmbedder(dim=4, transport=t)
+    out = e.embed_batch(["hello\nworld", "second"])
+    assert out.shape == (2, 4) and out.dtype == np.float32
+    # request shape matches the reference's Ollama payload, newline-scrubbed
+    assert t.requests[0] == {"model": "nomic-embed-text", "prompt": "hello world"}
+    assert len(t.requests) == 2
+
+
+def test_http_embedder_retries_then_succeeds():
+    slept = []
+    t = _RecordedTransport(dim=4, fail_first=2)
+    e = HttpEmbedder(dim=4, transport=t, max_retries=3, sleep=slept.append)
+    out = e.embed_batch(["x"])
+    assert out.shape == (1, 4)
+    assert len(t.requests) == 3  # 2 failures + 1 success
+    assert slept == [0.5, 1.0]  # exponential backoff
+
+
+def test_http_embedder_exhausted_retries_raise():
+    t = _RecordedTransport(dim=4, fail_first=99)
+    e = HttpEmbedder(dim=4, transport=t, max_retries=2, sleep=lambda s: None)
+    with pytest.raises(RuntimeError, match="after 2 attempts"):
+        e.embed_batch(["x"])
+
+
+def test_http_embedder_rejects_wrong_dim():
+    t = _RecordedTransport(dim=3)
+    e = HttpEmbedder(dim=768, transport=t, max_retries=1, sleep=lambda s: None)
+    with pytest.raises(RuntimeError):
+        e.embed_batch(["x"])
+
+
+def test_http_embedder_through_spark_pipeline(spark):
+    """The full mapInPandas embed stage with the recorded transport — the
+    production HTTP path minus only the socket."""
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(6)], "id long, body string"
+    )
+
+    # defined locally so cloudpickle ships it by value to Python workers
+    def canned_transport(payload: dict) -> dict:
+        seed = sum(payload["prompt"].encode()) or 1
+        return {"embedding": [float(seed % (i + 2)) for i in range(4)]}
+
+    out = with_embeddings(
+        df,
+        dim=4,
+        embedder_factory=lambda: HttpEmbedder(dim=4, transport=canned_transport),
+    ).collect()
+    assert len(out) == 6
+    assert all(len(r.embedding) == 4 for r in out)
 
 
 def test_with_embeddings_dataframe(spark):

@@ -1,0 +1,40 @@
+"""Precompute the tokenize_cl100k oracle snapshot (checked in).
+
+Counts are computed by the PURE-PYTHON encoder (no Spark) over the sf0.01
+documents parquet; the catalog embeds them as an inline VALUES table so
+DuckDB can replay them.  The Spark query must reproduce these through the
+distributed pandas-UDF path — the compare verifies the Spark plumbing,
+while the encoder itself is unit-tested against hand-checkable merges.
+Regenerate only when the vocabulary or fixture changes.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from signal_messenger_vector_database_spark.functions.bpe import (
+    _DATA_DIR,
+    encode_count,
+    resolve_ranks,
+)
+
+
+def main() -> None:
+    rows = duckdb.sql(
+        "SELECT doc_id, text FROM '/root/testdata/sf0.01/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    ranks = resolve_ranks()
+    out = os.path.join(_DATA_DIR, "tokenize_cl100k_sf0.01.tsv")
+    with open(out, "w") as f:
+        for doc_id, text in rows:
+            f.write(f"{doc_id}\t{encode_count(text, ranks)}\n")
+    print(f"wrote {len(rows)} rows to {out}")
+
+
+if __name__ == "__main__":
+    main()
