@@ -36,6 +36,7 @@ _MODULES = (
     "vectorops",
     "scale_queries",
     "formats",
+    "retrieval",
 )
 
 # Round-2 verification window: previously-unverified oracle-paired queries

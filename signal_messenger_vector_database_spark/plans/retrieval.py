@@ -1,0 +1,216 @@
+"""Lexical + hybrid retrieval: BM25 and reciprocal-rank-fusion.
+
+The reference is a RAG vector store whose retrieval surface is pure
+vector similarity (pgvector declared at src/rag/sqlx.rs:22-42).  A
+production retrieval stack pairs that with lexical BM25 and fuses the
+rankings; both are fully relational here — no UDFs, no cross joins except
+broadcasting 1-row corpus statistics.
+
+Scale notes:
+- The posting list is filtered to the QUERY'S terms immediately after the
+  explode, so df/tf aggregation touches |q| terms' postings, not the
+  whole corpus index.
+- Corpus stats (N, avgdl) are a 1-row broadcast.
+- RRF's row_number windows run over the k-row branch results (k=10), not
+  the corpus — a window over a LIMITed set is scale-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vector import cosine_similarity
+from ..io.sources import load_table
+from ..functions.text import portable_round
+from .registry import QuerySpec
+
+_QUERY = "customer stream filter"
+_K1, _B = 1.2, 0.75
+_TOPK = 10
+_RRF_K = 60
+
+# same normalization as the dedup shingle pipeline (plans/similarity.py)
+_SQL_NORM = "lower(regexp_replace(trim(COALESCE(text, '')), '\\s+', ' ', 'g'))"
+
+
+def _norm_words(col: str = "text") -> F.Column:
+    return F.split(
+        F.lower(F.regexp_replace(F.trim(F.coalesce(F.col(col), F.lit(""))), r"\s+", " ")),
+        " ",
+    )
+
+
+def _bm25_scores(docs: DataFrame, query_terms: list[str]) -> DataFrame:
+    """Per-doc BM25 (Lucene idf variant) for the given query terms."""
+    words = docs.select(
+        "doc_id", F.explode(_norm_words()).alias("term"), F.size(_norm_words()).alias("dl")
+    )
+    stats = docs.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(_norm_words())).alias("avgdl"),
+    )
+    qterms = F.array(*[F.lit(t) for t in query_terms])
+    posting = words.filter(F.array_contains(qterms, F.col("term")))
+    tf = posting.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = idf * (
+        F.col("tf")
+        * (_K1 + 1)
+        / (F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(contrib).alias("score"))
+    )
+
+
+def _bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = _bm25_scores(docs, _QUERY.split())
+    return (
+        scored.select("doc_id", portable_round(F.col("score"), 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_TOPK)
+    )
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _QUERY.split())
+    core = f"""
+words AS (
+  SELECT doc_id, unnest(string_split({_SQL_NORM}, ' ')) AS term,
+         len(string_split({_SQL_NORM}, ' ')) AS dl
+  FROM documents
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(len(string_split({_SQL_NORM}, ' '))) AS avgdl
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+  FROM words WHERE term IN ({terms}) GROUP BY 1, 2
+),
+docfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+bm25 AS (
+  SELECT doc_id,
+         SUM(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * tf * ({_K1} + 1)
+             / (tf + {_K1} * (1 - {_B} + {_B} * dl / avgdl))) AS score
+  FROM tf JOIN docfreq USING (term), stats
+  GROUP BY doc_id
+)"""
+    return core
+
+
+_BM25_TOPK_SQL = f"""
+WITH {_bm25_sql()}
+SELECT doc_id, FLOOR(score * 10000 + 0.5) / 10000 AS bm25
+FROM bm25
+ORDER BY bm25 DESC, doc_id
+LIMIT {_TOPK}
+"""
+
+
+def _hybrid_query_vec() -> list[float]:
+    from ..operators.embed import HashEmbedder
+
+    return [float(x) for x in HashEmbedder(64).embed_batch([_QUERY])[0]]
+
+
+def _hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the BM25 top-k and the cosine top-k:
+    score(d) = sum over branches of 1/(RRF_K + rank_branch(d))."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    lex = (
+        _bm25_scores(docs, _QUERY.split())
+        .select("doc_id", portable_round(F.col("score"), 4).alias("s"))
+        .orderBy(F.desc("s"), "doc_id")
+        .limit(_TOPK)
+        .withColumn(
+            "lex_rank",
+            F.row_number().over(Window.orderBy(F.desc("s"), "doc_id")),
+        )
+    )
+    qv = F.array(*[F.lit(x) for x in _hybrid_query_vec()]).cast("array<double>")
+    sem = (
+        emb.select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine_similarity(F.col("embedding"), qv), 4).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), "doc_id")
+        .limit(_TOPK)
+        .withColumn(
+            "sem_rank",
+            F.row_number().over(Window.orderBy(F.desc("sim"), "doc_id")),
+        )
+    )
+    fused = (
+        lex.select("doc_id", "lex_rank")
+        .join(sem.select("doc_id", "sem_rank"), "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            portable_round(
+                F.coalesce(1.0 / (_RRF_K + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("sem_rank")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(_TOPK)
+
+
+def _hybrid_rrf_sql() -> str:
+    qv = "[" + ", ".join(repr(x) for x in _hybrid_query_vec()) + "]::DOUBLE[]"
+    return f"""
+WITH {_bm25_sql()},
+lex AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY FLOOR(score * 10000 + 0.5) / 10000 DESC, doc_id) AS lex_rank
+  FROM bm25
+  ORDER BY FLOOR(score * 10000 + 0.5) / 10000 DESC, doc_id
+  LIMIT {_TOPK}
+),
+q AS (SELECT {qv} AS qv),
+sem AS (
+  SELECT vec_id AS doc_id,
+         ROW_NUMBER() OVER (ORDER BY ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv) /
+               (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(q.qv, q.qv))), 4) DESC, vec_id) AS sem_rank
+  FROM embeddings e, q
+  ORDER BY ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv) /
+               (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(q.qv, q.qv))), 4) DESC, vec_id
+  LIMIT {_TOPK}
+)
+SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+       FLOOR((COALESCE(1.0 / ({_RRF_K} + lex_rank), 0.0)
+            + COALESCE(1.0 / ({_RRF_K} + sem_rank), 0.0)) * 1000000 + 0.5) / 1000000 AS rrf
+FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+ORDER BY rrf DESC, doc_id
+LIMIT {_TOPK}
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "bm25_topk": QuerySpec(
+        _bm25_topk,
+        _BM25_TOPK_SQL,
+        "lexical BM25 top-k (posting filtered to query terms, 1-row stats broadcast)",
+    ),
+    "hybrid_rrf": QuerySpec(
+        _hybrid_rrf,
+        _hybrid_rrf_sql(),
+        "hybrid retrieval: reciprocal-rank fusion of BM25 and cosine top-k",
+    ),
+}

@@ -342,3 +342,79 @@ SPECS: dict[str, QuerySpec] = {
     "tfidf_top_terms": QuerySpec(_tfidf_top_terms, _tfidf_sql(), "document-frequency + IDF over bigram vocabulary"),
     "chunk_strict_reference": QuerySpec(_chunk_strict_reference, _CHUNK_STRICT_SQL, "T5 bug-compatible chunking (full-body duplication)"),
 }
+
+
+# --- benchmark decontamination (n-gram collision) ------------------------
+# The GPT-3-style contamination check: a training document is contaminated
+# if it shares any word n-gram with a held-out/test document.  Both sides
+# shingle once; the collision test is a DISTINCT equi-join on the gram —
+# never a text-to-text comparison.  At 100 TB the gram join inherits the
+# hot-shingle skew story of ngram_jaccard_pairs; long grams (n=5 here,
+# 13 in GPT-3) make hot grams rare, and the same max-df cutoff applies if
+# a template corpus produces them.
+
+_DECON_N = 5
+
+
+def _word_ngrams(col: str, n: int):
+    norm = F.regexp_replace(F.trim(F.coalesce(F.col(col), F.lit(""))), r"\s+", " ")
+    words = F.split(F.lower(norm), " ")
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        ),
+    ).otherwise(F.array(F.array_join(words, " ")))
+
+
+def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "doc_id",
+        _split_assign(F.col("doc_id")).alias("split"),
+        F.explode(_word_ngrams("text", _DECON_N)).alias("g"),
+    )
+    train = tagged.filter(F.col("split") == "train").select("doc_id", "g").distinct()
+    test = tagged.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_id"), "g"
+    ).distinct()
+    return (
+        train.join(test, "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("test_id").alias("n_test_collisions"))
+        .orderBy("doc_id")
+    )
+
+
+_SQL_NORM_TEXT = "lower(regexp_replace(trim(COALESCE(text, '')), '\\s+', ' ', 'g'))"
+
+_DECONTAMINATE_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN {_SQL_HEX4_MD5} % 10 < 8 THEN 'train'
+              WHEN {_SQL_HEX4_MD5} % 10 < 9 THEN 'val'
+              ELSE 'test' END AS split,
+         string_split({_SQL_NORM_TEXT}, ' ') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, split,
+         unnest(CASE WHEN len(w) >= {_DECON_N}
+                THEN list_transform(generate_series(1, len(w) - {_DECON_N} + 1),
+                     i -> array_to_string(list_slice(w, i, i + {_DECON_N} - 1), ' '))
+                ELSE list_value(array_to_string(w, ' ')) END) AS g
+  FROM d
+),
+train AS (SELECT DISTINCT doc_id, g FROM grams WHERE split = 'train'),
+test AS (SELECT DISTINCT doc_id AS test_id, g FROM grams WHERE split = 'test')
+SELECT t.doc_id, CAST(COUNT(DISTINCT test_id) AS BIGINT) AS n_test_collisions
+FROM train t JOIN test USING (g)
+GROUP BY 1 ORDER BY 1
+"""
+
+SPECS["decontaminate"] = QuerySpec(
+    _decontaminate,
+    _DECONTAMINATE_SQL,
+    f"train-vs-test {_DECON_N}-gram contamination check (distinct gram equi-join)",
+)

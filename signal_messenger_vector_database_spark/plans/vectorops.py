@@ -155,3 +155,104 @@ SPECS: dict[str, QuerySpec] = {
         "one k-means assignment step: broadcast centroids, min_by argmin",
     ),
 }
+
+
+# --- int8 embedding quantization (ANN memory scale path) -----------------
+# Per-vector symmetric int8: scale = max|v|/127, q_i = floor(v_i/scale+.5).
+# 4x memory vs float32 — at 100 TB the difference between an index that
+# fits executor memory and one that spills.  Cosine is scale-invariant
+# (per-vector scalar cancels in the ratio), so int8 top-k reuses the same
+# cosine expression over the quantized arrays; recon_mse quantifies the
+# precision trade.  floor(x+0.5) (NOT round()) on both engines: HALF_UP
+# vs banker's/shortest-repr divergence on negative halves would break the
+# value-hash otherwise (see functions/text.py::portable_round).
+
+
+def _quantized(emb: DataFrame) -> DataFrame:
+    v = F.col("embedding").cast("array<double>")
+    raw_scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
+    scale = F.greatest(raw_scale, F.lit(1e-12))
+    q = F.transform(v, lambda x: F.floor(x / scale + 0.5).cast("int"))
+    return emb.select("vec_id", v.alias("v"), scale.alias("qscale"), q.alias("q"))
+
+
+def _embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qd = _quantized(emb)
+    recon_err = F.aggregate(
+        F.zip_with("v", "q", lambda x, qi: (x - qi * F.col("qscale")) ** 2),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.size("v")
+    # recon_mse materialized BEFORE the select that re-aliases "qscale" to
+    # its rounded form — otherwise Spark's lateral-column-alias resolution
+    # binds the recon expression to the ROUNDED scale and skews the MSE.
+    qd = qd.withColumn("recon_raw", recon_err)
+    return qd.select(
+        "vec_id",
+        portable_round(F.col("qscale"), 6).alias("qscale"),
+        F.col("q").alias("qvec"),
+        portable_round(F.col("recon_raw"), 10).alias("recon_mse"),
+    )
+
+
+_SQL_QSCALE = "greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0, 1e-12)"
+
+_EMBEDDING_QUANTIZE_SQL = f"""
+WITH qd AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, {_SQL_QSCALE} AS qscale,
+         list_transform(embedding::DOUBLE[], x -> CAST(floor(x / {_SQL_QSCALE} + 0.5) AS INTEGER)) AS q
+  FROM embeddings
+)
+SELECT vec_id,
+       FLOOR(qscale * 1000000 + 0.5) / 1000000 AS qscale,
+       q AS qvec,
+       FLOOR(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(v)),
+             i -> (v[i] - q[i] * qscale) ^ 2)), (acc, x) -> acc + x) / len(v) * 10000000000 + 0.5) / 10000000000 AS recon_mse
+FROM qd
+"""
+
+
+def _topk_cosine_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the QUANTIZED vectors: integer dot
+    products (SIMD-friendly at scale), identical ranking formula —
+    per-vector scales cancel out of the cosine ratio."""
+    from ..functions.vector import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qd = _quantized(emb).select("vec_id", F.col("q").cast("array<double>").alias("qv"))
+    probe = qd.filter(F.col("vec_id") == 0).select(F.col("qv").alias("pv"))
+    return (
+        qd.crossJoin(F.broadcast(probe))
+        .select("vec_id", portable_round(cosine_similarity("qv", "pv"), 4).alias("sim"))
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(10)
+    )
+
+
+_TOPK_INT8_SQL = f"""
+WITH qd AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> floor(x / {_SQL_QSCALE} + 0.5)) AS qv
+  FROM embeddings
+),
+probe AS (SELECT qv AS pv FROM qd WHERE vec_id = 0)
+SELECT vec_id,
+       FLOOR(list_dot_product(qv, pv) /
+             (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(pv, pv)))
+             * 10000 + 0.5) / 10000 AS sim
+FROM qd, probe
+ORDER BY sim DESC, vec_id
+LIMIT 10
+"""
+
+SPECS["embedding_quantize_int8"] = QuerySpec(
+    _embedding_quantize,
+    _EMBEDDING_QUANTIZE_SQL,
+    "per-vector symmetric int8 quantization + reconstruction MSE",
+)
+SPECS["topk_cosine_int8"] = QuerySpec(
+    _topk_cosine_int8,
+    _TOPK_INT8_SQL,
+    "cosine top-k over int8-quantized vectors (scales cancel)",
+)
