@@ -97,6 +97,21 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return rows.groupBy(id_col).agg(*aggs)
 
 
+def minhash_with_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Shingle sets AND minhash signatures from ONE explode pass / ONE
+    shuffle: the collect_set and the 16 min() aggregates share the same
+    groupBy.  The LSH pipeline needs both (signatures for banding, sets
+    for the exact-Jaccard verify); computing them separately re-reads and
+    re-explodes the whole corpus — measurable at sf0.1 and a full extra
+    corpus pass at 100 TB."""
+    rows = shingle_rows(df, id_col, text_col)
+    aggs = [F.collect_set("shingle").alias("shingles")] + [
+        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"mh_{j}")
+        for j in range(NUM_MINHASHES)
+    ]
+    return rows.groupBy(id_col).agg(*aggs)
+
+
 def band_key_cols() -> list[Column]:
     rows = NUM_MINHASHES // LSH_BANDS
     return [

@@ -24,7 +24,6 @@ from ..operators.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
-    shingle_sets,
     simhash,
 )
 from .registry import QuerySpec
@@ -98,9 +97,14 @@ FROM documents WHERE doc_id % 10 = 0
 
 
 def _minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_with_shingles
+
     docs = _augmented_docs(load_table(spark, sf_dir, "documents"))
-    sh = shingle_sets(docs, id_col="doc_id", text_col="text")
-    sigs = minhash_signatures(docs, id_col="doc_id", text_col="text")
+    # sets + signatures from ONE explode/shuffle, persisted once; banding
+    # and the Jaccard verify are projections of the same materialization
+    combined = minhash_with_shingles(docs, id_col="doc_id", text_col="text").persist()
+    sh = combined.select("doc_id", "shingles")
+    sigs = combined.drop("shingles")
     cands = lsh_candidate_pairs(sigs, id_col="doc_id")
     return jaccard_verify(cands, sh, id_col="doc_id", threshold=_JACCARD_THRESHOLD)
 
