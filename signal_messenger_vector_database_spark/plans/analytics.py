@@ -371,3 +371,105 @@ SPECS: dict[str, QuerySpec] = {
     "sessionize": QuerySpec(_sessionize, _SESSIONIZE_SQL, "native session_window vs lag+cumsum oracle"),
     "rank_family": QuerySpec(_rank_family, _RANK_FAMILY_SQL, "rank/dense_rank/cume_dist/ntile"),
 }
+
+
+# --- md5-portable HyperLogLog (oracle-paired sketch) ---------------------
+# Spark's approx_count_distinct is engine-internal (its HLL++ register
+# layout can't be replayed in DuckDB => rows-only approx_distinct entry).
+# This is a from-scratch HLL over the one hash both engines share, md5:
+# p=8 -> 256 registers from the first 2 hex chars; rank = leading zeros
+# (+1) of the next 40 bits; alpha_m * m^2 / sum(2^-M_j) with the
+# small-range linear-counting correction.  Every step is relational
+# (groupBy max + one aggregate), so the sketch is oracle-paired EXACTLY —
+# both engines materialize identical registers and identical estimates.
+# At scale: registers partial-aggregate map-side (max), the final combine
+# is 256 rows; this is the mergeable-sketch shape of a distributed
+# count-distinct.
+
+_HLL_P = 8
+_HLL_M = 1 << _HLL_P  # 256
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+_HLL_REM_BITS = 40
+
+
+def _hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import portable_round
+
+    ev = load_table(spark, sf_dir, "events")
+    h = F.md5(F.col("user_id").cast("string"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    rem = F.conv(F.substring(h, 3, 10), 16, 10).cast("long")
+    bitlen = F.when(rem == 0, F.lit(0)).otherwise(F.length(F.bin(rem)))
+    rho = F.lit(_HLL_REM_BITS + 1) - bitlen
+    regs = (
+        ev.select(bucket.alias("b"), rho.alias("rho"))
+        .groupBy("b")
+        .agg(F.max("rho").alias("mj"))
+    )
+    stats = regs.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mj"))).alias("z_used"),
+        F.count(F.lit(1)).alias("n_used"),
+    )
+    exact = ev.agg(F.count_distinct("user_id").alias("n_exact"))
+    raw = (_HLL_ALPHA * _HLL_M * _HLL_M) / (
+        F.col("z_used") + (_HLL_M - F.col("n_used"))
+    )
+    zeros = F.lit(_HLL_M) - F.col("n_used")
+    est = F.when(
+        (raw <= 2.5 * _HLL_M) & (zeros > 0),
+        _HLL_M * F.log(F.lit(float(_HLL_M)) / zeros),
+    ).otherwise(raw)
+    return stats.crossJoin(exact).select(
+        "n_exact",
+        portable_round(est, 4).alias("hll_estimate"),
+        portable_round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4).alias(
+            "rel_err"
+        ),
+    )
+
+
+def _sql_hexn(expr: str, start: int, n: int) -> str:
+    # explicit BIGINT casts: bare big literals parse as DECIMAL in DuckDB
+    # and the per-char products overflow DECIMAL(18) multiplication
+    terms = [
+        f"(CAST(instr('0123456789abcdef', substr({expr}, {start + i}, 1)) AS BIGINT) - 1) * CAST({16 ** (n - 1 - i)} AS BIGINT)"
+        for i in range(n)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _hll_distinct_sql() -> str:
+    h = "md5(CAST(user_id AS VARCHAR))"
+    bucket = _sql_hexn(h, 1, 2)
+    rem = _sql_hexn(h, 3, 10)
+    return f"""
+WITH rows_ AS (
+  SELECT {bucket} AS b,
+         {_HLL_REM_BITS + 1} - (CASE WHEN {rem} = 0 THEN 0
+                ELSE length(bin(CAST({rem} AS BIGINT))) END) AS rho
+  FROM events
+),
+regs AS (SELECT b, MAX(rho) AS mj FROM rows_ GROUP BY b),
+stats AS (SELECT SUM(2.0 ** (-mj)) AS z_used, COUNT(*) AS n_used FROM regs),
+exact AS (SELECT COUNT(DISTINCT user_id) AS n_exact FROM events),
+est AS (
+  SELECT n_exact,
+         CASE WHEN (CAST({_HLL_ALPHA} AS DOUBLE) * {_HLL_M} * {_HLL_M}) / (z_used + ({_HLL_M} - n_used)) <= {2.5 * _HLL_M}
+                   AND ({_HLL_M} - n_used) > 0
+              THEN {_HLL_M} * ln({float(_HLL_M)} / ({_HLL_M} - n_used))
+              ELSE (CAST({_HLL_ALPHA} AS DOUBLE) * {_HLL_M} * {_HLL_M}) / (z_used + ({_HLL_M} - n_used))
+         END AS e
+  FROM stats, exact
+)
+SELECT CAST(n_exact AS BIGINT) AS n_exact,
+       FLOOR(e * 10000 + 0.5) / 10000 AS hll_estimate,
+       FLOOR(abs(e - n_exact) / n_exact * 10000 + 0.5) / 10000 AS rel_err
+FROM est
+"""
+
+
+SPECS["hll_distinct"] = QuerySpec(
+    _hll_distinct,
+    _hll_distinct_sql(),
+    "from-scratch md5-portable HyperLogLog (p=8) vs exact distinct, oracle-paired",
+)

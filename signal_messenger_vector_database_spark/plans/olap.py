@@ -369,3 +369,53 @@ SPECS: dict[str, QuerySpec] = {
         _price_histogram, _HISTOGRAM_SQL, "fixed-width histogram bucketing"
     ),
 }
+
+
+# --- SCD2 validity intervals (slowly-changing dimension build) -----------
+# Event log -> type-2 dimension: per user, collapse consecutive rows with
+# the same state (event_type), then derive [valid_from, valid_to) from
+# lead(); the open row (valid_to IS NULL) is current.  Two windows over
+# the same (user_id, ts) ordering => ONE shuffle on user_id serves both
+# (Spark reuses the sort); at scale this is the standard CDC-compaction
+# shape: no self-joins, no collect.
+
+
+def _scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        events.select("user_id", "ts", "event_id", F.col("event_type").alias("state"))
+        .withColumn("prev_state", F.lag("state").over(w))
+        .filter(
+            F.col("prev_state").isNull() | (F.col("state") != F.col("prev_state"))
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "state",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )
+
+
+_SCD2_INTERVALS_SQL = """
+WITH changes AS (
+  SELECT user_id, ts, event_id, event_type AS state,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+  FROM events
+)
+SELECT user_id, state,
+       ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+FROM changes
+WHERE prev_state IS NULL OR state <> prev_state
+"""
+
+SPECS["scd2_intervals"] = QuerySpec(
+    _scd2_intervals,
+    _SCD2_INTERVALS_SQL,
+    "SCD2 dimension build: change-compaction + lead() validity intervals",
+)

@@ -418,3 +418,63 @@ SPECS["decontaminate"] = QuerySpec(
     _DECONTAMINATE_SQL,
     f"train-vs-test {_DECON_N}-gram contamination check (distinct gram equi-join)",
 )
+
+
+# --- weighted domain mixture sampling ------------------------------------
+# Training mixes are specified as per-domain sampling rates (e.g. wiki 2x
+# upweight, crawl 0.3x).  Deterministic md5-bucket thresholding — the same
+# mechanism as the split/stratified-sample — so the mix is reproducible
+# across runs and engines; rates > 1.0 would be epoch-repeats (not
+# expressible as a filter; documented, not implemented).
+
+_MIXTURE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.75}
+_MIXTURE_DEFAULT = 0.1
+
+
+def _domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.coalesce(
+        *[
+            F.when(F.col("source") == s, F.lit(r))
+            for s, r in _MIXTURE_RATES.items()
+        ],
+        F.lit(_MIXTURE_DEFAULT),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+    )
+    kept = docs.select("doc_id", "source", (bucket < rate * 65536).alias("keep"))
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep").cast("int")).alias("n_kept"),
+        portable_round(
+            F.sum(F.col("keep").cast("int")) / F.count(F.lit(1)), 4
+        ).alias("achieved_rate"),
+    )
+
+
+def _mixture_rate_sql() -> str:
+    whens = " ".join(
+        f"WHEN source = '{s}' THEN {r}" for s, r in _MIXTURE_RATES.items()
+    )
+    return f"CASE {whens} ELSE {_MIXTURE_DEFAULT} END"
+
+
+_DOMAIN_MIXTURE_SQL = f"""
+WITH kept AS (
+  SELECT doc_id, source,
+         {_SQL_HEX4_MD5} < ({_mixture_rate_sql()}) * 65536 AS keep
+  FROM documents
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       FLOOR(SUM(CASE WHEN keep THEN 1 ELSE 0 END) * 1.0 / COUNT(*) * 10000 + 0.5) / 10000 AS achieved_rate
+FROM kept GROUP BY source
+"""
+
+SPECS["domain_mixture"] = QuerySpec(
+    _domain_mixture,
+    _DOMAIN_MIXTURE_SQL,
+    "deterministic per-domain mixture sampling (md5-bucket thresholds)",
+)
