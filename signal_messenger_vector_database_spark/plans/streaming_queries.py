@@ -223,3 +223,57 @@ SPECS: dict[str, QuerySpec] = {
         "duplicated stream -> dropDuplicates -> foreachBatch append (exactly-once effect)",
     ),
 }
+
+
+# --- streaming session windows -------------------------------------------
+# session_window works in streaming with a watermark; AvailableNow drains
+# the fixture, so the final state must equal the BATCH sessionization of
+# the same data — the oracle is the same lag+cumsum SQL the batch
+# `sessionize` query is checked against (two Spark execution modes and an
+# independent SQL formulation, all agreeing).
+
+
+def _stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    spark = streaming_session(spark)
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+    sink = f"stream_sessionize_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="smvd-ckpt-sess-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(sink)
+
+
+def _stream_sessionize_sql() -> str:
+    from .analytics import _SESSIONIZE_SQL
+
+    return _SESSIONIZE_SQL
+
+
+SPECS["stream_sessionize"] = QuerySpec(
+    _stream_sessionize,
+    _stream_sessionize_sql(),
+    "streaming session_window + watermark (AvailableNow) == batch sessionization",
+)
