@@ -77,3 +77,32 @@ SPECS: dict[str, QuerySpec] = {
         _jsonl_roundtrip, _JSONL_ROUNDTRIP_SQL, "JSON-lines sink+source round trip, explicit schema"
     ),
 }
+
+
+# ORC: the other columnar format Spark ships natively (Avro needs the
+# external spark-avro module, absent here — gated out, not stubbed).
+# Round trip exercises predicate pushdown on the read side: the filter is
+# applied AFTER re-reading, so the ORC reader must push it.
+
+
+def _orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tempfile.mkdtemp(prefix="smvd-orc-")
+    path = os.path.join(out, "lineitem_orc")
+    load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    ).write.mode("overwrite").orc(path)
+    back = spark.read.orc(path).filter(F.col("l_quantity") > 25)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("l_quantity").alias("qty_sum"),
+    )
+
+
+_ORC_ROUNDTRIP_SQL = """
+SELECT l_returnflag, COUNT(*) AS n_items, SUM(l_quantity) AS qty_sum
+FROM lineitem WHERE l_quantity > 25 GROUP BY l_returnflag
+"""
+
+SPECS["orc_roundtrip"] = QuerySpec(
+    _orc_roundtrip, _ORC_ROUNDTRIP_SQL, "ORC sink+source round trip with read-side pushdown"
+)

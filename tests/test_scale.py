@@ -179,3 +179,19 @@ def test_ivf_assign_aggregates_not_windows(spark):
     # the exchange (partial_min_by map-side, min_by reduce-side)
     assert plan.count("HashAggregate") >= 2 or "SortAggregate" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_bm25_filters_posting_before_shuffle(spark):
+    """BM25's query-term filter must sit directly on top of the shingle
+    explode (map-side, below every Exchange) — the tf/df shuffle then only
+    carries |query|-term postings, not the whole corpus index."""
+    from signal_messenger_vector_database_spark.plans.retrieval import _bm25_topk
+
+    plan = _plan(_bm25_topk(spark, SF))
+    lines = plan.splitlines()
+    gen_idx = [i for i, l in enumerate(lines) if "Generate explode" in l]
+    assert gen_idx, plan
+    for i in gen_idx:
+        # the operator printed immediately above the explode is the term filter
+        assert "Filter array_contains" in lines[i - 1], lines[max(0, i - 2) : i + 1]
+    assert "CartesianProduct" not in plan and "Window" not in plan
