@@ -82,8 +82,23 @@ def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The stub sampler's frame count ((n % 3) + 1), stride (n // count, min 1)
+# and slice lengths are pure arithmetic over the payload size, so the 1->N
+# explosion is SQL-replayable even though the frame BYTES stay opaque.
+_MULTIMODAL_FRAMES_SQL = """
+WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+f AS (SELECT doc_id, n, (n % 3) + 1 AS nf,
+             greatest(n // ((n % 3) + 1), 1) AS step FROM d),
+x AS (SELECT doc_id, n, step, unnest(generate_series(0, nf - 1)) AS frame_id FROM f)
+SELECT doc_id,
+       CAST(frame_id AS INTEGER) AS frame_id,
+       CAST(greatest(least(n, (frame_id + 1) * step) - frame_id * step, 0) AS INTEGER) AS frame_len,
+       'stub-frame' AS frame_note
+FROM x
+"""
+
 SPECS: dict[str, QuerySpec] = {
     "multimodal_metadata": QuerySpec(_multimodal_metadata, _MULTIMODAL_METADATA_SQL, "binary payload + typed metadata struct"),
     "multimodal_features": QuerySpec(_multimodal_features, _MULTIMODAL_FEATURES_SQL, "stubbed decode->featurize over binary (mapInPandas), exact bin-count oracle"),
-    "multimodal_frames": QuerySpec(_multimodal_frames, None, "1->N frame sampling over binary payloads"),
+    "multimodal_frames": QuerySpec(_multimodal_frames, _MULTIMODAL_FRAMES_SQL, "1->N frame sampling over binary payloads, deterministic slice-length oracle"),
 }
