@@ -473,3 +473,245 @@ SPECS["hll_distinct"] = QuerySpec(
     _hll_distinct_sql(),
     "from-scratch md5-portable HyperLogLog (p=8) vs exact distinct, oracle-paired",
 )
+
+
+# --- md5-portable Bloom filter (oracle-paired sketch) --------------------
+# Same portability idea as hll_distinct: Spark's bloom_filter_agg layout
+# is engine-internal, so this builds the bit set relationally from md5 —
+# k=5 positions per key (first 3 hex chars of md5("{i}|key") mod m=4096),
+# the filter is the DISTINCT position set (a 4096-row-max table, always
+# broadcastable), membership = "all k probe positions present" via a
+# position equi-join + count==k.  Reports the measured false-positive
+# rate against the exact semi-join — the number a capacity planner needs.
+
+_BLOOM_M = 4096
+_BLOOM_K = 5
+_BLOOM_PRICE = 150000
+
+
+def _bloom_positions(key, m: int = _BLOOM_M, k: int = _BLOOM_K):
+    return F.array(
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}|"), key.cast("string"))), 1, 3),
+                16,
+                10,
+            ).cast("int")
+            % m
+            for i in range(k)
+        ]
+    )
+
+
+def _bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import portable_round
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    build_keys = (
+        orders.filter(F.col("o_totalprice") > _BLOOM_PRICE)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    bits = build_keys.select(
+        F.explode(_bloom_positions(F.col("k"))).alias("pos")
+    ).distinct()
+    probe = customer.select(
+        F.col("c_custkey"), F.explode(_bloom_positions(F.col("c_custkey"))).alias("pos")
+    )
+    hits = (
+        probe.join(F.broadcast(bits), "pos")
+        .groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .filter(F.col("n_hit") == _BLOOM_K)
+        .select("c_custkey")
+    )
+    exact = customer.join(
+        build_keys, customer.c_custkey == F.col("k"), "left_semi"
+    ).select("c_custkey")
+    n_probe = customer.agg(F.count(F.lit(1)).alias("n_probe"))
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_pos = hits.agg(F.count(F.lit(1)).alias("n_bloom_positive"))
+    n_fp = hits.join(exact, "c_custkey", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_false_positive")
+    )
+    return (
+        n_probe.crossJoin(n_exact)
+        .crossJoin(n_pos)
+        .crossJoin(n_fp)
+        .select(
+            "n_probe",
+            "n_exact",
+            "n_bloom_positive",
+            "n_false_positive",
+            portable_round(
+                F.col("n_false_positive")
+                / (F.col("n_probe") - F.col("n_exact")),
+                6,
+            ).alias("fp_rate"),
+        )
+    )
+
+
+def _bloom_membership_sql() -> str:
+    def pos_expr(i: int, key: str) -> str:
+        h = f"md5('{i}|' || CAST({key} AS VARCHAR))"
+        return f"({_sql_hexn(h, 1, 3)} % {_BLOOM_M})"
+
+    build_pos = " UNION ALL ".join(
+        f"SELECT {pos_expr(i, 'k')} AS pos FROM build_keys" for i in range(_BLOOM_K)
+    )
+    probe_pos = " UNION ALL ".join(
+        f"SELECT c_custkey, {pos_expr(i, 'c_custkey')} AS pos FROM customer"
+        for i in range(_BLOOM_K)
+    )
+    return f"""
+WITH build_keys AS (
+  SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > {_BLOOM_PRICE}
+),
+bits AS (SELECT DISTINCT pos FROM ({build_pos})),
+probe AS ({probe_pos}),
+hits AS (
+  SELECT c_custkey FROM probe JOIN bits USING (pos)
+  GROUP BY c_custkey HAVING COUNT(*) = {_BLOOM_K}
+),
+exact AS (
+  SELECT c_custkey FROM customer WHERE EXISTS
+    (SELECT 1 FROM build_keys WHERE k = c_custkey)
+),
+s AS (
+  SELECT (SELECT COUNT(*) FROM customer) AS n_probe,
+         (SELECT COUNT(*) FROM exact) AS n_exact,
+         (SELECT COUNT(*) FROM hits) AS n_bloom_positive,
+         (SELECT COUNT(*) FROM hits WHERE c_custkey NOT IN (SELECT c_custkey FROM exact)) AS n_false_positive
+)
+SELECT CAST(n_probe AS BIGINT) AS n_probe,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(n_bloom_positive AS BIGINT) AS n_bloom_positive,
+       CAST(n_false_positive AS BIGINT) AS n_false_positive,
+       FLOOR(n_false_positive * 1.0 / (n_probe - n_exact) * 1000000 + 0.5) / 1000000 AS fp_rate
+FROM s
+"""
+
+
+SPECS["bloom_membership"] = QuerySpec(
+    _bloom_membership,
+    _bloom_membership_sql(),
+    "from-scratch md5-portable Bloom filter (m=4096,k=5): membership join + measured fp_rate",
+)
+
+
+# --- md5-portable Count-Min Sketch (oracle-paired sketch) ----------------
+# d=4 hash rows x w=256 counters over the document word stream; the
+# estimate for a word is min over rows of its counter — always >= the
+# exact count, with overcount bounded by collisions (eps ~ e/w of total
+# mass).  Counters build as ONE groupBy (map-side partial sums); the
+# top-10 report joins exact counts with estimates so the overcount is
+# visible and oracle-checked.  The sketch is mergeable (counter tables
+# add), which is what makes it the distributed heavy-hitter structure.
+
+_CMS_D = 4
+_CMS_W = 256
+
+
+def _cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.split(
+                F.lower(
+                    F.regexp_replace(
+                        F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " "
+                    )
+                ),
+                " ",
+            )
+        ).alias("w")
+    )
+    pos = lambda i: (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col("w"))), 1, 3), 16, 10
+        ).cast("int")
+        % _CMS_W
+    )
+    # counter table: (row i, pos) -> count, one shuffle
+    counter_rows = words.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("i"), pos(i).alias("pos"))
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("ip")
+    ).select("ip.i", "ip.pos")
+    counters = counter_rows.groupBy("i", "pos").agg(F.count(F.lit(1)).alias("c"))
+    exact = words.groupBy("w").agg(F.count(F.lit(1)).alias("n_exact"))
+    probes = exact.select(
+        "w",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("i"), pos(i).alias("pos"))
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("ip"),
+    ).select("w", "n_exact", "ip.i", "ip.pos")
+    est = (
+        probes.join(F.broadcast(counters), ["i", "pos"])
+        .groupBy("w", "n_exact")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return (
+        est.select(
+            "w", "n_exact", "cms_estimate", (F.col("cms_estimate") - F.col("n_exact")).alias("overcount")
+        )
+        .orderBy(F.desc("n_exact"), "w")
+        .limit(10)
+    )
+
+
+def _cms_sql() -> str:
+    norm = "lower(regexp_replace(trim(COALESCE(text, '')), '\\s+', ' ', 'g'))"
+
+    def pos_expr(i: int) -> str:
+        h = f"md5('{i}|' || w)"
+        return f"({_sql_hexn(h, 1, 3)} % {_CMS_W})"
+
+    counter_rows = " UNION ALL ".join(
+        f"SELECT {i} AS i, {pos_expr(i)} AS pos FROM words" for i in range(_CMS_D)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT w, n_exact, {i} AS i, {pos_expr(i)} AS pos FROM exact"
+        for i in range(_CMS_D)
+    )
+    return f"""
+WITH words AS (
+  SELECT unnest(string_split({norm}, ' ')) AS w FROM documents
+),
+counters AS (
+  SELECT i, pos, COUNT(*) AS c FROM ({counter_rows}) GROUP BY i, pos
+),
+exact AS (SELECT w, COUNT(*) AS n_exact FROM words GROUP BY w),
+probes AS ({probe_rows}),
+est AS (
+  SELECT w, n_exact, MIN(c) AS cms_estimate
+  FROM probes JOIN counters USING (i, pos)
+  GROUP BY w, n_exact
+)
+SELECT w, CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(cms_estimate AS BIGINT) AS cms_estimate,
+       CAST(cms_estimate - n_exact AS BIGINT) AS overcount
+FROM est
+ORDER BY n_exact DESC, w
+LIMIT 10
+"""
+
+
+SPECS["cms_heavy_hitters"] = QuerySpec(
+    _cms_heavy_hitters,
+    _cms_sql(),
+    "from-scratch md5-portable Count-Min sketch (d=4,w=256): top-10 heavy hitters with overcount",
+)

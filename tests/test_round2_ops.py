@@ -125,3 +125,27 @@ def test_decontaminate_flags_only_train_docs(spark):
     assert joined  # the templated corpus guarantees collisions
     assert all(r.split == "train" for r in joined)
     assert all(r.n_test_collisions >= 1 for r in joined)
+
+
+def test_bloom_has_no_false_negatives(spark):
+    """A Bloom filter may only err positive: every exact member must be
+    bloom-positive (n_bloom_positive - n_false_positive == n_exact)."""
+    from signal_messenger_vector_database_spark.plans.analytics import (
+        _bloom_membership,
+    )
+
+    r = _bloom_membership(spark, SF01).first()
+    assert r.n_bloom_positive - r.n_false_positive == r.n_exact
+    assert 0 <= r.fp_rate < 0.5
+
+
+def test_cms_never_undercounts(spark):
+    from signal_messenger_vector_database_spark.plans.analytics import (
+        _cms_heavy_hitters,
+    )
+
+    rows = _cms_heavy_hitters(spark, SF01).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.cms_estimate >= r.n_exact
+        assert r.overcount >= 0
