@@ -103,6 +103,18 @@ _WINDOW = [
 ]
 
 
+# Round-3 rotation queue (locally verified, not yet driver-checked —
+# see COVERAGE.md "Verification ledger"): tokenize_cl100k, asof_join,
+# interval_join, json_props, variant_props, hex_project, dense_ids,
+# array_set_ops, explode_outer_words, chunk_udtf, chunk_strict_reference,
+# skew_salted_join, upsert_latest, price_histogram, csv_roundtrip,
+# jsonl_roundtrip, orc_roundtrip, bm25_topk, hybrid_rrf, decontaminate,
+# embedding_quantize_int8, topk_cosine_int8, scd2_intervals,
+# domain_mixture, hll_distinct, bloom_membership, cms_heavy_hitters,
+# stream_sessionize, multimodal_frames.  Next round: move these into
+# _WINDOW (29 entries + 21 re-verifications), keeping no-oracle at tail.
+
+
 def all_specs() -> dict[str, QuerySpec]:
     merged: dict[str, QuerySpec] = {}
     for module_name in _MODULES:
