@@ -40,3 +40,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     names = names or TESTDATA_TABLES
     return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark, sf_dir: str, tables=None) -> None:
+    """Expose the testdata tables as temp views so users can drive the
+    engine through plain ``spark.sql`` — the same surface the DuckDB
+    oracle gets.  Views are lazy: registration costs nothing until a
+    query scans one, and Catalyst sees straight through them (pushdown /
+    pruning behave exactly as with the DataFrame API)."""
+    from ..schemas import TESTDATA_TABLES
+
+    for t in tables or TESTDATA_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -447,3 +447,35 @@ SPECS: dict[str, QuerySpec] = {
         "Python UDTF + LATERAL join variant of T3 chunking",
     ),
 }
+
+
+# --- raw SQL interface ---------------------------------------------------
+# The engine is drivable through spark.sql over registered views — the
+# exact text a DuckDB/Postgres user would write runs unchanged (modulo
+# dialect), and Catalyst applies the same pushdown/pruning as the
+# DataFrame plans.  The query text below is ANSI enough to be ITS OWN
+# oracle: the identical string runs on both engines.
+
+_SQL_INTERFACE_QUERY = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+       FLOOR(AVG(o_totalprice) * 100 + 0.5) / 100 AS avg_price
+FROM orders
+WHERE o_orderdate >= DATE '1994-01-01'
+GROUP BY o_orderpriority
+"""
+
+
+def _sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.sources import register_views
+
+    register_views(spark, sf_dir, tables=("orders",))
+    return spark.sql(_SQL_INTERFACE_QUERY)
+
+
+SPECS["sql_interface"] = QuerySpec(
+    _sql_interface,
+    _SQL_INTERFACE_QUERY,
+    "raw spark.sql over registered views; the SAME SQL text is the oracle",
+)

@@ -73,3 +73,61 @@ def test_sketch_error_bounds(spark):
         F.expr("approx_percentile(l_extendedprice, 0.5, 1000)")
     ).first()[0]
     assert abs(approx_p - exact_p) / exact_p < 0.02
+
+
+# --- BPE engine properties (functions/bpe.py) ----------------------------
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_bpe_count_bounded_and_deterministic(text):
+    from signal_messenger_vector_database_spark.functions.bpe import (
+        encode_count,
+        resolve_ranks,
+    )
+
+    ranks = resolve_ranks()
+    n1, n2 = encode_count(text, ranks), encode_count(text, ranks)
+    assert n1 == n2
+    # token count never exceeds the UTF-8 byte length, and is 0 iff the
+    # pre-tokenizer finds nothing (empty string only — the cl100k pattern
+    # matches any non-empty text somewhere)
+    assert n1 <= len(text.encode("utf-8"))
+    if text:
+        assert n1 >= 1
+    else:
+        assert n1 == 0
+
+
+@given(st.text(alphabet=st.characters(codec="ascii"), min_size=1, max_size=80))
+@settings(max_examples=100, deadline=None)
+def test_bpe_parts_reassemble_to_piece(text):
+    """The merge loop partitions the piece: concatenating the parts must
+    reproduce the original bytes exactly (nothing lost or duplicated)."""
+    import regex
+
+    from signal_messenger_vector_database_spark.functions.bpe import (
+        CL100K_PATTERN,
+        bpe_parts,
+        resolve_ranks,
+    )
+
+    ranks = resolve_ranks()
+    for m in regex.finditer(CL100K_PATTERN, text):
+        piece = m.group().encode("utf-8")
+        assert b"".join(bpe_parts(piece, ranks)) == piece
+
+
+@given(st.lists(st.sampled_from("ab cd ab ef ab cd".split()), min_size=2, max_size=12))
+@settings(max_examples=50, deadline=None)
+def test_bpe_training_monotonically_compresses(words):
+    """More merges never increase the token count of the training text."""
+    from signal_messenger_vector_database_spark.functions.bpe import (
+        encode_count,
+        train_bpe,
+    )
+
+    corpus = " ".join(words)
+    small = train_bpe([corpus] * 3, n_merges=2)
+    large = train_bpe([corpus] * 3, n_merges=32)
+    assert encode_count(corpus, large) <= encode_count(corpus, small)
