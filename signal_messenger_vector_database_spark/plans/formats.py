@@ -106,3 +106,51 @@ FROM lineitem WHERE l_quantity > 25 GROUP BY l_returnflag
 SPECS["orc_roundtrip"] = QuerySpec(
     _orc_roundtrip, _ORC_ROUNDTRIP_SQL, "ORC sink+source round trip with read-side pushdown"
 )
+
+
+# --- parquet schema evolution (mergeSchema) ------------------------------
+# Lakehouse reality: old files lack columns added later.  Two batches are
+# written with different schemas (batch 2 adds o_totalprice); a
+# mergeSchema read reconciles them, with the missing column NULL for old
+# rows.  The oracle replays the union with explicit NULL fill.
+
+
+def _schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tempfile.mkdtemp(prefix="smvd-evo-")
+    path = os.path.join(out, "orders_evo")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus"
+    ).write.mode("overwrite").parquet(os.path.join(path, "batch=1"))
+    orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).write.mode("overwrite").parquet(os.path.join(path, "batch=2"))
+    back = spark.read.option("mergeSchema", True).parquet(
+        os.path.join(path, "batch=1"), os.path.join(path, "batch=2")
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_totalprice").alias("n_with_price"),
+        F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+    )
+
+
+_SCHEMA_EVOLUTION_SQL = """
+WITH merged AS (
+  SELECT o_orderkey, o_orderstatus, NULL::DOUBLE AS o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(o_totalprice) AS BIGINT) AS n_with_price,
+       ROUND(SUM(o_totalprice), 2) AS price_sum
+FROM merged GROUP BY o_orderstatus
+"""
+
+SPECS["schema_evolution"] = QuerySpec(
+    _schema_evolution,
+    _SCHEMA_EVOLUTION_SQL,
+    "parquet mergeSchema read across batches with divergent schemas",
+)

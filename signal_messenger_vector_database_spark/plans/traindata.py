@@ -478,3 +478,93 @@ SPECS["domain_mixture"] = QuerySpec(
     _DOMAIN_MIXTURE_SQL,
     "deterministic per-domain mixture sampling (md5-bucket thresholds)",
 )
+
+
+# --- deterministic per-group sample cap ----------------------------------
+# "At most K docs per domain" — the reservoir-sample shape done
+# deterministically: rank within group by md5(doc_id) (a uniform but
+# reproducible order) and keep rank <= K.  The window runs per group (the
+# shuffle key), not globally, so it scales with the largest group, and
+# the SAME rows are kept on every run/engine/cluster size.
+
+_GROUP_CAP = 8
+
+
+def _per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _GROUP_CAP)
+        .select("doc_id", "source", "rk")
+    )
+
+
+_PER_GROUP_SAMPLE_SQL = f"""
+SELECT doc_id, source, rk FROM (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rk
+  FROM documents
+) WHERE rk <= {_GROUP_CAP}
+"""
+
+SPECS["per_group_sample"] = QuerySpec(
+    _per_group_sample,
+    _PER_GROUP_SAMPLE_SQL,
+    f"deterministic per-domain cap (md5-rank reservoir, K={_GROUP_CAP})",
+)
+
+
+# --- length-bucketed batching stats --------------------------------------
+# Sequence batching wastes compute padding every sequence to the batch
+# max; bucketing by floor(log2(len)) bounds within-bucket length spread
+# to 2x.  Reports per-bucket doc count, token mass, and the padding waste
+# of padding each doc to its BUCKET max — the number that justifies
+# bucketed batching in a training pipeline.
+
+
+def _length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = token_count("text")
+    bucket = F.floor(F.log2(F.greatest(toks, F.lit(1)))).cast("int")
+    per_doc = docs.select(toks.alias("n_tokens"), bucket.alias("bucket"))
+    return (
+        per_doc.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("token_mass"),
+            F.max("n_tokens").alias("bucket_max"),
+            (F.max("n_tokens") * F.count(F.lit(1)) - F.sum("n_tokens")).alias(
+                "padding_waste"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _length_buckets_sql() -> str:
+    from .pipeline import _SQL_TOKEN_COUNT
+
+    toks = _SQL_TOKEN_COUNT.format(c="text")
+    return f"""
+WITH per_doc AS (
+  SELECT {toks} AS n_tokens,
+         CAST(floor(log2(greatest({toks}, 1))) AS INTEGER) AS bucket
+  FROM documents
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS token_mass,
+       MAX(n_tokens) AS bucket_max,
+       CAST(MAX(n_tokens) * COUNT(*) - SUM(n_tokens) AS BIGINT) AS padding_waste
+FROM per_doc GROUP BY bucket ORDER BY bucket
+"""
+
+
+SPECS["length_buckets"] = QuerySpec(
+    _length_buckets,
+    _length_buckets_sql(),
+    "log2 length-bucketed batching stats with padding-waste accounting",
+)
