@@ -137,3 +137,29 @@ def sample_frames(
             yield pd.DataFrame(rows, columns=[id_col, "frame_id", "frame_bytes", "frame_note"])
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+# magic-byte prefixes for content-based sniffing (K5 upgrade: the
+# reference guesses mime from the file NAME via the mime_guess crate,
+# src/signal/upload_attachments.rs:16-19; content sniffing is the
+# robust production variant — attachment names lie, magic bytes don't).
+MAGIC_PREFIXES = [
+    ("ffd8ff", "image/jpeg"),
+    ("89504e47", "image/png"),
+    ("4f676753", "audio/ogg"),
+    ("1f8b", "application/gzip"),
+    ("25504446", "application/pdf"),
+]
+
+
+def sniff_mime(payload_col) -> "F.Column":
+    """Content-based mime detection as a pure JVM when/otherwise cascade
+    over the hex of the payload's first bytes — no UDF, pushes into
+    whole-stage codegen, and (being hex+prefix logic) replays exactly in
+    any engine with hex()."""
+    head = F.lower(F.hex(F.substring(payload_col, 1, 8)))
+    expr = None
+    for prefix, mime in MAGIC_PREFIXES:
+        cond = head.startswith(prefix)
+        expr = F.when(cond, mime) if expr is None else expr.when(cond, mime)
+    return expr.otherwise("application/octet-stream")

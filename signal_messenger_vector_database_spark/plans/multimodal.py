@@ -102,3 +102,57 @@ SPECS: dict[str, QuerySpec] = {
     "multimodal_features": QuerySpec(_multimodal_features, _MULTIMODAL_FEATURES_SQL, "stubbed decode->featurize over binary (mapInPandas), exact bin-count oracle"),
     "multimodal_frames": QuerySpec(_multimodal_frames, _MULTIMODAL_FRAMES_SQL, "1->N frame sampling over binary payloads, deterministic slice-length oracle"),
 }
+
+
+# --- K5 content-based mime sniffing --------------------------------------
+# Payloads get deterministic magic-byte prefixes planted by doc_id so all
+# sniff classes occur; both engines replay the same prefix arithmetic.
+
+
+def _mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import MAGIC_PREFIXES, sniff_mime
+
+    docs = load_table(spark, sf_dir, "documents")
+    magics = [bytes.fromhex(p) for p, _ in MAGIC_PREFIXES]
+    prefix = F.element_at(
+        F.array(*[F.lit(m) for m in magics] + [F.lit(b"")]),
+        (F.col("doc_id") % (len(magics) + 1) + 1).cast("int"),
+    )
+    payload = F.concat(prefix, F.encode(F.col("text"), "UTF-8"))
+    return (
+        docs.select("doc_id", sniff_mime(payload).alias("mime"))
+        .groupBy("mime")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _mime_sniff_sql() -> str:
+    from ..operators.multimodal import MAGIC_PREFIXES
+
+    n = len(MAGIC_PREFIXES) + 1
+    prefix_case = " ".join(
+        f"WHEN doc_id % {n} = {i} THEN from_hex('{p}')"
+        for i, (p, _) in enumerate(MAGIC_PREFIXES)
+    )
+    # DuckDB has no substring(BLOB,..): hex the payload, slice the string
+    sniff_case = " ".join(
+        f"WHEN starts_with(substring(lower(hex(payload)), 1, 16), '{p}') THEN '{m}'"
+        for p, m in MAGIC_PREFIXES
+    )
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         (CASE {prefix_case} ELSE ''::BLOB END) || encode(text) AS payload
+  FROM documents
+)
+SELECT CASE {sniff_case} ELSE 'application/octet-stream' END AS mime,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM p GROUP BY 1
+"""
+
+
+SPECS["mime_sniff"] = QuerySpec(
+    _mime_sniff,
+    _mime_sniff_sql(),
+    "K5 content-based mime sniffing via magic-byte prefixes (pure JVM cascade)",
+)
