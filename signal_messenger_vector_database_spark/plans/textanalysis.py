@@ -18,6 +18,7 @@ from ..operators.textanalysis import (
     rolling_hash,
     word_frequencies,
 )
+from ..functions.text import portable_round
 from .registry import QuerySpec
 
 _SQL_WORDS_LOWER = (
@@ -255,4 +256,85 @@ SPECS["tokenize_cl100k"] = QuerySpec(
     _tokenize_cl100k,
     _tokenize_cl100k_sql(),
     "cl100k-algorithm BPE token count (pandas UDF vs precomputed pure-Python snapshot)",
+)
+
+
+# --- bigram LM log-prob (perplexity-proxy quality filter) ----------------
+# CCNet-style filtering ranks documents by language-model perplexity; the
+# relational version is an add-one-smoothed bigram LM trained on the
+# corpus itself: P(w|v) = (C(v,w)+1)/(C(v)+V).  Everything is counts +
+# joins — the bigram/unigram tables are corpus-global aggregates (the
+# "training"), the per-doc score is an equi-join back onto them; at scale
+# both count tables partial-aggregate and the joins broadcast (vocab) or
+# shuffle on the bigram key.  exp(-avg log P) = the doc's perplexity.
+
+
+def _bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(
+                F.lower(
+                    F.regexp_replace(
+                        F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " "
+                    )
+                ),
+                " ",
+            )
+        ).alias("pos", "w"),
+    )
+    from pyspark.sql.window import Window
+
+    wn = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        words.withColumn("v", F.lag("w").over(wn))
+        .filter(F.col("v").isNotNull())
+        .select("doc_id", "v", "w")
+    )
+    c_pair = bigrams.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c_vw"))
+    c_prev = bigrams.groupBy("v").agg(F.count(F.lit(1)).alias("c_v"))
+    vocab = words.agg(F.count_distinct("w").alias("vsize"))
+    logp = F.log(
+        (F.col("c_vw") + 1) / (F.col("c_v") + F.col("vsize"))
+    )
+    return (
+        bigrams.join(c_pair, ["v", "w"])
+        .join(F.broadcast(c_prev), "v")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            portable_round(F.avg(logp), 4).alias("avg_logprob"),
+        )
+    )
+
+
+_BIGRAM_LOGPROB_SQL = f"""
+WITH words AS (
+  SELECT doc_id, u.i AS pos, u.w FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+                  string_split(lower(regexp_replace(trim(COALESCE(text, '')), '\\s+', ' ', 'g')), ' '),
+                  (x, i) -> struct_pack(i := i, w := x))) AS u
+    FROM documents
+  )
+),
+bigrams AS (
+  SELECT doc_id, LAG(w) OVER (PARTITION BY doc_id ORDER BY pos) AS v, w
+  FROM words QUALIFY v IS NOT NULL
+),
+c_pair AS (SELECT v, w, COUNT(*) AS c_vw FROM bigrams GROUP BY v, w),
+c_prev AS (SELECT v, COUNT(*) AS c_v FROM bigrams GROUP BY v),
+vocab AS (SELECT COUNT(DISTINCT w) AS vsize FROM words)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       FLOOR(AVG(ln((c_vw + 1) * 1.0 / (c_v + vsize))) * 10000 + 0.5) / 10000 AS avg_logprob
+FROM bigrams JOIN c_pair USING (v, w) JOIN c_prev USING (v), vocab
+GROUP BY doc_id
+"""
+
+SPECS["bigram_logprob"] = QuerySpec(
+    _bigram_logprob,
+    _BIGRAM_LOGPROB_SQL,
+    "add-one-smoothed bigram LM avg log-prob per doc (perplexity-proxy quality)",
 )
