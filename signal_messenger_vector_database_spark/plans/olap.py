@@ -419,3 +419,55 @@ SPECS["scd2_intervals"] = QuerySpec(
     _SCD2_INTERVALS_SQL,
     "SCD2 dimension build: change-compaction + lead() validity intervals",
 )
+
+
+# --- per-user EWMA (exponentially-weighted moving average) ---------------
+# EWMA is inherently sequential (acc = a*x + (1-a)*acc), which SQL windows
+# can't express directly; the distributed shape is: one shuffle to gather
+# each user's series as an ORDERED array, then a per-row JVM fold.  State
+# is O(events-per-user) — bounded per key, never global.  DuckDB's
+# list_reduce seeds the accumulator with the first element; the Spark
+# fold replicates that seeding with a (started, v) struct so both engines
+# execute the IDENTICAL floating-point op sequence.
+
+_EWMA_ALPHA = 0.3
+
+
+def _ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    series = events.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", F.col("value").alias("v")))
+        ).alias("xs")
+    )
+    zero = F.struct(
+        F.lit(False).alias("started"), F.lit(0.0).alias("v")
+    )
+    step = lambda acc, x: F.struct(
+        F.lit(True).alias("started"),
+        F.when(~acc["started"], x["v"])
+        .otherwise(_EWMA_ALPHA * x["v"] + (1 - _EWMA_ALPHA) * acc["v"])
+        .alias("v"),
+    )
+    ew = F.aggregate(F.col("xs"), zero, step)["v"]
+    return series.select(
+        "user_id",
+        F.size("xs").alias("n_events"),
+        portable_round(ew, 4).alias("ewma_value"),
+    )
+
+
+_EWMA_PER_USER_SQL = f"""
+SELECT user_id, CAST(len(vals) AS INTEGER) AS n_events,
+       FLOOR(list_reduce(vals, (acc, x) -> {_EWMA_ALPHA} * x + {1 - _EWMA_ALPHA} * acc) * 10000 + 0.5) / 10000 AS ewma_value
+FROM (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY user_id
+)
+"""
+
+SPECS["ewma_per_user"] = QuerySpec(
+    _ewma_per_user,
+    _EWMA_PER_USER_SQL,
+    "per-user EWMA: ordered-array gather + sequential fold (one shuffle)",
+)
