@@ -17,7 +17,7 @@ COMMENTARY = {
     "topk_cosine": "Exact cosine top-k: query-vector point filter is PUSHED to the scan; the single-row side rides a BroadcastNestedLoopJoin; TakeOrderedAndProject keeps k rows per partition — no global sort, near-zero shuffle.",
     "pricing_summary": "TPC-H Q1 shape: shipdate predicate pushed to parquet; ReadSchema pruned to the 7 referenced columns; two-phase (partial/final) hash aggregation.",
     "region_rollup": "Fact -> dim chain: every dimension join is a BroadcastHashJoin; the orders fact table is scanned once and never shuffled for the joins.",
-    "minhash_lsh_pairs": "Relational MinHash: shingles exploded to rows, signatures as min() aggregates (one shuffle on doc_id), LSH candidates via equi-join on band keys — no cross join anywhere.",
+    "minhash_lsh_pairs": "Relational MinHash: shingles exploded to rows, signatures as min() aggregates, LSH candidates via equi-join on band keys — no cross join anywhere.  Round-2 revision: shingle sets AND signatures come from ONE explode/shuffle (minhash_with_shingles: collect_set + 16 min() in the same groupBy, persisted once; banding and Jaccard verify are projections), where round 1 ran the explode twice — sf0.1 timed run 2.9 s -> 2.2 s, one fewer full corpus pass at 100 TB.  Stage times at sf0.1 (noop sink, warm): shingles+signatures ~1.3 s, band join ~0.9 s, Jaccard verify ~1.1 s.",
     "asof_join": "As-of join via union+window: both sides union, ONE shuffle on the key, last_value(ignorenulls) carries the prior right row; contrast a per-key theta join.",
     "q5_local_supplier": "6-way join: date filter pushed to the orders scan, supplier/nation/region broadcast, residual c_nationkey = s_nationkey evaluated inside the broadcast join.",
     "q19_bracket_revenue": "Disjunctive bracket predicates: the partkey equi-join stays a BroadcastHashJoin with the OR-bracket as a residual condition; the common l_quantity/p_size bounds are NOT lost — Catalyst keeps the scan selective.",
@@ -27,6 +27,14 @@ COMMENTARY = {
     "retention_cohorts": "Cohort matrix: the per-user MIN(day) aggregate and the subsequent join + countDistinct all hash on user_id — AQE reuses the exchange instead of re-shuffling.",
     "q4_priority_exists": "EXISTS subquery decorrelated: the physical plan is a plain left-semi hash join on o_orderkey — no per-row subquery execution survives.",
     "variant_props": "VariantType extraction: parse_json + variant_get evaluate inside WholeStageCodegen; the filter on the extracted path is applied before any wide projection.",
+    "ann_ivf": "IVF build + search. Round-2 fix: the nearest-centroid argmax is groupBy(vec_id).min_by over the broadcast centroid cross — partial aggregation collapses n*k scored rows to n map-side, where round 1's Window.partitionBy+row_number shuffled all n*k (no partial agg in windows). No Window node in this plan (asserted by test_scale).",
+    "ingest_pipeline": "suppress -> chunk -> tokenize -> embed. Stage times at sf0.1: suppress 0.3 s; +chunk/tokenize 1.2 s; full with the Arrow-batched embed stage (repartition 8) 2.6 s — the Python crossing is ~55% of wall clock and is what the embed_partitions knob spreads across executors. The suppression filter sits ahead of the chunk explode (asserted by test_scale).",
+    "bm25_topk": "Lexical BM25: the query-term filter sits DIRECTLY on the shingle explode, map-side below every Exchange (asserted by test_scale), so the tf/df shuffle carries |query|-term postings, not the corpus index. Corpus stats and per-term df are 1-row/|q|-row broadcasts; top-k is TakeOrderedAndProject; no Window.",
+    "hll_distinct": "From-scratch md5-portable HyperLogLog (p=8): rank rows partial-aggregate map-side into 256 registers (HashAggregate both sides of a 256-row exchange), one scalar agg folds registers into the estimate — the mergeable-sketch shape; combine traffic is 256 rows per map task at any cluster size. Oracle-paired EXACTLY (both engines replay identical registers); Bloom (bloom_membership) and Count-Min (cms_heavy_hitters) follow the same pattern.",
+    "embedding_quantize_int8": "Per-vector symmetric int8 quantization: pure expression pipeline (array_max / transform / zip_with fold) inside WholeStageCodegen, zero shuffles beyond the scan. 4x memory cut for the ANN working set; cosine over quantized arrays reuses the same expression because per-vector scales cancel.",
+    "decontaminate": "Train-vs-test 5-gram contamination: ONE explode pass tagged with the md5 split, two DISTINCT projections, gram equi-join + count_distinct — never a text-to-text comparison. Hot-gram skew inherits the ngram stop-shingle story (long grams make it rare).",
+    "scd2_intervals": "CDC compaction -> SCD2: lag-filter drops same-state runs, lead derives [valid_from, valid_to); both windows share the (user_id, ts) sort so ONE shuffle serves the whole build.",
+    "ewma_per_user": "Sequential-fold shape for recursive accumulators: one shuffle gathers each user's ordered series as an array, the EWMA folds per row in the JVM; state is bounded per key. DuckDB list_reduce seeds acc with the first element — the Spark fold replicates that seeding so both engines run the identical float sequence.",
 }
 
 
