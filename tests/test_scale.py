@@ -195,3 +195,26 @@ def test_bm25_filters_posting_before_shuffle(spark):
         # the operator printed immediately above the explode is the term filter
         assert "Filter array_contains" in lines[i - 1], lines[max(0, i - 2) : i + 1]
     assert "CartesianProduct" not in plan and "Window" not in plan
+
+
+def test_small_files_bounded_and_compacted(spark, tmp_path):
+    """100 TB hygiene: maxRecordsPerFile bounds output file sizes at write
+    time, and a coalesced rewrite compacts the small files back down —
+    the two knobs that keep a table's file count sane."""
+    import math
+    import os
+
+    df = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    n = df.count()
+    out1 = str(tmp_path / "bounded")
+    df.coalesce(1).write.option("maxRecordsPerFile", 1000).mode(
+        "overwrite"
+    ).parquet(out1)
+    files1 = [f for f in os.listdir(out1) if f.endswith(".parquet")]
+    assert len(files1) == math.ceil(n / 1000), (n, files1)
+
+    out2 = str(tmp_path / "compacted")
+    spark.read.parquet(out1).coalesce(1).write.mode("overwrite").parquet(out2)
+    files2 = [f for f in os.listdir(out2) if f.endswith(".parquet")]
+    assert len(files2) == 1
+    assert spark.read.parquet(out2).count() == n
