@@ -287,13 +287,17 @@ def _bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     wn = Window.partitionBy("doc_id").orderBy("pos")
+    # persisted: the bigram table feeds the count build AND the final
+    # score join — without it the explode+window re-runs per consumer
     bigrams = (
         words.withColumn("v", F.lag("w").over(wn))
         .filter(F.col("v").isNotNull())
         .select("doc_id", "v", "w")
-    )
+    ).persist()
     c_pair = bigrams.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c_vw"))
-    c_prev = bigrams.groupBy("v").agg(F.count(F.lit(1)).alias("c_v"))
+    # C(v) = sum over w of C(v,w): derived from the pair table, not a
+    # third pass over the corpus
+    c_prev = c_pair.groupBy("v").agg(F.sum("c_vw").alias("c_v"))
     vocab = words.agg(F.count_distinct("w").alias("vsize"))
     logp = F.log(
         (F.col("c_vw") + 1) / (F.col("c_v") + F.col("vsize"))
