@@ -335,3 +335,82 @@ SPECS: dict[str, QuerySpec] = {
     "embedding_neardup_lsh": QuerySpec(_embedding_neardup_lsh, None, "hyperplane-LSH near-dup (scale path, approximate)"),
     "ann_ivf": QuerySpec(_ann_ivf, _ANN_IVF_SQL, "IVF cluster-pruned cosine search, oracle-paired"),
 }
+
+
+# --- MinHash Jaccard ESTIMATE vs exact (estimator-quality query) ---------
+# The fraction of matching signature components estimates Jaccard with
+# stderr ~ 1/sqrt(k); surfacing estimate and truth side by side makes the
+# estimator's error an oracle-checked quantity (both engines compute the
+# identical md5 signatures, so the "estimate" itself is deterministic).
+# Runs on the planted-dup corpus pairs produced by the LSH band join.
+
+
+def _minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_with_shingles
+
+    docs = _augmented_docs(load_table(spark, sf_dir, "documents"))
+    combined = minhash_with_shingles(docs, id_col="doc_id", text_col="text").persist()
+    sigs = combined.drop("shingles")
+    cands = lsh_candidate_pairs(sigs, id_col="doc_id")
+    a = combined.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("shingles").alias("sh_a"),
+        *[F.col(f"mh_{j}").alias(f"a_{j}") for j in range(NUM_MINHASHES)],
+    )
+    b = combined.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("shingles").alias("sh_b"),
+        *[F.col(f"mh_{j}").alias(f"b_{j}") for j in range(NUM_MINHASHES)],
+    )
+    matches = sum(
+        (F.col(f"a_{j}") == F.col(f"b_{j}")).cast("int") for j in range(NUM_MINHASHES)
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))).cast("double")
+    from ..functions.text import portable_round
+
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            portable_round(matches / float(NUM_MINHASHES), 4).alias("jaccard_est"),
+            portable_round(inter / union, 4).alias("jaccard_exact"),
+        )
+    )
+
+
+def _minhash_jaccard_estimate_sql() -> str:
+    match_terms = " + ".join(
+        f"(CASE WHEN sa.mh_{j} = sb.mh_{j} THEN 1 ELSE 0 END)"
+        for j in range(NUM_MINHASHES)
+    )
+    return f"""
+WITH t AS ({_sql_shingle_cte(table=f"({_SQL_AUGMENTED_DOCS})")}),
+sig AS (SELECT doc_id, shingles, {_sql_minhash_cols()} FROM t),
+banded AS (
+  SELECT doc_id, 0 AS band, md5(mh_0 || mh_1 || mh_2 || mh_3) AS key FROM sig
+  UNION ALL SELECT doc_id, 1, md5(mh_4 || mh_5 || mh_6 || mh_7) FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       FLOOR(({match_terms}) * 1.0 / {NUM_MINHASHES} * 10000 + 0.5) / 10000 AS jaccard_est,
+       FLOOR(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+             (len(sa.shingles) + len(sb.shingles)
+              - len(list_intersect(sa.shingles, sb.shingles))) * 10000 + 0.5) / 10000 AS jaccard_exact
+FROM cand
+JOIN sig sa ON cand.id_a = sa.doc_id
+JOIN sig sb ON cand.id_b = sb.doc_id
+"""
+
+
+SPECS["minhash_jaccard_estimate"] = QuerySpec(
+    _minhash_jaccard_estimate,
+    _minhash_jaccard_estimate_sql(),
+    "MinHash signature-match Jaccard estimate vs exact, per candidate pair",
+)

@@ -218,3 +218,18 @@ def test_small_files_bounded_and_compacted(spark, tmp_path):
     files2 = [f for f in os.listdir(out2) if f.endswith(".parquet")]
     assert len(files2) == 1
     assert spark.read.parquet(out2).count() == n
+
+
+def test_max_partition_bytes_controls_scan_parallelism(spark):
+    """spark.sql.files.maxPartitionBytes is the scan-parallelism knob the
+    cluster-sizing recipe (ARCHITECTURE.md) turns: halving it must not
+    DECREASE the number of scan partitions, and a small value must split
+    the sf0.1 lineitem file into multiple tasks."""
+    path = "/root/testdata/sf0.1/lineitem.parquet"
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    big = spark.read.parquet(path).rdd.getNumPartitions()
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(1 * 1024 * 1024))
+    small = spark.read.parquet(path).rdd.getNumPartitions()
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    assert small >= big
+    assert small > 1
