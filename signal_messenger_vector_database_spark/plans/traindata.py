@@ -568,3 +568,78 @@ SPECS["length_buckets"] = QuerySpec(
     _length_buckets_sql(),
     "log2 length-bucketed batching stats with padding-waste accounting",
 )
+
+
+# --- feature hashing (hashing-trick vectorizer) --------------------------
+# Fixed-width feature vectors without a vocabulary table: word -> md5 mod
+# D, per-doc counts scattered into a dense array.  The standard trick for
+# streaming/distributed featurization (no global fit step, no vocab
+# broadcast); collisions are the accepted trade.  One explode + one
+# (doc, slot) groupBy; the dense array assembles from sorted slot structs.
+
+_FH_DIM = 64
+
+
+def _feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(
+                F.lower(
+                    F.regexp_replace(
+                        F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " "
+                    )
+                ),
+                " ",
+            )
+        ).alias("w"),
+    )
+    slot = (
+        F.conv(F.substring(F.md5(F.col("w")), 1, 4), 16, 10).cast("int") % _FH_DIM
+    )
+    counts = words.groupBy("doc_id", slot.alias("slot")).agg(
+        F.count(F.lit(1)).cast("int").alias("c")
+    )
+    # dense vector: scatter (slot, c) pairs into a zero-filled array
+    pairs = counts.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("slot", "c")))
+        ).alias("m"),
+        F.sum("c").alias("n_words"),
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(_FH_DIM - 1)),
+        lambda i: F.coalesce(F.element_at("m", i.cast("int")), F.lit(0)),
+    )
+    return pairs.select("doc_id", F.col("n_words").cast("long").alias("n_words"), dense.alias("features"))
+
+
+_FEATURE_HASHING_SQL = f"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split(lower(regexp_replace(trim(COALESCE(text, '')), '\\s+', ' ', 'g')), ' ')) AS w
+  FROM documents
+),
+slots AS (
+  SELECT doc_id,
+         {_SQL_HEX4_MD5.replace("CAST(doc_id AS VARCHAR)", "w")} % {_FH_DIM} AS slot,
+         COUNT(*) AS c
+  FROM words GROUP BY doc_id, slot
+),
+m AS (
+  SELECT doc_id, SUM(c) AS n_words,
+         map_from_entries(list(struct_pack(k := slot, v := c))) AS mp
+  FROM slots GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       list_transform(generate_series(0, {_FH_DIM - 1}),
+         i -> CAST(COALESCE(map_extract(mp, i)[1], 0) AS INTEGER)) AS features
+FROM m
+"""
+
+SPECS["feature_hashing"] = QuerySpec(
+    _feature_hashing,
+    _FEATURE_HASHING_SQL,
+    f"hashing-trick featurizer: word -> md5 slot mod {_FH_DIM}, dense count vector",
+)
