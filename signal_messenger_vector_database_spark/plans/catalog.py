@@ -37,6 +37,7 @@ _MODULES = (
     "scale_queries",
     "formats",
     "retrieval",
+    "stats",
 )
 
 # Round-2 verification window: previously-unverified oracle-paired queries

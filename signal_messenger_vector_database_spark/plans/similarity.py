@@ -414,3 +414,76 @@ SPECS["minhash_jaccard_estimate"] = QuerySpec(
     _minhash_jaccard_estimate_sql(),
     "MinHash signature-match Jaccard estimate vs exact, per candidate pair",
 )
+
+
+def _fuzzy_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs via banded blocking — the classic
+    record-linkage pattern (block, then verify) done with equi-joins only.
+
+    Candidate generation NEVER compares all pairs: records block on
+    (last name token, length band).  Since edit distance <= 3 implies
+    length difference <= 3, the left side explodes into its own and both
+    adjacent width-4 length bands while the right side keeps its own band
+    — every qualifying pair meets in exactly one (token, band) bucket, so
+    no post-join dedup is needed.  The verify stage then computes exact
+    levenshtein only on candidates.  Block-key frequency is bounded by the
+    token vocabulary (same argument as the stop-shingle cutoff in
+    operators/dedup.py): a hot token would need the same df-cutoff guard
+    at 100 TB, documented trade — blocking on a token sacrifices recall
+    for pairs whose edits cross the blocking token itself.
+    """
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    noun = F.element_at(F.split("p_name", " "), -1)
+    band = F.floor(F.length("p_name") / 4)
+    right = part.select(
+        F.col("p_partkey").alias("p2"),
+        F.col("p_name").alias("name2"),
+        noun.alias("blk"),
+        band.alias("band"),
+    )
+    left = part.select(
+        F.col("p_partkey").alias("p1"),
+        F.col("p_name").alias("name1"),
+        noun.alias("blk"),
+        F.explode(F.array(band - 1, band, band + 1)).alias("band"),
+    )
+    return (
+        left.join(right, ["blk", "band"])
+        .filter(F.col("p1") < F.col("p2"))
+        .filter(F.abs(F.length("name1") - F.length("name2")) <= 3)
+        .withColumn("edit_dist", F.levenshtein("name1", "name2"))
+        .filter(F.col("edit_dist") <= 3)
+        .filter(F.col("name1") != F.col("name2"))  # exact dups handled elsewhere
+        .select("p1", "p2", "name1", "name2", "edit_dist")
+    )
+
+
+_FUZZY_DEDUP_EDIT_SQL = """
+WITH base AS (
+  SELECT p_partkey, p_name,
+         split_part(p_name, ' ', -1) AS blk,
+         CAST(FLOOR(len(p_name) / 4) AS BIGINT) AS band
+  FROM part
+),
+lhs AS (
+  SELECT p_partkey AS p1, p_name AS name1, blk,
+         unnest([band - 1, band, band + 1]) AS band
+  FROM base
+)
+SELECT p1, p2, name1, name2, edit_dist
+FROM (
+  SELECT l.p1, r.p_partkey AS p2, l.name1, r.p_name AS name2,
+         CAST(levenshtein(l.name1, r.p_name) AS INTEGER) AS edit_dist
+  FROM lhs l JOIN base r ON l.blk = r.blk AND l.band = r.band
+  WHERE l.p1 < r.p_partkey
+    AND ABS(len(l.name1) - len(r.p_name)) <= 3
+)
+WHERE edit_dist <= 3 AND name1 <> name2
+"""
+
+
+SPECS["fuzzy_dedup_edit"] = QuerySpec(
+    _fuzzy_dedup_edit,
+    _FUZZY_DEDUP_EDIT_SQL,
+    "edit-distance near-dup pairs: (token, length-band) blocking + levenshtein verify",
+)

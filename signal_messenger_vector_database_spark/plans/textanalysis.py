@@ -342,3 +342,92 @@ SPECS["bigram_logprob"] = QuerySpec(
     _BIGRAM_LOGPROB_SQL,
     "add-one-smoothed bigram LM avg log-prob per doc (perplexity-proxy quality)",
 )
+
+
+def _collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations (adjacent word pairs) by pointwise mutual
+    information — a standard corpus-analysis pass for phrase mining and
+    tokenizer-vocab construction.
+
+    PMI margins are taken over the bigram table itself (c_x = count of x
+    as bigram-left, c_y = count of y as bigram-right, N = bigram count):
+    self-consistent, edge-effect-free, and every input to ``ln`` is an
+    exact integer ratio so both engines compute identical doubles.  The
+    whole query is explode -> per-doc lag -> three relational aggregates;
+    the margins are tiny (vocab-sized) and broadcast back onto the pair
+    table, so the corpus shuffles once, on the bigram key.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(
+                F.lower(
+                    F.regexp_replace(
+                        F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " "
+                    )
+                ),
+                " ",
+            )
+        ).alias("pos", "w"),
+    )
+    wn = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        words.withColumn("v", F.lag("w").over(wn))
+        .filter(F.col("v").isNotNull())
+        .select("v", "w")
+    ).persist()
+    c_pair = bigrams.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c_vw"))
+    c_left = bigrams.groupBy("v").agg(F.count(F.lit(1)).alias("c_v"))
+    c_right = bigrams.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    n_total = bigrams.agg(F.count(F.lit(1)).alias("n_bigrams"))
+    pmi = F.log(
+        (F.col("c_vw") * F.col("n_bigrams"))
+        / (F.col("c_v") * F.col("c_w"))
+    )
+    from ..functions.text import portable_round
+
+    return (
+        c_pair.filter(F.col("c_vw") >= 5)
+        .join(F.broadcast(c_left), "v")
+        .join(F.broadcast(c_right), "w")
+        .crossJoin(F.broadcast(n_total))
+        .select("v", "w", "c_vw", portable_round(pmi, 4).alias("pmi"))
+        .orderBy(F.desc("pmi"), "v", "w")
+        .limit(20)
+    )
+
+
+_COLLOCATIONS_SQL = """
+WITH words AS (
+  SELECT doc_id, u.i AS pos, u.w FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+                  string_split(lower(regexp_replace(trim(COALESCE(text, '')), '\\s+', ' ', 'g')), ' '),
+                  (x, i) -> struct_pack(i := i, w := x))) AS u
+    FROM documents
+  )
+),
+bigrams AS (
+  SELECT doc_id, LAG(w) OVER (PARTITION BY doc_id ORDER BY pos) AS v, w
+  FROM words QUALIFY v IS NOT NULL
+),
+c_pair AS (SELECT v, w, COUNT(*) AS c_vw FROM bigrams GROUP BY v, w),
+c_left AS (SELECT v, COUNT(*) AS c_v FROM bigrams GROUP BY v),
+c_right AS (SELECT w, COUNT(*) AS c_w FROM bigrams GROUP BY w),
+n_total AS (SELECT COUNT(*) AS n_bigrams FROM bigrams)
+SELECT v, w, CAST(c_vw AS BIGINT) AS c_vw,
+       FLOOR(ln((c_vw * n_bigrams) * 1.0 / (c_v * c_w)) * 10000 + 0.5) / 10000 AS pmi
+FROM c_pair JOIN c_left USING (v) JOIN c_right USING (w), n_total
+WHERE c_vw >= 5
+ORDER BY pmi DESC, v, w
+LIMIT 20
+"""
+
+SPECS["collocations_pmi"] = QuerySpec(
+    _collocations_pmi,
+    _COLLOCATIONS_SQL,
+    "top-20 PMI collocations over adjacent word pairs (phrase mining)",
+)
