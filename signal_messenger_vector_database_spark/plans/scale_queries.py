@@ -88,3 +88,56 @@ SPECS: dict[str, QuerySpec] = {
         "MERGE/upsert: latest-row-per-key over base UNION updates",
     ),
 }
+
+
+def _interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless time-range join done scale-first: bucket binning.
+
+    "Count clicks (from ANY user) within 15 minutes after each signup" has
+    no equi-key, so a naive formulation is a BroadcastNestedLoopJoin /
+    cartesian range filter — quadratic at 100 TB.  The bin trick restores
+    an equi-join: clicks carry their 15-minute epoch bucket; each signup
+    explodes to its own and the next bucket (a [t, t+15min) window spans
+    at most two buckets); the join key is the bucket, and the exact range
+    predicate filters the small in-bucket candidate set.  A click's single
+    bucket matches exactly one of the signup's two distinct buckets, so no
+    post-join dedup is needed.  Shuffle volume is O(rows), and bucket
+    width tunes the candidate fan-in (width ~ window size is optimal).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket = lambda c: F.floor(F.unix_timestamp(c) / 900)  # noqa: E731
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("ts").alias("c_ts"), bucket(F.col("ts")).alias("bkt")
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("s_id"),
+        F.col("ts").alias("s_ts"),
+        F.explode(
+            F.array(bucket(F.col("ts")), bucket(F.col("ts")) + 1)
+        ).alias("bkt"),
+    )
+    return (
+        signups.join(clicks, "bkt")
+        .filter(
+            (F.col("c_ts") >= F.col("s_ts"))
+            & (F.col("c_ts") < F.col("s_ts") + F.expr("INTERVAL 15 MINUTES"))
+        )
+        .groupBy("s_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+
+
+_INTERVAL_JOIN_BINNED_SQL = """
+SELECT s.event_id AS s_id, CAST(COUNT(*) AS BIGINT) AS n_clicks
+FROM (SELECT event_id, ts FROM events WHERE event_type = 'signup') s
+JOIN (SELECT ts FROM events WHERE event_type = 'click') c
+  ON c.ts >= s.ts AND c.ts < s.ts + INTERVAL 15 MINUTE
+GROUP BY s.event_id
+"""
+
+
+SPECS["interval_join_binned"] = QuerySpec(
+    _interval_join_binned,
+    _INTERVAL_JOIN_BINNED_SQL,
+    "keyless range join via 15-min bucket binning (equi-join, no NLJ)",
+)

@@ -256,3 +256,132 @@ SPECS["topk_cosine_int8"] = QuerySpec(
     _TOPK_INT8_SQL,
     "cosine top-k over int8-quantized vectors (scales cancel)",
 )
+
+
+# --- covariance sub-block + random projection -------------------------------
+
+_COV_DIMS = 8  # leading sub-block; full d x d follows the same one-pass shape
+
+
+def _embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance matrix (leading 8x8 block) in ONE aggregate pass.
+
+    The sufficient statistics for every covariance entry are distributive
+    sums, so the whole matrix is a single map-side-combinable groupBy-less
+    agg over the fact — no explode, no self-join.  At 100 TB and d=768
+    the same shape holds (d*(d+1)/2 aggregates per partition, merged on
+    the driver-sized single reduce row) — this is how Spark MLlib's
+    RowMatrix computes Gram/covariance too."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        *[F.col("embedding").getItem(i).alias(f"e{i}") for i in range(_COV_DIMS)]
+    )
+    aggs = [
+        F.covar_pop(f"e{i}", f"e{j}").alias(f"c_{i}_{j}")
+        for i in range(_COV_DIMS)
+        for j in range(i, _COV_DIMS)
+    ]
+    wide = dims.agg(*aggs)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.lit(j).alias("j"),
+                portable_round(F.col(f"c_{i}_{j}"), 4).alias("cov"),
+            )
+            for i in range(_COV_DIMS)
+            for j in range(i, _COV_DIMS)
+        ]
+    )
+    return wide.select(F.inline(cells))
+
+
+def _embedding_covariance_sql() -> str:
+    aggs = ",\n       ".join(
+        f"covar_pop(embedding[{i + 1}], embedding[{j + 1}]) AS c_{i}_{j}"
+        for i in range(_COV_DIMS)
+        for j in range(i, _COV_DIMS)
+    )
+    cells = ",\n    ".join(
+        f"struct_pack(i := {i}, j := {j}, "
+        f"cov := FLOOR(c_{i}_{j} * 10000 + 0.5) / 10000)"
+        for i in range(_COV_DIMS)
+        for j in range(i, _COV_DIMS)
+    )
+    return f"""
+WITH wide AS (
+  SELECT {aggs}
+  FROM embeddings
+)
+SELECT u.i AS i, u.j AS j, u.cov AS cov
+FROM (SELECT unnest([
+    {cells}
+  ]) AS u FROM wide)
+"""
+
+
+# Rademacher (+/-1) projection matrix, pinned by seed and baked as literal
+# arithmetic into BOTH engines (the rag_retrieve pattern): sparse sign
+# projections achieve the Johnson-Lindenstrauss bound without float
+# literals, and +/-1 entries keep the whole projection inside whole-stage
+# codegen as plain add/subtract chains.
+# norm-preserving JL scale is sqrt(k) for a k x d +/-1 matrix; the literal
+# double repr round-trips exactly, so both engines divide by the same bits
+_RP_OUT, _RP_IN = 8, 64
+_RP_SCALE = _RP_OUT**0.5
+
+def _rp_signs() -> list[list[int]]:
+    import random
+
+    rng = random.Random(20240813)
+    return [
+        [1 if rng.random() < 0.5 else -1 for _ in range(_RP_IN)]
+        for _ in range(_RP_OUT)
+    ]
+
+
+def _random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    signs = _rp_signs()
+    # accumulate in float64 on both engines (the stored column is float32;
+    # mixed-precision folds diverge at repr level)
+    elem = lambda i: F.col("embedding").getItem(i).cast("double")  # noqa: E731
+    cols = []
+    for j in range(_RP_OUT):
+        # left-associated +/- chain: identical double sequence both engines
+        acc = elem(0) * signs[j][0]
+        for i in range(1, _RP_IN):
+            term = elem(i)
+            acc = acc + term if signs[j][i] == 1 else acc - term
+        cols.append(portable_round(acc / _RP_SCALE, 4).alias(f"p{j}"))
+    return emb.select("vec_id", *cols)
+
+
+def _random_projection_sql() -> str:
+    signs = _rp_signs()
+    outs = []
+    for j in range(_RP_OUT):
+        chain = f"e[1] * {signs[j][0]}"
+        for i in range(1, _RP_IN):
+            op = "+" if signs[j][i] == 1 else "-"
+            chain += f" {op} e[{i + 1}]"
+        outs.append(
+            f"FLOOR(({chain}) / {_RP_SCALE} * 10000 + 0.5) / 10000 AS p{j}"
+        )
+    sel = ",\n       ".join(outs)
+    return (
+        "WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)\n"
+        f"SELECT vec_id,\n       {sel}\nFROM d"
+    )
+
+
+SPECS["embedding_covariance"] = QuerySpec(
+    _embedding_covariance,
+    _embedding_covariance_sql(),
+    "one-pass covariance sub-block from distributive aggregates",
+)
+SPECS["random_projection"] = QuerySpec(
+    _random_projection,
+    _random_projection_sql(),
+    "seeded Rademacher 64->8 projection as codegen-friendly literal +/- chains",
+)

@@ -233,3 +233,17 @@ def test_max_partition_bytes_controls_scan_parallelism(spark):
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     assert small >= big
     assert small > 1
+
+
+def test_interval_join_binned_is_equi_join_not_nlj(spark):
+    """The keyless range join must go through the bucket equi-join, never a
+    BroadcastNestedLoopJoin / cartesian product (quadratic at scale)."""
+    from signal_messenger_vector_database_spark.plans.scale_queries import (
+        _interval_join_binned,
+    )
+
+    plan = _plan(_interval_join_binned(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the equi-join on the bucket key is present
+    assert "bkt" in plan, plan

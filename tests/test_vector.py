@@ -13,6 +13,8 @@ from signal_messenger_vector_database_spark.functions.vector import (
 )
 from signal_messenger_vector_database_spark.operators.topk import cosine_topk
 
+SF = "/root/testdata/sf0.001"
+
 
 def _vec_df(spark, vecs):
     return spark.createDataFrame(
@@ -51,3 +53,56 @@ def test_cosine_topk_matches_numpy(spark):
     expected = list(np.argsort(-np.round(sims, 4), kind="stable")[:5])
     assert got == [int(x) for x in expected]
     assert got[0] == 3  # self-similarity first
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from signal_messenger_vector_database_spark.plans.vectorops import (
+        _COV_DIMS,
+        _embedding_covariance,
+    )
+
+    got = {
+        (r["i"], r["j"]): r["cov"]
+        for r in _embedding_covariance(spark, SF).collect()
+    }
+    vecs = np.array(
+        [
+            r["embedding"][: _COV_DIMS]
+            for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+        ],
+        dtype=np.float64,
+    )
+    want = np.cov(vecs, rowvar=False, bias=True)
+    assert len(got) == _COV_DIMS * (_COV_DIMS + 1) // 2
+    for (i, j), v in got.items():
+        assert abs(v - want[i, j]) < 1e-3, (i, j, v, want[i, j])
+    for i in range(_COV_DIMS):
+        assert got[(i, i)] >= 0.0  # variances
+
+
+def test_random_projection_preserves_norms_in_expectation(spark):
+    """Johnson-Lindenstrauss: E[||Px||^2] = ||x||^2 for the scaled
+    Rademacher matrix; the corpus-average ratio must sit near 1."""
+    import numpy as np
+
+    from signal_messenger_vector_database_spark.plans.vectorops import (
+        _random_projection,
+    )
+
+    proj = {
+        r["vec_id"]: np.array([r[f"p{j}"] for j in range(8)])
+        for r in _random_projection(spark, SF).collect()
+    }
+    orig = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    }
+    ratios = [
+        float(np.sum(proj[k] ** 2) / np.sum(orig[k] ** 2))
+        for k in proj
+        if np.sum(orig[k] ** 2) > 0
+    ]
+    mean_ratio = sum(ratios) / len(ratios)
+    assert 0.7 < mean_ratio < 1.3, mean_ratio
