@@ -240,6 +240,47 @@ def _embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_pairs(emb, threshold=_NEARDUP_THRESHOLD, dim=dim)
 
 
+def _embedding_neardup_lsh_sql(dim: int = 64, n_planes: int = 4, n_tables: int = 4) -> str:
+    """DuckDB twin of ``lsh_cosine_pairs``: the hyperplanes are
+    DETERMINISTIC (shake_256 of "hyperplane-{table}-{plane}",
+    operators/ann.py::hyperplane_bucket), so the oracle bakes the exact
+    same float literals and replays bucket assignment + candidate join +
+    cosine verify.  Plane dots are O(0.1) while cross-engine summation
+    noise is ~1e-16, so the sign bits — and therefore the candidate set —
+    agree exactly."""
+    from ..operators.embed import HashEmbedder
+
+    tables = []
+    for t in range(n_tables):
+        planes = HashEmbedder(dim).embed_batch(
+            [f"hyperplane-{t}-{j}" for j in range(n_planes)]
+        )
+        bits = [f"'t{t}:'"]
+        for j in range(n_planes):
+            lits = "[" + ", ".join(repr(float(x)) for x in planes[j]) + "]::DOUBLE[]"
+            bits.append(
+                f"(CASE WHEN list_dot_product(e, {lits}) >= 0 THEN '1' ELSE '0' END)"
+            )
+        tables.append(" || ".join(bits))
+    buckets = ",\n    ".join(tables)
+    cos = _SQL_COS.format(a="da.e", b="db.e")
+    return f"""
+WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+bk AS (
+  SELECT vec_id, unnest([
+    {buckets}
+  ]) AS bucket FROM d
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND({cos}, 4) AS sim
+FROM cand JOIN d da ON cand.id_a = da.vec_id JOIN d db ON cand.id_b = db.vec_id
+WHERE ROUND({cos}, 4) >= {_NEARDUP_THRESHOLD}
+"""
+
+
 # ---------------------------------------------------------------------------
 # IVF-style cluster-pruned search (oracle-paired end-to-end)
 
@@ -332,7 +373,7 @@ SPECS: dict[str, QuerySpec] = {
     # baseline" suffix marks it NEVER-the-production-path; the advertised
     # scale operator is embedding_neardup_lsh.  Excluded from bench HEADLINE.
     "embedding_neardup_exact_baseline": QuerySpec(_embedding_neardup, _EMBEDDING_NEARDUP_SQL, "exact cosine near-dup pairs — O(n^2) oracle baseline, fenced from production/bench; use embedding_neardup_lsh at scale"),
-    "embedding_neardup_lsh": QuerySpec(_embedding_neardup_lsh, None, "hyperplane-LSH near-dup (scale path, approximate)"),
+    "embedding_neardup_lsh": QuerySpec(_embedding_neardup_lsh, _embedding_neardup_lsh_sql(), "hyperplane-LSH near-dup (scale path; oracle replays the seeded hyperplanes)"),
     "ann_ivf": QuerySpec(_ann_ivf, _ANN_IVF_SQL, "IVF cluster-pruned cosine search, oracle-paired"),
 }
 

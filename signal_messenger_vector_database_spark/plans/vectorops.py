@@ -385,3 +385,80 @@ SPECS["random_projection"] = QuerySpec(
     _random_projection_sql(),
     "seeded Rademacher 64->8 projection as codegen-friendly literal +/- chains",
 )
+
+
+def _kmeans_lloyd3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three full Lloyd iterations with early-stop disabled — the
+    fixed-iteration twin of ``kmeans_fit_assign`` that a SQL oracle CAN
+    replay (the production query keeps its convergence early-stop and
+    stays rows-only; this one pins the iteration count so DuckDB unrolls
+    the same 3 assign/update cycles as chained CTEs).  Embeddings are
+    cast to double up front so both engines do identical float64
+    arithmetic from iteration one."""
+    from ..operators.clustering import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    assigned, _ = kmeans_fit(spark, emb, k=8, max_iter=3, tol=-1.0)
+    return assigned.select(
+        "vec_id", "cluster", portable_round(F.col("d2"), 4).alias("d2")
+    )
+
+
+def _kmeans_lloyd3_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    d2 = (
+        "list_sum(list_transform(range(1, {n}), "
+        "i -> (d.e[i] - c.cv[i]) * (d.e[i] - c.cv[i])))"
+    ).format(n=dim + 1)
+    assign = """
+a{n} AS (
+  SELECT vec_id, e, c_id AS cluster, d2 FROM (
+    SELECT vec_id, e, c_id, d2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS rn
+    FROM (
+      SELECT d.vec_id, d.e, c.c_id, {d2} AS d2
+      FROM d CROSS JOIN c{prev} c
+    )
+  ) WHERE rn = 1
+)"""
+    update = """
+c{n} AS (
+  SELECT c_id, list(m ORDER BY pos) AS cv FROM (
+    SELECT cluster AS c_id, u.pos AS pos, AVG(u.val) AS m
+    FROM (
+      SELECT cluster,
+             unnest(list_transform(e, (x, i) -> struct_pack(pos := i, val := x))) AS u
+      FROM a{prev}
+    )
+    GROUP BY 1, 2
+  )
+  GROUP BY c_id
+)"""
+    parts = [
+        f"WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),",
+        f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_id, e AS cv
+  FROM d ORDER BY vec_id LIMIT {k}
+)""",
+    ]
+    for it in range(1, iters + 1):
+        parts.append(assign.format(n=it, prev=it - 1, d2=d2))
+        if it < iters:
+            parts.append(update.format(n=it, prev=it))
+    body = ",".join(parts[1:])
+    return (
+        parts[0]
+        + body
+        + f"""
+SELECT vec_id, cluster, FLOOR(d2 * 10000 + 0.5) / 10000 AS d2
+FROM a{iters}
+"""
+    )
+
+
+SPECS["kmeans_lloyd3"] = QuerySpec(
+    _kmeans_lloyd3,
+    _kmeans_lloyd3_sql(),
+    "3 fixed Lloyd iterations, oracle-unrolled as chained SQL CTEs",
+)
