@@ -38,6 +38,7 @@ _MODULES = (
     "formats",
     "retrieval",
     "stats",
+    "graph",
 )
 
 # Round-2 verification window: previously-unverified oracle-paired queries

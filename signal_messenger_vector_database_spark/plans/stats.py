@@ -222,3 +222,182 @@ SPECS: dict[str, QuerySpec] = {
         "declarative DQ constraint report: nulls, dup keys, orphans, domains",
     ),
 }
+
+
+# --- weighted sampling, robust outliers, Zipf fit ---------------------------
+
+
+def _md5_u16_sql(expr: str) -> str:
+    """DuckDB twin of ``conv(substr(md5(x),1,4),16,10)`` (16-bit uniform
+    from the portable hash) — DuckDB has no base-conv builtin, so the
+    nibbles are decoded positionally (same idiom as plans/traindata.py)."""
+    h = f"md5(CAST({expr} AS VARCHAR))"
+    return (
+        f"((instr('0123456789abcdef', substr({h}, 1, 1)) - 1) * 4096 + "
+        f"(instr('0123456789abcdef', substr({h}, 2, 1)) - 1) * 256 + "
+        f"(instr('0123456789abcdef', substr({h}, 3, 1)) - 1) * 16 + "
+        f"(instr('0123456789abcdef', substr({h}, 4, 1)) - 1))"
+    )
+
+
+def _weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, Efraimidis-Spirakis A-Res:
+    each row draws u ~ U(0,1) and keeps key = -ln(u)/w; the n smallest
+    keys are an exact weighted sample.  One pass, no state: u comes from
+    the portable md5 hash, so the "random" draw is reproducible on any
+    engine and any cluster size — the property a 100 TB sampling job
+    needs for reruns.  TakeOrderedAndProject keeps the top-n selection
+    fully distributed (per-partition heaps, merge on the driver)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "int"
+    )
+    u = (h + F.lit(0.5)) / F.lit(65536.0)
+    w = F.greatest(F.col("n_chars").cast("double"), F.lit(1.0))
+    key = -F.log(u) / w
+    return (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            portable_round(key, 8).alias("res_key"),
+        )
+        .orderBy("res_key", "doc_id")
+        .limit(10)
+    )
+
+
+_WEIGHTED_SAMPLE_SQL = f"""
+SELECT doc_id, n_chars,
+       FLOOR((-ln(({_md5_u16_sql("doc_id")} + 0.5) / 65536.0)
+              / greatest(CAST(n_chars AS DOUBLE), 1.0)) * 100000000 + 0.5) / 100000000 AS res_key
+FROM documents
+ORDER BY res_key, doc_id
+LIMIT 10
+"""
+
+
+def _mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier flags: |x - median| / (1.4826 * MAD) > 3.
+
+    The z-score variant (``zscore_outliers``) breaks down when the tail
+    itself inflates the stddev; median/MAD don't.  Two grouped exact-
+    percentile aggregates (per-type medians are tiny and broadcast back);
+    at 100 TB you'd swap ``percentile`` for ``approx_percentile`` —
+    same plan shape."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    rz = F.col("adev") / (F.lit(1.4826) * F.col("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("mad") > 0)
+        .select("event_id", "event_type", portable_round(rz, 4).alias("robust_z"))
+        .filter(F.col("robust_z") > 3.0)
+    )
+
+
+_MAD_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT event_id, e.event_type, ABS(value - med) AS adev
+  FROM events e JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY event_type
+)
+SELECT * FROM (
+  SELECT event_id, d.event_type,
+         FLOOR((adev / (1.4826 * mad)) * 10000 + 0.5) / 10000 AS robust_z
+  FROM dev d JOIN mad USING (event_type)
+  WHERE mad > 0
+) WHERE robust_z > 3.0
+"""
+
+
+def _zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: OLS of ln(freq) on ln(rank) over the top-100 words.
+    A natural-language corpus gives slope near -1; word-soup or boilerplate
+    drifts toward 0 — a one-number corpus-health check.  The rank window
+    runs over the vocabulary-sized count table (driver-scale), never the
+    corpus; the fit reuses the distributive covar_pop/var_pop closed form."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.split(
+                F.lower(
+                    F.regexp_replace(
+                        F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " "
+                    )
+                ),
+                " ",
+            )
+        ).alias("w")
+    )
+    counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = counts.select(
+        "w",
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), F.asc("w")))
+        .alias("rank"),
+    ).filter(F.col("rank") <= 100)
+    pts = ranked.select(
+        F.log(F.col("rank").cast("double")).alias("lx"),
+        F.log(F.col("cnt").cast("double")).alias("ly"),
+    )
+    slope = F.covar_pop("lx", "ly") / F.var_pop("lx")
+    return pts.agg(
+        F.count(F.lit(1)).alias("n_words"),
+        portable_round(slope, 4).alias("slope"),
+        portable_round(F.avg("ly") - slope * F.avg("lx"), 4).alias("intercept"),
+        portable_round(F.pow(F.corr("lx", "ly"), 2), 4).alias("r2"),
+    )
+
+
+_ZIPF_SQL = """
+WITH words AS (
+  SELECT unnest(string_split(lower(regexp_replace(trim(COALESCE(text, '')), '\\s+', ' ', 'g')), ' ')) AS w
+  FROM documents
+),
+counts AS (SELECT w, COUNT(*) AS cnt FROM words GROUP BY w),
+ranked AS (
+  SELECT w, cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rank FROM counts
+),
+pts AS (
+  SELECT ln(CAST(rank AS DOUBLE)) AS lx, ln(CAST(cnt AS DOUBLE)) AS ly
+  FROM ranked WHERE rank <= 100
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+       FLOOR((covar_pop(lx, ly) / var_pop(lx)) * 10000 + 0.5) / 10000 AS slope,
+       FLOOR((AVG(ly) - (covar_pop(lx, ly) / var_pop(lx)) * AVG(lx)) * 10000 + 0.5) / 10000 AS intercept,
+       FLOOR(POW(corr(lx, ly), 2) * 10000 + 0.5) / 10000 AS r2
+FROM pts
+"""
+
+
+SPECS["weighted_sample"] = QuerySpec(
+    _weighted_sample,
+    _WEIGHTED_SAMPLE_SQL,
+    "Efraimidis-Spirakis weighted sample via portable md5 draws",
+)
+SPECS["mad_outliers"] = QuerySpec(
+    _mad_outliers,
+    _MAD_SQL,
+    "median/MAD robust outlier flags (tail-resistant z-score)",
+)
+SPECS["zipf_fit"] = QuerySpec(
+    _zipf_fit,
+    _ZIPF_SQL,
+    "Zipf rank-frequency OLS fit over top-100 words (corpus health)",
+)

@@ -170,3 +170,59 @@ def test_fuzzy_dedup_banding_loses_nothing_within_block(spark):
     )
     want = {(r["p1"], r["p2"]) for r in brute.collect()}
     assert got == want
+
+
+def test_weighted_sample_matches_python_ground_truth(spark):
+    """Recompute the A-Res keys in pure Python (hashlib md5) and assert
+    the engine selected exactly the 10 smallest-key docs."""
+    import hashlib
+    import math as m
+
+    from signal_messenger_vector_database_spark.plans.stats import _weighted_sample
+
+    got = [r["doc_id"] for r in _weighted_sample(spark, SF).collect()]
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "n_chars"
+    ).collect()
+    keys = []
+    for r in docs:
+        h = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:4], 16)
+        u = (h + 0.5) / 65536.0
+        w = max(float(r["n_chars"]), 1.0)
+        key = m.floor((-m.log(u) / w) * 1e8 + 0.5) / 1e8
+        keys.append((key, r["doc_id"]))
+    want = [d for _, d in sorted(keys)[:10]]
+    assert got == want
+
+
+def test_mad_outliers_flags_are_above_threshold_and_minority(spark):
+    from signal_messenger_vector_database_spark.plans.stats import _mad_outliers
+
+    flagged = _mad_outliers(spark, SF).cache()
+    assert flagged.filter(F.col("robust_z") <= 3.0).count() == 0
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert flagged.count() < 0.2 * n_events
+
+
+def test_zipf_fit_slope_negative_fit_valid(spark):
+    from signal_messenger_vector_database_spark.plans.stats import _zipf_fit
+
+    row = _zipf_fit(spark, SF).first()
+    assert row["n_words"] > 10
+    assert row["slope"] < 0  # frequency decreases with rank, always
+    assert 0.0 <= row["r2"] <= 1.0
+
+
+def test_pagerank3_positive_ordered_deterministic(spark):
+    from signal_messenger_vector_database_spark.plans.graph import _pagerank3
+
+    rows = _pagerank3(spark, SF).collect()
+    assert len(rows) == 20
+    prs = [r["pr"] for r in rows]
+    assert all(p > 0 for p in prs)
+    assert prs == sorted(prs, reverse=True)
+    # deterministic across plan re-executions
+    rows2 = _pagerank3(spark, SF).collect()
+    assert [(r["node"], r["pr"]) for r in rows] == [
+        (r["node"], r["pr"]) for r in rows2
+    ]
