@@ -113,8 +113,15 @@ _WINDOW = [
 # jsonl_roundtrip, orc_roundtrip, bm25_topk, hybrid_rrf, decontaminate,
 # embedding_quantize_int8, topk_cosine_int8, scd2_intervals,
 # domain_mixture, hll_distinct, bloom_membership, cms_heavy_hitters,
-# stream_sessionize, multimodal_frames.  Next round: move these into
-# _WINDOW (29 entries + 21 re-verifications), keeping no-oracle at tail.
+# stream_sessionize, multimodal_frames, sql_interface, per_group_sample,
+# length_buckets, schema_evolution, minhash_jaccard_estimate,
+# feature_hashing, mime_sniff, bigram_logprob, ewma_per_user,
+# and the late-round-2 batch: ols_regression, zscore_outliers,
+# cumulative_distinct, dq_audit, collocations_pmi, fuzzy_dedup_edit,
+# interval_join_binned, embedding_covariance, random_projection,
+# embedding_neardup_lsh, kmeans_lloyd3, weighted_sample, mad_outliers,
+# zipf_fit, pagerank3.  Next round: rotate ~50 of these into _WINDOW
+# (oldest-unchecked first), keeping no-oracle entries at the tail.
 
 
 def all_specs() -> dict[str, QuerySpec]:
