@@ -35,6 +35,14 @@ COMMENTARY = {
     "decontaminate": "Train-vs-test 5-gram contamination: ONE explode pass tagged with the md5 split, two DISTINCT projections, gram equi-join + count_distinct — never a text-to-text comparison. Hot-gram skew inherits the ngram stop-shingle story (long grams make it rare).",
     "scd2_intervals": "CDC compaction -> SCD2: lag-filter drops same-state runs, lead derives [valid_from, valid_to); both windows share the (user_id, ts) sort so ONE shuffle serves the whole build.",
     "ewma_per_user": "Sequential-fold shape for recursive accumulators: one shuffle gathers each user's ordered series as an array, the EWMA folds per row in the JVM; state is bounded per key. DuckDB list_reduce seeds acc with the first element — the Spark fold replicates that seeding so both engines run the identical float sequence.",
+    "interval_join_binned": "Keyless time-range join as a bucket equi-join: clicks carry their 15-min epoch bucket, signups explode to (own, next) bucket, the range predicate filters in-bucket candidates. Shuffle volume is O(rows); the naive formulation is a BroadcastNestedLoopJoin that goes quadratic at scale (absence asserted by test_scale).",
+    "fuzzy_dedup_edit": "Record-linkage block+verify: candidates meet on a (token, length-band) equi-key with the left side exploded to adjacent bands (lossless for edit distance <= 3 — proved against brute force in tests); exact levenshtein runs only on candidates. No cross join; block-key frequency is vocabulary-bounded.",
+    "weighted_sample": "Efraimidis-Spirakis A-Res in one pass: the md5-derived draw and -ln(u)/w key are pure codegen expressions over the scan; TakeOrderedAndProject keeps the n smallest keys with per-partition heaps — no global sort, reproducible on any cluster size.",
+    "cumulative_distinct": "Distinct-to-date without unbounded window state: first-touch MIN(hour) per user (one shuffle, partial-agg), then the running sum over the per-hour series — the single-partition window touches only driver-scale cardinality.",
+    "dq_audit": "Declarative constraint report: each table's domain checks share one conditional-aggregate scan (3 checks, 1 lineitem pass); referential orphans are a broadcast anti-join; the union of 1-row results is free.",
+    "kmeans_lloyd3": "Three full Lloyd rounds: per round the tiny centroid table broadcasts into the assignment (min_by argmin, partial-aggregated) and posexplode+two-key agg rebuilds centroids — per-iteration driver state is k arrays; the input stays cached and is never shuffled for a join. The DuckDB oracle unrolls the identical 3 rounds as chained CTEs.",
+    "pagerank3": "Pregel-lite PageRank: each round is edges JOIN ranks (shuffle on the edge key) + partial-aggregated SUM per destination; rank state stays fully distributed (zero driver state). At scale, bucketing edges by dst makes the per-round shuffle a one-time cost.",
+    "random_projection": "Seeded Rademacher 64->8 projection: literal +/- chains evaluate entirely inside WholeStageCodegen over the scan — zero shuffles, zero Python; the same literals are baked into the oracle SQL.",
 }
 
 
