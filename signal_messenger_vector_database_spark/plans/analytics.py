@@ -715,3 +715,74 @@ SPECS["cms_heavy_hitters"] = QuerySpec(
     _cms_sql(),
     "from-scratch md5-portable Count-Min sketch (d=4,w=256): top-10 heavy hitters with overcount",
 )
+
+
+def _first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style attribution: each purchase credits the user's most
+    recent preceding click within 1 hour.  Same as-of shape as
+    ``asof_join``: both event types share ONE shuffle+sort on (user_id,
+    ts); ``last(click, ignorenulls)`` carries the prior click forward, so
+    no per-pair theta join ever forms.  State per row is one carried
+    value — the plan survives any corpus size."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.last(click_id, ignorenulls=True).over(w).alias("last_click_id"),
+        F.last(click_ts, ignorenulls=True).over(w).alias("last_click_ts"),
+    )
+    return (
+        tagged.filter(F.col("event_type") == "purchase")
+        .filter(
+            F.col("last_click_ts").isNotNull()
+            & (F.col("ts") - F.col("last_click_ts") <= F.expr("INTERVAL 1 HOUR"))
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("last_click_id").alias("click_id"),
+            (
+                F.unix_timestamp("ts") - F.unix_timestamp("last_click_ts")
+            ).alias("secs_after_click"),
+        )
+    )
+
+
+_FIRST_TOUCH_SQL = """
+WITH tagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id,
+         last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+)
+SELECT event_id AS purchase_id, last_click_id AS click_id,
+       CAST(date_diff('second', last_click_ts, ts) AS BIGINT) AS secs_after_click
+FROM tagged
+WHERE event_type = 'purchase'
+  AND last_click_ts IS NOT NULL
+  AND ts - last_click_ts <= INTERVAL 1 HOUR
+"""
+
+
+SPECS["first_touch_attribution"] = QuerySpec(
+    _first_touch_attribution,
+    _FIRST_TOUCH_SQL,
+    "purchase -> most recent click within 1h, one shared shuffle (as-of shape)",
+)

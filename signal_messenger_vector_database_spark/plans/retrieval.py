@@ -214,3 +214,62 @@ SPECS: dict[str, QuerySpec] = {
         "hybrid retrieval: reciprocal-rank fusion of BM25 and cosine top-k",
     ),
 }
+
+
+def _inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized inverted index — the batch-build artifact behind
+    ``bm25_topk``'s on-the-fly stats: per term, document frequency, total
+    term frequency, and the first 5 postings.  One explode + one shuffle
+    on the term key; ``slice(sort_array(...))`` bounds the per-term
+    payload so a hot term cannot blow up a reducer (the full posting list
+    would be written as (term, doc) rows instead — noted trade).  Terms
+    with df < 10 are dropped, mirroring an index min-df cutoff."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(
+                F.lower(
+                    F.regexp_replace(
+                        F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " "
+                    )
+                ),
+                " ",
+            )
+        ).alias("term"),
+    )
+    per_doc = words.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        per_doc.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("total_tf"),
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 5).alias(
+                "top_postings"
+            ),
+        )
+        .filter(F.col("df") >= 10)
+    )
+
+
+_INVERTED_INDEX_SQL = """
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split(lower(regexp_replace(trim(COALESCE(text, '')), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM documents
+),
+per_doc AS (SELECT term, doc_id, COUNT(*) AS tf FROM words GROUP BY term, doc_id)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(SUM(tf) AS BIGINT) AS total_tf,
+       (list(doc_id ORDER BY doc_id))[1:5] AS top_postings
+FROM per_doc
+GROUP BY term
+HAVING COUNT(*) >= 10
+"""
+
+
+SPECS["inverted_index"] = QuerySpec(
+    _inverted_index,
+    _INVERTED_INDEX_SQL,
+    "inverted-index build: per-term df/tf + bounded posting sample",
+)

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import portable_round
 from ..io.sources import load_table
 from ..operators.scale import salted_join
 from .registry import QuerySpec
@@ -140,4 +141,44 @@ SPECS["interval_join_binned"] = QuerySpec(
     _interval_join_binned,
     _INTERVAL_JOIN_BINNED_SQL,
     "keyless range join via 15-min bucket binning (equi-join, no NLJ)",
+)
+
+
+def _range_partition_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth range-partition boundaries — the planning query behind
+    ``repartitionByRange`` / Spark's RangePartitioner: 31 interior
+    quantiles of the sort key split the table into 32 balanced ranges.
+    Exact interpolated percentiles here (one aggregate pass); at 100 TB
+    swap in ``approx_percentile`` (t-digest) with identical plan shape —
+    boundary precision only shifts a few rows between partitions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    fracs = ", ".join(str(i / 32.0) for i in range(1, 32))
+    return (
+        li.agg(
+            F.expr(f"percentile(l_extendedprice, array({fracs}))").alias("bounds")
+        )
+        .select(F.posexplode("bounds").alias("idx", "bound"))
+        .select(
+            (F.col("idx") + 1).alias("bound_idx"),
+            portable_round(F.col("bound"), 2).alias("bound"),
+        )
+    )
+
+
+_RANGE_BOUNDS_SQL = f"""
+WITH q AS (
+  SELECT quantile_cont(l_extendedprice,
+         [{", ".join(str(i / 32.0) for i in range(1, 32))}]) AS bounds
+  FROM lineitem
+)
+SELECT u.i AS bound_idx, FLOOR(u.b * 100 + 0.5) / 100 AS bound
+FROM (SELECT unnest(list_transform(bounds,
+             (x, i) -> struct_pack(i := i, b := x))) AS u FROM q)
+"""
+
+
+SPECS["range_partition_bounds"] = QuerySpec(
+    _range_partition_bounds,
+    _RANGE_BOUNDS_SQL,
+    "equi-depth range-partition boundaries (RangePartitioner planning query)",
 )

@@ -226,3 +226,49 @@ def test_pagerank3_positive_ordered_deterministic(spark):
     assert [(r["node"], r["pr"]) for r in rows] == [
         (r["node"], r["pr"]) for r in rows2
     ]
+
+
+def test_first_touch_attribution_window_and_bounds(spark):
+    from signal_messenger_vector_database_spark.plans.analytics import (
+        _first_touch_attribution,
+    )
+
+    rows = _first_touch_attribution(spark, SF).collect()
+    assert rows, "no attributed purchases at sf0.001"
+    for r in rows:
+        assert 0 <= r["secs_after_click"] <= 3600
+        assert r["click_id"] != r["purchase_id"]
+
+
+def test_range_partition_bounds_monotone(spark):
+    from signal_messenger_vector_database_spark.plans.scale_queries import (
+        _range_partition_bounds,
+    )
+
+    rows = _range_partition_bounds(spark, SF).orderBy("bound_idx").collect()
+    assert len(rows) == 31
+    bounds = [r["bound"] for r in rows]
+    assert bounds == sorted(bounds)
+
+
+def test_incremental_new_docs_conserves(spark):
+    from signal_messenger_vector_database_spark.plans.traindata import (
+        _incremental_new_docs,
+    )
+
+    for r in _incremental_new_docs(spark, SF).collect():
+        assert r["n_new"] + r["n_already_seen"] == r["n_batch"]
+
+
+def test_inverted_index_invariants(spark):
+    from signal_messenger_vector_database_spark.plans.retrieval import (
+        _inverted_index,
+    )
+
+    rows = _inverted_index(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["df"] >= 10
+        assert r["total_tf"] >= r["df"]  # tf >= 1 per posting
+        p = r["top_postings"]
+        assert 1 <= len(p) <= 5 and p == sorted(p)
