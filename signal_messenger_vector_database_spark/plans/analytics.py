@@ -786,3 +786,71 @@ SPECS["first_touch_attribution"] = QuerySpec(
     _FIRST_TOUCH_SQL,
     "purchase -> most recent click within 1h, one shared shuffle (as-of shape)",
 )
+
+
+def _assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over per-user event-type sets:
+    support / confidence / lift for every type pair.  The classic Apriori
+    first level as pure relational algebra: distinct (user, type) — one
+    shuffle — then a self-equi-join on user_id whose fan-out is bounded by
+    the TYPE vocabulary (k types -> at most k(k-1)/2 pairs per user), so
+    the "basket explosion" is capped by design, not data size."""
+    from ..functions.text import portable_round
+
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct().persist()
+    n_users = ut.select("user_id").distinct().count()
+    per_type = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    pairs = (
+        ut.alias("l")
+        .join(ut.alias("r"), "user_id")
+        .filter(F.col("l.event_type") < F.col("r.event_type"))
+        .groupBy(
+            F.col("l.event_type").alias("a"), F.col("r.event_type").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    na = per_type.select(F.col("event_type").alias("a"), F.col("n_t").alias("n_a"))
+    nb = per_type.select(F.col("event_type").alias("b"), F.col("n_t").alias("n_b"))
+    supp = F.col("n_ab") / F.lit(float(n_users))
+    conf = F.col("n_ab") / F.col("n_a")
+    lift = (F.col("n_ab") * F.lit(float(n_users))) / (F.col("n_a") * F.col("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "a")
+        .join(F.broadcast(nb), "b")
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            portable_round(supp, 4).alias("support"),
+            portable_round(conf, 4).alias("confidence"),
+            portable_round(lift, 4).alias("lift"),
+        )
+    )
+
+
+_ASSOC_RULES_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+nu AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ut),
+per_type AS (SELECT event_type, COUNT(*) AS n_t FROM ut GROUP BY event_type),
+pairs AS (
+  SELECT l.event_type AS a, r.event_type AS b, COUNT(*) AS n_ab
+  FROM ut l JOIN ut r ON l.user_id = r.user_id AND l.event_type < r.event_type
+  GROUP BY 1, 2
+)
+SELECT a, b, CAST(n_ab AS BIGINT) AS n_ab,
+       FLOOR(n_ab / CAST(n_users AS DOUBLE) * 10000 + 0.5) / 10000 AS support,
+       FLOOR(n_ab / CAST(pa.n_t AS DOUBLE) * 10000 + 0.5) / 10000 AS confidence,
+       FLOOR((n_ab * CAST(n_users AS DOUBLE)) / (pa.n_t * CAST(pb.n_t AS DOUBLE)) * 10000 + 0.5) / 10000 AS lift
+FROM pairs
+JOIN per_type pa ON pairs.a = pa.event_type
+JOIN per_type pb ON pairs.b = pb.event_type
+CROSS JOIN nu
+"""
+
+
+SPECS["assoc_rules"] = QuerySpec(
+    _assoc_rules,
+    _ASSOC_RULES_SQL,
+    "association rules (support/confidence/lift) over per-user type sets",
+)

@@ -48,31 +48,28 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _edges(spark, sf_dir).persist()
-    deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = deg.select(F.col("a").alias("node"))
-    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n"))
-    # ranks live WITH the degree so each round is one join + one agg
+    deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).persist()
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n"))
+    # ranks carry (deg, n) along; the rank table is O(nodes) small and
+    # BROADCAST into every round, so the big edge table never shuffles for
+    # the join — only partially-aggregated contributions cross the wire
     rank = deg.crossJoin(F.broadcast(n_nodes)).select(
         "a", "deg", (F.lit(1.0) / F.col("n")).alias("r"), "n"
     )
     for _ in range(_ITERS):
         contrib = (
-            edges.join(rank, "a")
+            edges.join(F.broadcast(rank.select("a", "deg", "r")), "a")
             .groupBy(F.col("b").alias("a"))
             .agg(F.sum(F.col("r") / F.col("deg")).alias("mass"))
         )
-        rank = (
-            deg.join(contrib, "a", "left")
-            .crossJoin(F.broadcast(n_nodes))
-            .select(
-                "a",
-                "deg",
-                (
-                    (1.0 - _DAMP) / F.col("n")
-                    + _DAMP * F.coalesce(F.col("mass"), F.lit(0.0))
-                ).alias("r"),
-                "n",
-            )
+        rank = rank.select("a", "deg", "n").join(F.broadcast(contrib), "a", "left").select(
+            "a",
+            "deg",
+            (
+                (1.0 - _DAMP) / F.col("n")
+                + _DAMP * F.coalesce(F.col("mass"), F.lit(0.0))
+            ).alias("r"),
+            "n",
         )
     return (
         rank.select(F.col("a").alias("node"), portable_round(F.col("r"), 8).alias("pr"))

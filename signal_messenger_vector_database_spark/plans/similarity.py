@@ -467,26 +467,68 @@ def _fuzzy_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjacent width-4 length bands while the right side keeps its own band
     — every qualifying pair meets in exactly one (token, band) bucket, so
     no post-join dedup is needed.  The verify stage then computes exact
-    levenshtein only on candidates.  Block-key frequency is bounded by the
-    token vocabulary (same argument as the stop-shingle cutoff in
-    operators/dedup.py): a hot token would need the same df-cutoff guard
-    at 100 TB, documented trade — blocking on a token sacrifices recall
-    for pairs whose edits cross the blocking token itself.
+    levenshtein only on candidates.  Hot blocks are refined, not dropped
+    (hierarchical blocking): any (token, band) bucket whose population
+    exceeds ``max_block`` extends its key with the name's first character
+    — the same df-governed escalation idea as the stop-shingle cutoff
+    (operators/dedup.py), except recall degrades gracefully instead of
+    vanishing.  Hotness is a property of the bucket (computed once from
+    the un-exploded table and broadcast), so both join sides agree on the
+    refined key.  Documented recall trades: edits that cross the blocking
+    token, and — inside hot buckets only — edits that change the first
+    character.
+
+    Fixture note: the synthetic part-name vocabulary is DEGENERATE (a few
+    dozen adjective+noun combos), so at sf0.1 every bucket is hot and the
+    refined buckets hold only names differing in their first letter —
+    the result is legitimately empty there, while sf0.01 exercises both
+    the plain and refined paths (the oracle verifies the mix).  A real
+    corpus has a heavy-tailed, not closed, key vocabulary: buckets are
+    overwhelmingly cold and the cap only clips the boilerplate head —
+    same reasoning as the stop-shingle constant.
     """
+    # binds at sf0.01 (hot buckets exist there) so the oracle verifies the
+    # refined path, not just the plain one — same rationale as the stop-
+    # shingle cutoff constant.
+    max_block = 120
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
     noun = F.element_at(F.split("p_name", " "), -1)
     band = F.floor(F.length("p_name") / 4)
-    right = part.select(
-        F.col("p_partkey").alias("p2"),
-        F.col("p_name").alias("name2"),
-        noun.alias("blk"),
-        band.alias("band"),
+    base = part.select("p_partkey", "p_name", noun.alias("blk"), band.alias("band"))
+    hot = F.broadcast(
+        base.groupBy("blk", "band")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") > max_block)
+        .select("blk", "band", F.lit(1).alias("is_hot"))
     )
-    left = part.select(
-        F.col("p_partkey").alias("p1"),
-        F.col("p_name").alias("name1"),
-        noun.alias("blk"),
-        F.explode(F.array(band - 1, band, band + 1)).alias("band"),
+
+    def keyed(df, name_col):
+        refined = F.when(
+            F.col("is_hot").isNotNull(), F.substring(F.col(name_col), 1, 1)
+        ).otherwise(F.lit(""))
+        return df.join(hot, ["blk", "band"], "left").withColumn(
+            "blk", F.concat(F.col("blk"), F.lit("|"), refined)
+        ).drop("is_hot")
+
+    right = keyed(
+        base.select(
+            F.col("p_partkey").alias("p2"),
+            F.col("p_name").alias("name2"),
+            "blk",
+            "band",
+        ),
+        "name2",
+    )
+    left = keyed(
+        base.select(
+            F.col("p_partkey").alias("p1"),
+            F.col("p_name").alias("name1"),
+            "blk",
+            F.explode(F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)).alias(
+                "band"
+            ),
+        ),
+        "name1",
     )
     return (
         left.join(right, ["blk", "band"])
@@ -506,18 +548,33 @@ WITH base AS (
          CAST(FLOOR(len(p_name) / 4) AS BIGINT) AS band
   FROM part
 ),
-lhs AS (
-  SELECT p_partkey AS p1, p_name AS name1, blk,
+hot AS (
+  SELECT blk, band FROM base GROUP BY blk, band HAVING COUNT(*) > 120
+),
+rhs AS (
+  SELECT b.p_partkey AS p2, b.p_name AS name2,
+         b.blk || '|' || CASE WHEN h.blk IS NOT NULL THEN substr(b.p_name, 1, 1) ELSE '' END AS blk,
+         b.band
+  FROM base b LEFT JOIN hot h ON b.blk = h.blk AND b.band = h.band
+),
+expl AS (
+  SELECT p_partkey AS p1, p_name AS name1, blk AS blk0,
          unnest([band - 1, band, band + 1]) AS band
   FROM base
+),
+lhs AS (
+  SELECT e.p1, e.name1,
+         e.blk0 || '|' || CASE WHEN h.blk IS NOT NULL THEN substr(e.name1, 1, 1) ELSE '' END AS blk,
+         e.band
+  FROM expl e LEFT JOIN hot h ON e.blk0 = h.blk AND e.band = h.band
 )
 SELECT p1, p2, name1, name2, edit_dist
 FROM (
-  SELECT l.p1, r.p_partkey AS p2, l.name1, r.p_name AS name2,
-         CAST(levenshtein(l.name1, r.p_name) AS INTEGER) AS edit_dist
-  FROM lhs l JOIN base r ON l.blk = r.blk AND l.band = r.band
-  WHERE l.p1 < r.p_partkey
-    AND ABS(len(l.name1) - len(r.p_name)) <= 3
+  SELECT l.p1, r.p2, l.name1, r.name2,
+         CAST(levenshtein(l.name1, r.name2) AS INTEGER) AS edit_dist
+  FROM lhs l JOIN rhs r ON l.blk = r.blk AND l.band = r.band
+  WHERE l.p1 < r.p2
+    AND ABS(len(l.name1) - len(r.name2)) <= 3
 )
 WHERE edit_dist <= 3 AND name1 <> name2
 """

@@ -401,3 +401,63 @@ SPECS["zipf_fit"] = QuerySpec(
     _ZIPF_SQL,
     "Zipf rank-frequency OLS fit over top-100 words (corpus health)",
 )
+
+
+def _deletion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten impact audit: given a deletion cohort
+    (deterministic here: c_custkey % 97 == 0), count the rows each table
+    would lose, following referential cascades customer -> orders ->
+    lineitem.  Each cascade level is a semi-join against the (small)
+    deletion frontier — the frontier is broadcast, the facts are scanned
+    once and never shuffled.  The real deletion is the same plan with the
+    anti-join complement written back (see merge_upsert /
+    operators/sink.py for the write side)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    doomed_cust = customer.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    doomed_orders = orders.join(
+        F.broadcast(doomed_cust),
+        orders["o_custkey"] == doomed_cust["c_custkey"],
+        "left_semi",
+    ).select("o_orderkey")
+    doomed_li = li.join(
+        F.broadcast(doomed_orders),
+        li["l_orderkey"] == doomed_orders["o_orderkey"],
+        "left_semi",
+    )
+    counts = [
+        doomed_cust.agg(F.count(F.lit(1)).alias("rows_deleted")).select(
+            F.lit("customer").alias("table"), "rows_deleted"
+        ),
+        doomed_orders.agg(F.count(F.lit(1)).alias("rows_deleted")).select(
+            F.lit("orders").alias("table"), "rows_deleted"
+        ),
+        doomed_li.agg(F.count(F.lit(1)).alias("rows_deleted")).select(
+            F.lit("lineitem").alias("table"), "rows_deleted"
+        ),
+    ]
+    out = counts[0].unionByName(counts[1]).unionByName(counts[2])
+    return out.select("table", F.col("rows_deleted").cast("bigint").alias("rows_deleted"))
+
+
+_DELETION_AUDIT_SQL = """
+WITH doomed_cust AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+doomed_orders AS (
+  SELECT o_orderkey FROM orders SEMI JOIN doomed_cust ON o_custkey = c_custkey
+)
+SELECT 'customer' AS "table", CAST(COUNT(*) AS BIGINT) AS rows_deleted FROM doomed_cust
+UNION ALL
+SELECT 'orders', CAST(COUNT(*) AS BIGINT) FROM doomed_orders
+UNION ALL
+SELECT 'lineitem', CAST(COUNT(*) AS BIGINT)
+FROM lineitem SEMI JOIN doomed_orders ON l_orderkey = o_orderkey
+"""
+
+
+SPECS["deletion_audit"] = QuerySpec(
+    _deletion_audit,
+    _DELETION_AUDIT_SQL,
+    "GDPR deletion-cascade impact counts via broadcast semi-joins",
+)
