@@ -120,7 +120,9 @@ _WINDOW = [
 # cumulative_distinct, dq_audit, collocations_pmi, fuzzy_dedup_edit,
 # interval_join_binned, embedding_covariance, random_projection,
 # embedding_neardup_lsh, kmeans_lloyd3, weighted_sample, mad_outliers,
-# zipf_fit, pagerank3.  Next round: rotate ~50 of these into _WINDOW
+# zipf_fit, pagerank3, first_touch_attribution, range_partition_bounds,
+# incremental_new_docs, inverted_index, assoc_rules, deletion_audit.
+# Next round: rotate ~50 of these into _WINDOW
 # (oldest-unchecked first), keeping no-oracle entries at the tail.
 
 

@@ -43,6 +43,10 @@ COMMENTARY = {
     "kmeans_lloyd3": "Three full Lloyd rounds: per round the tiny centroid table broadcasts into the assignment (min_by argmin, partial-aggregated) and posexplode+two-key agg rebuilds centroids — per-iteration driver state is k arrays; the input stays cached and is never shuffled for a join. The DuckDB oracle unrolls the identical 3 rounds as chained CTEs.",
     "pagerank3": "Pregel-lite PageRank: each round is edges JOIN ranks (shuffle on the edge key) + partial-aggregated SUM per destination; rank state stays fully distributed (zero driver state). At scale, bucketing edges by dst makes the per-round shuffle a one-time cost.",
     "random_projection": "Seeded Rademacher 64->8 projection: literal +/- chains evaluate entirely inside WholeStageCodegen over the scan — zero shuffles, zero Python; the same literals are baked into the oracle SQL.",
+    "assoc_rules": "Association rules: distinct (user, type) then a self-equi-join on user_id whose fan-out is capped by the type vocabulary (k(k-1)/2 pairs per user), margins broadcast back — the Apriori first level with a designed-in blow-up bound.",
+    "deletion_audit": "GDPR cascade audit: each referential level is a broadcast semi-join against the (small) deletion frontier; facts are scanned once, never shuffled. The actual delete is the anti-join complement written back.",
+    "first_touch_attribution": "As-of attribution: clicks and purchases share ONE shuffle+sort on (user_id, ts); last(click, ignorenulls) carries state forward — no per-pair theta join at any scale.",
+    "incremental_new_docs": "Per-delivery ingest dedup: the new batch left-joins compact fingerprint history (equi-join on md5, Bloom-prefilterable) — novelty detection without re-scanning the lake.",
 }
 
 
