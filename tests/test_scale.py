@@ -247,3 +247,23 @@ def test_interval_join_binned_is_equi_join_not_nlj(spark):
     assert "CartesianProduct" not in plan, plan
     # the equi-join on the bucket key is present
     assert "bkt" in plan, plan
+
+
+def test_join_hints_select_strategies(spark):
+    """Join-strategy hints are the manual override when stats mislead the
+    planner at scale: broadcast forces the build side resident, merge
+    forces SMJ, shuffle_hash avoids the sort.  Each must surface in the
+    physical plan."""
+    l = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert "BroadcastHashJoin" in _plan(l.join(o.hint("broadcast"), "l_orderkey"))
+        assert "SortMergeJoin" in _plan(l.join(o.hint("merge"), "l_orderkey"))
+        assert "ShuffledHashJoin" in _plan(
+            l.join(o.hint("shuffle_hash"), "l_orderkey")
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")

@@ -79,3 +79,52 @@ def test_tws_user_totals_if_protobuf_available(spark):
     g = {r.user_id: r.total_events for r in got.collect()}
     e = {r.user_id: r.total_events for r in expected.collect()}
     assert g == e
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
+    """Exactly-once incremental ingest across RESTARTS: a second
+    AvailableNow run against the same checkpoint must pick up only files
+    that arrived after the first run — the property that lets a 100 TB
+    ingest run as repeated cheap increments instead of full rescans."""
+    import shutil
+
+    from signal_messenger_vector_database_spark.streaming.ingest import (
+        streaming_session,
+    )
+
+    s = streaming_session(spark, state_partitions=4)
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(40)
+    docs.limit(25).coalesce(1).write.parquet(str(tmp_path / "f1"))
+    shutil.copy(
+        next((tmp_path / "f1").glob("*.parquet")), src / "batch1.parquet"
+    )
+
+    def run_once():
+        q = (
+            s.readStream.schema(docs.schema)
+            .parquet(str(src))
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = spark.read.parquet(str(out))
+    assert first.count() == 25
+
+    docs.subtract(docs.limit(25)).coalesce(1).write.parquet(str(tmp_path / "f2"))
+    shutil.copy(
+        next((tmp_path / "f2").glob("*.parquet")), src / "batch2.parquet"
+    )
+    run_once()
+    final = spark.read.parquet(str(out))
+    assert final.count() == 40  # 25 + 15, batch1 NOT reprocessed
+    assert final.select("doc_id").distinct().count() == 40
