@@ -461,3 +461,53 @@ SPECS["deletion_audit"] = QuerySpec(
     _DELETION_AUDIT_SQL,
     "GDPR deletion-cascade impact counts via broadcast semi-joins",
 )
+
+
+def _table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics — the inputs a cost-based optimizer
+    (and a human tuning partition counts) needs: per column, row count,
+    exact NDV, null count, min/max.  One conditional-aggregate pass per
+    table; at 100 TB swap exact count_distinct for approx_count_distinct
+    (HLL) — same single-scan shape, which is exactly how Spark's own
+    ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS runs."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def col_stats(c: str):
+        return li.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(F.col(c)).alias("ndv"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias("n_nulls"),
+            portable_round(F.min(F.col(c)).cast("double"), 4).alias("min_val"),
+            portable_round(F.max(F.col(c)).cast("double"), 4).alias("max_val"),
+        ).select(F.lit(c).alias("column"), "n_rows", "ndv", "n_nulls", "min_val", "max_val")
+
+    cols = ["l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_discount"]
+    out = col_stats(cols[0])
+    for c in cols[1:]:
+        out = out.unionByName(col_stats(c))
+    return out.select(
+        "column",
+        "n_rows",
+        F.col("ndv").cast("bigint").alias("ndv"),
+        F.col("n_nulls").cast("bigint").alias("n_nulls"),
+        "min_val",
+        "max_val",
+    )
+
+
+_TABLE_STATS_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       FLOOR(CAST(MIN({c}) AS DOUBLE) * 10000 + 0.5) / 10000 AS min_val,
+       FLOOR(CAST(MAX({c}) AS DOUBLE) * 10000 + 0.5) / 10000 AS max_val
+FROM lineitem"""
+    for c in ["l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_discount"]
+)
+
+
+SPECS["table_stats"] = QuerySpec(
+    _table_stats,
+    _TABLE_STATS_SQL,
+    "ANALYZE-style per-column stats (rows/NDV/nulls/min/max) in one scan each",
+)

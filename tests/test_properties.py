@@ -131,3 +131,38 @@ def test_bpe_training_monotonically_compresses(words):
     small = train_bpe([corpus] * 3, n_merges=2)
     large = train_bpe([corpus] * 3, n_merges=32)
     assert encode_count(corpus, large) <= encode_count(corpus, small)
+
+
+def test_portable_round_cross_engine_parity_bulk(spark):
+    """portable_round (floor(x*10^d+0.5)/10^d) must produce IDENTICAL
+    doubles in Spark and DuckDB over adversarial values — including the
+    .00005-boundary class where the engines' native ROUNDs disagree."""
+    import duckdb
+    import numpy as np
+
+    from signal_messenger_vector_database_spark.functions.text import (
+        portable_round,
+    )
+
+    rng = np.random.RandomState(99)
+    vals = np.concatenate(
+        [
+            rng.uniform(-1e6, 1e6, 300),
+            rng.uniform(-1, 1, 300),
+            # exact half-boundary neighborhoods at 4 decimals
+            np.round(rng.uniform(-10, 10, 200), 4) + 0.00005,
+        ]
+    ).tolist()
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [
+        r[0]
+        for r in df.select(portable_round(F.col("x"), 4)).collect()
+    ]
+    want = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT FLOOR(x * 10000 + 0.5) / 10000 FROM (SELECT unnest(?::DOUBLE[]) AS x)",
+            params=[vals],
+        ).fetchall()
+    ]
+    assert got == want
