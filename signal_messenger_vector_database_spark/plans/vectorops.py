@@ -462,3 +462,156 @@ SPECS["kmeans_lloyd3"] = QuerySpec(
     _kmeans_lloyd3_sql(),
     "3 fixed Lloyd iterations, oracle-unrolled as chained SQL CTEs",
 )
+
+
+# --- product quantization (PQ) with literal codebooks -----------------------
+# Completes the ANN ladder (brute -> LSH -> IVF -> PQ): split 64 dims into
+# 8 subspaces of 8; encode each subvector as the argmin over a 16-entry
+# codebook; score with asymmetric distance (ADC) — sum of per-subspace
+# query-to-codeword distances looked up by code.  Codebooks here are
+# seeded literals (data-independent) so the ENTIRE pipeline, encode and
+# ADC ranking, replays exactly in the oracle — the data-trained variant
+# swaps in kmeans_lloyd3-style per-subspace centroids with the identical
+# plan shape.  8 codes x 4 bits = 64x compression vs float32.
+
+_PQ_M, _PQ_K, _PQ_D = 8, 16, 8  # subspaces, codewords each, dims per subspace
+
+
+def _pq_codebooks() -> list[list[list[float]]]:
+    import random
+
+    rng = random.Random(4242)
+    # codewords in [-0.25, 0.25]^8 — the scale of unit-norm 64-dim data
+    return [
+        [[round(rng.uniform(-0.25, 0.25), 3) for _ in range(_PQ_D)] for _ in range(_PQ_K)]
+        for _ in range(_PQ_M)
+    ]
+
+
+def _pq_spark_subdist(sub_j: int, code: list[float]) -> str:
+    """Squared L2 between embedding subvector j and a literal codeword, as
+    a Spark-SQL string — left-associated chain, identical double sequence
+    in both engines.  Strings (one parser call per column) instead of
+    Column-object algebra: building the ~3k-node tree through py4j costs
+    ~3 ms per call (13 s total, measured); the SQL parser builds the same
+    tree JVM-side in milliseconds."""
+    base = sub_j * _PQ_D
+    e = lambda i: f"CAST(embedding[{base + i}] AS DOUBLE)"  # noqa: E731
+    terms = [f"({e(i)} - {code[i]}) * ({e(i)} - {code[i]})" for i in range(_PQ_D)]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = _pq_codebooks()
+    # materialize each 16-entry distance array ONCE, then argmin off the
+    # column — inlining the array into array_position(arr, array_min(arr))
+    # would duplicate the arithmetic tree twice per subspace
+    dist_exprs = [
+        "array("
+        + ", ".join(_pq_spark_subdist(j, books[j][k]) for k in range(_PQ_K))
+        + f") AS d{j}"
+        for j in range(_PQ_M)
+    ]
+    staged = emb.selectExpr("vec_id", *dist_exprs)
+    # argmin = first index attaining the min (ties: lowest code, both engines)
+    return staged.selectExpr(
+        "vec_id",
+        *[
+            f"CAST(array_position(d{j}, array_min(d{j})) - 1 AS INT) AS c{j}"
+            for j in range(_PQ_M)
+        ],
+    )
+
+
+def _pq_sql_subdist(sub_j: int, code: list[float], vec: str = "e") -> str:
+    base = sub_j * _PQ_D
+    terms = [
+        f"({vec}[{base + i + 1}] - {code[i]}) * ({vec}[{base + i + 1}] - {code[i]})"
+        for i in range(_PQ_D)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _pq_encode_sql() -> str:
+    books = _pq_codebooks()
+    cols = []
+    for j in range(_PQ_M):
+        dl = "[" + ", ".join(_pq_sql_subdist(j, books[j][k]) for k in range(_PQ_K)) + "]"
+        cols.append(
+            f"CAST(list_position({dl}, list_min({dl})) - 1 AS INTEGER) AS c{j}"
+        )
+    sel = ",\n       ".join(cols)
+    return (
+        "WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)\n"
+        f"SELECT vec_id,\n       {sel}\nFROM d"
+    )
+
+
+def _topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k: the query vector (vec_id 0, inlined pattern as in
+    rag_retrieve — here the literal is the codebook table itself) scores
+    each encoded vector as the SUM of per-subspace lookup distances.
+    The lookup table is k*m tiny values broadcast as a literal MAP; the
+    scan reads only the 8 int codes — this is why PQ wins at 100 TB:
+    the hot loop touches 8 bytes/vector, not 256."""
+    books = _pq_codebooks()
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+
+    def sub_lut(j: int) -> list[float]:
+        base = j * _PQ_D
+        out = []
+        for k in range(_PQ_K):
+            acc = (float(q[base]) - books[j][k][0]) ** 2
+            for i in range(1, _PQ_D):
+                acc = acc + (float(q[base + i]) - books[j][k][i]) ** 2
+            out.append(acc)
+        return out
+
+    codes = _pq_encode(spark, sf_dir)
+    luts = []
+    for j in range(_PQ_M):
+        arr = "array(" + ", ".join(repr(v) for v in sub_lut(j)) + ")"
+        luts.append(f"{arr}[c{j}]")  # 0-based subscript
+    adc = " + ".join(luts)
+    return (
+        codes.selectExpr(
+            "vec_id",
+            f"FLOOR(({adc}) * 1000000 + 0.5) / 1000000 AS adc_dist",
+        )
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+    )
+
+
+def _topk_pq_adc_sql(sf_dir_default: str = "/root/testdata/sf0.01") -> str:
+    # The oracle recomputes the SAME lut from the same literals and the
+    # in-database query vector — no Python state crosses into SQL.
+    books = _pq_codebooks()
+    enc = _pq_encode_sql()
+    luts = []
+    for j in range(_PQ_M):
+        dl = "[" + ", ".join(_pq_sql_subdist(j, books[j][k], vec="q.e") for k in range(_PQ_K)) + "]"
+        luts.append(f"{dl}[codes.c{j} + 1]")
+    adc = " + ".join(luts)
+    return f"""
+WITH codes AS ({enc}),
+q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0)
+SELECT codes.vec_id, FLOOR(({adc}) * 1000000 + 0.5) / 1000000 AS adc_dist
+FROM codes, q
+ORDER BY adc_dist, vec_id
+LIMIT 10
+"""
+
+
+SPECS["pq_encode"] = QuerySpec(
+    _pq_encode,
+    _pq_encode_sql(),
+    "product-quantization encode: 8x 4-bit codes via literal codebooks (64x compression)",
+)
+SPECS["topk_pq_adc"] = QuerySpec(
+    _topk_pq_adc,
+    _topk_pq_adc_sql(),
+    "PQ asymmetric-distance top-k over 8-byte codes (ANN memory scale path)",
+)

@@ -106,3 +106,29 @@ def test_random_projection_preserves_norms_in_expectation(spark):
     ]
     mean_ratio = sum(ratios) / len(ratios)
     assert 0.7 < mean_ratio < 1.3, mean_ratio
+
+
+def test_pq_adc_recall_against_exact(spark):
+    """PQ is lossy by design; assert the ADC top-10 recovers a reasonable
+    fraction of the exact L2 top-10 (data-independent codebooks give a
+    weaker-than-trained bound, so require overlap >= 2/10 and that ADC
+    distances are nonnegative + sorted)."""
+    import numpy as np
+
+    from signal_messenger_vector_database_spark.plans.vectorops import (
+        _topk_pq_adc,
+    )
+
+    adc_rows = _topk_pq_adc(spark, SF).collect()
+    dists = [r["adc_dist"] for r in adc_rows]
+    assert all(d >= 0 for d in dists)
+    assert dists == sorted(dists)
+    got = {r["vec_id"] for r in adc_rows}
+
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    }
+    q = vecs[0]
+    exact = sorted(vecs, key=lambda k: float(np.sum((vecs[k] - q) ** 2)))[:10]
+    assert len(got & set(exact)) >= 2, (sorted(got), exact)
