@@ -182,3 +182,53 @@ SPECS["range_partition_bounds"] = QuerySpec(
     _RANGE_BOUNDS_SQL,
     "equi-depth range-partition boundaries (RangePartitioner planning query)",
 )
+
+
+def _zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key: interleave the bits of two join/
+    filter dimensions so that sorting by ONE key co-locates rows that are
+    close in BOTH.  Writing a 100 TB table sorted by this key makes
+    parquet row-group min/max stats selective for filters on either
+    dimension (the mechanism behind Delta/Iceberg Z-ORDER BY — here as a
+    plain column expression, usable with sortWithinPartitions +
+    repartitionByRange today).  Pure integer bit arithmetic, identical in
+    both engines; 8 bits per dimension."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a, b = "(l_partkey % 256)", "(l_suppkey % 256)"
+    interleave = " + ".join(
+        f"((({a} >> {i}) & 1) << {2 * i}) + ((({b} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(8)
+    )
+    return (
+        li.selectExpr(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            "l_suppkey",
+            f"CAST({interleave} AS BIGINT) AS zkey",
+        )
+        .orderBy("zkey", "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+def _zorder_key_sql() -> str:
+    a, b = "(l_partkey % 256)", "(l_suppkey % 256)"
+    interleave = " + ".join(
+        f"((({a} >> {i}) & 1) << {2 * i}) + ((({b} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(8)
+    )
+    return f"""
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       CAST({interleave} AS BIGINT) AS zkey
+FROM lineitem
+ORDER BY zkey, l_orderkey, l_linenumber
+LIMIT 100
+"""
+
+
+SPECS["zorder_key"] = QuerySpec(
+    _zorder_key,
+    _zorder_key_sql(),
+    "Morton/Z-order clustering key via bit interleaving (multi-dim file skipping)",
+)

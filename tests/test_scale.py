@@ -267,3 +267,18 @@ def test_join_hints_select_strategies(spark):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_zorder_key_roundtrips_both_dimensions(spark):
+    """The Morton key must encode BOTH dimensions losslessly: de-interleaving
+    the bits recovers (partkey % 256, suppkey % 256) exactly."""
+    from signal_messenger_vector_database_spark.plans.scale_queries import (
+        _zorder_key,
+    )
+
+    for r in _zorder_key(spark, SF).collect():
+        z = r["zkey"]
+        a = sum(((z >> (2 * i)) & 1) << i for i in range(8))
+        b = sum(((z >> (2 * i + 1)) & 1) << i for i in range(8))
+        assert a == r["l_partkey"] % 256
+        assert b == r["l_suppkey"] % 256
