@@ -47,6 +47,9 @@ COMMENTARY = {
     "deletion_audit": "GDPR cascade audit: each referential level is a broadcast semi-join against the (small) deletion frontier; facts are scanned once, never shuffled. The actual delete is the anti-join complement written back.",
     "first_touch_attribution": "As-of attribution: clicks and purchases share ONE shuffle+sort on (user_id, ts); last(click, ignorenulls) carries state forward — no per-pair theta join at any scale.",
     "incremental_new_docs": "Per-delivery ingest dedup: the new batch left-joins compact fingerprint history (equi-join on md5, Bloom-prefilterable) — novelty detection without re-scanning the lake.",
+    "pq_encode": "Product quantization encode: 128 literal-codeword distances evaluate as flat codegen arithmetic over the scan; argmin per subspace off a materialized array column (inlining it twice doubles the tree). 8x 4-bit codes = 64x compression for the ANN working set.",
+    "topk_pq_adc": "Asymmetric-distance top-k: per-subspace lookup tables are literal arrays subscripted by the 8 stored codes — the hot loop reads 8 bytes/vector; TakeOrderedAndProject keeps k rows.",
+    "zorder_key": "Morton clustering key: bit interleaving as pure integer expressions inside codegen; sort by zkey before writing and parquet min/max row-group stats become selective for BOTH dimensions.",
 }
 
 
