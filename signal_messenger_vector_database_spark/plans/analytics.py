@@ -854,3 +854,60 @@ SPECS["assoc_rules"] = QuerySpec(
     _ASSOC_RULES_SQL,
     "association rules (support/confidence/lift) over per-user type sets",
 )
+
+
+def _markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next type | current type) with row-wise normalization — the
+    building block of next-event prediction and funnel drop-off modeling.
+    One shuffle+sort per user for the lag pairing (sequences are bounded
+    per user), then a vocabulary-sized aggregate; the normalizing row
+    sums are derived from the pair table itself, never a second corpus
+    pass (same trick as bigram_logprob)."""
+    from pyspark.sql.window import Window
+
+    from ..functions.text import portable_round
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("cur"),
+            F.col("event_type").alias("nxt"),
+        )
+        .filter(F.col("cur").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("cur").agg(F.sum("n").alias("row_n"))
+    return pairs.join(F.broadcast(totals), "cur").select(
+        "cur",
+        "nxt",
+        "n",
+        portable_round(F.col("n") / F.col("row_n"), 4).alias("p"),
+    )
+
+
+_MARKOV_SQL = """
+WITH seq AS (
+  SELECT user_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS cur,
+         event_type AS nxt
+  FROM events
+),
+pairs AS (
+  SELECT cur, nxt, COUNT(*) AS n FROM seq WHERE cur IS NOT NULL GROUP BY cur, nxt
+),
+totals AS (SELECT cur, SUM(n) AS row_n FROM pairs GROUP BY cur)
+SELECT cur, nxt, CAST(n AS BIGINT) AS n,
+       FLOOR((n * 1.0 / row_n) * 10000 + 0.5) / 10000 AS p
+FROM pairs JOIN totals USING (cur)
+"""
+
+
+SPECS["markov_transitions"] = QuerySpec(
+    _markov_transitions,
+    _MARKOV_SQL,
+    "first-order Markov transition matrix over per-user event sequences",
+)
