@@ -122,7 +122,7 @@ _WINDOW = [
 # embedding_neardup_lsh, kmeans_lloyd3, weighted_sample, mad_outliers,
 # zipf_fit, pagerank3, first_touch_attribution, range_partition_bounds,
 # incremental_new_docs, inverted_index, assoc_rules, deletion_audit,
-# table_stats, pq_encode, topk_pq_adc, zorder_key.
+# table_stats, pq_encode, topk_pq_adc, zorder_key, markov_transitions.
 # Next round: rotate ~50 of these into _WINDOW
 # (oldest-unchecked first), keeping no-oracle entries at the tail.
 
