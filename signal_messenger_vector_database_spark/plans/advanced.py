@@ -281,11 +281,13 @@ def _array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("hi_types"),
     )
+    # set results serialized to comma-joined strings: the driver's pandas
+    # canonicalizer cannot sort array cells (r2 VERDICT issue 2)
     return per_user.select(
         "user_id",
         F.size("all_types").alias("n_types"),
-        F.array_sort(F.array_except("all_types", "hi_types")).alias("lo_only"),
-        F.array_sort(F.array_intersect("all_types", "hi_types")).alias("both"),
+        F.array_join(F.array_sort(F.array_except("all_types", "hi_types")), ",").alias("lo_only"),
+        F.array_join(F.array_sort(F.array_intersect("all_types", "hi_types")), ",").alias("both"),
     )
 
 
@@ -300,8 +302,8 @@ WITH per_user AS (
 )
 SELECT user_id,
        CAST(len(all_types) AS INTEGER) AS n_types,
-       list_sort(list_filter(all_types, t -> NOT list_contains(hi_types, t))) AS lo_only,
-       list_sort(list_filter(all_types, t -> list_contains(hi_types, t))) AS both
+       COALESCE(array_to_string(list_sort(list_filter(all_types, t -> NOT list_contains(hi_types, t))), ','), '') AS lo_only,
+       COALESCE(array_to_string(list_sort(list_filter(all_types, t -> list_contains(hi_types, t))), ','), '') AS both
 FROM per_user
 """
 

@@ -11,10 +11,12 @@ edge key), partial-aggregate per destination, and the damping constant
 re-injects mass.  Per-iteration driver state is NOTHING (the rank table
 stays distributed); 3 pinned rounds unroll into the DuckDB oracle as
 chained CTEs, the same fixed-iteration pairing trick as
-``kmeans_lloyd3``.  At 100 TB the edge table is the fact: it shuffles
-once per round on dst — bucketing edges by dst amortizes that across
-rounds (noted in ARCHITECTURE.md), and convergence-driven stopping adds
-a driver-side delta probe like kmeans_fit's.
+``kmeans_lloyd3``.  At 100 TB the edge table is the fact, and
+``pagerank_rounds`` gates its physical strategy on node count: rank
+broadcast (edges never shuffle) while ranks fit an executor, else edges
+bucket ONCE on the src key and every round reuses that partitioning —
+only per-destination contribution partials cross the wire.  Convergence
+-driven stopping would add a driver-side delta probe like kmeans_fit's.
 """
 
 from __future__ import annotations
@@ -46,36 +48,92 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _edges(spark, sf_dir).persist()
+# Above this many nodes the O(nodes) rank table cannot be broadcast
+# (r2 VERDICT "What's wrong" item 3): ~50 bytes/row -> ~500 MB at 10M
+# nodes, already past a sane spark.sql.autoBroadcastJoinThreshold.  The
+# auto gate switches to the shuffle formulation beyond it.
+BROADCAST_NODE_LIMIT = 10_000_000
+
+
+def pagerank_rounds(edges: DataFrame, iters: int, mode: str = "auto",
+                    node_count: int | None = None) -> DataFrame:
+    """Damped PageRank over an ``(a, b)`` edge list, fixed ``iters`` rounds.
+
+    Two physical strategies with identical semantics:
+
+    - ``broadcast``: the O(nodes) rank table is broadcast into every
+      round; edges never shuffle at all.  Fastest while ranks fit in one
+      executor's memory — i.e. up to ~``BROADCAST_NODE_LIMIT`` nodes.
+    - ``shuffle``: edges are hash-partitioned ONCE by src key ``a`` and
+      persisted; each round the (small) rank table shuffles to that same
+      partitioning for a shuffle join, and only per-destination partial
+      sums cross the wire for the groupBy.  The edge table — the 100 TB
+      fact — never re-shuffles after the initial bucketing, so this is
+      the formulation that survives billions of nodes.
+    - ``auto``: picks by node count (counted if not supplied — one cheap
+      O(nodes) job, same class as kmeans_fit's convergence probes).
+    """
+    if mode == "auto":
+        n = node_count if node_count is not None else (
+            edges.select("a").distinct().count()
+        )
+        mode = "broadcast" if n <= BROADCAST_NODE_LIMIT else "shuffle"
+    if mode not in ("broadcast", "shuffle"):
+        raise ValueError(f"unknown pagerank mode: {mode}")
+
+    if mode == "shuffle":
+        edges = edges.repartition("a")
+    edges = edges.persist()
     deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).persist()
     n_nodes = deg.agg(F.count(F.lit(1)).alias("n"))
-    # ranks carry (deg, n) along; the rank table is O(nodes) small and
-    # BROADCAST into every round, so the big edge table never shuffles for
-    # the join — only partially-aggregated contributions cross the wire
-    rank = deg.crossJoin(F.broadcast(n_nodes)).select(
-        "a", "deg", (F.lit(1.0) / F.col("n")).alias("r"), "n"
-    )
-    for _ in range(_ITERS):
+    # the 1-row count frame is always broadcast — that is not the gated part
+    base = deg.crossJoin(F.broadcast(n_nodes))
+    rank = base.select("a", "deg", (F.lit(1.0) / F.col("n")).alias("r"), "n")
+
+    def _maybe_broadcast(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if mode == "broadcast" else df
+
+    for _ in range(iters):
         contrib = (
-            edges.join(F.broadcast(rank.select("a", "deg", "r")), "a")
+            edges.join(_maybe_broadcast(rank.select("a", "deg", "r")), "a")
             .groupBy(F.col("b").alias("a"))
             .agg(F.sum(F.col("r") / F.col("deg")).alias("mass"))
         )
-        rank = rank.select("a", "deg", "n").join(F.broadcast(contrib), "a", "left").select(
-            "a",
-            "deg",
-            (
-                (1.0 - _DAMP) / F.col("n")
-                + _DAMP * F.coalesce(F.col("mass"), F.lit(0.0))
-            ).alias("r"),
-            "n",
+        rank = (
+            rank.select("a", "deg", "n")
+            .join(_maybe_broadcast(contrib), "a", "left")
+            .select(
+                "a",
+                "deg",
+                (
+                    (1.0 - _DAMP) / F.col("n")
+                    + _DAMP * F.coalesce(F.col("mass"), F.lit(0.0))
+                ).alias("r"),
+                "n",
+            )
         )
+    return rank.select("a", "deg", "r")
+
+
+def _pagerank_top20(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
+    rank = pagerank_rounds(_edges(spark, sf_dir), _ITERS, mode=mode)
     return (
         rank.select(F.col("a").alias("node"), portable_round(F.col("r"), 8).alias("pr"))
         .orderBy(F.desc("pr"), "node")
         .limit(20)
     )
+
+
+def _pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fixture graph is tiny -> broadcast strategy (mode pinned, not auto,
+    # so the plan is deterministic for EXPLAIN/tests)
+    return _pagerank_top20(spark, sf_dir, "broadcast")
+
+
+def _pagerank3_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the billions-of-nodes formulation, oracle-paired against the SAME
+    # unrolled-CTE SQL: identical math, different physical strategy
+    return _pagerank_top20(spark, sf_dir, "shuffle")
 
 
 def _pagerank3_sql() -> str:
@@ -113,5 +171,10 @@ SPECS: dict[str, QuerySpec] = {
         _pagerank3,
         _pagerank3_sql(),
         "3-round PageRank over the supplier-customer graph, oracle-unrolled CTEs",
+    ),
+    "pagerank3_shuffle": QuerySpec(
+        _pagerank3_shuffle,
+        _pagerank3_sql(),
+        "same PageRank via the scale-safe shuffle-join strategy (edges bucket once on src)",
     ),
 }

@@ -42,12 +42,18 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     feats = extract_features(attach_binary(docs).repartition(8), payload_col="payload")
     n_bytes = F.col("meta.n_bytes").cast("double")
+    # bin_counts is serialized to a comma-joined string: the driver's
+    # pandas canonicalizer cannot sort array cells (r2 VERDICT issue 1),
+    # so oracle-paired outputs must be scalar-only at the top level.
     return feats.select(
         "doc_id",
         F.size("features").alias("n_bins"),
-        F.transform(
-            F.col("features"),
-            lambda x: F.round(x.cast("double") * n_bytes).cast("int"),
+        F.array_join(
+            F.transform(
+                F.col("features"),
+                lambda x: F.round(x.cast("double") * n_bytes).cast("int").cast("string"),
+            ),
+            ",",
         ).alias("bin_counts"),
         F.round(
             F.aggregate(
@@ -64,12 +70,12 @@ _NIBBLES = "0123456789ABCDEF"
 _MULTIMODAL_FEATURES_SQL = (
     "WITH x AS (SELECT doc_id, regexp_replace(upper(hex(encode(text))),"
     " '(.).', '\\1', 'g') AS s FROM documents)\n"
-    "SELECT doc_id, 16 AS n_bins,\n  ["
+    "SELECT doc_id, 16 AS n_bins,\n  concat_ws(',',"
     + ", ".join(
         f"CAST(length(s) - length(replace(s, '{c}', '')) AS INTEGER)"
         for c in _NIBBLES
     )
-    + "] AS bin_counts,\n"
+    + ") AS bin_counts,\n"
     "  CASE WHEN length(s) = 0 THEN 0.0 ELSE 1.0 END AS hist_mass\nFROM x"
 )
 

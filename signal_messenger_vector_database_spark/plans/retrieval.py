@@ -244,9 +244,15 @@ def _inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("df"),
             F.sum("tf").alias("total_tf"),
-            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 5).alias(
-                "top_postings"
-            ),
+            # comma-joined string, not array: driver canonicalizer
+            # cannot sort array cells (r2 VERDICT issue 2)
+            F.array_join(
+                F.transform(
+                    F.slice(F.sort_array(F.collect_list("doc_id")), 1, 5),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("top_postings"),
         )
         .filter(F.col("df") >= 10)
     )
@@ -261,7 +267,7 @@ WITH words AS (
 per_doc AS (SELECT term, doc_id, COUNT(*) AS tf FROM words GROUP BY term, doc_id)
 SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
        CAST(SUM(tf) AS BIGINT) AS total_tf,
-       (list(doc_id ORDER BY doc_id))[1:5] AS top_postings
+       array_to_string((list(doc_id ORDER BY doc_id))[1:5], ',') AS top_postings
 FROM per_doc
 GROUP BY term
 HAVING COUNT(*) >= 10

@@ -608,9 +608,14 @@ def _feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("m"),
         F.sum("c").alias("n_words"),
     )
-    dense = F.transform(
-        F.sequence(F.lit(0), F.lit(_FH_DIM - 1)),
-        lambda i: F.coalesce(F.element_at("m", i.cast("int")), F.lit(0)),
+    # comma-joined string, not array<int>: driver canonicalizer cannot
+    # sort array cells (r2 ADVICE item 1)
+    dense = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_FH_DIM - 1)),
+            lambda i: F.coalesce(F.element_at("m", i.cast("int")), F.lit(0)).cast("string"),
+        ),
+        ",",
     )
     return pairs.select("doc_id", F.col("n_words").cast("long").alias("n_words"), dense.alias("features"))
 
@@ -633,8 +638,8 @@ m AS (
   FROM slots GROUP BY doc_id
 )
 SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
-       list_transform(generate_series(0, {_FH_DIM - 1}),
-         i -> CAST(COALESCE(map_extract(mp, i)[1], 0) AS INTEGER)) AS features
+       array_to_string(list_transform(generate_series(0, {_FH_DIM - 1}),
+         i -> CAST(COALESCE(map_extract(mp, i)[1], 0) AS INTEGER)), ',') AS features
 FROM m
 """
 

@@ -188,10 +188,14 @@ def _embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # its rounded form — otherwise Spark's lateral-column-alias resolution
     # binds the recon expression to the ROUNDED scale and skews the MSE.
     qd = qd.withColumn("recon_raw", recon_err)
+    # qvec serialized to a comma-joined string: driver canonicalizer
+    # cannot sort array cells (r2 VERDICT issue 1)
     return qd.select(
         "vec_id",
         portable_round(F.col("qscale"), 6).alias("qscale"),
-        F.col("q").alias("qvec"),
+        F.array_join(
+            F.transform(F.col("q"), lambda x: x.cast("string")), ","
+        ).alias("qvec"),
         portable_round(F.col("recon_raw"), 10).alias("recon_mse"),
     )
 
@@ -206,7 +210,7 @@ WITH qd AS (
 )
 SELECT vec_id,
        FLOOR(qscale * 1000000 + 0.5) / 1000000 AS qscale,
-       q AS qvec,
+       array_to_string(q, ',') AS qvec,
        FLOOR(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(v)),
              i -> (v[i] - q[i] * qscale) ^ 2)), (acc, x) -> acc + x) / len(v) * 10000000000 + 0.5) / 10000000000 AS recon_mse
 FROM qd

@@ -282,3 +282,57 @@ def test_zorder_key_roundtrips_both_dimensions(spark):
         b = sum(((z >> (2 * i + 1)) & 1) << i for i in range(8))
         assert a == r["l_partkey"] % 256
         assert b == r["l_suppkey"] % 256
+
+
+def test_pagerank_shuffle_mode_buckets_edges_once(spark):
+    """The scale-safe PageRank strategy (r2 VERDICT issue 3): edges are
+    hash-partitioned ONCE by src key (`REPARTITION_BY_COL`) and every
+    round's rank join reuses that partitioning — the plan must contain NO
+    planner-inserted (`ENSURE_REQUIREMENTS`) exchange on the src key and
+    no broadcast of the O(nodes) rank table.  Per round, only the
+    per-destination contribution partial sums cross the wire."""
+    import re
+
+    from signal_messenger_vector_database_spark.plans.graph import (
+        _edges,
+        pagerank_rounds,
+    )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    adaptive = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        iters = 2
+        plan = _plan(pagerank_rounds(_edges(spark, SF), iters, mode="shuffle"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.adaptive.enabled", adaptive)
+
+    # the rank table is never broadcast (only the 1-row node-count frame
+    # rides a BroadcastNestedLoopJoin cross join)
+    assert "BroadcastHashJoin" not in plan, plan[:3000]
+    # edges bucketed exactly once on the src key, by us
+    assert "REPARTITION_BY_COL" in plan, plan[:3000]
+    # no round re-shuffles on the src key: every hashpartitioning(a...)
+    # exchange is the explicit bucketing, never planner-inserted
+    assert not re.search(
+        r"hashpartitioning\(a#\d+, \d+\), ENSURE_REQUIREMENTS", plan
+    ), plan[:3000]
+    # exactly one contribution shuffle (dst key) per round
+    assert (
+        len(re.findall(r"hashpartitioning\(b#\d+, \d+\), ENSURE_REQUIREMENTS", plan))
+        == iters
+    ), plan[:3000]
+
+
+def test_pagerank_auto_gate_picks_strategy(spark):
+    """`mode='auto'` must gate on node count: tiny graph -> broadcast,
+    above BROADCAST_NODE_LIMIT -> shuffle (checked by passing the count)."""
+    from signal_messenger_vector_database_spark.plans import graph as G
+
+    edges = G._edges(spark, SF)
+    small = G.pagerank_rounds(edges, 1, mode="auto", node_count=100)
+    big = G.pagerank_rounds(edges, 1, mode="auto", node_count=G.BROADCAST_NODE_LIMIT + 1)
+    # broadcast mode hints the rank join; shuffle mode must not
+    assert "REPARTITION_BY_COL" not in _plan(small)
+    assert "REPARTITION_BY_COL" in _plan(big)

@@ -270,5 +270,5 @@ def test_inverted_index_invariants(spark):
     for r in rows:
         assert r["df"] >= 10
         assert r["total_tf"] >= r["df"]  # tf >= 1 per posting
-        p = r["top_postings"]
+        p = [int(x) for x in r["top_postings"].split(",")]
         assert 1 <= len(p) <= 5 and p == sorted(p)

@@ -74,6 +74,8 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
     failures = []
     for name in names:
         t0 = time.time()
@@ -86,7 +88,25 @@ def main():
             if len(srows) == 0:
                 failures.append((name, "zero rows on rows-only query"))
             continue
-        cur = con.execute(oracles[name])
+        # Comparator parity with the driver (r2 VERDICT issue 1): the
+        # driver canonicalizes via pandas sort_values, which throws
+        # "unhashable type" on array/map/struct cells.  Reject non-scalar
+        # top-level columns here so the class surfaces BEFORE a driver
+        # window slot is burned on it.
+        bad_cols = [
+            f.name
+            for f in sdf.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad_cols:
+            status_bits.append(
+                f"NONSCALAR driver-incompatible array/struct columns: {bad_cols}"
+            )
+        # Oracles may embed absolute fixture paths (binaryfile_scan); the
+        # driver always runs sf0.01, but local sweeps at other SFs must
+        # retarget them (r2 ADVICE item 5).
+        osql = oracles[name].replace("/root/testdata/sf0.01", sf_dir.rstrip("/"))
+        cur = con.execute(osql)
         ocols = [d[0] for d in cur.description]
         orows = cur.fetchall()
         if sorted(scols) != sorted(ocols):
