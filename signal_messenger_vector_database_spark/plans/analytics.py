@@ -729,9 +729,12 @@ def _first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "purchase")
     )
+    # event_id tie-break (r2 ADVICE item 4): with duplicate (user_id, ts)
+    # rows, last(..., ignorenulls) over a ts-only ordering is
+    # nondeterministic in both engines
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
@@ -764,10 +767,10 @@ _FIRST_TOUCH_SQL = """
 WITH tagged AS (
   SELECT user_id, ts, event_id, event_type,
          last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
-           OVER (PARTITION BY user_id ORDER BY ts
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id,
          last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
-           OVER (PARTITION BY user_id ORDER BY ts
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
   FROM events
   WHERE event_type IN ('click', 'purchase')

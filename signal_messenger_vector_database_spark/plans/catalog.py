@@ -41,90 +41,81 @@ _MODULES = (
     "graph",
 )
 
-# Round-2 verification window: previously-unverified oracle-paired queries
-# (TPC-H shapes first — they anchor the OLAP claim), the two entries whose
-# oracles are new this round (binaryfile_scan, multimodal_features), and
-# the MLlib LSH/ANN trio VERDICT task 6 asked to move in-window.
+# Round-3 verification window: the rotation queue pinned at the end of
+# round 2, oldest-unchecked first, plus (a) multimodal_features — its r2
+# row failed on OUTPUT SHAPE (array column vs the harness canonicalizer),
+# re-checked here after flattening, (b) the r2-VERDICT must-haves pulled
+# forward from deeper in the queue: inverted_index (task 1 reshape),
+# pagerank3 + the new pagerank3_shuffle (task 3), markov_transitions
+# (task 4 streaming family), and (c) the four other reshaped-output
+# queries (array_set_ops, feature_hashing, embedding_quantize_int8 are
+# already in queue order; multimodal_frames is task 7).
 _WINDOW = [
-    # TPC-H shapes (plans/tpch.py) — all unchecked in round 1
-    "q2_min_price",
-    "q3_shipping_priority",
-    "q4_priority_exists",
-    "q5_local_supplier",
-    "q6_revenue_delta",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_nation_profit",
-    "q10_returned_items",
-    "q11_value_share",
-    "q13_order_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q19_bracket_revenue",
-    "q22_dormant_customers",
-    # OLAP / window family (plans/olap.py)
-    "rollup_agg",
-    "cube_agg",
-    "grouping_sets_agg",
-    "pivot_counts",
-    "unpivot_metrics",
-    "running_window",
-    "rank_family",
-    "window_range_frame",
-    "percentile_summary",
-    "sessionize",
-    "event_funnel",
-    "retention_cohorts",
-    "user_trend",
-    "date_spine_fill",
-    "locf_fill",
-    "semi_anti_join",
-    "correlated_subquery",
-    "nullsafe_join",
-    # training-data prep (plans/traindata.py)
-    "stratified_sample",
-    "pii_redact",
-    "dedup_keep_first",
-    "train_test_split",
-    "token_packing",
-    "repetition_score",
-    "tfidf_top_terms",
-    # vector ops (plans/vectorops.py)
-    "embedding_centroids",
-    "kmeans_assign",
-    # newly oracle-paired this round
-    "binaryfile_scan",
+    "tokenize_cl100k",
+    "asof_join",
+    "interval_join",
+    "json_props",
+    "variant_props",
+    "hex_project",
+    "dense_ids",
+    "array_set_ops",
+    "explode_outer_words",
+    "chunk_udtf",
+    "chunk_strict_reference",
+    "skew_salted_join",
+    "upsert_latest",
+    "price_histogram",
+    "csv_roundtrip",
+    "jsonl_roundtrip",
+    "orc_roundtrip",
+    "bm25_topk",
+    "hybrid_rrf",
+    "decontaminate",
+    "embedding_quantize_int8",
+    "topk_cosine_int8",
+    "scd2_intervals",
+    "domain_mixture",
+    "hll_distinct",
+    "bloom_membership",
+    "cms_heavy_hitters",
+    "stream_sessionize",
+    "multimodal_frames",
+    "sql_interface",
+    "per_group_sample",
+    "length_buckets",
+    "schema_evolution",
+    "minhash_jaccard_estimate",
+    "feature_hashing",
+    "mime_sniff",
+    "bigram_logprob",
+    "ewma_per_user",
+    "ols_regression",
+    "zscore_outliers",
+    "cumulative_distinct",
+    "dq_audit",
+    "collocations_pmi",
+    "fuzzy_dedup_edit",
+    "interval_join_binned",
+    # pulled forward (see header note)
     "multimodal_features",
-    # MLlib LSH / ANN (plans/mllib_lsh.py) — VERDICT task 6
-    "ann_point_query",
-    "brp_lsh_neighbors",
-    "minhash_lsh_mllib",
+    "inverted_index",
+    "pagerank3",
+    "pagerank3_shuffle",
+    "markov_transitions",
 ]
 
 
-# Round-3 rotation queue (locally verified, not yet driver-checked —
-# see COVERAGE.md "Verification ledger"): tokenize_cl100k, asof_join,
-# interval_join, json_props, variant_props, hex_project, dense_ids,
-# array_set_ops, explode_outer_words, chunk_udtf, chunk_strict_reference,
-# skew_salted_join, upsert_latest, price_histogram, csv_roundtrip,
-# jsonl_roundtrip, orc_roundtrip, bm25_topk, hybrid_rrf, decontaminate,
-# embedding_quantize_int8, topk_cosine_int8, scd2_intervals,
-# domain_mixture, hll_distinct, bloom_membership, cms_heavy_hitters,
-# stream_sessionize, multimodal_frames, sql_interface, per_group_sample,
-# length_buckets, schema_evolution, minhash_jaccard_estimate,
-# feature_hashing, mime_sniff, bigram_logprob, ewma_per_user,
-# and the late-round-2 batch: ols_regression, zscore_outliers,
-# cumulative_distinct, dq_audit, collocations_pmi, fuzzy_dedup_edit,
-# interval_join_binned, embedding_covariance, random_projection,
-# embedding_neardup_lsh, kmeans_lloyd3, weighted_sample, mad_outliers,
-# zipf_fit, pagerank3, first_touch_attribution, range_partition_bounds,
-# incremental_new_docs, inverted_index, assoc_rules, deletion_audit,
-# table_stats, pq_encode, topk_pq_adc, zorder_key, markov_transitions.
-# Next round: rotate ~50 of these into _WINDOW
-# (oldest-unchecked first), keeping no-oracle entries at the tail.
+# Round-4 rotation queue — the COMPLETE remaining tail of oracle-paired
+# queries without a driver CORRECTNESS row after round 3 (16 entries,
+# fits in one window; pre-committed per r2 VERDICT task 6 so no query
+# ships driver-unverified by round 4):
+#   embedding_covariance, random_projection, embedding_neardup_lsh,
+#   kmeans_lloyd3, weighted_sample, mad_outliers, zipf_fit,
+#   first_touch_attribution, range_partition_bounds, incremental_new_docs,
+#   assoc_rules, deletion_audit, table_stats, pq_encode, topk_pq_adc,
+#   zorder_key,
+# plus any queries newly added during round 3 (append them to this list
+# as they land, newest last), with no-oracle entries at the tail.
 
 
 def all_specs() -> dict[str, QuerySpec]:

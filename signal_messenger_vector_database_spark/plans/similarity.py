@@ -235,12 +235,17 @@ WHERE ROUND({_cos_ab}, 4) >= {_NEARDUP_THRESHOLD}
 
 
 def _embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..schemas import FIXTURE_EMBEDDING_DIM
+
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
-    return lsh_cosine_pairs(emb, threshold=_NEARDUP_THRESHOLD, dim=dim)
+    # dim from the fixture constant, not a first() probe: the plan must
+    # build without running a job (r2 VERDICT task 8)
+    return lsh_cosine_pairs(
+        emb, threshold=_NEARDUP_THRESHOLD, dim=FIXTURE_EMBEDDING_DIM
+    )
 
 
-def _embedding_neardup_lsh_sql(dim: int = 64, n_planes: int = 4, n_tables: int = 4) -> str:
+def _embedding_neardup_lsh_sql(dim: int | None = None, n_planes: int = 4, n_tables: int = 4) -> str:
     """DuckDB twin of ``lsh_cosine_pairs``: the hyperplanes are
     DETERMINISTIC (shake_256 of "hyperplane-{table}-{plane}",
     operators/ann.py::hyperplane_bucket), so the oracle bakes the exact
@@ -249,6 +254,10 @@ def _embedding_neardup_lsh_sql(dim: int = 64, n_planes: int = 4, n_tables: int =
     noise is ~1e-16, so the sign bits — and therefore the candidate set —
     agree exactly."""
     from ..operators.embed import HashEmbedder
+    from ..schemas import FIXTURE_EMBEDDING_DIM
+
+    if dim is None:
+        dim = FIXTURE_EMBEDDING_DIM
 
     tables = []
     for t in range(n_tables):

@@ -229,11 +229,19 @@ SPECS: dict[str, QuerySpec] = {
 
 
 def _tokenize_cl100k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.bpe import bpe_token_count_column
+    from ..functions.bpe import MINI_BPE_PATH, bpe_token_count_column
 
     docs = load_table(spark, sf_dir, "documents")
+    # The CATALOG entry pins the vendored mini vocabulary explicitly: its
+    # oracle is a snapshot precomputed from that exact vocab, so letting
+    # $SMVD_TIKTOKEN_FILE retarget the UDF (but not the snapshot) would
+    # produce spurious mismatches (r2 ADVICE item 5).  The env-var seam
+    # stays the production path; env-gated tests exercise it.
     return docs.select(
-        "doc_id", bpe_token_count_column(F.col("text")).alias("n_tokens")
+        "doc_id",
+        bpe_token_count_column(F.col("text"), ranks_path=MINI_BPE_PATH).alias(
+            "n_tokens"
+        ),
     )
 
 

@@ -30,6 +30,10 @@ from pyspark.sql.types import (
 # (the reference hardcodes VECTOR(768) for nomic-embed-text,
 # src/rag/sqlx.rs:42; the driver fixtures use 64-d).
 DEFAULT_EMBEDDING_DIM = 768
+# Dimensionality of /root/testdata/*/embeddings.parquet (TESTDATA.md).
+# Plan builders read THIS, never the data: a query must construct without
+# touching rows (r2 VERDICT task 8).
+FIXTURE_EMBEDDING_DIM = 64
 
 EMBEDDINGS_SCHEMA = StructType(
     [

@@ -75,7 +75,7 @@ def test_quantize_error_bounded_by_half_scale(spark):
     assert rows
     for r in rows:
         assert r.recon_mse <= (r.qscale**2) / 4 + 1e-12
-        assert all(-127 <= q <= 127 for q in r.qvec)
+        assert all(-127 <= int(q) <= 127 for q in r.qvec.split(","))
 
 
 def test_bm25_returns_docs_containing_query_terms(spark):

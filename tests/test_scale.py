@@ -298,6 +298,10 @@ def test_pagerank_shuffle_mode_buckets_edges_once(spark):
         pagerank_rounds,
     )
 
+    # a prior broadcast-mode run may have cached edges/deg; their cached
+    # lineages print inside InMemoryRelation and would false-positive the
+    # exchange regexes below
+    spark.catalog.clearCache()
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     adaptive = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
