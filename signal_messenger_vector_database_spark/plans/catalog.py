@@ -114,8 +114,11 @@ _WINDOW = [
 #   first_touch_attribution, range_partition_bounds, incremental_new_docs,
 #   assoc_rules, deletion_audit, table_stats, pq_encode, topk_pq_adc,
 #   zorder_key,
-# plus any queries newly added during round 3 (append them to this list
-# as they land, newest last), with no-oracle entries at the tail.
+# plus the queries newly added during round 3 (locally green, appended
+# newest last):
+#   triangle_count, bfs_khops, chunk_overlap, cusum_drift,
+#   sorted_neighborhood, shingle_containment,
+# with no-oracle entries at the tail.  22 entries total — one window.
 
 
 def all_specs() -> dict[str, QuerySpec]:

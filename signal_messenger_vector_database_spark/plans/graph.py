@@ -178,3 +178,150 @@ SPECS: dict[str, QuerySpec] = {
         "same PageRank via the scale-safe shuffle-join strategy (edges bucket once on src)",
     ),
 }
+
+
+# --- triangle counting (degree-oriented) ---------------------------------
+# The part co-order graph: an undirected edge per distinct part pair that
+# appears in the same order.  Counting closed triangles via the
+# DEGREE-ORIENTED wedge join — every edge is directed from its
+# (degree, id)-smaller endpoint to the larger, wedges are enumerated only
+# from each node's outgoing edges, and a triangle is counted exactly once
+# where its wedge closes.  This is the formulation that survives skew:
+# out-degree under degree orientation is bounded by O(sqrt(m)) regardless
+# of how hot a hub node is, while the naive triple-join explodes on the
+# hub.  Three equi-joins, no theta join anywhere.
+
+
+def _co_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    x = li.alias("x")
+    y = li.alias("y")
+    return (
+        x.join(y, F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .distinct()
+    )
+
+
+def _triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _co_order_edges(spark, sf_dir).persist()
+    deg = (
+        edges.select(F.col("a").alias("n"))
+        .union(edges.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient each edge from (deg, id)-smaller to larger endpoint
+    da = deg.select(F.col("n").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("deg").alias("db"))
+    ed = edges.join(da, "a").join(db, "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("da")).otherwise(F.col("db")).alias("dsrc"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("ddst"),
+    ).persist()
+    # wedges from each node's out-edges; canonicalize the closing pair in
+    # the SAME (deg, id) orientation order so it can equi-join out-edges
+    w = oriented.alias("p").join(oriented.alias("q"), F.col("p.src") == F.col("q.src"))
+    v_first = (F.col("p.ddst") < F.col("q.ddst")) | (
+        (F.col("p.ddst") == F.col("q.ddst")) & (F.col("p.dst") < F.col("q.dst"))
+    )
+    wedges = w.filter(F.col("p.dst") != F.col("q.dst")).select(
+        F.when(v_first, F.col("p.dst")).otherwise(F.col("q.dst")).alias("src"),
+        F.when(v_first, F.col("q.dst")).otherwise(F.col("p.dst")).alias("dst"),
+    )
+    closed = wedges.join(oriented.select("src", "dst"), ["src", "dst"])
+    # each unordered wedge appears twice in the p x q self-join
+    return closed.agg((F.count(F.lit(1)) / 2).cast("long").alias("n_triangles"))
+
+
+_TRIANGLE_COUNT_SQL = """
+WITH e AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+  WHERE x.l_partkey < y.l_partkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.a = e1.b
+JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
+SPECS["triangle_count"] = QuerySpec(
+    _triangle_count,
+    _TRIANGLE_COUNT_SQL,
+    "degree-oriented triangle count over the part co-order graph",
+)
+
+
+# --- k-hop BFS -----------------------------------------------------------
+# Frontier-expansion BFS, the other canonical iterative-graph primitive:
+# per round, the CURRENT frontier (nodes first reached last round — not
+# the whole visited set) equi-joins the edge fact, newly reached nodes
+# get hops = k.  The frontier is the only thing that moves; at 100 TB the
+# join side is a small frontier against src-bucketed edges, identical
+# physical shape to ``pagerank_rounds(mode='shuffle')``.  Fixed 3 rounds
+# unroll into the oracle's chained CTEs.
+
+_BFS_SRC = "s1"
+_BFS_HOPS = 3
+
+
+def _bfs_khops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _edges(spark, sf_dir).persist()
+    dist = edges.sparkSession.createDataFrame(
+        [(_BFS_SRC, 0)], "node string, hops int"
+    )
+    frontier = dist
+    for k in range(1, _BFS_HOPS + 1):
+        reached = (
+            edges.join(
+                frontier.select(F.col("node").alias("a")), "a"
+            )
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .withColumn("hops", F.lit(k))
+        )
+        # new frontier: reached nodes not already visited
+        frontier = reached.join(dist.select("node"), "node", "left_anti")
+        dist = dist.union(frontier)
+    return dist.orderBy("hops", "node")
+
+
+def _bfs_khops_sql() -> str:
+    cte = """
+d{k} AS (
+  SELECT node, MIN(hops) AS hops FROM (
+    SELECT node, hops FROM d{prev}
+    UNION ALL
+    SELECT e.b AS node, {k} AS hops
+    FROM edges e JOIN d{prev} p ON e.a = p.node
+  ) GROUP BY node
+)"""
+    rounds = "".join("," + cte.format(k=k, prev=k - 1) for k in range(1, _BFS_HOPS + 1))
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT 's' || l_suppkey AS a, 'c' || o_custkey AS b
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+d0 AS (SELECT '{_BFS_SRC}' AS node, 0 AS hops){rounds}
+SELECT node, CAST(hops AS INTEGER) AS hops
+FROM d{_BFS_HOPS}
+ORDER BY hops, node
+"""
+
+
+SPECS["bfs_khops"] = QuerySpec(
+    _bfs_khops,
+    _bfs_khops_sql(),
+    f"{_BFS_HOPS}-hop BFS from {_BFS_SRC}: frontier-expansion rounds, unrolled-CTE oracle",
+)

@@ -594,3 +594,144 @@ SPECS["fuzzy_dedup_edit"] = QuerySpec(
     _FUZZY_DEDUP_EDIT_SQL,
     "edit-distance near-dup pairs: (token, length-band) blocking + levenshtein verify",
 )
+
+
+# --- sorted-neighborhood blocking ----------------------------------------
+# The third classic candidate-generation family next to token blocking
+# (``fuzzy_dedup_edit``) and LSH: sort records by a key, compare each
+# record only to its w nearest neighbors in sort order.  Distributed
+# shape: the sort key's PREFIX partitions the data (a window per prefix
+# block, parallel across blocks — never one global-ordered task), the
+# rank self-join is an equi-join on the block with a bounded rank delta,
+# and levenshtein runs only on the w*n candidates.  Prefix blocks can be
+# hot only if many docs share a 2-char prefix; the bounded window keeps
+# per-block work linear in block size either way.
+
+_SN_WINDOW = 3
+
+
+def _sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _augmented_docs(load_table(spark, sf_dir, "documents"))
+    key = F.lower(F.trim(F.coalesce(F.col("text"), F.lit(""))))
+    d = docs.select(
+        "doc_id",
+        F.substring(key, 1, 2).alias("blk"),
+        F.substring(key, 1, 40).alias("k40"),
+    )
+    rn = F.row_number().over(Window.partitionBy("blk").orderBy("k40", "doc_id"))
+    ranked = d.withColumn("rn", rn).persist()
+    x, y = ranked.alias("x"), ranked.alias("y")
+    cand = x.join(
+        y,
+        (F.col("x.blk") == F.col("y.blk"))
+        & (F.col("y.rn") > F.col("x.rn"))
+        & (F.col("y.rn") <= F.col("x.rn") + _SN_WINDOW),
+    )
+    return (
+        cand.select(
+            F.col("x.doc_id").alias("id_a"),
+            F.col("y.doc_id").alias("id_b"),
+            F.levenshtein(F.col("x.k40"), F.col("y.k40")).alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 5)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "edit_dist",
+        )
+    )
+
+
+_SORTED_NEIGHBORHOOD_SQL = f"""
+WITH aug AS ({_SQL_AUGMENTED_DOCS}),
+d AS (
+  SELECT doc_id,
+         substring(lower(trim(COALESCE(text, ''))), 1, 2) AS blk,
+         substring(lower(trim(COALESCE(text, ''))), 1, 40) AS k40
+  FROM aug
+),
+ranked AS (
+  SELECT doc_id, blk, k40,
+         ROW_NUMBER() OVER (PARTITION BY blk ORDER BY k40, doc_id) AS rn
+  FROM d
+),
+cand AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+         levenshtein(x.k40, y.k40) AS edit_dist
+  FROM ranked x JOIN ranked y
+    ON x.blk = y.blk AND y.rn > x.rn AND y.rn <= x.rn + {_SN_WINDOW}
+)
+SELECT least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b,
+       CAST(edit_dist AS INTEGER) AS edit_dist
+FROM cand WHERE edit_dist <= 5
+"""
+
+SPECS["sorted_neighborhood"] = QuerySpec(
+    _sorted_neighborhood,
+    _SORTED_NEIGHBORHOOD_SQL,
+    f"sorted-neighborhood dedup blocking (prefix blocks, window w={_SN_WINDOW}) + levenshtein verify",
+)
+
+
+# --- shingle containment (asymmetric near-dup) ---------------------------
+# Containment C(A->B) = |A ∩ B| / |A| catches SUBSET duplication that
+# symmetric Jaccard misses: a doc wholly contained in a longer one scores
+# low Jaccard but containment ~1.  Candidate generation is the same
+# shingle-key equi-join as exact Jaccard (any pair with C >= t shares a
+# shingle), so nothing quadratic forms; sizes join back by id.
+
+_CONTAINMENT_T = 0.8
+
+
+def _shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import portable_round
+    from ..operators.dedup import shingle_rows
+
+    docs = _augmented_docs(load_table(spark, sf_dir, "documents"))
+    sh = shingle_rows(docs, "doc_id", "text").persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x, y = sh.alias("x"), sh.alias("y")
+    inter = (
+        x.join(y, "shingle")
+        .filter(F.col("x.doc_id") != F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    return (
+        inter.join(na, "id_a")
+        .withColumn("containment", F.col("inter") / F.col("na"))
+        .filter(F.col("containment") >= _CONTAINMENT_T)
+        .select(
+            "id_a",
+            "id_b",
+            portable_round(F.col("containment"), 4).alias("containment"),
+        )
+    )
+
+
+_SHINGLE_CONTAINMENT_SQL = f"""
+WITH aug AS ({_SQL_AUGMENTED_DOCS}),
+t AS ({_sql_shingle_cte(table='aug')}),
+posting AS (SELECT doc_id, unnest(shingles) AS s FROM t),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM posting GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM posting a JOIN posting b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       floor((CAST(inter AS DOUBLE) / na.n) * 10000.0 + 0.5) / 10000.0 AS containment
+FROM inter JOIN sizes na ON id_a = na.doc_id
+WHERE CAST(inter AS DOUBLE) / na.n >= {_CONTAINMENT_T}
+"""
+
+SPECS["shingle_containment"] = QuerySpec(
+    _shingle_containment,
+    _SHINGLE_CONTAINMENT_SQL,
+    f"asymmetric containment near-dup (C(A->B) >= {_CONTAINMENT_T}) via shingle equi-join",
+)

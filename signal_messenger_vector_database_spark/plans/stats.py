@@ -511,3 +511,85 @@ SPECS["table_stats"] = QuerySpec(
     _TABLE_STATS_SQL,
     "ANALYZE-style per-column stats (rows/NDV/nulls/min/max) in one scan each",
 )
+
+
+# --- CUSUM drift detection -----------------------------------------------
+# Sequential change-point statistic per user: S+ accumulates positive
+# deviations of `value` from the GLOBAL mean (slack k), alarms when S+
+# exceeds h.  The recursive fold max(0, S + z - k) is rewritten via the
+# classic prefix-sum identity  S_i = P_i - min(0, min_{j<=i} P_j)  with
+# P_i the running sum of (z - k) — which turns an unexpressible recursion
+# into two plain running windows per user.  That is ALSO the scalable
+# shape: no per-user array gather, state is the window frame only, and
+# the per-user partitions parallelize across the key space.  The
+# centering mean is an exact DECIMAL sum / count so both engines subtract
+# the identical constant; the windows then execute identical FP operand
+# sequences, so values match bit-for-bit before the final rounding.
+
+_CUSUM_K = 25.0   # slack per step, in raw value units
+_CUSUM_H = 200.0  # alarm threshold
+
+
+def _cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    mu = events.agg(
+        (
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = F.sum(F.col("value") - F.col("mu") - F.lit(_CUSUM_K)).over(w)
+    stepped = (
+        events.crossJoin(F.broadcast(mu))
+        .withColumn("p", p)
+        .withColumn("s", F.col("p") - F.least(F.lit(0.0), F.min("p").over(w)))
+    )
+    return (
+        stepped.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            portable_round(F.max("s"), 4).alias("cusum_max"),
+            F.sum(F.when(F.col("s") > _CUSUM_H, 1).otherwise(0))
+            .cast("int")
+            .alias("n_alarms"),
+        )
+        .filter(F.col("cusum_max") > 0)
+    )
+
+
+_CUSUM_SQL = f"""
+WITH mu AS (
+  SELECT CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS mu
+  FROM events
+),
+p AS (
+  SELECT user_id, ts, event_id,
+         SUM(value - mu - {_CUSUM_K}) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM events, mu
+),
+s AS (
+  SELECT user_id,
+         p - least(0.0::DOUBLE, MIN(p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+  FROM p
+)
+SELECT user_id, CAST(COUNT(*) AS INTEGER) AS n_events,
+       floor(MAX(s) * 10000.0 + 0.5) / 10000.0 AS cusum_max,
+       CAST(SUM(CASE WHEN s > {_CUSUM_H} THEN 1 ELSE 0 END) AS INTEGER) AS n_alarms
+FROM s GROUP BY user_id
+HAVING floor(MAX(s) * 10000.0 + 0.5) / 10000.0 > 0
+"""
+
+SPECS["cusum_drift"] = QuerySpec(
+    _cusum_drift,
+    _CUSUM_SQL,
+    f"per-user CUSUM drift statistic (k={_CUSUM_K}, h={_CUSUM_H}) via the prefix-sum identity, pure windows",
+)

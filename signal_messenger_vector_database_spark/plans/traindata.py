@@ -705,3 +705,65 @@ SPECS["incremental_new_docs"] = QuerySpec(
     _INCREMENTAL_NEW_DOCS_SQL,
     "incremental ingest: fingerprint anti-membership vs the historical corpus",
 )
+
+
+# --- overlapping sliding-window chunking ---------------------------------
+# The RAG-style complement of the reference's disjoint fixed-size chunker
+# (src/rag/dataframes.rs chunking, operators/chunking.py): windows of
+# _OVL_SIZE words starting every _OVL_STRIDE words, so consecutive chunks
+# share (size - stride) words of context.  Pure JVM: split once, explode
+# a start-position sequence, slice — one narrow pass, no Python, no
+# shuffle at all (chunk rows stay with their document's partition).
+
+_OVL_SIZE = 32
+_OVL_STRIDE = 24
+
+
+def _chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(
+        F.regexp_replace(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " "),
+        " ",
+    )
+    d = docs.select("doc_id", words.alias("ws")).filter(
+        (F.size("ws") > 0) & (F.element_at("ws", 1) != "")
+    )
+    d = d.select(
+        "doc_id",
+        "ws",
+        F.explode(
+            F.sequence(F.lit(0), F.size("ws") - 1, F.lit(_OVL_STRIDE))
+        ).alias("start"),
+    )
+    chunk = F.slice("ws", F.col("start") + 1, _OVL_SIZE)
+    return d.select(
+        "doc_id",
+        (F.col("start") / _OVL_STRIDE).cast("int").alias("chunk_id"),
+        F.size(chunk).alias("n_words"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+_CHUNK_OVERLAP_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(COALESCE(text, '')), '\\s+', ' ', 'g'), ' ') AS ws
+  FROM documents
+),
+s AS (
+  SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 1, {_OVL_STRIDE})) AS start
+  FROM d
+  WHERE len(ws) > 0 AND ws[1] <> ''
+)
+SELECT doc_id,
+       CAST(start // {_OVL_STRIDE} AS INTEGER) AS chunk_id,
+       CAST(len(ws[start + 1 : start + {_OVL_SIZE}]) AS INTEGER) AS n_words,
+       array_to_string(ws[start + 1 : start + {_OVL_SIZE}], ' ') AS chunk_text
+FROM s
+"""
+
+SPECS["chunk_overlap"] = QuerySpec(
+    _chunk_overlap,
+    _CHUNK_OVERLAP_SQL,
+    f"sliding-window chunking: {_OVL_SIZE}-word windows every {_OVL_STRIDE} words (overlap {_OVL_SIZE - _OVL_STRIDE})",
+)
