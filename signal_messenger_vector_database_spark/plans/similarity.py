@@ -690,7 +690,18 @@ def _shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import shingle_rows
 
     docs = _augmented_docs(load_table(spark, sf_dir, "documents"))
-    sh = shingle_rows(docs, "doc_id", "text").persist()
+    raw = shingle_rows(docs, "doc_id", "text")
+    # stop-shingle projection, same as ngram_jaccard (_NGRAM_MAX_DF): the
+    # equi-join's cost is sum(df^2) over shingles, so corpus-hot shingles
+    # dominate it quadratically while carrying no dedup signal.
+    # Containment is computed IN THE PROJECTED SPACE (sizes too), so the
+    # planted-superset property is preserved exactly.
+    df_counts = raw.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sh = raw.join(
+        F.broadcast(df_counts.filter(F.col("df") > _NGRAM_MAX_DF)),
+        "shingle",
+        "left_anti",
+    ).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     x, y = sh.alias("x"), sh.alias("y")
     inter = (
@@ -717,7 +728,10 @@ def _shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHINGLE_CONTAINMENT_SQL = f"""
 WITH aug AS ({_SQL_AUGMENTED_DOCS}),
 t AS ({_sql_shingle_cte(table='aug')}),
-posting AS (SELECT doc_id, unnest(shingles) AS s FROM t),
+posting0 AS (SELECT doc_id, unnest(shingles) AS s FROM t),
+freq AS (SELECT s, COUNT(*) AS df FROM posting0 GROUP BY s),
+posting AS (SELECT p.doc_id, p.s FROM posting0 p JOIN freq USING (s)
+            WHERE freq.df <= {_NGRAM_MAX_DF}),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM posting GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
