@@ -481,3 +481,35 @@ SPECS["sql_interface"] = QuerySpec(
     _SQL_INTERFACE_QUERY,
     "raw spark.sql over registered views; the SAME SQL text is the oracle",
 )
+
+
+# --- LATERAL correlated top-k --------------------------------------------
+# Spark 4 LATERAL subquery: per-customer top-3 orders by price.  The same
+# semantics as a window row_number <= 3, but exercised through the
+# correlated-subquery surface — Catalyst decorrelates the LATERAL into a
+# partitioned rank under the hood, so the plan is STILL one shuffle on
+# the correlation key and never a per-row subquery execution.  DuckDB
+# runs the identical text (its own LATERAL), making the query its own
+# oracle modulo dialect-free SQL.
+
+_LATERAL_TOPK_QUERY = """
+SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+         WHERE o.o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+"""
+
+
+def _lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.sources import register_views
+
+    register_views(spark, sf_dir, tables=("customer", "orders"))
+    return spark.sql(_LATERAL_TOPK_QUERY)
+
+
+SPECS["lateral_topk"] = QuerySpec(
+    _lateral_topk,
+    _LATERAL_TOPK_QUERY,
+    "LATERAL correlated top-3 per customer; decorrelated to a rank, same text both engines",
+)

@@ -227,19 +227,25 @@ def _triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("ddst"),
     ).persist()
-    # wedges from each node's out-edges; canonicalize the closing pair in
-    # the SAME (deg, id) orientation order so it can equi-join out-edges
-    w = oriented.alias("p").join(oriented.alias("q"), F.col("p.src") == F.col("q.src"))
-    v_first = (F.col("p.ddst") < F.col("q.ddst")) | (
-        (F.col("p.ddst") == F.col("q.ddst")) & (F.col("p.dst") < F.col("q.dst"))
+    # edge-iterator counting: per oriented edge (a, b), triangles that
+    # pivot on it are |N+(a) ∩ N+(b)| — each triangle x->y, x->z, y->z is
+    # counted exactly once, at edge (x, y).  Materializing adjacency as
+    # SORTED arrays keeps the intersection inside WholeStageCodegen and
+    # avoids ever shuffling the O(sum dout^2) wedge rows the join-based
+    # formulation moves (13 s -> measured faster at sf0.1); shuffle
+    # volume is 2x the adjacency payload instead.
+    adj = oriented.groupBy("src").agg(
+        F.array_sort(F.collect_list("dst")).alias("nbrs")
     )
-    wedges = w.filter(F.col("p.dst") != F.col("q.dst")).select(
-        F.when(v_first, F.col("p.dst")).otherwise(F.col("q.dst")).alias("src"),
-        F.when(v_first, F.col("q.dst")).otherwise(F.col("p.dst")).alias("dst"),
+    e = oriented.select("src", "dst")
+    withs = e.join(adj.select(F.col("src"), F.col("nbrs").alias("na")), "src")
+    withd = withs.join(
+        adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("nb")), "dst"
     )
-    closed = wedges.join(oriented.select("src", "dst"), ["src", "dst"])
-    # each unordered wedge appears twice in the p x q self-join
-    return closed.agg((F.count(F.lit(1)) / 2).cast("long").alias("n_triangles"))
+    per_edge = withd.select(
+        F.size(F.array_intersect("na", "nb")).alias("c")
+    )
+    return per_edge.agg(F.sum("c").cast("long").alias("n_triangles"))
 
 
 _TRIANGLE_COUNT_SQL = """

@@ -767,3 +767,95 @@ SPECS["chunk_overlap"] = QuerySpec(
     _CHUNK_OVERLAP_SQL,
     f"sliding-window chunking: {_OVL_SIZE}-word windows every {_OVL_STRIDE} words (overlap {_OVL_SIZE - _OVL_STRIDE})",
 )
+
+
+# --- segment-level (line) dedup ------------------------------------------
+# C4/RefinedWeb-style LINE dedup at sub-document granularity: the corpus
+# deduplicates repeated SEGMENTS (boilerplate, headers, licence blocks)
+# even when whole documents are unique.  Fixture text has no newlines, so
+# the "line" is a disjoint 10-word segment.  Shape: one explode to
+# (doc, seg-fingerprint) rows, distinct-doc frequency per fingerprint,
+# broadcast-join the hot-fingerprint set back, per-doc aggregate.  The
+# fingerprint df table is tiny relative to the corpus (only segments
+# seen in >= 2 docs matter), so at 100 TB this is explode + one shuffle
+# on the fingerprint + a broadcast anti/semi join — never text-to-text.
+
+_SEG_WORDS = 10
+
+
+def _line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import normalized_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(normalized_text(F.col("text")), " ")
+    d = docs.select("doc_id", words.alias("ws")).filter(
+        F.size("ws") >= _SEG_WORDS
+    )
+    segs = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.size("ws") - _SEG_WORDS, F.lit(_SEG_WORDS))
+        ).alias("start"),
+        "ws",
+    ).select(
+        "doc_id",
+        F.md5(F.array_join(F.slice("ws", F.col("start") + 1, _SEG_WORDS), " ")).alias(
+            "fp"
+        ),
+    )
+    df_per_fp = segs.groupBy("fp").agg(
+        F.countDistinct("doc_id").alias("ndocs")
+    )
+    tagged = segs.join(
+        F.broadcast(df_per_fp.filter(F.col("ndocs") >= 2).select("fp")),
+        "fp",
+        "left_semi",
+    )
+    per_doc = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segs"))
+    dup_doc = tagged.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup"))
+    return (
+        per_doc.join(dup_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_segs",
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup_segs"),
+            portable_round(
+                F.coalesce(F.col("n_dup"), F.lit(0)) / F.col("n_segs"), 4
+            ).alias("dup_frac"),
+        )
+    )
+
+
+_LINE_DEDUP_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         string_split(lower(regexp_replace(trim(COALESCE(text, '')), '\\s+', ' ', 'g')), ' ') AS ws
+  FROM documents
+),
+segs AS (
+  SELECT doc_id,
+         md5(array_to_string(ws[start + 1 : start + {_SEG_WORDS}], ' ')) AS fp
+  FROM (
+    SELECT doc_id, ws,
+           unnest(generate_series(0, len(ws) - {_SEG_WORDS}, {_SEG_WORDS})) AS start
+    FROM d WHERE len(ws) >= {_SEG_WORDS}
+  )
+),
+fps AS (SELECT fp FROM segs GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2),
+per_doc AS (SELECT doc_id, COUNT(*) AS n_segs FROM segs GROUP BY doc_id),
+dup_doc AS (
+  SELECT doc_id, COUNT(*) AS n_dup
+  FROM segs WHERE fp IN (SELECT fp FROM fps)
+  GROUP BY doc_id
+)
+SELECT p.doc_id, CAST(p.n_segs AS BIGINT) AS n_segs,
+       CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup_segs,
+       floor(CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / p.n_segs * 10000.0 + 0.5) / 10000.0 AS dup_frac
+FROM per_doc p LEFT JOIN dup_doc d ON p.doc_id = d.doc_id
+"""
+
+SPECS["line_dedup"] = QuerySpec(
+    _line_dedup,
+    _LINE_DEDUP_SQL,
+    f"segment-level dedup: {_SEG_WORDS}-word segment fingerprints, cross-doc duplicated fraction",
+)
