@@ -28,13 +28,34 @@ def exact_cosine_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """All pairs with cosine >= threshold — exact, O(n^2); the correctness
-    baseline the LSH variant is tested against."""
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    baseline the LSH variant is tested against.
+
+    Per-vector L2 norms are computed ONCE before the pair join (n fold
+    passes), not per pair (2*n^2): cosine = dot(a,b)/(na*nb) with the
+    same FP values as the naive form, 3x less flops in the O(n^2) hot
+    loop (62 s -> ~20 s at sf0.1)."""
+    from ..functions.vector import l2_norm
+
+    # the fixture is one parquet file -> one scan partition; without a
+    # repartition the whole O(n^2) probe runs on a single core
+    a = emb.repartition(32).select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        l2_norm(vec_col).alias("na"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        l2_norm(vec_col).alias("nb"),
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
-            "id_a", "id_b", F.round(cosine_similarity("va", "vb"), 4).alias("sim")
+            "id_a",
+            "id_b",
+            F.round(
+                dot_product("va", "vb") / (F.col("na") * F.col("nb")), 4
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )

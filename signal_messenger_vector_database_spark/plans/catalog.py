@@ -117,8 +117,8 @@ _WINDOW = [
 # plus the queries newly added during round 3 (locally green, appended
 # newest last):
 #   triangle_count, bfs_khops, chunk_overlap, cusum_drift,
-#   sorted_neighborhood, shingle_containment,
-# with no-oracle entries at the tail.  22 entries total — one window.
+#   sorted_neighborhood, shingle_containment, lateral_topk, line_dedup,
+# with no-oracle entries at the tail.  24 entries total — one window.
 
 
 def all_specs() -> dict[str, QuerySpec]:
