@@ -118,7 +118,8 @@ _WINDOW = [
 # newest last):
 #   triangle_count, bfs_khops, chunk_overlap, cusum_drift,
 #   sorted_neighborhood, shingle_containment, lateral_topk, line_dedup,
-# with no-oracle entries at the tail.  24 entries total — one window.
+#   pyds_scan, winsorized_stats,
+# with no-oracle entries at the tail.  26 entries total — one window.
 
 
 def all_specs() -> dict[str, QuerySpec]:

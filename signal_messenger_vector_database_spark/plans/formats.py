@@ -154,3 +154,44 @@ SPECS["schema_evolution"] = QuerySpec(
     _SCHEMA_EVOLUTION_SQL,
     "parquet mergeSchema read across batches with divergent schemas",
 )
+
+
+# --- custom Python data source (Spark 4 DataSource API) ------------------
+def _pyds_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents read through the custom ``smvd_documents`` Python data
+    source (io/pydatasource.py): partition-planned pyarrow reads, Arrow
+    batches to the JVM, and doc_id comparison filters PUSHED into the
+    source (the `doc_id <= 300` below reaches the pyarrow read via
+    pushFilters — asserted by test_pydatasource)."""
+    from ..io.pydatasource import DocumentsSource
+
+    # runtime conf; the driver's vanilla session won't have it pre-set
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(DocumentsSource)
+    docs = (
+        spark.read.format("smvd_documents")
+        .option("path", os.path.join(sf_dir, "documents.parquet"))
+        .load()
+    )
+    return (
+        docs.filter(F.col("doc_id") <= 300)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+        )
+    )
+
+
+_PYDS_SCAN_SQL = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars
+FROM documents WHERE doc_id <= 300
+GROUP BY source
+"""
+
+SPECS["pyds_scan"] = QuerySpec(
+    _pyds_scan,
+    _PYDS_SCAN_SQL,
+    "custom Python DataSource scan: Arrow-batch partitions + doc_id filter pushdown",
+)

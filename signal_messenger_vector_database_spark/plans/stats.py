@@ -593,3 +593,70 @@ SPECS["cusum_drift"] = QuerySpec(
     _CUSUM_SQL,
     f"per-user CUSUM drift statistic (k={_CUSUM_K}, h={_CUSUM_H}) via the prefix-sum identity, pure windows",
 )
+
+
+# --- winsorized robust aggregates ----------------------------------------
+# Outlier-robust per-type means: clamp `value` to the [p05, p95] range
+# and aggregate the clamped measure.  Same scale discipline as
+# ``zscore_outliers``: the per-type bounds are a TINY aggregate
+# broadcast-joined back onto the fact (never Window.partitionBy over a
+# hot type), and the winsorized mean sums DECIMAL-cast clamped values so
+# the result is order-independent.  Bounds are rounded to 2 decimals
+# before clamping in BOTH engines — interpolated quantiles agree only to
+# float ulps, and a deterministic bound makes the clamp deterministic.
+
+
+def _winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.05)"), 2).alias("lo"),
+        F.round(F.expr("percentile(value, 0.95)"), 2).alias("hi"),
+    )
+    clamped = events.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "lo",
+        "hi",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias("w"),
+        (F.col("value") < F.col("lo")).cast("int").alias("under"),
+        (F.col("value") > F.col("hi")).cast("int").alias("over"),
+    )
+    return clamped.groupBy("event_type").agg(
+        F.min("lo").alias("p05"),
+        F.min("hi").alias("p95"),
+        portable_round(
+            F.sum(F.col("w").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("winsorized_mean"),
+        F.sum("under").cast("long").alias("n_clamped_low"),
+        F.sum("over").cast("long").alias("n_clamped_high"),
+    )
+
+
+_WINSORIZED_SQL = """
+WITH bounds AS (
+  SELECT event_type,
+         ROUND(quantile_cont(value, 0.05), 2) AS lo,
+         ROUND(quantile_cont(value, 0.95), 2) AS hi
+  FROM events GROUP BY event_type
+),
+clamped AS (
+  SELECT e.event_type, b.lo, b.hi,
+         least(greatest(e.value, b.lo), b.hi) AS w,
+         CASE WHEN e.value < b.lo THEN 1 ELSE 0 END AS under,
+         CASE WHEN e.value > b.hi THEN 1 ELSE 0 END AS over
+  FROM events e JOIN bounds b USING (event_type)
+)
+SELECT event_type,
+       MIN(lo) AS p05, MIN(hi) AS p95,
+       floor(CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS winsorized_mean,
+       CAST(SUM(under) AS BIGINT) AS n_clamped_low,
+       CAST(SUM(over) AS BIGINT) AS n_clamped_high
+FROM clamped GROUP BY event_type
+"""
+
+SPECS["winsorized_stats"] = QuerySpec(
+    _winsorized_stats,
+    _WINSORIZED_SQL,
+    "winsorized per-type robust mean: broadcast [p05,p95] bounds, DECIMAL-exact clamped sum",
+)

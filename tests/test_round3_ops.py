@@ -135,3 +135,17 @@ def test_shingle_containment_planted_is_superset(spark):
         (a, b) for (a, b), c in got.items() if b == a + 1_000_000 and c == 1.0
     ]
     assert full, got
+
+
+def test_winsorized_stats_bounds_and_clamp_rates(spark):
+    from signal_messenger_vector_database_spark.plans.stats import (
+        _winsorized_stats,
+    )
+
+    rows = _winsorized_stats(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["p05"] <= r["p95"]
+        assert r["p05"] <= r["winsorized_mean"] <= r["p95"]
+        n = r["n_clamped_low"] + r["n_clamped_high"]
+        assert n > 0, "5/95 winsorization should clamp some rows"
