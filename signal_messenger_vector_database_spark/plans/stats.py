@@ -608,9 +608,12 @@ SPECS["cusum_drift"] = QuerySpec(
 
 def _winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
+    # portable_round, not F.round: Spark HALF_UP on the binary expansion vs
+    # DuckDB's shortest-decimal rounding disagree at .005 boundaries, and a
+    # one-ulp bound shift cascades into every output column (ADVICE r3).
     bounds = events.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.05)"), 2).alias("lo"),
-        F.round(F.expr("percentile(value, 0.95)"), 2).alias("hi"),
+        portable_round(F.expr("percentile(value, 0.05)"), 2).alias("lo"),
+        portable_round(F.expr("percentile(value, 0.95)"), 2).alias("hi"),
     )
     clamped = events.join(F.broadcast(bounds), "event_type").select(
         "event_type",
@@ -636,8 +639,8 @@ def _winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINSORIZED_SQL = """
 WITH bounds AS (
   SELECT event_type,
-         ROUND(quantile_cont(value, 0.05), 2) AS lo,
-         ROUND(quantile_cont(value, 0.95), 2) AS hi
+         floor(quantile_cont(value, 0.05) * 100.0 + 0.5) / 100.0 AS lo,
+         floor(quantile_cont(value, 0.95) * 100.0 + 0.5) / 100.0 AS hi
   FROM events GROUP BY event_type
 ),
 clamped AS (
