@@ -41,85 +41,49 @@ _MODULES = (
     "graph",
 )
 
-# Round-3 verification window: the rotation queue pinned at the end of
-# round 2, oldest-unchecked first, plus (a) multimodal_features — its r2
-# row failed on OUTPUT SHAPE (array column vs the harness canonicalizer),
-# re-checked here after flattening, (b) the r2-VERDICT must-haves pulled
-# forward from deeper in the queue: inverted_index (task 1 reshape),
-# pagerank3 + the new pagerank3_shuffle (task 3), markov_transitions
-# (task 4 streaming family), and (c) the four other reshaped-output
-# queries (array_set_ops, feature_hashing, embedding_quantize_int8 are
-# already in queue order; multimodal_frames is task 7).
+# Round-5 verification window (VERDICT r4 task 1): the COMPLETE 27-entry
+# tail of oracle-paired queries that have never had a green driver
+# CORRECTNESS row (all judge-verified locally green at sf0.01 in r4),
+# including embedding_neardup_lsh whose only driver row is an r1
+# ``no_oracle`` err from before its oracle existed.  Appended after the
+# tail: the queries whose plans CHANGE this round (token_packing,
+# rank_family — scale-shape rewrites per VERDICT r4 tasks 2 and 6;
+# zipf_fit / line_dedup / pq_encode / topk_pq_adc are already in the
+# tail) so the driver re-proves them on the new plans.  This closes
+# driver-verified coverage to 169/169 oracle-paired queries.
 _WINDOW = [
-    "tokenize_cl100k",
-    "asof_join",
-    "interval_join",
-    "json_props",
-    "variant_props",
-    "hex_project",
-    "dense_ids",
-    "array_set_ops",
-    "explode_outer_words",
-    "chunk_udtf",
-    "chunk_strict_reference",
-    "skew_salted_join",
-    "upsert_latest",
-    "price_histogram",
-    "csv_roundtrip",
-    "jsonl_roundtrip",
-    "orc_roundtrip",
-    "bm25_topk",
-    "hybrid_rrf",
-    "decontaminate",
-    "embedding_quantize_int8",
-    "topk_cosine_int8",
-    "scd2_intervals",
-    "domain_mixture",
-    "hll_distinct",
-    "bloom_membership",
-    "cms_heavy_hitters",
-    "stream_sessionize",
-    "multimodal_frames",
-    "sql_interface",
-    "per_group_sample",
-    "length_buckets",
-    "schema_evolution",
-    "minhash_jaccard_estimate",
-    "feature_hashing",
-    "mime_sniff",
-    "bigram_logprob",
-    "ewma_per_user",
-    "ols_regression",
-    "zscore_outliers",
-    "cumulative_distinct",
-    "dq_audit",
-    "collocations_pmi",
-    "fuzzy_dedup_edit",
-    "interval_join_binned",
-    # pulled forward (see header note)
-    "multimodal_features",
-    "inverted_index",
-    "pagerank3",
-    "pagerank3_shuffle",
-    "markov_transitions",
+    # -- never-driver-verified tail (27) --
+    "assoc_rules",
+    "bfs_khops",
+    "chunk_overlap",
+    "cusum_drift",
+    "deletion_audit",
+    "embedding_covariance",
+    "embedding_neardup_exact_baseline",
+    "embedding_neardup_lsh",
+    "first_touch_attribution",
+    "incremental_new_docs",
+    "kmeans_lloyd3",
+    "lateral_topk",
+    "line_dedup",
+    "mad_outliers",
+    "pq_encode",
+    "pyds_scan",
+    "random_projection",
+    "range_partition_bounds",
+    "shingle_containment",
+    "sorted_neighborhood",
+    "table_stats",
+    "topk_pq_adc",
+    "triangle_count",
+    "weighted_sample",
+    "winsorized_stats",
+    "zipf_fit",
+    "zorder_key",
+    # -- plans rewritten this round, re-proved on the new shape --
+    "token_packing",
+    "rank_family",
 ]
-
-
-# Round-4 rotation queue — the COMPLETE remaining tail of oracle-paired
-# queries without a driver CORRECTNESS row after round 3 (16 entries,
-# fits in one window; pre-committed per r2 VERDICT task 6 so no query
-# ships driver-unverified by round 4):
-#   embedding_covariance, random_projection, embedding_neardup_lsh,
-#   kmeans_lloyd3, weighted_sample, mad_outliers, zipf_fit,
-#   first_touch_attribution, range_partition_bounds, incremental_new_docs,
-#   assoc_rules, deletion_audit, table_stats, pq_encode, topk_pq_adc,
-#   zorder_key,
-# plus the queries newly added during round 3 (locally green, appended
-# newest last):
-#   triangle_count, bfs_khops, chunk_overlap, cusum_drift,
-#   sorted_neighborhood, shingle_containment, lateral_topk, line_dedup,
-#   pyds_scan, winsorized_stats,
-# with no-oracle entries at the tail.  26 entries total — one window.
 
 
 def all_specs() -> dict[str, QuerySpec]:
