@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..io.sources import load_table
 from ..streaming.ingest import (
+    await_drained,
     dedup_ingest_availablenow,
     dedup_within_watermark_availablenow,
     read_events_stream,
@@ -51,7 +52,7 @@ def _stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_drained(q)
     return spark.table(sink)
 
 
@@ -160,7 +161,7 @@ def _stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_drained(q)
     return spark.table(sink)
 
 
@@ -262,7 +263,7 @@ def _stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_drained(q)
     return spark.table(sink)
 
 

@@ -30,31 +30,63 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
-# Read schema for the events stream (ts arrives as raw nanos because the
-# fixture parquet uses INT64 TIMESTAMP(NANOS); see io/sources.py).
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType(), True),
-        StructField("ts", LongType(), True),
-        StructField("user_id", LongType(), True),
-        StructField("event_type", StringType(), True),
-        StructField("value", DoubleType(), True),
-        StructField("props", StringType(), True),
-    ]
-)
+def _events_stream_schema(sf_dir: str) -> tuple[StructType, bool]:
+    """Probe the fixture's parquet footer (driver-side, one metadata read)
+    for the physical type of ``ts`` and build the matching stream schema.
+
+    Fixture vintages differ: some store ``ts`` as INT64 TIMESTAMP(NANOS)
+    (which Spark only reads under ``nanosAsLong`` as a raw long), newer
+    ones as plain ``timestamp[us]``.  The batch loader detects this after
+    the read (io/sources.py); a stream must declare its schema up front,
+    so detect BEFORE building it.  Returns (schema, ts_is_raw_nanos)."""
+    import pyarrow.parquet as pa_pq
+
+    ts_type = str(
+        pa_pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
+    )
+    raw_nanos = ts_type == "timestamp[ns]"
+    ts_field = StructField("ts", LongType() if raw_nanos else TimestampType(), True)
+    schema = StructType(
+        [
+            StructField("event_id", LongType(), True),
+            ts_field,
+            StructField("user_id", LongType(), True),
+            StructField("event_type", StringType(), True),
+            StructField("value", DoubleType(), True),
+            StructField("props", StringType(), True),
+        ]
+    )
+    return schema, raw_nanos
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema, raw_nanos = _events_stream_schema(sf_dir)
+    if raw_nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if raw_nanos:
+        # Truncate ns -> us exactly like the batch loader / DuckDB.
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
+
+
+def await_drained(q, timeout: int = 120) -> None:
+    """``awaitTermination`` with the timeout result CHECKED: on a slow
+    machine a silent timeout would leave a partially-drained memory/parquet
+    sink and turn a slowdown into a wrong answer."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name or q.id} did not drain within {timeout}s"
+        )
 
 
 def streaming_session(spark: SparkSession, state_partitions: int = 8) -> SparkSession:
@@ -102,7 +134,7 @@ def windowed_counts_availablenow(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_drained(q)
     return spark.table(sink)
 
 
@@ -127,7 +159,7 @@ def dedup_ingest_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_drained(q)
     return spark.read.parquet(os.path.join(out_dir, "events"))
 
 
@@ -158,5 +190,5 @@ def dedup_within_watermark_availablenow(spark: SparkSession, sf_dir: str) -> Dat
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_drained(q)
     return spark.read.parquet(os.path.join(out_dir, "events"))

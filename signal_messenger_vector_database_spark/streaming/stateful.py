@@ -30,7 +30,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from .ingest import read_events_stream
+from .ingest import await_drained, read_events_stream
 
 OUTPUT_SCHEMA = StructType(
     [
@@ -65,7 +65,7 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the stateful counter over the events source fed TWICE (two
     micro-batches via maxFilesPerTrigger=1), drain with AvailableNow, and
     return the final per-user totals (the max emitted row per user)."""
-    from .ingest import streaming_session
+    from .ingest import _events_stream_schema, streaming_session
 
     spark = streaming_session(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -79,10 +79,9 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.copy(src, os.path.join(stage_dir, "events-a.parquet"))
     shutil.copy(src, os.path.join(stage_dir, "events-b.parquet"))
 
-    from .ingest import EVENTS_RAW_SCHEMA
-
+    schema, _ = _events_stream_schema(sf_dir)
     stream = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(stage_dir)
         .select("user_id", "value")
@@ -103,7 +102,7 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    await_drained(q, 180)
     emitted = spark.table(sink)
     return emitted.groupBy("user_id").agg(
         F.max("total_events").alias("total_events"),
@@ -129,7 +128,7 @@ def tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         StatefulProcessorHandle,
     )
 
-    from .ingest import EVENTS_RAW_SCHEMA, streaming_session
+    from .ingest import _events_stream_schema, streaming_session
 
     spark = streaming_session(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -162,8 +161,9 @@ def tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         def close(self) -> None:
             pass
 
+    schema, _ = _events_stream_schema(sf_dir)
     stream = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(stage_dir)
         .select("user_id", "value")
@@ -183,7 +183,7 @@ def tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    await_drained(q, 180)
     emitted = spark.table(sink)
     return emitted.groupBy("user_id").agg(
         F.max("total_events").alias("total_events"),

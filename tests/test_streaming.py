@@ -128,3 +128,28 @@ def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     final = spark.read.parquet(str(out))
     assert final.count() == 40  # 25 + 15, batch1 NOT reprocessed
     assert final.select("doc_id").distinct().count() == 40
+
+
+def test_await_drained_raises_on_timeout():
+    """A streaming query that outlives its timeout must RAISE, not silently
+    return a partially-drained sink (a slowdown must never become a wrong
+    answer)."""
+    import pytest
+
+    from signal_messenger_vector_database_spark.streaming.ingest import await_drained
+
+    class _StuckQuery:
+        name = "stuck"
+        id = "0"
+        stopped = False
+
+        def awaitTermination(self, timeout=None):
+            return False  # timed out
+
+        def stop(self):
+            self.stopped = True
+
+    q = _StuckQuery()
+    with pytest.raises(TimeoutError, match="did not drain"):
+        await_drained(q, 1)
+    assert q.stopped
