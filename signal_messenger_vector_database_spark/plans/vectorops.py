@@ -492,17 +492,26 @@ def _pq_codebooks() -> list[list[list[float]]]:
     ]
 
 
-def _pq_spark_subdist(sub_j: int, code: list[float]) -> str:
-    """Squared L2 between embedding subvector j and a literal codeword, as
-    a Spark-SQL string — left-associated chain, identical double sequence
-    in both engines.  Strings (one parser call per column) instead of
-    Column-object algebra: building the ~3k-node tree through py4j costs
-    ~3 ms per call (13 s total, measured); the SQL parser builds the same
-    tree JVM-side in milliseconds."""
+def _pq_spark_dist_array(sub_j: int, codebook: list[list[float]]) -> str:
+    """16-entry distance array for subspace j as ONE ``transform`` over a
+    literal 16x8 codebook array: the squared-L2 lambda body is ~8 terms,
+    so no generated method comes near janino's 64 KB limit (the previous
+    fully-inlined form emitted 128 squared-diff terms per column and blew
+    the codegen budget, forcing interpreted eval on every batch).  The
+    arithmetic is the SAME left-associated double chain per codeword, so
+    values are bit-identical to the inlined form and to the DuckDB twin.
+    Strings (one parser call per column) instead of Column-object algebra:
+    building the ~3k-node tree through py4j costs ~3 ms per call."""
     base = sub_j * _PQ_D
+    cb = "array(" + ", ".join(
+        "array(" + ", ".join(f"CAST({c} AS DOUBLE)" for c in cw) + ")"
+        for cw in codebook
+    ) + ")"
     e = lambda i: f"CAST(embedding[{base + i}] AS DOUBLE)"  # noqa: E731
-    terms = [f"({e(i)} - {code[i]}) * ({e(i)} - {code[i]})" for i in range(_PQ_D)]
-    return "(" + " + ".join(terms) + ")"
+    body = " + ".join(
+        f"({e(i)} - cw[{i}]) * ({e(i)} - cw[{i}])" for i in range(_PQ_D)
+    )
+    return f"transform({cb}, cw -> ({body}))"
 
 
 def _pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -512,10 +521,7 @@ def _pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # column — inlining the array into array_position(arr, array_min(arr))
     # would duplicate the arithmetic tree twice per subspace
     dist_exprs = [
-        "array("
-        + ", ".join(_pq_spark_subdist(j, books[j][k]) for k in range(_PQ_K))
-        + f") AS d{j}"
-        for j in range(_PQ_M)
+        f"{_pq_spark_dist_array(j, books[j])} AS d{j}" for j in range(_PQ_M)
     ]
     staged = emb.selectExpr("vec_id", *dist_exprs)
     # argmin = first index attaining the min (ties: lowest code, both engines)
@@ -564,12 +570,16 @@ def _topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
 
     def sub_lut(j: int) -> list[float]:
+        # explicit t*t (not **2): the exact IEEE op sequence of the SQL
+        # twin's (t)*(t), independent of the platform libm's pow
         base = j * _PQ_D
         out = []
         for k in range(_PQ_K):
-            acc = (float(q[base]) - books[j][k][0]) ** 2
+            t = float(q[base]) - books[j][k][0]
+            acc = t * t
             for i in range(1, _PQ_D):
-                acc = acc + (float(q[base + i]) - books[j][k][i]) ** 2
+                t = float(q[base + i]) - books[j][k][i]
+                acc = acc + t * t
             out.append(acc)
         return out
 
@@ -579,10 +589,13 @@ def _topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         arr = "array(" + ", ".join(repr(v) for v in sub_lut(j)) + ")"
         luts.append(f"{arr}[c{j}]")  # 0-based subscript
     adc = " + ".join(luts)
+    # repo-standard 1e-4 grain (portable_round convention): the 1e-6 grain
+    # sat close enough to FLOOR boundaries that a 1-ulp engine difference
+    # in the ADC sum flipped the rounded value (driver round-5 hash FAIL)
     return (
         codes.selectExpr(
             "vec_id",
-            f"FLOOR(({adc}) * 1000000 + 0.5) / 1000000 AS adc_dist",
+            f"FLOOR(({adc}) * 10000 + 0.5) / 10000 AS adc_dist",
         )
         .orderBy("adc_dist", "vec_id")
         .limit(10)
@@ -602,7 +615,7 @@ def _topk_pq_adc_sql(sf_dir_default: str = "/root/testdata/sf0.01") -> str:
     return f"""
 WITH codes AS ({enc}),
 q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0)
-SELECT codes.vec_id, FLOOR(({adc}) * 1000000 + 0.5) / 1000000 AS adc_dist
+SELECT codes.vec_id, FLOOR(({adc}) * 10000 + 0.5) / 10000 AS adc_dist
 FROM codes, q
 ORDER BY adc_dist, vec_id
 LIMIT 10
