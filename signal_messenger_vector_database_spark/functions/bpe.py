@@ -64,8 +64,28 @@ def save_tiktoken_ranks(ranks: dict[bytes, int], path: str) -> None:
 
 @lru_cache(maxsize=4)
 def resolve_ranks(path: str | None = None) -> dict[bytes, int]:
-    """Vocabulary resolution order documented in the module docstring."""
-    path = path or os.environ.get("SMVD_TIKTOKEN_FILE") or MINI_BPE_PATH
+    """Vocabulary resolution order documented in the module docstring.
+
+    When the vocab comes through the ``$SMVD_TIKTOKEN_FILE`` seam, its
+    content hash is pinned by ``$SMVD_TIKTOKEN_SHA256``: a wrong or
+    truncated vocab file silently shifts EVERY token count downstream
+    (packing, chunking, quality scores), so the mismatch must fail
+    loudly at load, not surface as drifted numbers later."""
+    env_path = os.environ.get("SMVD_TIKTOKEN_FILE")
+    path = path or env_path or MINI_BPE_PATH
+    if env_path and path == env_path:
+        expected = os.environ.get("SMVD_TIKTOKEN_SHA256", "").strip().lower()
+        if expected:
+            import hashlib
+
+            with open(path, "rb") as f:
+                actual = hashlib.sha256(f.read()).hexdigest()
+            if actual != expected:
+                raise ValueError(
+                    f"SMVD_TIKTOKEN_FILE checksum mismatch for {path}: "
+                    f"sha256={actual}, expected {expected} "
+                    "(set SMVD_TIKTOKEN_SHA256 to the correct digest or fix the file)"
+                )
     return load_tiktoken_ranks(path)
 
 

@@ -10,12 +10,16 @@ Arrow-batch reads per partition on executors, and filter pushdown
 ``smvd_documents`` wraps the documents parquet through that API — the
 format itself is deliberately boring so the PLUMBING is the deliverable:
 
-- partitions: fixed row ranges over the file (real sources split by
-  file / row group / byte range; the fixture is one small file);
-- reads: pyarrow slices yielded as RecordBatches (the Arrow fast path —
-  rows never cross Python one at a time);
-- pushdown: comparison filters on ``doc_id`` are accepted and applied
-  inside the pyarrow read; everything else is returned to Spark.
+- partitions: ROW-GROUP-aligned row ranges — each partition belongs to
+  exactly one parquet row group and its read touches only that row
+  group's bytes (``ParquetFile.read_row_group``), never the whole file;
+  row groups whose doc_id min/max statistics cannot satisfy the pushed
+  predicates are pruned at PLANNING time, before any executor runs;
+- reads: pyarrow row-group reads yielded as RecordBatches (the Arrow
+  fast path — rows never cross Python one at a time);
+- pushdown: comparison filters on ``doc_id`` prune row groups via
+  footer statistics and mask residual rows inside the pyarrow read;
+  everything else is returned to Spark.
 """
 
 from __future__ import annotations
@@ -48,8 +52,11 @@ class DocumentsSource(DataSource):
 
 
 class _Range(InputPartition):
-    def __init__(self, start: int, end: int):
-        self.start, self.end = start, end
+    """A row range WITHIN one row group: ``start``/``end`` are local row
+    offsets inside row group ``rg``."""
+
+    def __init__(self, rg: int, start: int, end: int):
+        self.rg, self.start, self.end = rg, start, end
 
 
 class DocumentsReader(DataSourceReader):
@@ -73,21 +80,59 @@ class DocumentsReader(DataSourceReader):
             else:
                 yield f  # not pushable -> Spark keeps it
 
+    def _rg_may_match(self, lo: int, hi: int) -> bool:
+        """Can a row group with doc_id in [lo, hi] satisfy every pushed
+        predicate?  False => the whole row group is skipped at planning."""
+        checks = {
+            "EqualTo": lambda v: lo <= v <= hi,
+            "GreaterThan": lambda v: hi > v,
+            "GreaterThanOrEqual": lambda v: hi >= v,
+            "LessThan": lambda v: lo < v,
+            "LessThanOrEqual": lambda v: lo <= v,
+        }
+        return all(checks[op](v) for op, v in self.doc_id_preds)
+
     def partitions(self):
         import pyarrow.parquet as pq
 
-        n_rows = pq.ParquetFile(self.path).metadata.num_rows
-        step = max(1, (n_rows + self.n_parts - 1) // self.n_parts)
-        return [
-            _Range(start, min(start + step, n_rows))
-            for start in range(0, n_rows, step)
+        md = pq.ParquetFile(self.path).metadata
+        doc_id_idx = next(
+            i
+            for i in range(md.row_group(0).num_columns)
+            if md.row_group(0).column(i).path_in_schema == "doc_id"
+        )
+        kept: list[tuple[int, int]] = []  # (rg index, rows)
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            stats = rg.column(doc_id_idx).statistics
+            if (
+                stats is not None
+                and stats.has_min_max
+                and not self._rg_may_match(stats.min, stats.max)
+            ):
+                continue  # statistics prove no row here can match
+            kept.append((g, rg.num_rows))
+        # split surviving row groups into ~n_parts ranges; each range stays
+        # inside ONE row group, so a partition's read cost is bounded by
+        # the row-group size regardless of file size
+        total = sum(n for _, n in kept)
+        step = max(1, (total + self.n_parts - 1) // self.n_parts)
+        parts = [
+            _Range(g, s, min(s + step, n))
+            for g, n in kept
+            for s in range(0, n, step)
         ]
+        return parts or [_Range(0, 0, 0)]  # all pruned: one empty read
 
     def read(self, partition: _Range):
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        table = pq.read_table(self.path, columns=_COLUMNS)
+        if partition.end == partition.start:
+            return
+        table = pq.ParquetFile(self.path).read_row_group(
+            partition.rg, columns=_COLUMNS
+        )
         table = table.slice(partition.start, partition.end - partition.start)
         ops = {
             "EqualTo": "equal",

@@ -148,14 +148,63 @@ FROM sessions GROUP BY user_id, session_id
 
 # --- cumulative distribution / ranking families -------------------------
 def _rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/cume_dist/ntile over a GLOBAL ordering without the
+    single-task global window (`Window.orderBy` with no partitionBy pulls
+    the whole table through one task — a scale-killer at 100 TB).
+
+    Two-pass range-partition + offset (the dense_ids pattern,
+    plans/advanced.py, generalized to a sampled range partitioner):
+    1. `repartitionByRange` on the ORDER BY key — contiguous key ranges,
+       partition id ascending in key order (RangePartitioner guarantee);
+    2. local row_number per partition (parallel), plus a per-partition
+       count table of |partitions| rows;
+    3. prefix-sum the tiny count table (the ONLY single-task window, over
+       ~32 rows), broadcast it back, global rn = offset + local rn.
+
+    The ordering key (s_acctbal DESC, s_suppkey) is UNIQUE — s_suppkey is
+    the tiebreak — so rank and dense_rank both equal row_number, tie
+    groups never span partitions, cume_dist = rn/n and ntile has the
+    closed bucket form.  (For a non-unique ordering key the same shape
+    needs a tie-group merge join on the key; not required here.)"""
     supplier = load_table(spark, sf_dir, "supplier")
-    w = Window.orderBy(F.desc("s_acctbal"), "s_suppkey")
-    return supplier.select(
-        "s_suppkey",
-        F.rank().over(w).alias("rk"),
-        F.dense_rank().over(w).alias("drk"),
-        F.round(F.cume_dist().over(w), 4).alias("cd"),
-        F.ntile(4).over(w).alias("quartile"),
+    order = [F.desc("s_acctbal"), F.col("s_suppkey")]
+    local = (
+        supplier.select("s_suppkey", "s_acctbal")
+        .repartitionByRange(32, *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*order))
+        )
+    )
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(
+            F.sum("_n").over(
+                Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_off"),
+    )
+    total = counts.agg(F.sum("_n").alias("_total"))
+    rn = F.col("_off") + F.col("_lrn")
+    # ntile(k) closed form: first n%k buckets hold n/k+1 rows, rest n/k
+    size = F.floor(F.col("_total") / 4)
+    rem = F.col("_total") % 4
+    big = rem * (size + 1)
+    quartile = F.when(rn <= big, F.floor((rn - 1) / (size + 1)) + 1).otherwise(
+        rem + F.floor((rn - big - 1) / size) + 1
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "s_suppkey",
+            rn.cast("int").alias("rk"),
+            rn.cast("int").alias("drk"),
+            F.round(rn.cast("double") / F.col("_total"), 4).alias("cd"),
+            quartile.cast("int").alias("quartile"),
+        )
     )
 
 

@@ -41,48 +41,36 @@ _MODULES = (
     "graph",
 )
 
-# Round-5 verification window (VERDICT r4 task 1): the COMPLETE 27-entry
-# tail of oracle-paired queries that have never had a green driver
-# CORRECTNESS row (all judge-verified locally green at sf0.01 in r4),
-# including embedding_neardup_lsh whose only driver row is an r1
-# ``no_oracle`` err from before its oracle existed.  Appended after the
-# tail: the queries whose plans CHANGE this round (token_packing,
-# rank_family — scale-shape rewrites per VERDICT r4 tasks 2 and 6;
-# zipf_fit / line_dedup / pq_encode / topk_pq_adc are already in the
-# tail) so the driver re-proves them on the new plans.  This closes
-# driver-verified coverage to 169/169 oracle-paired queries.
+# Round-6 verification window (VERDICT r5 task 2): every ts-sensitive
+# streaming query — their green driver rows are STALE r1 results from the
+# old INT64-nanos fixtures, and the round-5 judge reproduced wrong answers
+# on three of them before this round's ts-unit fix (streaming/ingest.py).
+# The driver must re-prove them on the current timestamp[us] fixtures.
+# Then: topk_pq_adc (the only oracle-paired query still without a green
+# driver row — its r5 row was a hash FAIL, fixed this round: codegen
+# restructure + 1e-4 ADC grain) and the queries whose plans CHANGE this
+# round so the driver re-proves the new shapes (pq_encode: transform-based
+# distances; rank_family: the r4-task-6 two-pass range-partition+offset
+# rewrite, actually performed this round; line_dedup: forced broadcast
+# dropped; token_packing: corpus-scaled bucket width).
 _WINDOW = [
-    # -- never-driver-verified tail (27) --
-    "assoc_rules",
-    "bfs_khops",
-    "chunk_overlap",
-    "cusum_drift",
-    "deletion_audit",
-    "embedding_covariance",
-    "embedding_neardup_exact_baseline",
-    "embedding_neardup_lsh",
-    "first_touch_attribution",
-    "incremental_new_docs",
-    "kmeans_lloyd3",
-    "lateral_topk",
-    "line_dedup",
-    "mad_outliers",
-    "pq_encode",
-    "pyds_scan",
-    "random_projection",
-    "range_partition_bounds",
-    "shingle_containment",
-    "sorted_neighborhood",
-    "table_stats",
+    # -- ts-sensitive streaming: stale r1 greens, re-prove on new fixtures --
+    "stream_windowed_counts",
+    "stream_sessionize",
+    "stream_stream_join",
+    "stream_dedup_watermark",
+    "stream_dedup_counts",
+    "stream_static_join",
+    "stream_stateful_totals",
+    "asof_join",
+    "sessionize",
+    # -- first-ever green row wanted: r5 hash-FAIL fixed this round --
     "topk_pq_adc",
-    "triangle_count",
-    "weighted_sample",
-    "winsorized_stats",
-    "zipf_fit",
-    "zorder_key",
-    # -- plans rewritten this round, re-proved on the new shape --
-    "token_packing",
+    # -- plans changed this round, re-prove on the new shapes --
+    "pq_encode",
     "rank_family",
+    "line_dedup",
+    "token_packing",
 ]
 
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -165,11 +166,24 @@ def _pyds_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushFilters — asserted by test_pydatasource)."""
     from ..io.pydatasource import DocumentsSource
 
-    # runtime conf; the driver's vanilla session won't have it pre-set
+    # cloned session (shared SparkContext, independent SQLConf): the
+    # pushdown flag must be live when the plan EXECUTES (laziness makes a
+    # set/restore dance racy), but the caller's session config must not
+    # be mutated — the clone scopes the flag to this query's lifetime
+    spark = spark.newSession()
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    spark.dataSource.register(DocumentsSource)
+    # the registry's existence check is JVM-global while resolution is
+    # session-local, so a fixed name can collide with a registration on
+    # another session it can't even see — register a unique name per call
+    fmt = f"smvd_documents_{uuid.uuid4().hex[:8]}"
+    named = type(
+        "DocumentsSourceScoped",
+        (DocumentsSource,),
+        {"name": classmethod(lambda cls, _n=fmt: _n)},
+    )
+    spark.dataSource.register(named)
     docs = (
-        spark.read.format("smvd_documents")
+        spark.read.format(fmt)
         .option("path", os.path.join(sf_dir, "documents.parquet"))
         .load()
     )

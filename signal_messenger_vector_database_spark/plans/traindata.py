@@ -66,13 +66,20 @@ _PACK_BUDGET = 2048
 # (plans/advanced.py _dense_ids): cumsum WITHIN range buckets in
 # parallel, prefix-sum only the tiny per-bucket totals table, then add
 # the per-bucket offset back.  Only |buckets| rows ever cross a global
-# window.
+# window.  Bucket WIDTH scales with the corpus (VERDICT r5): a fixed
+# width would grow the offsets table linearly with doc count (10M rows
+# at 1B docs through the single-task window + broadcast); capping the
+# bucket COUNT at ~10k keeps that table bounded at any corpus size.
+# Bucket boundaries don't affect results — pack_id depends only on the
+# global running sum, which is bucket-invariant.
 def _token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # metadata-cheap over parquet
+    width = max(100, -(-n_docs // 10_000))
     toks = docs.select(
         "doc_id",
         token_count("text").alias("tokens"),
-        (F.col("doc_id") / 100).cast("long").alias("bucket"),
+        (F.col("doc_id") / width).cast("long").alias("bucket"),
     )
     w_in = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -804,10 +811,11 @@ SPECS["chunk_overlap"] = QuerySpec(
 # even when whole documents are unique.  Fixture text has no newlines, so
 # the "line" is a disjoint 10-word segment.  Shape: one explode to
 # (doc, seg-fingerprint) rows, distinct-doc frequency per fingerprint,
-# broadcast-join the hot-fingerprint set back, per-doc aggregate.  The
-# fingerprint df table is tiny relative to the corpus (only segments
-# seen in >= 2 docs matter), so at 100 TB this is explode + one shuffle
-# on the fingerprint + a broadcast anti/semi join — never text-to-text.
+# semi-join the hot-fingerprint set back, per-doc aggregate.  The hot
+# set (segments seen in >= 2 docs) is usually small but is UNBOUNDED on
+# a high-duplication corpus, so no broadcast hint: AQE picks broadcast
+# when the runtime size allows and falls back to a shuffled semi-join
+# (both sides already hash-partitioned on fp) when it doesn't.
 
 _SEG_WORDS = 10
 
@@ -836,7 +844,7 @@ def _line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("ndocs")
     )
     tagged = segs.join(
-        F.broadcast(df_per_fp.filter(F.col("ndocs") >= 2).select("fp")),
+        df_per_fp.filter(F.col("ndocs") >= 2).select("fp"),
         "fp",
         "left_semi",
     )

@@ -103,3 +103,32 @@ def test_real_cl100k_known_counts():
     # pinned counts from the published cl100k_base vocabulary
     assert encode_count("hello world", ranks) == 2
     assert encode_count("tiktoken is great!", ranks) == 6
+
+
+def test_tiktoken_env_file_checksum_pin(tmp_path, monkeypatch):
+    """$SMVD_TIKTOKEN_SHA256 pins the content of $SMVD_TIKTOKEN_FILE:
+    correct digest loads, wrong digest fails loudly (a wrong vocab would
+    silently shift every token count downstream)."""
+    import hashlib
+
+    import pytest
+
+    from signal_messenger_vector_database_spark.functions.bpe import (
+        MINI_BPE_PATH,
+        resolve_ranks,
+    )
+
+    vocab = tmp_path / "v.tiktoken"
+    vocab.write_bytes(open(MINI_BPE_PATH, "rb").read())
+    good = hashlib.sha256(vocab.read_bytes()).hexdigest()
+
+    monkeypatch.setenv("SMVD_TIKTOKEN_FILE", str(vocab))
+    monkeypatch.setenv("SMVD_TIKTOKEN_SHA256", good)
+    resolve_ranks.cache_clear()
+    assert resolve_ranks()  # loads fine under the correct pin
+
+    monkeypatch.setenv("SMVD_TIKTOKEN_SHA256", "0" * 64)
+    resolve_ranks.cache_clear()
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        resolve_ranks()
+    resolve_ranks.cache_clear()  # don't leak the poisoned cache entry

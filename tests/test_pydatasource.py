@@ -74,3 +74,58 @@ def test_pyds_matches_native_parquet_read(spark):
     assert sorted(map(tuple, via_ds.collect())) == sorted(
         map(tuple, native.collect())
     )
+
+
+def test_row_group_pruning_and_alignment(tmp_path):
+    """Partitions are row-group-aligned, each read touches only its own
+    row group, and row groups whose doc_id stats exclude every pushed
+    predicate are pruned at planning time."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.datasource import LessThanOrEqual
+
+    from signal_messenger_vector_database_spark.io.pydatasource import (
+        DocumentsReader,
+    )
+
+    # 4 row groups of 50 rows: doc_id 0-49, 50-99, 100-149, 150-199
+    src = pq.read_table(PATH).sort_by("doc_id").slice(0, 200)
+    multi = str(tmp_path / "multi.parquet")
+    pq.write_table(src, multi, row_group_size=50)
+    assert pq.ParquetFile(multi).metadata.num_row_groups == 4
+
+    r = DocumentsReader({"path": multi, "npartitions": "8"})
+    list(r.pushFilters([LessThanOrEqual(("doc_id",), 75)]))
+    parts = r.partitions()
+    # stats pruning: only row groups 0 (0-49) and 1 (50-99) survive
+    assert {p.rg for p in parts} == {0, 1}
+    rows = [
+        row
+        for part in parts
+        for batch in r.read(part)
+        for row in batch.to_pylist()
+    ]
+    assert sorted(row["doc_id"] for row in rows) == list(range(76))
+
+    # no predicates -> every row group planned, ranges tile per row group
+    r2 = DocumentsReader({"path": multi, "npartitions": "8"})
+    by_rg: dict[int, list[tuple[int, int]]] = {}
+    for p in r2.partitions():
+        by_rg.setdefault(p.rg, []).append((p.start, p.end))
+    assert set(by_rg) == {0, 1, 2, 3}
+    for ranges in by_rg.values():
+        ranges.sort()
+        assert ranges[0][0] == 0 and ranges[-1][1] == 50
+        for (s1, e1), (s2, e2) in zip(ranges, ranges[1:]):
+            assert e1 == s2
+
+
+def test_pyds_scan_leaves_caller_config_untouched(spark):
+    """_pyds_scan must not flip spark.sql.python.filterPushdown.enabled
+    (or anything else) on the caller's session — it runs on a clone."""
+    from signal_messenger_vector_database_spark.plans.formats import SPECS
+
+    key = "spark.sql.python.filterPushdown.enabled"
+    before = spark.conf.get(key, None)
+    df = SPECS["pyds_scan"].fn(spark, SF_SMALL)
+    assert df.count() > 0
+    assert spark.conf.get(key, None) == before

@@ -340,3 +340,60 @@ def test_pagerank_auto_gate_picks_strategy(spark):
     # broadcast mode hints the rank join; shuffle mode must not
     assert "REPARTITION_BY_COL" not in _plan(small)
     assert "REPARTITION_BY_COL" in _plan(big)
+
+
+def _single_partition_exchanges_feed_only_aggregates(plan: str) -> bool:
+    """Every `Exchange SinglePartition` must sit directly above a
+    HashAggregate (i.e. only tiny pre-aggregated tables ever collapse to
+    one task — never corpus-sized rows)."""
+    for m in re.finditer(r"Exchange SinglePartition[^\n]*\n([^\n]*)", plan):
+        if "HashAggregate" not in m.group(1):
+            return False
+    return True
+
+
+def test_token_packing_cumsum_is_bucket_partitioned(spark):
+    """r4-task-2 'done' criterion: the corpus-wide running token sum must
+    run as a bucket-PARTITIONED window (parallel) + a prefix sum over the
+    tiny per-bucket totals — never a global no-partition window over the
+    documents (which collapses to ONE task)."""
+    from signal_messenger_vector_database_spark.plans.traindata import SPECS
+
+    plan = _plan(SPECS["token_packing"].fn(spark, SF))
+    # the per-doc cumsum window is partitioned by bucket
+    assert re.search(r"windowspecdefinition\(bucket#\d+L?, doc_id#", plan), plan[:3000]
+    # no document-sized rows through a single task
+    assert _single_partition_exchanges_feed_only_aggregates(plan), plan[:3000]
+
+
+def test_zipf_fit_topn_is_take_ordered(spark):
+    """r4-task-3 'done' criterion: the top-100 term selection must be a
+    TakeOrderedAndProject (per-partition top-N + driver merge of N*parts
+    rows), and the rank window must run AFTER the limit, over <=100 rows —
+    no global sort or single-partition exchange of the full term table."""
+    from signal_messenger_vector_database_spark.plans.stats import SPECS
+
+    plan = _plan(SPECS["zipf_fit"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+    assert "Exchange SinglePartition" not in plan, plan[:3000]
+    # the only global window (rank over the top-100) consumes the limit
+    assert re.search(
+        r"Window \[row_number\(\)[^\n]*\n\s*\+- TakeOrderedAndProject", plan
+    ), plan[:3000]
+
+
+def test_rank_family_is_range_partitioned_two_pass(spark):
+    """r4-task-6 / r5-task-4: rank_family must use the two-pass
+    range-partition + offset shape — a range repartition on the ORDER BY
+    key, a _pid-partitioned local row_number, and single-task stages only
+    for the |partitions|-row offset/total tables — never the old global
+    no-partition window over the whole supplier table."""
+    from signal_messenger_vector_database_spark.plans.analytics import SPECS
+
+    plan = _plan(SPECS["rank_family"].fn(spark, SF))
+    assert re.search(r"rangepartitioning\(s_acctbal#\d+ DESC", plan), plan[:3000]
+    assert re.search(r"windowspecdefinition\(_pid#\d+, s_acctbal#", plan), plan[:3000]
+    # the old scale-killer: a window whose spec STARTS with the order
+    # column (no partition key) over supplier-sized input
+    assert not re.search(r"windowspecdefinition\(s_acctbal#\d+ DESC", plan), plan[:3000]
+    assert _single_partition_exchanges_feed_only_aggregates(plan), plan[:3000]
