@@ -115,3 +115,88 @@ def test_with_embeddings_dataframe(spark):
     again = {r.id: r.embedding for r in with_embeddings(df, text_col="body", dim=8).collect()}
     for r in out:
         assert again[r.id] == r.embedding
+
+
+class _FlakyOllamaHandler:
+    """Stands up a REAL localhost HTTP server (r3 task 8: the retry loop
+    was only ever exercised against recorded responses): first
+    ``fail_first`` POSTs return 500, then valid Ollama-shaped JSON."""
+
+    @staticmethod
+    def make(fail_first: int, dim: int):
+        import json
+        from http.server import BaseHTTPRequestHandler
+
+        state = {"calls": 0, "bodies": []}
+
+        class H(BaseHTTPRequestHandler):
+            def do_POST(self):
+                state["calls"] += 1
+                body = self.rfile.read(int(self.headers["Content-Length"]))
+                state["bodies"].append(json.loads(body))
+                if state["calls"] <= fail_first:
+                    self.send_response(500)
+                    self.end_headers()
+                    self.wfile.write(b"boom")
+                    return
+                out = json.dumps({"embedding": [0.125] * dim}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(out)))
+                self.end_headers()
+                self.wfile.write(out)
+
+            def log_message(self, *a):  # keep pytest output clean
+                pass
+
+        return H, state
+
+
+def _serve(handler):
+    import threading
+    from http.server import HTTPServer
+
+    srv = HTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}/api/embeddings"
+
+
+def test_http_embedder_live_retry_then_success():
+    from signal_messenger_vector_database_spark.operators.embed import HttpEmbedder
+
+    handler, state = _FlakyOllamaHandler.make(fail_first=2, dim=4)
+    srv, url = _serve(handler)
+    try:
+        sleeps = []
+        emb = HttpEmbedder(
+            url=url, model="m", dim=4, max_retries=3, backoff_s=0.5,
+            sleep=sleeps.append,
+        )
+        vecs = emb.embed_batch(["hello\nworld"])
+        assert vecs.shape == (1, 4) and abs(float(vecs[0][0]) - 0.125) < 1e-7
+        assert state["calls"] == 3  # 2 live 500s + 1 success over the socket
+        assert sleeps == [0.5, 1.0]  # exponential backoff schedule
+        # newline scrub (P5) applied before the request left the process
+        assert state["bodies"][0]["prompt"] == "hello world"
+    finally:
+        srv.shutdown()
+
+
+def test_http_embedder_live_exhausted_retries_raise():
+    import pytest
+
+    from signal_messenger_vector_database_spark.operators.embed import HttpEmbedder
+
+    handler, state = _FlakyOllamaHandler.make(fail_first=99, dim=4)
+    srv, url = _serve(handler)
+    try:
+        emb = HttpEmbedder(
+            url=url, model="m", dim=4, max_retries=3, backoff_s=0.01,
+            sleep=lambda s: None,
+        )
+        with pytest.raises(RuntimeError, match="after 3 attempts"):
+            emb.embed_batch(["x"])
+        assert state["calls"] == 3
+    finally:
+        srv.shutdown()
