@@ -71,6 +71,11 @@ _WINDOW = [
     "rank_family",
     "line_dedup",
     "token_packing",
+    # -- minhash family: 4-slices-per-md5 signature scheme (values change) --
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "minhash_jaccard_estimate",
+    "neardup_clusters",
 ]
 
 

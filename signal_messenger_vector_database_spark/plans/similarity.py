@@ -48,8 +48,11 @@ def _sql_shingle_cte(table: str = "documents", id_col: str = "doc_id", text_col:
 
 
 def _sql_minhash_cols() -> str:
+    # mirror of operators/dedup._minhash_agg_cols: four 8-hex slices per
+    # md5, min taken over the SLICE per shingle (not a slice of the min)
     return ", ".join(
-        f"list_sort(list_transform(shingles, s -> md5('{j}|' || s)))[1] AS mh_{j}"
+        f"list_sort(list_transform(shingles, "
+        f"s -> substr(md5('{j // 4}|' || s), {8 * (j % 4) + 1}, 8)))[1] AS mh_{j}"
         for j in range(NUM_MINHASHES)
     )
 
