@@ -153,3 +153,54 @@ def test_await_drained_raises_on_timeout():
     with pytest.raises(TimeoutError, match="did not drain"):
         await_drained(q, 1)
     assert q.stopped
+
+
+def test_stream_ts_matches_batch_on_both_fixture_vintages(spark, tmp_path):
+    """The r5 wrong-answer class: fixtures changed events.ts from INT64
+    TIMESTAMP(NANOS) to timestamp[us] and the streaming reader kept its
+    hard-coded nanos schema, shifting every streamed event to Jan 1970.
+    Pin both vintages: streamed timestamps must equal the batch loader's."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from signal_messenger_vector_database_spark.streaming.ingest import (
+        read_events_stream,
+        streaming_session,
+    )
+
+    stamps = [dt.datetime(2024, 1, 1, 12, 0, 5), dt.datetime(2024, 3, 2, 7, 30)]
+
+    def write_vintage(unit: str) -> str:
+        d = tmp_path / unit
+        d.mkdir()
+        t = pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array(stamps, pa.timestamp(unit)),
+                "user_id": pa.array([10, 20], pa.int64()),
+                "event_type": pa.array(["a", "b"]),
+                "value": pa.array([1.0, 2.0]),
+                "props": pa.array(["{}", "{}"]),
+            }
+        )
+        pq.write_table(t, str(d / "events.parquet"), version="2.6")
+        return str(d)
+
+    for unit in ("us", "ns"):
+        sf_dir = write_vintage(unit)
+        s = streaming_session(spark)
+        sink = f"ts_vintage_{unit}"
+        q = (
+            read_events_stream(s, sf_dir)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{unit}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        got = sorted(r.ts for r in s.table(sink).select("ts").collect())
+        assert got == stamps, f"{unit} vintage: {got} != {stamps}"
