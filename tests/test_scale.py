@@ -397,3 +397,30 @@ def test_rank_family_is_range_partitioned_two_pass(spark):
     # column (no partition key) over supplier-sized input
     assert not re.search(r"windowspecdefinition\(s_acctbal#\d+ DESC", plan), plan[:3000]
     assert _single_partition_exchanges_feed_only_aggregates(plan), plan[:3000]
+
+
+def test_rank_family_matches_native_window_semantics(spark):
+    """The two-pass rank_family must be value-identical to the native
+    global-window formulation it replaced — including the ntile remainder
+    branch (checked at sf0.001 where |supplier| % 4 == 2)."""
+    from pyspark.sql.window import Window
+
+    from signal_messenger_vector_database_spark.io.sources import load_table
+    from signal_messenger_vector_database_spark.plans.analytics import SPECS
+
+    got = {r.s_suppkey: r for r in SPECS["rank_family"].fn(spark, SF).collect()}
+    supplier = load_table(spark, SF, "supplier")
+    w = Window.orderBy(F.desc("s_acctbal"), "s_suppkey")
+    want = {
+        r.s_suppkey: r
+        for r in supplier.select(
+            "s_suppkey",
+            F.rank().over(w).alias("rk"),
+            F.dense_rank().over(w).alias("drk"),
+            F.round(F.cume_dist().over(w), 4).alias("cd"),
+            F.ntile(4).over(w).alias("quartile"),
+        ).collect()
+    }
+    assert len(got) == len(want) and len(got) % 4 != 0  # remainder branch live
+    for k, g in got.items():
+        assert tuple(g) == tuple(want[k]), (g, want[k])
