@@ -152,29 +152,38 @@ def _rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-task global window (`Window.orderBy` with no partitionBy pulls
     the whole table through one task — a scale-killer at 100 TB).
 
-    Two-pass range-partition + offset (the dense_ids pattern,
-    plans/advanced.py, generalized to a sampled range partitioner):
-    1. `repartitionByRange` on the ORDER BY key — contiguous key ranges,
-       partition id ascending in key order (RangePartitioner guarantee);
-    2. local row_number per partition (parallel), plus a per-partition
-       count table of |partitions| rows;
+    Two-pass value-bucket + offset (the dense_ids pattern,
+    plans/advanced.py, generalized to sampled range boundaries):
+    1. sample ~31 quantile cut points of the ORDER BY key driver-side
+       (`approxQuantile` — the same sampling RangePartitioner does) and
+       broadcast them as literals; each row's bucket is then a PURE
+       FUNCTION of its key value (count of boundaries above it), so every
+       plan branch that reads the staged frame derives the identical
+       bucket — nothing depends on physical partition ids or exchange
+       reuse (round-6 ADVICE: `spark_partition_id()` after
+       `repartitionByRange` is only branch-stable while Catalyst reuses
+       the canonicalized exchange);
+    2. local row_number per bucket (parallel), plus a per-bucket count
+       table of ~32 rows;
     3. prefix-sum the tiny count table (the ONLY single-task window, over
        ~32 rows), broadcast it back, global rn = offset + local rn.
 
     The ordering key (s_acctbal DESC, s_suppkey) is UNIQUE — s_suppkey is
-    the tiebreak — so rank and dense_rank both equal row_number, tie
-    groups never span partitions, cume_dist = rn/n and ntile has the
-    closed bucket form.  (For a non-unique ordering key the same shape
-    needs a tie-group merge join on the key; not required here.)"""
+    the tiebreak — so rank and dense_rank both equal row_number and
+    cume_dist = rn/n.  Bucketing by s_acctbal alone keeps equal-acctbal
+    rows in one bucket, so the bucket sequence respects the total order.
+    (For a non-unique ordering key see rank_family_ties below.)"""
     supplier = load_table(spark, sf_dir, "supplier")
     order = [F.desc("s_acctbal"), F.col("s_suppkey")]
-    local = (
-        supplier.select("s_suppkey", "s_acctbal")
-        .repartitionByRange(32, *order)
-        .withColumn("_pid", F.spark_partition_id())
-        .withColumn(
-            "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*order))
-        )
+    base = supplier.select("s_suppkey", "s_acctbal")
+    qs = [i / 32.0 for i in range(1, 32)]
+    cuts = sorted(set(base.approxQuantile("s_acctbal", qs, 0.01)), reverse=True)
+    blit = "array(" + ", ".join(f"CAST({c} AS DOUBLE)" for c in cuts) + ")"
+    local = base.withColumn(
+        "_pid",
+        F.expr(f"size(filter({blit}, b -> b > s_acctbal))").cast("int"),
+    ).withColumn(
+        "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*order))
     )
     counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
     offsets = counts.select(
@@ -216,6 +225,84 @@ SELECT s_suppkey,
        CAST(NTILE(4) OVER w AS BIGINT) AS quartile
 FROM supplier
 WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey)
+"""
+
+
+def _rank_family_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rank family over a NON-unique global ordering key
+    (o_orderdate: ~2.4k distinct dates shared by every order), where
+    rank != dense_rank != row_number — the tie semantics rank_family's
+    unique key never exercises.
+
+    Same two-pass value-bucket shape, with the tie-group extension:
+    - bucket = pure function of the key value (year*4+quarter, ~27
+      buckets), so a tie group NEVER spans buckets and per-bucket
+      rank/dense_rank are exact within the bucket;
+    - the per-bucket count table carries BOTH row count and distinct-key
+      count; prefix sums give a row offset (for rank/row_number) and a
+      dense offset (for dense_rank);
+    - global rank  = row_off  + local rank        (tie-aware),
+      global drank = dense_off + local dense_rank,
+      cume_dist    = (row_off + max local rn over the tie group) / n,
+      ntile(4)     = closed form over rn, which is ordered by the
+      tie-broken key (o_orderdate, o_orderkey) to stay deterministic —
+      the oracle mirrors this with two WINDOW clauses."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_orderdate")
+    bucket = (F.year("o_orderdate") * 4 + F.quarter("o_orderdate")).alias("_pid")
+    order_full = [F.col("o_orderdate"), F.col("o_orderkey")]
+    w_bucket = Window.partitionBy("_pid")
+    local = (
+        base.select("o_orderkey", "o_orderdate", bucket)
+        .withColumn("_lrn", F.row_number().over(w_bucket.orderBy(*order_full)))
+        .withColumn("_lrk", F.rank().over(w_bucket.orderBy("o_orderdate")))
+        .withColumn("_ldrk", F.dense_rank().over(w_bucket.orderBy("o_orderdate")))
+        .withColumn(
+            "_tie_max_rn", F.max("_lrn").over(Window.partitionBy("_pid", "o_orderdate"))
+        )
+    )
+    counts = local.groupBy("_pid").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.countDistinct("o_orderdate").alias("_nd"),
+    )
+    prior = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_n").over(prior), F.lit(0)).alias("_off"),
+        F.coalesce(F.sum("_nd").over(prior), F.lit(0)).alias("_doff"),
+    )
+    total = counts.agg(F.sum("_n").alias("_total"))
+    rn = F.col("_off") + F.col("_lrn")
+    size = F.floor(F.col("_total") / 4)
+    rem = F.col("_total") % 4
+    big = rem * (size + 1)
+    quartile = F.when(rn <= big, F.floor((rn - 1) / (size + 1)) + 1).otherwise(
+        rem + F.floor((rn - big - 1) / size) + 1
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "o_orderkey",
+            (F.col("_off") + F.col("_lrk")).cast("long").alias("rk"),
+            (F.col("_doff") + F.col("_ldrk")).cast("long").alias("drk"),
+            F.round(
+                (F.col("_off") + F.col("_tie_max_rn")).cast("double") / F.col("_total"), 4
+            ).alias("cd"),
+            quartile.cast("long").alias("quartile"),
+        )
+    )
+
+
+_RANK_FAMILY_TIES_SQL = """
+SELECT o_orderkey,
+       CAST(RANK() OVER w1 AS BIGINT) AS rk,
+       CAST(DENSE_RANK() OVER w1 AS BIGINT) AS drk,
+       ROUND(CUME_DIST() OVER w1, 4) AS cd,
+       CAST(NTILE(4) OVER w2 AS BIGINT) AS quartile
+FROM orders
+WINDOW w1 AS (ORDER BY o_orderdate),
+       w2 AS (ORDER BY o_orderdate, o_orderkey)
 """
 
 
@@ -419,6 +506,11 @@ SPECS: dict[str, QuerySpec] = {
     "running_window": QuerySpec(_running_window, _RUNNING_WINDOW_SQL, "lag/lead + running sum window"),
     "sessionize": QuerySpec(_sessionize, _SESSIONIZE_SQL, "native session_window vs lag+cumsum oracle"),
     "rank_family": QuerySpec(_rank_family, _RANK_FAMILY_SQL, "rank/dense_rank/cume_dist/ntile"),
+    "rank_family_ties": QuerySpec(
+        _rank_family_ties,
+        _RANK_FAMILY_TIES_SQL,
+        "rank family over a non-unique key: tie-aware two-pass bucket+offset",
+    ),
 }
 
 

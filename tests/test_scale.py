@@ -383,19 +383,23 @@ def test_zipf_fit_topn_is_take_ordered(spark):
 
 
 def test_rank_family_is_range_partitioned_two_pass(spark):
-    """r4-task-6 / r5-task-4: rank_family must use the two-pass
-    range-partition + offset shape — a range repartition on the ORDER BY
-    key, a _pid-partitioned local row_number, and single-task stages only
-    for the |partitions|-row offset/total tables — never the old global
-    no-partition window over the whole supplier table."""
+    """r4-task-6 / r5-task-4 / r6-ADVICE: rank_family must use the
+    two-pass bucket + offset shape — a _pid-partitioned local row_number
+    and single-task stages only for the ~|buckets|-row offset/total
+    tables, never the old global no-partition window over the whole
+    supplier table.  Since round 7 the bucket is a pure function of the
+    key VALUE (sampled boundaries as literals), not spark_partition_id()
+    after a range exchange: the r6 ADVICE showed the latter is only
+    branch-stable while Catalyst reuses the canonicalized exchange."""
     from signal_messenger_vector_database_spark.plans.analytics import SPECS
 
     plan = _plan(SPECS["rank_family"].fn(spark, SF))
-    assert re.search(r"rangepartitioning\(s_acctbal#\d+ DESC", plan), plan[:3000]
     assert re.search(r"windowspecdefinition\(_pid#\d+, s_acctbal#", plan), plan[:3000]
     # the old scale-killer: a window whose spec STARTS with the order
     # column (no partition key) over supplier-sized input
     assert not re.search(r"windowspecdefinition\(s_acctbal#\d+ DESC", plan), plan[:3000]
+    # the r6 ADVICE hazard: _pid must not come from physical partition ids
+    assert "SPARK_PARTITION_ID" not in plan.upper(), plan[:3000]
     assert _single_partition_exchanges_feed_only_aggregates(plan), plan[:3000]
 
 
@@ -422,5 +426,43 @@ def test_rank_family_matches_native_window_semantics(spark):
         ).collect()
     }
     assert len(got) == len(want) and len(got) % 4 != 0  # remainder branch live
+    for k, g in got.items():
+        assert tuple(g) == tuple(want[k]), (g, want[k])
+
+
+def test_rank_family_ties_matches_native_window_semantics(spark):
+    """The tie-aware two-pass rank family must be value-identical to the
+    native global-window formulation over the non-unique o_orderdate key —
+    the case where rank != dense_rank != row_number.  Also asserts the
+    ties are REAL in the fixture (max tie group > 1) so the tie-group
+    arithmetic is actually exercised, and that no global no-partition
+    window over the orders table appears in the plan."""
+    from pyspark.sql.window import Window
+
+    from signal_messenger_vector_database_spark.io.sources import load_table
+    from signal_messenger_vector_database_spark.plans.analytics import SPECS
+
+    df = SPECS["rank_family_ties"].fn(spark, SF)
+    plan = _plan(df)
+    assert not re.search(r"windowspecdefinition\(o_orderdate#\d+ ASC", plan), plan[:3000]
+    got = {r.o_orderkey: r for r in df.collect()}
+    orders = load_table(spark, SF, "orders")
+    assert (
+        orders.groupBy("o_orderdate").count().agg(F.max("count")).first()[0] > 1
+    ), "fixture has no o_orderdate ties; test is vacuous"
+    w1 = Window.orderBy("o_orderdate")
+    w2 = Window.orderBy("o_orderdate", "o_orderkey")
+    want = {
+        r.o_orderkey: r
+        for r in orders.select(
+            "o_orderkey",
+            F.rank().over(w1).cast("long").alias("rk"),
+            F.dense_rank().over(w1).cast("long").alias("drk"),
+            F.round(F.cume_dist().over(w1), 4).alias("cd"),
+            F.ntile(4).over(w2).cast("long").alias("quartile"),
+        ).collect()
+    }
+    assert len(got) == len(want)
+    assert any(g.rk != g.drk for g in got.values())  # ties diverge the pair
     for k, g in got.items():
         assert tuple(g) == tuple(want[k]), (g, want[k])
