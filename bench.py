@@ -3,7 +3,13 @@ sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <float>}
+   "queries": {name: sec, ...}, "sf": <float>,
+   "canary": {"query": "tokenize", "sec": <median of 3>, "runs": [...]}}
+
+The canary is a fixed pure-JVM query (tokenize: parquet scan + codegen'd
+expressions, stable code since r4) re-measured 3x; round-over-round BENCH
+ratios divide by it to cancel the sandbox-speed-of-the-day (r5 ran ~2x
+slow, r6 ~1.5x, uniformly across untouched queries — r6 VERDICT task 6).
 
 Each query is forced through full evaluation with the noop sink (count()
 would let Catalyst prune the projections we mean to measure).
@@ -76,12 +82,25 @@ def main() -> None:
         specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    canary_runs = []
+    for _ in range(3):
+        t0 = time.time()
+        specs["tokenize"].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        canary_runs.append(round(time.time() - t0, 3))
+
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "canary": {
+            "query": "tokenize",
+            "sec": sorted(canary_runs)[1],
+            "runs": canary_runs,
+        },
     }
     print(json.dumps(out))
 

@@ -96,6 +96,10 @@ class DocumentsReader(DataSourceReader):
         import pyarrow.parquet as pq
 
         md = pq.ParquetFile(self.path).metadata
+        if md.num_row_groups == 0:
+            # a zero-row-group file is valid parquet (e.g. an empty
+            # write); probing row_group(0) would raise at planning
+            return [_Range(0, 0, 0)]
         doc_id_idx = next(
             i
             for i in range(md.row_group(0).num_columns)

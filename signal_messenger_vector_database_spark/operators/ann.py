@@ -26,6 +26,7 @@ def exact_cosine_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """All pairs with cosine >= threshold — exact, O(n^2); the correctness
     baseline the LSH variant is tested against.
@@ -37,8 +38,12 @@ def exact_cosine_pairs(
     from ..functions.vector import l2_norm
 
     # the fixture is one parquet file -> one scan partition; without a
-    # repartition the whole O(n^2) probe runs on a single core
-    a = emb.repartition(32).select(
+    # repartition the whole O(n^2) probe runs on a single core.  Width
+    # follows the cluster (defaultParallelism), not a baked-in core count
+    # (r6 VERDICT task 7); callers can override for a known topology.
+    if num_partitions is None:
+        num_partitions = emb.sparkSession.sparkContext.defaultParallelism
+    a = emb.repartition(num_partitions).select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
         l2_norm(vec_col).alias("na"),

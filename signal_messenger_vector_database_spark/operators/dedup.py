@@ -112,8 +112,8 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def minhash_with_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Shingle sets AND minhash signatures from ONE explode pass / ONE
-    shuffle: the collect_set and the 16 min() aggregates share the same
-    groupBy.  The LSH pipeline needs both (signatures for banding, sets
+    shuffle: the collect_set and the NUM_MINHASHES min() aggregates share
+    the same groupBy.  The LSH pipeline needs both (signatures for banding, sets
     for the exact-Jaccard verify); computing them separately re-reads and
     re-explodes the whole corpus — measurable at sf0.1 and a full extra
     corpus pass at 100 TB."""

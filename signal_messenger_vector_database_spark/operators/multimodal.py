@@ -61,12 +61,33 @@ def attach_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _pil():
+    """Import seam for the optional image stack.  Returns the PIL.Image
+    module or None — this container ships no image libs, so the None arm
+    is the tested one here; the PIL arm is exercised wherever Pillow is
+    installed (tests/test_multimodal.py gates with importorskip)."""
+    try:
+        from PIL import Image  # type: ignore
+
+        return Image
+    except ImportError:
+        return None
+
+
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Real decode seam — image libs are not in this container."""
-    raise NotImplementedError(
-        "image decoding requires PIL/opencv; not available in this "
-        "environment — use fake_features() for the pipeline shape"
-    )
+    """Decode an image payload to an HxWxC uint8 array.  Real when Pillow
+    is importable; otherwise raises (decode genuinely cannot be faked —
+    ``fake_features`` below is the stand-in for the *featurize* step)."""
+    Image = _pil()
+    if Image is None:
+        raise NotImplementedError(
+            "image decoding requires PIL/opencv; not available in this "
+            "environment — use fake_features() for the pipeline shape"
+        )
+    import io
+
+    with Image.open(io.BytesIO(payload)) as im:
+        return np.asarray(im.convert("RGB"))
 
 
 def fake_features(payload: bytes, bins: int = 16) -> np.ndarray:
@@ -79,21 +100,39 @@ def fake_features(payload: bytes, bins: int = 16) -> np.ndarray:
     return (hist / arr.size).astype(np.float32)
 
 
+def real_features(payload: bytes, bins: int = 16) -> np.ndarray:
+    """The PIL-backed featurizer: decode, then the SAME normalized
+    histogram — over decoded pixel intensities instead of raw bytes.
+    Shape/dtype-identical to ``fake_features`` by construction, so the
+    two are interchangeable behind ``extract_features``'s seam."""
+    px = decode_image(payload).reshape(-1)
+    if px.size == 0:
+        return np.zeros(bins, dtype=np.float32)
+    hist, _ = np.histogram(px, bins=bins, range=(0, 256))
+    return (hist / px.size).astype(np.float32)
+
+
 def extract_features(
-    df: DataFrame, payload_col: str = "payload", bins: int = 16
+    df: DataFrame, payload_col: str = "payload", bins: int = 16,
+    featurizer=None,
 ) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads."""
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``featurizer`` picks the per-payload function INSIDE the Pandas batch
+    loop; default auto-selects ``real_features`` when Pillow is importable
+    on the workers, else ``fake_features``.  Resolution happens lazily in
+    the task (not on the driver) because driver and executors need not
+    share an environment on a real cluster."""
     out_schema = StructType(
         list(df.schema.fields)
         + [StructField("features", ArrayType(FloatType()), True)]
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fn = featurizer or (real_features if _pil() is not None else fake_features)
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["features"] = [
-                list(fake_features(p, bins)) for p in pdf[payload_col]
-            ]
+            pdf["features"] = [list(fn(p, bins)) for p in pdf[payload_col]]
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)

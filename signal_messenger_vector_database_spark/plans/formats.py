@@ -158,32 +158,47 @@ SPECS["schema_evolution"] = QuerySpec(
 
 
 # --- custom Python data source (Spark 4 DataSource API) ------------------
+_PYDS_CACHE: dict[int, tuple[SparkSession, str]] = {}
+
+
+def _pyds_session(spark: SparkSession) -> tuple[SparkSession, str]:
+    """One cloned session + one registered source name per parent session,
+    cached for the process lifetime.  The registry's existence check is
+    JVM-global while resolution is session-local, so the name still gets a
+    per-process uuid suffix to dodge collisions with registrations made on
+    sessions this one cannot see."""
+    key = id(spark)
+    if key not in _PYDS_CACHE:
+        from ..io.pydatasource import DocumentsSource
+
+        s = spark.newSession()
+        s.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        fmt = f"smvd_documents_{uuid.uuid4().hex[:8]}"
+        named = type(
+            "DocumentsSourceScoped",
+            (DocumentsSource,),
+            {"name": classmethod(lambda cls, _n=fmt: _n)},
+        )
+        s.dataSource.register(named)
+        _PYDS_CACHE[key] = (s, fmt)
+    return _PYDS_CACHE[key]
+
+
 def _pyds_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents read through the custom ``smvd_documents`` Python data
     source (io/pydatasource.py): partition-planned pyarrow reads, Arrow
     batches to the JVM, and doc_id comparison filters PUSHED into the
     source (the `doc_id <= 300` below reaches the pyarrow read via
     pushFilters — asserted by test_pydatasource)."""
-    from ..io.pydatasource import DocumentsSource
-
     # cloned session (shared SparkContext, independent SQLConf): the
     # pushdown flag must be live when the plan EXECUTES (laziness makes a
     # set/restore dance racy), but the caller's session config must not
-    # be mutated — the clone scopes the flag to this query's lifetime
-    spark = spark.newSession()
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    # the registry's existence check is JVM-global while resolution is
-    # session-local, so a fixed name can collide with a registration on
-    # another session it can't even see — register a unique name per call
-    fmt = f"smvd_documents_{uuid.uuid4().hex[:8]}"
-    named = type(
-        "DocumentsSourceScoped",
-        (DocumentsSource,),
-        {"name": classmethod(lambda cls, _n=fmt: _n)},
-    )
-    spark.dataSource.register(named)
+    # be mutated.  Clone + registration are cached per-process (r6 ADVICE:
+    # a fresh session and a uuid-named JVM-global registry entry per CALL
+    # accumulate across driver rounds and are never torn down).
+    session, fmt = _pyds_session(spark)
     docs = (
-        spark.read.format(fmt)
+        session.read.format(fmt)
         .option("path", os.path.join(sf_dir, "documents.parquet"))
         .load()
     )

@@ -42,12 +42,15 @@ def _events_stream_schema(sf_dir: str) -> tuple[StructType, bool]:
     ones as plain ``timestamp[us]``.  The batch loader detects this after
     the read (io/sources.py); a stream must declare its schema up front,
     so detect BEFORE building it.  Returns (schema, ts_is_raw_nanos)."""
+    import pyarrow as pa
     import pyarrow.parquet as pa_pq
 
-    ts_type = str(
+    ts_type = (
         pa_pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
     )
-    raw_nanos = ts_type == "timestamp[ns]"
+    # structural check, not string equality: a tz-annotated nanos field
+    # prints "timestamp[ns, tz=UTC]" and would dodge an exact-match probe
+    raw_nanos = pa.types.is_timestamp(ts_type) and ts_type.unit == "ns"
     ts_field = StructField("ts", LongType() if raw_nanos else TimestampType(), True)
     schema = StructType(
         [

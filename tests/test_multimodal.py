@@ -5,10 +5,12 @@ import pytest
 from pyspark.sql import functions as F
 
 from signal_messenger_vector_database_spark.operators.multimodal import (
+    _pil,
     attach_binary,
     decode_image,
     extract_features,
     fake_features,
+    real_features,
     sample_frames,
 )
 
@@ -21,9 +23,30 @@ def test_attach_binary_metadata(spark):
     assert row.meta.mime == "text/plain"
 
 
-def test_decode_is_stubbed():
+@pytest.mark.skipif(_pil() is not None, reason="Pillow installed: decode is real")
+def test_decode_raises_without_pil():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+@pytest.mark.skipif(_pil() is None, reason="Pillow not in this container")
+def test_decode_and_real_features_with_pil():
+    """The PIL-gated real path: decode a generated 4x4 RGB PNG and assert
+    the real featurizer is shape/dtype-interchangeable with the fake one
+    behind the same seam (r6 VERDICT task 4)."""
+    import io
+
+    Image = _pil()
+    im = Image.new("RGB", (4, 4), (200, 10, 10))
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    png = buf.getvalue()
+    px = decode_image(png)
+    assert px.shape == (4, 4, 3) and px.dtype == np.uint8
+    real = real_features(png, bins=16)
+    fake = fake_features(png, bins=16)
+    assert real.shape == fake.shape and real.dtype == fake.dtype
+    assert abs(float(real.sum()) - 1.0) < 1e-5
 
 
 def test_fake_features_shape_and_mass():
@@ -38,7 +61,9 @@ def test_extract_features_df(spark):
     df = attach_binary(
         spark.createDataFrame([(i, f"text {i}") for i in range(5)], "doc_id long, text string")
     )
-    out = extract_features(df).collect()
+    # featurizer pinned: these payloads are text bytes, and the auto path
+    # would (correctly) try a real image decode wherever Pillow exists
+    out = extract_features(df, featurizer=fake_features).collect()
     assert len(out) == 5
     assert all(len(r.features) == 16 for r in out)
 

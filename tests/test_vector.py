@@ -108,14 +108,22 @@ def test_random_projection_preserves_norms_in_expectation(spark):
     assert 0.7 < mean_ratio < 1.3, mean_ratio
 
 
-def test_pq_adc_recall_against_exact(spark):
-    """PQ is lossy by design; assert the ADC top-10 recovers a reasonable
-    fraction of the exact L2 top-10 (data-independent codebooks give a
-    weaker-than-trained bound, so require overlap >= 2/10 and that ADC
-    distances are nonnegative + sorted)."""
+def test_pq_adc_preserves_distance_ranking(spark):
+    """PQ is lossy by design, and the r7 query vector is the fixed
+    data-independent literal (the rag_retrieve pattern), an off-data point
+    for which untrained seeded codebooks give no top-10 recall guarantee.
+    The property that MUST hold is distance-rank preservation: ADC
+    estimates correlate with exact L2 across the corpus (measured 0.525
+    Spearman at sf0.001) and the ADC top-50 beats chance overlap (~5/50)
+    with the exact top-50 (measured 11).  Plus basic sanity: nonnegative,
+    sorted, and the reported top-10 are the global ADC argmins."""
     import numpy as np
 
     from signal_messenger_vector_database_spark.plans.vectorops import (
+        _PQ_M,
+        _pq_encode,
+        _pq_lut,
+        _pq_query_vec,
         _topk_pq_adc,
     )
 
@@ -123,12 +131,34 @@ def test_pq_adc_recall_against_exact(spark):
     dists = [r["adc_dist"] for r in adc_rows]
     assert all(d >= 0 for d in dists)
     assert dists == sorted(dists)
-    got = {r["vec_id"] for r in adc_rows}
 
     vecs = {
         r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
         for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
     }
-    q = vecs[0]
-    exact = sorted(vecs, key=lambda k: float(np.sum((vecs[k] - q) ** 2)))[:10]
-    assert len(got & set(exact)) >= 2, (sorted(got), exact)
+    codes = {
+        r["vec_id"]: [r[f"c{j}"] for j in range(_PQ_M)]
+        for r in _pq_encode(spark, SF).collect()
+    }
+    lut = _pq_lut()
+    q = np.array(_pq_query_vec(), dtype=np.float64)
+    ids = sorted(vecs)
+    adc = np.array([sum(lut[j][codes[i][j]] for j in range(_PQ_M)) for i in ids])
+    exact = np.array([float(np.sum((vecs[i] - q) ** 2)) for i in ids])
+
+    # the returned top-10 must be the true ADC argmins — compare at the
+    # query's 1e-4 output grain (ties broken by vec_id, as the query does)
+    want_top = [i for _, i in sorted(zip(np.round(adc, 4), ids))[:10]]
+    assert [r["vec_id"] for r in adc_rows] == want_top
+
+    def rank(a):
+        order = np.argsort(a)
+        r = np.empty(len(a))
+        r[order] = np.arange(len(a))
+        return r
+
+    rho = float(np.corrcoef(rank(adc), rank(exact))[0, 1])
+    assert rho > 0.35, rho
+    top50_adc = set(np.array(ids)[np.argsort(adc)][:50])
+    top50_exact = set(np.array(ids)[np.argsort(exact)][:50])
+    assert len(top50_adc & top50_exact) >= 8  # chance is ~5
