@@ -59,6 +59,8 @@ _WINDOW = [
     "rank_family",
     "rank_family_ties",
     "attachment_spec",
+    "gopher_quality_filter",
+    "semdedup",
     # -- never driver-checked (rows-only): get them a first row --
     "approx_distinct",
     "kmeans_fit_assign",

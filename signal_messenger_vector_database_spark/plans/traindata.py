@@ -896,3 +896,117 @@ SPECS["line_dedup"] = QuerySpec(
     _LINE_DEDUP_SQL,
     f"segment-level dedup: {_SEG_WORDS}-word segment fingerprints, cross-doc duplicated fraction",
 )
+
+
+# --- Gopher-style composite quality FILTER --------------------------------
+# The keep/drop decision of the Gopher rule set (Rae et al. 2021, table A1),
+# with thresholds tuned so every rule has live pass AND fail arms on the
+# synthetic fixture (single-line space-separated text: the symbol/bullet/
+# ellipsis rules would be vacuously true here and are covered by
+# quality_score's ratio features instead).  This complements
+# repetition_score (the max-bigram rule) and quality_score (the scalar
+# signal): it is the boolean *filter* a 100 TB pretraining pipeline
+# actually applies — one scan, all rules as JVM expressions, no shuffle
+# except the top-word aggregation.
+
+_GOPHER_STOPWORDS = ("the", "a", "and", "of", "to", "in")
+_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = 20, 80
+_GOPHER_MEAN_LEN_LO, _GOPHER_MEAN_LEN_HI = 3.0, 4.6
+_GOPHER_MIN_STOP_HITS = 2
+_GOPHER_TOP_WORD_FRAC = 0.12
+
+
+def _gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import normalized_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(normalized_text(F.col("text")), " ")
+    n_words = F.size(words)
+    mean_len = portable_round(
+        F.aggregate(
+            words, F.lit(0).cast("double"), lambda acc, w: acc + F.length(w)
+        )
+        / n_words,
+        4,
+    )
+    stop_hits = F.aggregate(
+        words,
+        F.lit(0),
+        lambda acc, w: acc
+        + F.when(w.isin(*_GOPHER_STOPWORDS), 1).otherwise(0),
+    )
+    top = (
+        docs.select("doc_id", F.explode(words).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("_max_c"))
+    )
+    feats = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        stop_hits.alias("stop_hits"),
+    )
+    per_doc = feats.join(top, "doc_id").withColumn(
+        "top_word_frac",
+        portable_round(F.col("_max_c") / F.col("n_words"), 4),
+    )
+    keep = (
+        F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+        & F.col("mean_word_len").between(_GOPHER_MEAN_LEN_LO, _GOPHER_MEAN_LEN_HI)
+        & (F.col("stop_hits") >= _GOPHER_MIN_STOP_HITS)
+        & (F.col("top_word_frac") <= _GOPHER_TOP_WORD_FRAC)
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "stop_hits",
+        "top_word_frac",
+        keep.alias("keep"),
+    )
+
+
+def _gopher_quality_filter_sql() -> str:
+    stop = ", ".join(f"'{w}'" for w in _GOPHER_STOPWORDS)
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(lower(regexp_replace(trim(coalesce(text, '')), '\\s+', ' ', 'g')), ' ') AS words
+  FROM documents
+),
+base AS (
+  SELECT doc_id, words,
+         len(words) AS n_words,
+         FLOOR(list_sum(list_transform(words, x -> CAST(length(x) AS DOUBLE)))
+               / len(words) * 10000.0 + 0.5) / 10000.0 AS mean_word_len,
+         CAST(len(list_filter(words, x -> x IN ({stop}))) AS INTEGER) AS stop_hits
+  FROM w
+),
+top_word AS (
+  SELECT doc_id, MAX(c) AS max_c FROM (
+    SELECT doc_id, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(words) AS word FROM w)
+    GROUP BY doc_id, word
+  ) GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n_words AS INTEGER) AS n_words,
+       b.mean_word_len,
+       b.stop_hits,
+       FLOOR(t.max_c / CAST(b.n_words AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS top_word_frac,
+       (b.n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+        AND b.mean_word_len BETWEEN {_GOPHER_MEAN_LEN_LO} AND {_GOPHER_MEAN_LEN_HI}
+        AND b.stop_hits >= {_GOPHER_MIN_STOP_HITS}
+        AND FLOOR(t.max_c / CAST(b.n_words AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+            <= {_GOPHER_TOP_WORD_FRAC}) AS keep
+FROM base b JOIN top_word t USING (doc_id)
+"""
+
+
+SPECS["gopher_quality_filter"] = QuerySpec(
+    _gopher_quality_filter,
+    _gopher_quality_filter_sql(),
+    "Gopher-rule composite keep/drop filter (word count, mean length, stopwords, top-word fraction)",
+)

@@ -410,7 +410,10 @@ def _kmeans_lloyd3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_lloyd3_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+def _kmeans_lloyd3_with(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """The WITH-clause body (``d``, ``c0``, ``a1``..``a{iters}``) shared by
+    the kmeans_lloyd3 oracle and downstream consumers (semdedup) — final
+    assignment table is ``a{iters}`` (vec_id, e, cluster, d2)."""
     d2 = (
         "list_sum(list_transform(range(1, {n}), "
         "i -> (d.e[i] - c.cv[i]) * (d.e[i] - c.cv[i])))"
@@ -450,10 +453,12 @@ c{n} AS (
         parts.append(assign.format(n=it, prev=it - 1, d2=d2))
         if it < iters:
             parts.append(update.format(n=it, prev=it))
-    body = ",".join(parts[1:])
+    return parts[0] + ",".join(parts[1:])
+
+
+def _kmeans_lloyd3_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
     return (
-        parts[0]
-        + body
+        _kmeans_lloyd3_with(k, iters, dim)
         + f"""
 SELECT vec_id, cluster, FLOOR(d2 * 10000 + 0.5) / 10000 AS d2
 FROM a{iters}
@@ -652,4 +657,81 @@ SPECS["topk_pq_adc"] = QuerySpec(
     _topk_pq_adc,
     _topk_pq_adc_sql(),
     "PQ asymmetric-distance top-k over 8-byte codes (ANN memory scale path)",
+)
+
+
+# --- SemDeDup: semantic dedup via within-cluster cosine -------------------
+# The SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540): cluster the
+# embedding space, then compare pairs ONLY within a cluster and drop all
+# but one representative of each near-duplicate neighborhood.  This is the
+# 100 TB shape for semantic dedup: k-means assignment is one broadcast
+# cross join (k tiny centroids), and the quadratic pair join is fenced
+# inside clusters of ~n/k vectors — never across the corpus.  Keep rule:
+# a vector is dropped iff some LOWER-id vector in its cluster sits within
+# the cosine threshold (deterministic, order-free, both engines replay it).
+
+_SEMDEDUP_THRESHOLD = 0.35  # aligned with embedding_neardup's corpus scale
+
+
+def _semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import cosine_similarity
+    from ..operators.clustering import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    assigned, _ = kmeans_fit(spark, emb, k=8, max_iter=3, tol=-1.0)
+    vecs = assigned.join(emb, "vec_id").select("vec_id", "cluster", "embedding")
+    a = vecs.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("cluster").alias("cl_a"),
+        F.col("embedding").alias("va"),
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("cluster").alias("cl_b"),
+        F.col("embedding").alias("vb"),
+    )
+    dropped = (
+        a.join(b, (F.col("cl_a") == F.col("cl_b")) & (F.col("id_a") < F.col("id_b")))
+        .filter(F.round(cosine_similarity("va", "vb"), 4) >= _SEMDEDUP_THRESHOLD)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return vecs.join(dropped.withColumn("_drop", F.lit(1)), "vec_id", "left").select(
+        "vec_id",
+        F.col("cluster").cast("long").alias("cluster"),
+        F.col("_drop").isNull().alias("keep"),
+    )
+
+
+def _semdedup_sql(k: int = 8, iters: int = 3) -> str:
+    cos = _SQL_COS_E.format(a="a.e", b="b.e")
+    return (
+        _kmeans_lloyd3_with(k, iters)
+        + f""",
+assign AS (SELECT vec_id, e, cluster FROM a{iters}),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a JOIN assign b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE ROUND({cos}, 4) >= {_SEMDEDUP_THRESHOLD}
+)
+SELECT s.vec_id, CAST(s.cluster AS BIGINT) AS cluster,
+       (d.vec_id IS NULL) AS keep
+FROM assign s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+"""
+    )
+
+
+_SQL_COS_E = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+SPECS["semdedup"] = QuerySpec(
+    _semdedup,
+    _semdedup_sql(),
+    "SemDeDup: within-kmeans-cluster cosine near-dup drop (semantic dedup scale path)",
 )

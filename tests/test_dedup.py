@@ -129,3 +129,56 @@ def test_ngram_stop_shingle_cutoff_bounds_posting_head(spark):
         docs.unionByName(dup), "doc_id", "text", 0.99, max_df=cutoff
     )
     assert pairs2.filter(F.col("jaccard") >= 0.99).count() >= 1
+
+
+def test_semdedup_keep_rule_properties(spark):
+    """SemDeDup keep rule: both arms live; the lowest-id vector of every
+    cluster is always kept (it can have no lower-id neighbor); and keep +
+    drop partition the corpus exactly."""
+    from signal_messenger_vector_database_spark.plans.vectorops import _semdedup
+
+    sf = "/root/testdata/sf0.001"
+    out = _semdedup(spark, sf)
+    rows = out.collect()
+    n = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+    assert len(rows) == n
+    kept = [r for r in rows if r.keep]
+    dropped = [r for r in rows if not r.keep]
+    assert kept and dropped
+    min_per_cluster = {}
+    for r in rows:
+        if r.cluster not in min_per_cluster or r.vec_id < min_per_cluster[r.cluster]:
+            min_per_cluster[r.cluster] = r.vec_id
+    kept_ids = {r.vec_id for r in kept}
+    assert set(min_per_cluster.values()) <= kept_ids
+
+
+def test_gopher_filter_rules_have_live_arms(spark):
+    """Every Gopher rule must actually fire on the fixture (a rule whose
+    fail arm is dead is untested dead weight), and keep == AND of rules."""
+    from signal_messenger_vector_database_spark.plans.traindata import (
+        _GOPHER_MAX_WORDS,
+        _GOPHER_MEAN_LEN_HI,
+        _GOPHER_MEAN_LEN_LO,
+        _GOPHER_MIN_STOP_HITS,
+        _GOPHER_MIN_WORDS,
+        _GOPHER_TOP_WORD_FRAC,
+        _gopher_quality_filter,
+    )
+
+    rows = _gopher_quality_filter(spark, "/root/testdata/sf0.001").collect()
+    ok_words = [_GOPHER_MIN_WORDS <= r.n_words <= _GOPHER_MAX_WORDS for r in rows]
+    ok_len = [
+        _GOPHER_MEAN_LEN_LO <= r.mean_word_len <= _GOPHER_MEAN_LEN_HI for r in rows
+    ]
+    ok_stop = [r.stop_hits >= _GOPHER_MIN_STOP_HITS for r in rows]
+    ok_top = [r.top_word_frac <= _GOPHER_TOP_WORD_FRAC for r in rows]
+    for name, oks in [
+        ("words", ok_words),
+        ("mean_len", ok_len),
+        ("stop", ok_stop),
+        ("top_word", ok_top),
+    ]:
+        assert any(oks) and not all(oks), f"rule {name} has a dead arm"
+    for r, w, l, s, t in zip(rows, ok_words, ok_len, ok_stop, ok_top):
+        assert r.keep == (w and l and s and t)
