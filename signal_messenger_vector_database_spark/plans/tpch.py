@@ -587,3 +587,154 @@ SPECS: dict[str, QuerySpec] = {
     "q18_large_orders": QuerySpec(_q18_large_orders, _Q18_SQL, "TPC-H Q18 shape: HAVING over 3-way join"),
     "correlated_subquery": QuerySpec(_correlated_subquery, _CORRELATED_SUBQUERY_SQL, "correlated scalar subquery (spark.sql surface)"),
 }
+
+
+# --- TPC-H Q12 shape: priority classes by line status --------------------
+# The fixture has no l_shipmode, so l_linestatus stands in as the 2-value
+# classification dimension; the characteristic shape — fact-fact equi-join
+# + date range + conditional two-way counts — is intact.
+def _q12_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+_Q12_SQL = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+# --- TPC-H Q20 shape: part-promotion suppliers ---------------------------
+# No partsupp table in the fixture, so the availability predicate becomes
+# a shipped-quantity HAVING over the lineitem-part join; the shape — dim
+# filter -> agg -> semi-join into supplier — is the one that matters: the
+# supplier table is never joined to the fact, only semi-joined against a
+# small aggregated key set.
+def _q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load_table(spark, sf_dir, "supplier")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    heavy = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(
+            F.broadcast(part.filter(F.col("p_name").like("red%"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50.0)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    )
+
+
+_Q20_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_suppkey, l_partkey
+  HAVING SUM(l_quantity) > 50.0
+)
+ORDER BY s_name
+"""
+
+
+# --- TPC-H Q21 shape: suppliers who kept orders waiting ------------------
+# Lateness is adapted to l_shipdate > o_orderdate + 60 days (the fixture
+# has no commit/receipt dates).  The characteristic plan is preserved:
+# EXISTS + NOT EXISTS over lineitem self-correlations, which Catalyst
+# decorrelates into one left-semi and one left-anti hash join on
+# l_orderkey — no per-row subquery execution survives.
+def _q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    sv, lv, ov, nv = (f"{t}_q21_{tag}" for t in ("supplier", "lineitem", "orders", "nation"))
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView(sv)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(lv)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(ov)
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(nv)
+    return spark.sql(
+        f"""
+        SELECT s_name, COUNT(*) AS numwait
+        FROM {sv} JOIN {lv} l1 ON s_suppkey = l1.l_suppkey
+        JOIN {ov} ON o_orderkey = l1.l_orderkey
+        JOIN {nv} ON s_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F' AND n_name = 'NATION_3'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM {lv} l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM {lv} l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 10
+        """
+    )
+
+
+_Q21_SQL = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F' AND n_name = 'NATION_3'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
+SPECS["q12_priority_classes"] = QuerySpec(
+    _q12_priority_classes, _Q12_SQL, "TPC-H Q12 shape: conditional priority counts (linestatus as mode)"
+)
+SPECS["q20_part_promotion"] = QuerySpec(
+    _q20_part_promotion, _Q20_SQL, "TPC-H Q20 shape: agg-HAVING key set semi-joined into supplier"
+)
+SPECS["q21_waiting_supplier"] = QuerySpec(
+    _q21_waiting_supplier, _Q21_SQL, "TPC-H Q21 shape: EXISTS + NOT EXISTS self-correlations (semi+anti joins)"
+)

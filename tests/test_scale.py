@@ -466,3 +466,15 @@ def test_rank_family_ties_matches_native_window_semantics(spark):
     assert any(g.rk != g.drk for g in got.values())  # ties diverge the pair
     for k, g in got.items():
         assert tuple(g) == tuple(want[k]), (g, want[k])
+
+
+def test_q21_decorrelates_to_semi_and_anti_joins(spark):
+    """The Q21 shape's EXISTS / NOT EXISTS self-correlations must reach
+    the physical plan as one left-semi and one left-anti hash join on
+    l_orderkey — if Catalyst ever fails to decorrelate, a per-row
+    subquery would execute against the 100 TB fact table."""
+    from signal_messenger_vector_database_spark.plans.tpch import SPECS
+
+    plan = _plan(SPECS["q21_waiting_supplier"].fn(spark, SF))
+    assert "LeftSemi" in plan, plan[:3000]
+    assert "LeftAnti" in plan, plan[:3000]
