@@ -55,6 +55,12 @@ COMMENTARY = {
     "cusum_drift": "Recursive CUSUM fold rewritten via the prefix-sum identity S_i = P_i - min(0, running-min P): two running windows per user replace the unexpressible recursion — no per-user array gather, state is the window frame, partitions parallelize across users. Centering mean is a DECIMAL-exact sum so both engines subtract the identical constant.",
     "shingle_containment": "Asymmetric containment dedup: candidates from the shingle equi-join with the max_df stop-shingle projection (join cost is sum(df^2) — hot shingles dominate quadratically with no signal; 26 s -> 1.6 s at sf0.1). Sizes computed in the same projected space keep C(A->B)=1.0 for true subsets.",
     "sorted_neighborhood": "Sorted-neighborhood blocking: rank windows run PER PREFIX BLOCK (parallel, never one global-ordered task), candidates meet on a block equi-join with a bounded rank delta, levenshtein runs only on w*n candidate pairs.",
+    "rank_family": "Global ranking without the single-task global window: the bucket id is a pure function of the key VALUE (sampled quantile boundaries as literals — r7, replacing spark_partition_id() whose branch-stability depended on exchange reuse), local row_number per bucket runs in parallel, and the only single-partition stage is the ~32-row offset prefix sum.",
+    "rank_family_ties": "The tie-aware variant over the non-unique o_orderdate key: value bucketing guarantees a tie group never spans buckets, so per-bucket rank/dense_rank are exact and global ranks are local + prefix-summed (row, distinct-key) offsets. rank != dense_rank != row_number is actually exercised here.",
+    "semdedup": "SemDeDup: k-means assignment is a broadcast cross join (k tiny centroids); the quadratic cosine pair join is fenced INSIDE clusters (n/k per side), never across the corpus; keep rule is a left-anti against the dropped-id set — deterministic lowest-id-wins.",
+    "gopher_quality_filter": "Gopher keep/drop composite: word-count/mean-length/stopword rules are pure codegen array expressions over one scan; only the top-word fraction aggregates (explode + two-key count, partial-aggregated map-side), re-joined by doc_id.",
+    "q21_waiting_supplier": "TPC-H Q21 shape: the EXISTS and NOT EXISTS lineitem self-correlations decorrelate into one left-semi and one left-anti hash join on l_orderkey (asserted by test_scale) — no per-row subquery execution; nation/supplier broadcast.",
+    "attachment_spec": "K5 AttachmentSpec build: binaryFile scan with the content column pruned (only path/length are read), extension->mime as a literal CASE cascade — the upload side-effect is the K4 dispatch seam, outside the analytic plan.",
 }
 
 
