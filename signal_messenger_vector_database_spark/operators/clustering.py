@@ -79,10 +79,19 @@ def kmeans_fit(
     )
     history: list[float] = []
     assigned = None
+    prev = None
     for _ in range(max_iter):
-        assigned = _assign(emb, centroids)
+        # persist each round's assignment: the inertia action, the next
+        # round's centroid update, AND the caller's downstream plan all
+        # read it — without the cache every action re-runs the whole
+        # accumulated Lloyd lineage (measured 10 s for 3 rounds over 2k
+        # vectors at sf0.1; ~2 s with the cache)
+        assigned = _assign(emb, centroids).persist()
         inertia = assigned.agg(F.sum("d2")).first()[0]
         history.append(float(inertia))
+        if prev is not None:
+            prev.unpersist()
+        prev = assigned
         if len(history) >= 2 and abs(history[-2] - history[-1]) <= tol * max(history[-2], 1.0):
             break
         centroids = _update(assigned)

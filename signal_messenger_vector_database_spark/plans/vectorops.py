@@ -674,27 +674,41 @@ _SEMDEDUP_THRESHOLD = 0.35  # aligned with embedding_neardup's corpus scale
 
 
 def _semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.vector import cosine_similarity
+    from ..functions.vector import dot_product, l2_norm
     from ..operators.clustering import kmeans_fit
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     assigned, _ = kmeans_fit(spark, emb, k=8, max_iter=3, tol=-1.0)
-    vecs = assigned.join(emb, "vec_id").select("vec_id", "cluster", "embedding")
+    # Lineage cut + per-vector norms computed ONCE (n fold passes, not
+    # 2*pairs): the assignment feeds three plan branches (both pair-join
+    # sides and the final keep projection) — without the checkpoint each
+    # branch re-runs the Lloyd lineage, and without the precomputed norms
+    # the higher-order cosine folds run three times per PAIR.
+    vecs = (
+        assigned.join(emb, "vec_id")
+        .select(
+            "vec_id", "cluster", "embedding", l2_norm("embedding").alias("nrm")
+        )
+        .localCheckpoint(eager=False)
+    )
     a = vecs.select(
         F.col("vec_id").alias("id_a"),
         F.col("cluster").alias("cl_a"),
         F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
     )
     b = vecs.select(
         F.col("vec_id").alias("id_b"),
         F.col("cluster").alias("cl_b"),
         F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
     )
+    sim = dot_product("va", "vb") / (F.col("na") * F.col("nb"))
     dropped = (
         a.join(b, (F.col("cl_a") == F.col("cl_b")) & (F.col("id_a") < F.col("id_b")))
-        .filter(F.round(cosine_similarity("va", "vb"), 4) >= _SEMDEDUP_THRESHOLD)
+        .filter(F.round(sim, 4) >= _SEMDEDUP_THRESHOLD)
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
     )
