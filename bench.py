@@ -49,6 +49,10 @@ HEADLINE = [
     "q10_returned_items",
     "q19_bracket_revenue",
     "window_range_frame",
+    # added r7 (compare across rounds per-query / via canary, not by the
+    # raw total — these two entries grow it)
+    "gopher_quality_filter",
+    "semdedup",
 ]
 
 

@@ -680,7 +680,12 @@ def _semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    assigned, _ = kmeans_fit(spark, emb, k=8, max_iter=3, tol=-1.0)
+    # Cluster count scales with the corpus so cluster SIZE stays bounded
+    # (~125): the pair join is quadratic in cluster size, so a fixed k
+    # would quietly re-grow the all-pairs blow-up at 100 TB.  The floor
+    # of 8 matches the static k the sf0.01 oracle replays.
+    n = emb.count()
+    assigned, _ = kmeans_fit(spark, emb, k=max(8, n // 125), max_iter=3, tol=-1.0)
     # Lineage cut + per-vector norms computed ONCE (n fold passes, not
     # 2*pairs): the assignment feeds three plan branches (both pair-join
     # sides and the final keep projection) — without the checkpoint each
