@@ -60,6 +60,7 @@ _WINDOW = [
     "rank_family_ties",
     "attachment_spec",
     "gopher_quality_filter",
+    "dup_ngram_chars",
     "semdedup",
     # -- never driver-checked (rows-only): get them a first row --
     "approx_distinct",

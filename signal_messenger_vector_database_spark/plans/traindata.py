@@ -1010,3 +1010,75 @@ SPECS["gopher_quality_filter"] = QuerySpec(
     _gopher_quality_filter_sql(),
     "Gopher-rule composite keep/drop filter (word count, mean length, stopwords, top-word fraction)",
 )
+
+
+# --- Gopher duplicate-ngram character fraction ---------------------------
+# The remaining Gopher repetition rule family (Rae et al. 2021 table A1,
+# "duplicate n-grams"): the fraction of CHARACTERS inside word trigrams
+# that occur more than once in the document — complements
+# repetition_score (max-bigram occurrence fraction), which a document can
+# pass while still being stitched from a few repeated phrases.  Same
+# relational shape: explode the non-distinct trigram stream, two-key
+# count, one per-doc conditional ratio; docs with < 3 words have no
+# trigrams and (like repetition_score) drop out of the result.
+
+
+def _dup_ngram_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import normalized_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(normalized_text(F.col("text")), " ")
+    n3 = F.greatest(F.size(words) - 2, F.lit(1))
+    trigrams = F.zip_with(
+        F.slice(words, 1, n3),
+        F.zip_with(
+            F.slice(words, 2, n3),
+            F.slice(words, 3, n3),
+            lambda b, c: F.concat_ws(" ", b, c),
+        ),
+        lambda a, bc: F.concat_ws(" ", a, bc),
+    )
+    exploded = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(F.size(words) >= 3, trigrams).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("g"),
+    )
+    counts = exploded.groupBy("doc_id", "g").agg(
+        F.count(F.lit(1)).alias("c"), F.length(F.first("g")).alias("glen")
+    )
+    return counts.groupBy("doc_id").agg(
+        portable_round(
+            F.sum(F.when(F.col("c") > 1, F.col("c") * F.col("glen")).otherwise(0))
+            / F.sum(F.col("c") * F.col("glen")),
+            4,
+        ).alias("dup3_char_frac")
+    )
+
+
+_DUP_NGRAM_CHARS_SQL = """
+WITH norm AS (
+  SELECT doc_id,
+         string_split(lower(regexp_replace(trim(COALESCE(text, '')), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+tg AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+                        i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS g
+  FROM norm WHERE len(w) >= 3
+),
+counts AS (SELECT doc_id, g, COUNT(*) AS c, length(g) AS glen FROM tg GROUP BY doc_id, g)
+SELECT doc_id,
+       floor(SUM(CASE WHEN c > 1 THEN c * glen ELSE 0 END)
+             / CAST(SUM(c * glen) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS dup3_char_frac
+FROM counts GROUP BY doc_id
+"""
+
+
+SPECS["dup_ngram_chars"] = QuerySpec(
+    _dup_ngram_chars,
+    _DUP_NGRAM_CHARS_SQL,
+    "Gopher duplicate-trigram character fraction (repetition rule family)",
+)
