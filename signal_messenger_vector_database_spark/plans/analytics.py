@@ -246,51 +246,19 @@ def _rank_family_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
       cume_dist    = (row_off + max local rn over the tie group) / n,
       ntile(4)     = closed form over rn, which is ordered by the
       tie-broken key (o_orderdate, o_orderkey) to stay deterministic —
-      the oracle mirrors this with two WINDOW clauses."""
+      the oracle mirrors this with two WINDOW clauses.
+
+    The machinery is the reusable operator
+    ``operators/ranking.py::global_rank_family`` (property-fuzzed against
+    native windows over random tie-heavy data in tests/test_properties)."""
+    from ..operators.ranking import global_rank_family
+
     orders = load_table(spark, sf_dir, "orders")
-    base = orders.select("o_orderkey", "o_orderdate")
-    bucket = (F.year("o_orderdate") * 4 + F.quarter("o_orderdate")).alias("_pid")
-    order_full = [F.col("o_orderdate"), F.col("o_orderkey")]
-    w_bucket = Window.partitionBy("_pid")
-    local = (
-        base.select("o_orderkey", "o_orderdate", bucket)
-        .withColumn("_lrn", F.row_number().over(w_bucket.orderBy(*order_full)))
-        .withColumn("_lrk", F.rank().over(w_bucket.orderBy("o_orderdate")))
-        .withColumn("_ldrk", F.dense_rank().over(w_bucket.orderBy("o_orderdate")))
-        .withColumn(
-            "_tie_max_rn", F.max("_lrn").over(Window.partitionBy("_pid", "o_orderdate"))
-        )
-    )
-    counts = local.groupBy("_pid").agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.countDistinct("o_orderdate").alias("_nd"),
-    )
-    prior = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "_pid",
-        F.coalesce(F.sum("_n").over(prior), F.lit(0)).alias("_off"),
-        F.coalesce(F.sum("_nd").over(prior), F.lit(0)).alias("_doff"),
-    )
-    total = counts.agg(F.sum("_n").alias("_total"))
-    rn = F.col("_off") + F.col("_lrn")
-    size = F.floor(F.col("_total") / 4)
-    rem = F.col("_total") % 4
-    big = rem * (size + 1)
-    quartile = F.when(rn <= big, F.floor((rn - 1) / (size + 1)) + 1).otherwise(
-        rem + F.floor((rn - big - 1) / size) + 1
-    )
-    return (
-        local.join(F.broadcast(offsets), "_pid")
-        .crossJoin(F.broadcast(total))
-        .select(
-            "o_orderkey",
-            (F.col("_off") + F.col("_lrk")).cast("long").alias("rk"),
-            (F.col("_doff") + F.col("_ldrk")).cast("long").alias("drk"),
-            F.round(
-                (F.col("_off") + F.col("_tie_max_rn")).cast("double") / F.col("_total"), 4
-            ).alias("cd"),
-            quartile.cast("long").alias("quartile"),
-        )
+    return global_rank_family(
+        orders.select("o_orderkey", "o_orderdate"),
+        order_col="o_orderdate",
+        id_col="o_orderkey",
+        bucket=F.year("o_orderdate") * 4 + F.quarter("o_orderdate"),
     )
 
 

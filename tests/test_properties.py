@@ -166,3 +166,48 @@ def test_portable_round_cross_engine_parity_bulk(spark):
         ).fetchall()
     ]
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=-50, max_value=50)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=9),
+)
+def test_global_rank_family_matches_native_windows(spark, keys, width):
+    """The two-pass value-bucketed rank family must equal the native
+    global-window formulation for ANY key multiset (ties included) and
+    ANY bucket width — rank/dense_rank/cume_dist are tie-invariant, and
+    ntile uses the tie-broken (key, id) order in both formulations."""
+    from pyspark.sql.window import Window
+
+    from signal_messenger_vector_database_spark.operators.ranking import (
+        global_rank_family,
+    )
+
+    rows = [(i, k[0]) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, "rid long, k long")
+    got = {
+        r.rid: r
+        for r in global_rank_family(
+            df, order_col="k", id_col="rid", bucket=F.floor(F.col("k") / width)
+        ).collect()
+    }
+    w1 = Window.orderBy("k")
+    w2 = Window.orderBy("k", "rid")
+    want = {
+        r.rid: r
+        for r in df.select(
+            "rid",
+            F.rank().over(w1).cast("long").alias("rk"),
+            F.dense_rank().over(w1).cast("long").alias("drk"),
+            F.round(F.cume_dist().over(w1), 4).alias("cd"),
+            F.ntile(4).over(w2).cast("long").alias("quartile"),
+        ).collect()
+    }
+    assert len(got) == len(want)
+    for rid, g in got.items():
+        assert tuple(g) == tuple(want[rid]), (rid, g, want[rid])
