@@ -478,3 +478,16 @@ def test_q21_decorrelates_to_semi_and_anti_joins(spark):
     plan = _plan(SPECS["q21_waiting_supplier"].fn(spark, SF))
     assert "LeftSemi" in plan, plan[:3000]
     assert "LeftAnti" in plan, plan[:3000]
+
+
+def test_semdedup_pair_join_is_equi_not_cartesian(spark):
+    """semdedup's within-cluster pair join must reach the physical plan
+    as a hash equi-join on the cluster key — a CartesianProduct (or a
+    nested-loop pair join) would be the corpus-wide all-pairs blow-up the
+    clustering exists to prevent."""
+    from signal_messenger_vector_database_spark.plans.vectorops import _semdedup
+
+    plan = _plan(_semdedup(spark, SF))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert re.search(r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", plan), plan[:3000]
