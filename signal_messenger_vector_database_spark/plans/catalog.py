@@ -61,6 +61,7 @@ _WINDOW = [
     "attachment_spec",
     "gopher_quality_filter",
     "dup_ngram_chars",
+    "quality_classifier",
     "semdedup",
     # -- never driver-checked (rows-only): get them a first row --
     "approx_distinct",

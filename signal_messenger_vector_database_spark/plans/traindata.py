@@ -1082,3 +1082,85 @@ SPECS["dup_ngram_chars"] = QuerySpec(
     _DUP_NGRAM_CHARS_SQL,
     "Gopher duplicate-trigram character fraction (repetition rule family)",
 )
+
+
+# --- fastText-style linear quality classifier ----------------------------
+# Model-based quality scoring, the CCNet/RedPajama shape: a linear
+# classifier over hashed bag-of-words features, score = sigmoid(mean
+# feature weight + bias).  Inference at 100 TB is ONE broadcast literal
+# weight vector + the same explode/agg pass every other text op uses —
+# no Python, no model server; swapping trained weights for these seeded
+# literals changes nothing structural.  The hash slot reuses
+# feature_hashing's portable md5 arithmetic so both engines bucket
+# identically.
+
+
+def _qc_weights(dim: int = 64, seed: int = 7171) -> list[float]:
+    import random
+
+    rng = random.Random(seed)
+    return [round(rng.uniform(-1.0, 1.0), 3) for _ in range(dim)]
+
+
+_QC_BIAS = 0.05
+
+
+def _quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.dedup import normalized_text
+
+    words = docs.select(
+        "doc_id", F.explode(F.split(normalized_text(F.col("text")), " ")).alias("w")
+    )
+    slot = (
+        F.conv(F.substring(F.md5(F.col("w")), 1, 4), 16, 10).cast("int") % _FH_DIM
+    )
+    wlit = "array(" + ", ".join(f"CAST({x} AS DOUBLE)" for x in _qc_weights()) + ")"
+    weighted = words.select(
+        "doc_id",
+        F.element_at(F.expr(wlit), slot + 1).alias("wgt"),
+    )
+    agg = weighted.groupBy("doc_id").agg(
+        F.avg("wgt").alias("mean_w"), F.count(F.lit(1)).alias("n_words")
+    )
+    logit = F.col("mean_w") + F.lit(_QC_BIAS)
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return agg.select(
+        "doc_id",
+        portable_round(score, 4).alias("score"),
+        (portable_round(score, 4) >= 0.5).alias("keep"),
+    )
+
+
+def _quality_classifier_sql() -> str:
+    w = "[" + ", ".join(str(x) for x in _qc_weights()) + "]::DOUBLE[]"
+    slot = (
+        "((instr('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 4096 + "
+        "(instr('0123456789abcdef', substr(md5(w), 2, 1)) - 1) * 256 + "
+        "(instr('0123456789abcdef', substr(md5(w), 3, 1)) - 1) * 16 + "
+        "(instr('0123456789abcdef', substr(md5(w), 4, 1)) - 1)) % " + str(_FH_DIM)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split(lower(regexp_replace(trim(coalesce(text, '')), '\\s+', ' ', 'g')), ' ')) AS w
+  FROM documents
+),
+weighted AS (
+  SELECT doc_id, ({w})[{slot} + 1] AS wgt FROM words
+),
+agg AS (
+  SELECT doc_id, AVG(wgt) AS mean_w FROM weighted GROUP BY doc_id
+)
+SELECT doc_id,
+       floor((1.0 / (1.0 + exp(-(mean_w + {_QC_BIAS})))) * 10000.0 + 0.5) / 10000.0 AS score,
+       (floor((1.0 / (1.0 + exp(-(mean_w + {_QC_BIAS})))) * 10000.0 + 0.5) / 10000.0 >= 0.5) AS keep
+FROM agg
+"""
+
+
+SPECS["quality_classifier"] = QuerySpec(
+    _quality_classifier,
+    _quality_classifier_sql(),
+    "fastText-style linear quality classifier over hashed bag-of-words (broadcast literal weights)",
+)
