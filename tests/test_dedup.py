@@ -182,3 +182,51 @@ def test_gopher_filter_rules_have_live_arms(spark):
         assert any(oks) and not all(oks), f"rule {name} has a dead arm"
     for r, w, l, s, t in zip(rows, ok_words, ok_len, ok_stop, ok_top):
         assert r.keep == (w and l and s and t)
+
+
+def test_dup_ngram_chars_detects_constructed_repetition(spark):
+    """A document stitched from one repeated phrase must score near 1.0;
+    an all-distinct-trigram document must score 0.0; range is [0, 1]."""
+    from signal_messenger_vector_database_spark.plans.traindata import (
+        _dup_ngram_chars,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r.doc_id: r.dup3_char_frac for r in _dup_ngram_chars(spark, sf).collect()}
+    assert rows and all(0.0 <= v <= 1.0 for v in rows.values())
+
+    from signal_messenger_vector_database_spark.plans import traindata
+
+    # synthetic extremes through the SQL twin (the Spark/SQL pair itself
+    # is oracle-proven; this pins the metric's semantics)
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1, '" + ("alpha beta gamma " * 10).strip() + "'), "
+        "(2, 'one two three four five six seven eight nine ten')"
+        ") AS t(doc_id, text)"
+    )
+    got = dict(
+        con.execute(
+            "SELECT doc_id, dup3_char_frac FROM ("
+            + traindata._DUP_NGRAM_CHARS_SQL
+            + ")"
+        ).fetchall()
+    )
+    assert got[1] > 0.9
+    assert got[2] == 0.0
+
+
+def test_quality_classifier_scores_are_deterministic_probabilities(spark):
+    from signal_messenger_vector_database_spark.plans.traindata import (
+        _quality_classifier,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = {r.doc_id: (r.score, r.keep) for r in _quality_classifier(spark, sf).collect()}
+    b = {r.doc_id: (r.score, r.keep) for r in _quality_classifier(spark, sf).collect()}
+    assert a == b  # literal weights + portable hash => fully deterministic
+    assert all(0.0 < s < 1.0 for s, _ in a.values())
+    assert all(k == (s >= 0.5) for s, k in a.values())
