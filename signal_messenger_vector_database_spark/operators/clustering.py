@@ -87,8 +87,13 @@ def kmeans_fit(
         # accumulated Lloyd lineage (measured 10 s for 3 rounds over 2k
         # vectors at sf0.1; ~2 s with the cache)
         assigned = _assign(emb, centroids).persist()
-        inertia = assigned.agg(F.sum("d2")).first()[0]
-        history.append(float(inertia))
+        # tol < 0 pins the iteration count (kmeans_lloyd3, semdedup): the
+        # inertia exists only for the convergence test, so skip its
+        # per-round driver action entirely — the whole fixed-round DAG
+        # then materializes in ONE job at the caller's first action
+        if tol >= 0:
+            inertia = assigned.agg(F.sum("d2")).first()[0]
+            history.append(float(inertia))
         if prev is not None:
             prev.unpersist()
         prev = assigned
