@@ -232,3 +232,57 @@ SPECS["zorder_key"] = QuerySpec(
     _zorder_key_sql(),
     "Morton/Z-order clustering key via bit interleaving (multi-dim file skipping)",
 )
+
+
+# --- runtime bloom-filter prefiltered join -------------------------------
+# The third runtime-filtering mechanism next to static partition pruning
+# and DPP (both pinned in test_scale): Spark injects a bloom filter built
+# from the SELECTIVE (filtered-dim) side of a shuffle join into the fact
+# scan, so fact rows that cannot match are dropped BEFORE the exchange —
+# at 100 TB this cuts shuffle volume by the join selectivity without any
+# manual prefilter.  Fixture-scale size thresholds would never trigger
+# the rewrite, so the query runs on a cloned session with the
+# application-side floor lowered; the result is semantically identical
+# to the plain join (which is exactly what the oracle replays).
+
+
+def _bloom_prefiltered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = spark.newSession()
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    # keep the filtered dim side above the broadcast path so the join
+    # actually shuffles (a broadcast join needs no runtime filter)
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    orders = load_table(s, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    lineitem = load_table(s, sf_dir, "lineitem")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+_BLOOM_PREFILTERED_JOIN_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderpriority
+"""
+
+
+SPECS["bloom_prefiltered_join"] = QuerySpec(
+    _bloom_prefiltered_join,
+    _BLOOM_PREFILTERED_JOIN_SQL,
+    "runtime bloom filter from the selective join side injected into the fact scan",
+)

@@ -491,3 +491,27 @@ def test_semdedup_pair_join_is_equi_not_cartesian(spark):
     assert "CartesianProduct" not in plan, plan[:3000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
     assert re.search(r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", plan), plan[:3000]
+
+
+def test_bloom_prefiltered_join_injects_runtime_filter(spark):
+    """With the application-side floor lowered, Spark must inject a bloom
+    filter built from the selective orders side into the lineitem scan —
+    the runtime-filter mechanism that cuts fact-side shuffle volume by
+    join selectivity at scale. The result stays the plain join's."""
+    from signal_messenger_vector_database_spark.plans.scale_queries import SPECS
+
+    df = SPECS["bloom_prefiltered_join"].fn(spark, SF)
+    plan = _plan(df)
+    assert "bloomfilter" in plan.lower().replace("_", ""), plan[:3000]
+    row = df.collect()[0]
+    expected = (
+        load_table(spark, SF, "lineitem")
+        .join(
+            load_table(spark, SF, "orders").filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .count()
+    )
+    assert row.n_lines == expected
