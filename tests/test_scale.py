@@ -515,3 +515,42 @@ def test_bloom_prefiltered_join_injects_runtime_filter(spark):
         .count()
     )
     assert row.n_lines == expected
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE's automatic skew-join handling — the runtime complement to the
+    manual salted_join operator: with one key holding ~99% of the fact
+    side, the final adaptive plan must mark the sort-merge join skew=true
+    (the hot partition split across tasks) and preserve the join result.
+    Thresholds are lowered on a cloned session because the defaults are
+    sized for real clusters, not fixture data."""
+    s = spark.newSession()
+    for k, v in {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }.items():
+        s.conf.set(k, v)
+    fact = s.range(300000).select(
+        F.when(F.col("id") % 100 < 99, F.lit(1)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = s.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+    agg = fact.join(dim, "k").select(F.sum(F.col("v") + F.col("w")).alias("t"))
+    got = agg.collect()[0].t
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "skew=true" in plan, plan[:3000]
+    # ground truth: the identical join on the caller's session, default
+    # planning (broadcast allowed, no skew rewrite)
+    pfact = spark.range(300000).select(
+        F.when(F.col("id") % 100 < 99, F.lit(1)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    pdim = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+    want = pfact.join(pdim, "k").select(F.sum(F.col("v") + F.col("w")).alias("t")).collect()[0].t
+    assert got == want
