@@ -1,0 +1,117 @@
+"""Cross-micro-batch streaming state (§2.10): every other streaming test
+drains the single events.parquet in ONE AvailableNow micro-batch, so
+checkpointed state crossing a trigger boundary was never exercised.  Here
+the events are split into 4 files and streamed with maxFilesPerTrigger=1:
+the windowed aggregation must accumulate state across 4 real micro-batches
+and still equal the single-batch answer, and streaming dropDuplicates must
+suppress a duplicate that arrives in a LATER batch than the original."""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+from signal_messenger_vector_database_spark.io.sources import load_table
+from signal_messenger_vector_database_spark.streaming.ingest import (
+    await_drained,
+    streaming_session,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _staged_events(spark, n_files: int):
+    # watermarks require TIMESTAMP (ltz); the fixture loader yields NTZ
+    events = load_table(spark, SF, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    stage = tempfile.mkdtemp(prefix="smvd-multibatch-") + "/events"
+    # split by a deterministic modulus so every file holds a spread of
+    # event times — late-vs-early arrival across batches is real; one
+    # explicit single-file write per slice (a hash repartition can leave
+    # empty partitions and fewer files than requested)
+    for i in range(n_files):
+        events.filter(F.col("event_id") % n_files == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+    return events, stage
+
+
+def test_windowed_counts_accumulate_across_micro_batches(spark):
+    s = streaming_session(spark)
+    events, stage = _staged_events(s, 4)
+    schema = events.schema
+    stream = (
+        s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    agg = (
+        stream.withWatermark("ts", "365 days")
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "cnt",
+        )
+    )
+    sink = f"mb_counts_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="smvd-ckpt-mb-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_drained(q)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 4, f"expected >=4 micro-batches, saw {n_batches}"
+
+    got = {
+        (r.day, r.event_type): r.cnt for r in s.table(sink).collect()
+    }
+    want = {
+        (r.day, r.event_type): r.cnt
+        for r in events.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_stream_dedup_suppresses_duplicate_arriving_in_later_batch(spark):
+    s = streaming_session(spark)
+    events, _ = _staged_events(s, 2)
+    stage = tempfile.mkdtemp(prefix="smvd-mbdedup-") + "/events"
+    first = events.limit(50)
+    # file 0: originals; file 1: the SAME 50 events again (distinct file,
+    # so the duplicate arrives in a later micro-batch)
+    first.coalesce(1).write.mode("overwrite").parquet(stage)
+    first.coalesce(1).write.mode("append").parquet(stage)
+    stream = (
+        s.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    deduped = stream.dropDuplicates(["event_id"]).groupBy().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    sink = f"mb_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="smvd-ckpt-mbd-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_drained(q)
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 2
+    assert s.table(sink).collect()[0].n == 50
