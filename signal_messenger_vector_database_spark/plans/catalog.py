@@ -55,6 +55,7 @@ _WINDOW = [
     # -- the last red cell: literal-LUT rewrite, must go driver-green --
     "topk_pq_adc",
     "pq_encode",
+    "pq_encode_trained",
     # -- plans changed / added this round --
     "rank_family",
     "rank_family_ties",
