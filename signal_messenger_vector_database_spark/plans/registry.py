@@ -16,7 +16,19 @@ value-hash matches across engines):
 - timestamps are rendered to strings with matching format patterns
   (sessions pinned to UTC by the loader);
 - any LIMIT/top-k is fully tie-broken by a key column, ordered by the
-  *rounded* measure.
+  *rounded* measure;
+- derived CONSTANT tables (lookup tables, query vectors, codebooks,
+  classifier weights) are computed ONCE driver-side, quantized to the
+  output grain, and inlined as IDENTICAL literals into both engines —
+  never recomputed independently per engine.  The r5/r6 `topk_pq_adc`
+  hash-FAILs were exactly this seam: both engines rebuilt the ADC lookup
+  table from the same inputs, 1-ulp differences in the rebuild landed on
+  FLOOR boundaries, and the local replica could not reproduce the
+  driver's environment-specific flip.  If a constant can be a shared
+  literal, make it one (rag_retrieve, topk_pq_adc, quality_classifier);
+  recompute per-engine only when the constant is genuinely data-dependent
+  at query time (kmeans centroids) and then keep every arithmetic step
+  order-identical.
 """
 
 from __future__ import annotations
