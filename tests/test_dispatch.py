@@ -146,3 +146,45 @@ def test_send_lifecycle_real_drain_composes(spark):
         sleep=lambda s: None,
     )
     assert out["sent"] == 2 and out["drained"] > 0
+
+
+def test_dispatch_checkpoint_prevents_redelivery(spark):
+    """K4 delivery semantics: foreachBatch + checkpoint gives exactly-once
+    EFFECT per staged batch — draining the same source again against the
+    SAME checkpoint dispatches nothing new, so a restarted sender does not
+    double-send. (Within an in-flight batch the contract is at-least-once;
+    the transport must tolerate replays of an uncommitted batch.)"""
+    import tempfile
+    import uuid as _uuid
+
+    from signal_messenger_vector_database_spark.operators.dispatch import (
+        foreach_batch_dispatch,
+    )
+    from signal_messenger_vector_database_spark.streaming.ingest import (
+        await_drained,
+        streaming_session,
+    )
+
+    s = streaming_session(spark)
+    out = _outbound(spark)
+    stage = tempfile.mkdtemp(prefix="smvd-redeliver-") + "/batch"
+    out.write.mode("overwrite").parquet(stage)
+    ckpt = tempfile.mkdtemp(prefix="smvd-ckpt-redeliver-")
+    d = MessageDispatcher(transport=lambda p: {"ok": True})
+
+    def drain_once():
+        q = (
+            s.readStream.schema(out.schema)
+            .parquet(stage)
+            .writeStream.foreachBatch(foreach_batch_dispatch(d, 1))
+            .option("checkpointLocation", ckpt)
+            .queryName(f"redeliver_{_uuid.uuid4().hex[:8]}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_drained(q)
+
+    drain_once()
+    assert len(d.sent) == 2
+    drain_once()  # same checkpoint, no new files => nothing re-dispatched
+    assert len(d.sent) == 2
