@@ -3,9 +3,16 @@
 Complements ``plans/vectorops.py``'s single oracle-checked assignment
 step with the full training loop.  Per iteration:
 
-1. assignment — broadcast the k centroids (tiny), squared-L2 via
-   ``zip_with`` fold, argmin via ``min_by`` on a (distance, cluster)
-   struct; the vector table is scanned, never shuffled for the join;
+1. assignment — the k centroids collapse to ONE broadcast row holding
+   the whole codebook as an array of structs; each vector row computes
+   its argmin in place with nested higher-order functions (``transform``
+   over centroids, ``zip_with`` fold for squared-L2, ``array_min`` on a
+   (distance, cluster) struct).  The vector table is scanned, never
+   shuffled, and — unlike the explode-to-(vector, centroid)-pairs shape
+   this replaced — no n*k intermediate rows ever exist.  That matters
+   because SemDeDup-style callers scale k WITH the corpus (k = n/125):
+   the pair blow-up would have been n²/125 rows per iteration at 100 TB,
+   where the per-row argmin is the same FLOPs with zero shuffle;
 2. update — new centroids as per-(cluster, dim) means: posexplode +
    two-key partial aggregate (one exchange of k*dim tiny rows).
 
@@ -23,20 +30,38 @@ from pyspark.sql import functions as F
 
 
 def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Add ``cluster`` and ``d2`` (squared L2 to that cluster)."""
-    d2 = F.aggregate(
-        F.zip_with("embedding", "centroid", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    """Add ``cluster`` and ``d2`` (squared L2 to that cluster).
+
+    The codebook is collapsed to a single row (array of (c_id, centroid)
+    structs, sorted for determinism) and broadcast; every vector row then
+    folds over it in place.  d2 per centroid is the identical left fold
+    over ``zip_with`` the old pair-join shape used, and the argmin
+    tie-break — smallest d2, then smallest c_id — is replayed by
+    ``array_min`` on a (d2, c_id) struct, so assignments (and the oracle
+    parity of kmeans_lloyd3 / semdedup) are bit-unchanged.
+    """
+    cents = centroids.agg(
+        F.array_sort(F.collect_list(F.struct("c_id", "centroid"))).alias("_cents")
     )
-    scored = emb.join(F.broadcast(centroids)).select(
-        "vec_id", "embedding", "c_id", d2.alias("d2")
-    )
-    return scored.groupBy("vec_id").agg(
-        F.min_by(F.struct("c_id", "embedding"), F.struct("d2", "c_id")).alias("_w"),
-        F.min("d2").alias("d2"),
-    ).select(
-        "vec_id", F.col("_w.c_id").alias("cluster"), F.col("_w.embedding").alias("embedding"), "d2"
+
+    def _score(c):
+        d2 = F.aggregate(
+            F.zip_with(F.col("embedding"), c["centroid"], lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.struct(d2.alias("d2"), c["c_id"].alias("c_id"))
+
+    best = F.array_min(F.transform(F.col("_cents"), _score))
+    return (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", best.alias("_best"))
+        .select(
+            "vec_id",
+            F.col("_best.c_id").alias("cluster"),
+            "embedding",
+            F.col("_best.d2").alias("d2"),
+        )
     )
 
 

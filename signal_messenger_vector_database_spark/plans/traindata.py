@@ -921,36 +921,39 @@ def _gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     words = F.split(normalized_text(F.col("text")), " ")
-    n_words = F.size(words)
-    mean_len = portable_round(
-        F.aggregate(
-            words, F.lit(0).cast("double"), lambda acc, w: acc + F.length(w)
-        )
-        / n_words,
-        4,
-    )
-    stop_hits = F.aggregate(
-        words,
-        F.lit(0),
-        lambda acc, w: acc
-        + F.when(w.isin(*_GOPHER_STOPWORDS), 1).otherwise(0),
-    )
-    top = (
+    # Single-pass shape: EVERY rule's feature is a moment of the per-doc
+    # (word, count) table — total words Σc, character mass Σ(c·len),
+    # stopword hits Σc over the stop list, top-word count max(c) — so one
+    # explode and two doc-keyed aggregations replace the earlier
+    # array-fold + explode + join plan (which shuffled the doc table a
+    # second time just to attach max_c).  The rounded outputs are
+    # value-identical: the folds summed the same integers in doubles.
+    wc = (
         docs.select("doc_id", F.explode(words).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("_max_c"))
     )
-    feats = docs.select(
-        "doc_id",
-        n_words.alias("n_words"),
-        mean_len.alias("mean_word_len"),
-        stop_hits.alias("stop_hits"),
-    )
-    per_doc = feats.join(top, "doc_id").withColumn(
-        "top_word_frac",
-        portable_round(F.col("_max_c") / F.col("n_words"), 4),
+    per_doc = (
+        wc.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("int").alias("n_words"),
+            F.sum(F.col("c") * F.length("word")).cast("double").alias("_chars"),
+            F.sum(
+                F.when(F.col("word").isin(*_GOPHER_STOPWORDS), F.col("c")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("int")
+            .alias("stop_hits"),
+            F.max("c").alias("_max_c"),
+        )
+        .withColumn(
+            "mean_word_len", portable_round(F.col("_chars") / F.col("n_words"), 4)
+        )
+        .withColumn(
+            "top_word_frac",
+            portable_round(F.col("_max_c") / F.col("n_words"), 4),
+        )
     )
     keep = (
         F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
