@@ -64,6 +64,8 @@ _WINDOW = [
     "dup_ngram_chars",
     "quality_classifier",
     "semdedup",
+    "dsir_weights",
+    "ccnet_buckets",
     # -- never driver-checked (rows-only): get them a first row --
     "approx_distinct",
     "kmeans_fit_assign",

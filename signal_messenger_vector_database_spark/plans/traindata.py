@@ -1167,3 +1167,214 @@ SPECS["quality_classifier"] = QuerySpec(
     _quality_classifier_sql(),
     "fastText-style linear quality classifier over hashed bag-of-words (broadcast literal weights)",
 )
+
+
+# --- DSIR: hashed n-gram importance weights ------------------------------
+# Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): score every raw document by how much more likely its
+# hashed n-gram features are under a TARGET corpus than under the raw
+# corpus — log w(doc) = Σ_b c_b(doc)·(ln p̂_t(b) − ln p̂_r(b)) with add-1
+# smoothing over B hash buckets.  The 100 TB shape: features are unigrams
+# plus bigrams hashed md5-mod-B (no vocabulary table, no fit step), both
+# bucket-count distributions come from ONE (doc, lang, bucket) aggregate
+# whose shuffle all three consumers reuse (Catalyst exchange reuse — the
+# raw counts, the target counts, and the per-doc scoring all hang off the
+# identical groupBy), and the B-row log-ratio table broadcasts.  The
+# fixture's target ('en' docs) has a near-raw distribution, so weights
+# cluster near 0 — the discrimination is corpus-dependent; the operator,
+# and its oracle parity, are not.
+
+_DSIR_BUCKETS = 128
+_DSIR_TARGET_LANG = "en"
+
+
+def _dsir_ngram_features(ws):
+    """Unigrams ++ bigrams ("w1 w2") of a word array, as one array."""
+    nexts = F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0)))
+    bigrams = F.filter(
+        F.zip_with(ws, nexts, lambda a, b: F.concat(a, F.lit(" "), b)),
+        lambda x: x.isNotNull(),
+    )
+    return F.concat(ws, bigrams)
+
+
+def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import normalized_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = _dsir_ngram_features(F.split(normalized_text(F.col("text")), " "))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("f")), 1, 4), 16, 10).cast("int")
+        % _DSIR_BUCKETS
+    )
+    bc = (
+        docs.select("doc_id", "lang", F.explode(feats).alias("f"))
+        .groupBy("doc_id", "lang", bucket.alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    raw = bc.groupBy("b").agg(F.sum("c").alias("cr"))
+    tgt = (
+        bc.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.sum("c").alias("ct"))
+    )
+    n_raw = raw.agg(F.sum("cr").cast("double").alias("_nr"))
+    n_tgt = tgt.agg(F.sum("ct").cast("double").alias("_nt"))
+    # smoothed log-ratio per bucket; missing target buckets count 0
+    ratio = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(n_raw))
+        .crossJoin(F.broadcast(n_tgt))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("_nt") + F.lit(float(_DSIR_BUCKETS)))
+                )
+                - F.log(
+                    (F.col("cr") + F.lit(1.0))
+                    / (F.col("_nr") + F.lit(float(_DSIR_BUCKETS)))
+                )
+            ).alias("lr"),
+        )
+    )
+    return (
+        bc.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_feats"),
+            portable_round(F.sum(F.col("c") * F.col("lr")), 4).alias("logw"),
+        )
+    )
+
+
+def _dsir_weights_sql() -> str:
+    b_of_f = (
+        "((instr('0123456789abcdef', substr(md5(f), 1, 1)) - 1) * 4096 + "
+        "(instr('0123456789abcdef', substr(md5(f), 2, 1)) - 1) * 256 + "
+        "(instr('0123456789abcdef', substr(md5(f), 3, 1)) - 1) * 16 + "
+        "(instr('0123456789abcdef', substr(md5(f), 4, 1)) - 1))"
+        f" % {_DSIR_BUCKETS}"
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         string_split(lower(regexp_replace(trim(COALESCE(text, '')), '\\s+', ' ', 'g')), ' ') AS ws
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, lang, unnest(list_concat(
+           ws,
+           list_filter(list_transform(generate_series(1, len(ws) - 1),
+                                      i -> ws[i] || ' ' || ws[i + 1]),
+                       x -> x IS NOT NULL))) AS f
+  FROM d
+),
+bc AS (
+  SELECT doc_id, lang, {b_of_f} AS b, COUNT(*) AS c
+  FROM feats GROUP BY doc_id, lang, b
+),
+raw AS (SELECT b, SUM(c) AS cr FROM bc GROUP BY b),
+tgt AS (SELECT b, SUM(c) AS ct FROM bc WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY b),
+nr AS (SELECT CAST(SUM(cr) AS DOUBLE) AS _nr FROM raw),
+nt AS (SELECT CAST(SUM(ct) AS DOUBLE) AS _nt FROM tgt),
+ratio AS (
+  SELECT raw.b,
+         ln((COALESCE(tgt.ct, 0) + 1.0) / (nt._nt + {float(_DSIR_BUCKETS)}))
+         - ln((raw.cr + 1.0) / (nr._nr + {float(_DSIR_BUCKETS)})) AS lr
+  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN nr CROSS JOIN nt
+)
+SELECT bc.doc_id, CAST(SUM(bc.c) AS BIGINT) AS n_feats,
+       floor(SUM(bc.c * ratio.lr) * 10000.0 + 0.5) / 10000.0 AS logw
+FROM bc JOIN ratio ON bc.b = ratio.b
+GROUP BY bc.doc_id
+"""
+
+
+SPECS["dsir_weights"] = QuerySpec(
+    _dsir_weights,
+    _dsir_weights_sql(),
+    f"DSIR importance weights: hashed uni+bigram log-ratio scoring, {_DSIR_BUCKETS} buckets",
+)
+
+
+# --- CCNet-style perplexity buckets --------------------------------------
+# CCNet (Wenzek et al. 2020) splits a crawl into head/middle/tail thirds
+# by language-model perplexity and trains on the head.  Stand-in LM: the
+# corpus's own unigram distribution — per-doc cross-entropy
+# −Σ ln(c_w/N)/n_words (the tiny word-count table broadcasts; one explode,
+# one join, one doc aggregate).  The tertile split reuses the tie-aware
+# two-pass global ranking operator — bucketing is a pure function of the
+# ROUNDED score value, so no global single-task window and no dependence
+# on physical partitioning; NTILE(3) semantics match the SQL oracle
+# because both rank the identical 1e-4-grain score with doc_id tiebreak.
+
+_CCNET_LABELS = {1: "head", 2: "middle", 3: "tail"}
+
+
+def _ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import normalized_text
+    from ..operators.ranking import global_rank_family
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(normalized_text(F.col("text")), " ")).alias("w"),
+    )
+    cnt = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n = cnt.agg(F.sum("c").cast("double").alias("_n"))
+    perdoc = (
+        words.join(F.broadcast(cnt), "w")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            portable_round(
+                -F.sum(F.log(F.col("c") / F.col("_n"))) / F.count(F.lit(1)), 4
+            ).alias("xent")
+        )
+    )
+    ranked = global_rank_family(
+        perdoc,
+        "xent",
+        "doc_id",
+        bucket=F.floor(F.col("xent") * 16).cast("int"),
+        ntiles=3,
+    )
+    label = F.when(F.col("quartile") == 1, _CCNET_LABELS[1]).when(
+        F.col("quartile") == 2, _CCNET_LABELS[2]
+    ).otherwise(_CCNET_LABELS[3])
+    return (
+        perdoc.join(ranked.select("doc_id", "quartile"), "doc_id")
+        .select("doc_id", "xent", label.alias("bucket"))
+    )
+
+
+_CCNET_BUCKETS_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split(lower(regexp_replace(trim(COALESCE(text, '')), '\\s+', ' ', 'g')), ' ')) AS w
+  FROM documents
+),
+cnt AS (SELECT w, COUNT(*) AS c FROM w GROUP BY w),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM w),
+perdoc AS (
+  SELECT doc_id,
+         floor((-SUM(ln(cnt.c / tot.n)) / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS xent
+  FROM w JOIN cnt USING (w) CROSS JOIN tot
+  GROUP BY doc_id
+),
+nt AS (
+  SELECT doc_id, xent, NTILE(3) OVER (ORDER BY xent, doc_id) AS t FROM perdoc
+)
+SELECT doc_id, xent,
+       CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM nt
+"""
+
+
+SPECS["ccnet_buckets"] = QuerySpec(
+    _ccnet_buckets,
+    _CCNET_BUCKETS_SQL,
+    "CCNet head/middle/tail perplexity tertiles via scale-safe two-pass ranking",
+)

@@ -230,3 +230,40 @@ def test_quality_classifier_scores_are_deterministic_probabilities(spark):
     assert a == b  # literal weights + portable hash => fully deterministic
     assert all(0.0 < s < 1.0 for s, _ in a.values())
     assert all(k == (s >= 0.5) for s, k in a.values())
+
+
+def test_dsir_weights_structure(spark):
+    """DSIR: n_feats = unigrams + bigrams = 2n-1 per doc, weights are a
+    proper (finite, varying) scoring signal, and rerun-deterministic."""
+    from signal_messenger_vector_database_spark.plans.traindata import _dsir_weights
+
+    rows = _dsir_weights(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 500
+    by_id = {r.doc_id: r for r in rows}
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").collect()
+    for d in docs:
+        n = len(d.text.split())
+        assert by_id[d.doc_id].n_feats == 2 * n - 1, d.doc_id
+    ws = [r.logw for r in rows]
+    assert all(abs(w) < 100 for w in ws)
+    assert len(set(ws)) > 1, "weights do not discriminate at all"
+    again = {r.doc_id: r.logw for r in _dsir_weights(spark, "/root/testdata/sf0.001").collect()}
+    assert again == {r.doc_id: r.logw for r in rows}
+
+
+def test_ccnet_buckets_are_balanced_tertiles(spark):
+    """CCNet split: every doc labeled, thirds balanced to within one, and
+    the head tertile's cross-entropy never exceeds the tail's."""
+    from signal_messenger_vector_database_spark.plans.traindata import _ccnet_buckets
+
+    rows = _ccnet_buckets(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 500
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r.xent)
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    sizes = sorted(len(v) for v in by_bucket.values())
+    assert sizes[-1] - sizes[0] <= 1, sizes
+    assert max(by_bucket["head"]) <= min(by_bucket["tail"])
+    assert max(by_bucket["head"]) <= min(by_bucket["middle"])
+    assert max(by_bucket["middle"]) <= min(by_bucket["tail"])

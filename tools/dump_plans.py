@@ -40,7 +40,7 @@ COMMENTARY = {
     "weighted_sample": "Efraimidis-Spirakis A-Res in one pass: the md5-derived draw and -ln(u)/w key are pure codegen expressions over the scan; TakeOrderedAndProject keeps the n smallest keys with per-partition heaps — no global sort, reproducible on any cluster size.",
     "cumulative_distinct": "Distinct-to-date without unbounded window state: first-touch MIN(hour) per user (one shuffle, partial-agg), then the running sum over the per-hour series — the single-partition window touches only driver-scale cardinality.",
     "dq_audit": "Declarative constraint report: each table's domain checks share one conditional-aggregate scan (3 checks, 1 lineitem pass); referential orphans are a broadcast anti-join; the union of 1-row results is free.",
-    "kmeans_lloyd3": "Three full Lloyd rounds: per round the tiny centroid table broadcasts into the assignment (min_by argmin, partial-aggregated) and posexplode+two-key agg rebuilds centroids — per-iteration driver state is k arrays; the input stays cached and is never shuffled for a join. The DuckDB oracle unrolls the identical 3 rounds as chained CTEs.",
+    "kmeans_lloyd3": "Three full Lloyd rounds: per round the whole codebook collapses to ONE broadcast array-of-structs row and every vector computes its argmin in place with nested higher-order functions — no (vector, centroid) pair rows, no assignment shuffle (r7; the old explode+min_by shape was n*k rows per round, n^2/125 under SemDeDup's corpus-scaled k). posexplode+two-key agg rebuilds centroids; the input stays cached. The DuckDB oracle unrolls the identical 3 rounds as chained CTEs.",
     "pagerank3": "Pregel-lite PageRank: each round is edges JOIN ranks (shuffle on the edge key) + partial-aggregated SUM per destination; rank state stays fully distributed (zero driver state). At scale, bucketing edges by dst makes the per-round shuffle a one-time cost.",
     "random_projection": "Seeded Rademacher 64->8 projection: literal +/- chains evaluate entirely inside WholeStageCodegen over the scan — zero shuffles, zero Python; the same literals are baked into the oracle SQL.",
     "assoc_rules": "Association rules: distinct (user, type) then a self-equi-join on user_id whose fan-out is capped by the type vocabulary (k(k-1)/2 pairs per user), margins broadcast back — the Apriori first level with a designed-in blow-up bound.",
@@ -57,9 +57,11 @@ COMMENTARY = {
     "sorted_neighborhood": "Sorted-neighborhood blocking: rank windows run PER PREFIX BLOCK (parallel, never one global-ordered task), candidates meet on a block equi-join with a bounded rank delta, levenshtein runs only on w*n candidate pairs.",
     "rank_family": "Global ranking without the single-task global window: the bucket id is a pure function of the key VALUE (sampled quantile boundaries as literals — r7, replacing spark_partition_id() whose branch-stability depended on exchange reuse), local row_number per bucket runs in parallel, and the only single-partition stage is the ~32-row offset prefix sum.",
     "rank_family_ties": "The tie-aware variant over the non-unique o_orderdate key: value bucketing guarantees a tie group never spans buckets, so per-bucket rank/dense_rank are exact and global ranks are local + prefix-summed (row, distinct-key) offsets. rank != dense_rank != row_number is actually exercised here.",
-    "semdedup": "SemDeDup: k-means assignment is a broadcast cross join (k tiny centroids); the quadratic cosine pair join is fenced INSIDE clusters (n/k per side), never across the corpus; keep rule is a left-anti against the dropped-id set — deterministic lowest-id-wins.",
-    "gopher_quality_filter": "Gopher keep/drop composite: word-count/mean-length/stopword rules are pure codegen array expressions over one scan; only the top-word fraction aggregates (explode + two-key count, partial-aggregated map-side), re-joined by doc_id.",
+    "semdedup": "SemDeDup: k-means assignment is the in-place argmin over one broadcast codebook row (r7 — zero pair rows, zero shuffle per Lloyd round); the quadratic cosine pair join is fenced INSIDE clusters (n/k per side), never across the corpus; keep rule is a left-anti against the dropped-id set — deterministic lowest-id-wins. 8.0 s -> 3.6 s in-bench at sf0.1.",
+    "gopher_quality_filter": "Gopher keep/drop composite, single-pass (r7): all four rule features are moments of the per-doc (word, count) table — total words, character mass, stopword hits, top-word count — one explode + two doc-keyed partial-aggregated groupBys, no array folds, no re-join (3.2 s -> 0.8 s at sf0.1).",
     "q21_waiting_supplier": "TPC-H Q21 shape: the EXISTS and NOT EXISTS lineitem self-correlations decorrelate into one left-semi and one left-anti hash join on l_orderkey (asserted by test_scale) — no per-row subquery execution; nation/supplier broadcast.",
+    "dsir_weights": "DSIR importance weights: hashed uni+bigram features (md5 mod 128, no vocabulary), target and raw bucket distributions hang off the SAME (doc, lang, bucket) aggregate — Catalyst reuses the exchange for all three consumers — and the 128-row log-ratio table broadcasts into the per-doc scoring join.",
+    "ccnet_buckets": "CCNet head/middle/tail perplexity tertiles: unigram-LM cross-entropy per doc (tiny word-count table broadcast), then NTILE(3) via the tie-aware two-pass global ranking operator — bucketing is a pure function of the rounded score, no single-task global window.",
     "attachment_spec": "K5 AttachmentSpec build: binaryFile scan with the content column pruned (only path/length are read), extension->mime as a literal CASE cascade — the upload side-effect is the K4 dispatch seam, outside the analytic plan.",
 }
 
