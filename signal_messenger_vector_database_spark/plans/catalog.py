@@ -66,6 +66,7 @@ _WINDOW = [
     "semdedup",
     "dsir_weights",
     "ccnet_buckets",
+    "topk_ivf_pq",
     # -- never driver-checked (rows-only): get them a first row --
     "approx_distinct",
     "kmeans_fit_assign",

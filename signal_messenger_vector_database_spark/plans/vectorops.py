@@ -883,3 +883,81 @@ SPECS["pq_encode_trained"] = QuerySpec(
     _pq_encode_trained_sql(),
     "PQ with data-trained codebooks: one Lloyd round over all 8 subspaces in a single relational plan",
 )
+
+
+# --- IVF-PQ: coarse cluster pruning + ADC scoring over 8-byte codes ------
+# The capstone of the ANN ladder — the FAISS IVF-PQ shape, which is what
+# actually serves billion-vector search: an IVF coarse quantizer prunes
+# the candidate set to the probed cluster(s), and within it vectors are
+# scored by PQ asymmetric distance, so the hot loop reads 8 BYTES per
+# candidate (the codes) instead of 256 bytes of floats, against a
+# broadcast literal lookup table.  Composition of two independently
+# oracle-proven pieces: the ann_ivf coarse assignment
+# (plans/similarity.py — data-dependent, replayed order-identically per
+# engine) and the topk_pq_adc literal LUT (driver-computed, 1e-4
+# quantized, the SAME literals in both engines — no cross-engine FP
+# seam).  At 100 TB: codes table is ~64x smaller than the vectors,
+# assignment is bucketable by cid, and a probe touches |cluster| rows.
+
+
+def _topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import cosine_similarity
+    from ..operators.ann import ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    assign = ivf_assign(emb, centroids)
+    qcid = assign.filter(F.col("vec_id") == 0).select(F.col("cid").alias("qcid"))
+    codes = _pq_encode(spark, sf_dir)
+    lut = _pq_lut()
+    adc = " + ".join(
+        "array(" + ", ".join(repr(v) for v in lut[j]) + f")[c{j}]"
+        for j in range(_PQ_M)
+    )
+    return (
+        codes.join(assign, "vec_id")
+        .join(F.broadcast(qcid), F.col("cid") == F.col("qcid"))
+        .selectExpr("vec_id", f"FLOOR(({adc}) * 10000 + 0.5) / 10000 AS adc_dist")
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+    )
+
+
+def _topk_ivf_pq_sql() -> str:
+    from .similarity import _SQL_COS
+
+    cos_ec = _SQL_COS.format(a="e.embedding", b="c.cv")
+    lut = _pq_lut()
+    enc = _pq_encode_sql()
+    adc = " + ".join(
+        "[" + ", ".join(repr(v) for v in lut[j]) + f"][codes.c{j} + 1]"
+        for j in range(_PQ_M)
+    )
+    return f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+sims AS (
+  SELECT e.vec_id, c.cid, {cos_ec} AS csim FROM embeddings e, c
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rk
+    FROM sims
+  ) WHERE rk = 1
+),
+qc AS (SELECT cid FROM assign WHERE vec_id = 0),
+codes AS ({enc})
+SELECT codes.vec_id, FLOOR(({adc}) * 10000 + 0.5) / 10000 AS adc_dist
+FROM codes JOIN assign s ON codes.vec_id = s.vec_id JOIN qc ON s.cid = qc.cid
+ORDER BY adc_dist, codes.vec_id
+LIMIT 10
+"""
+
+
+SPECS["topk_ivf_pq"] = QuerySpec(
+    _topk_ivf_pq,
+    _topk_ivf_pq_sql(),
+    "IVF-PQ search: coarse cluster pruning + asymmetric-distance scoring over 8-byte codes",
+)

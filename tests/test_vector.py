@@ -162,3 +162,43 @@ def test_pq_adc_preserves_distance_ranking(spark):
     top50_adc = set(np.array(ids)[np.argsort(adc)][:50])
     top50_exact = set(np.array(ids)[np.argsort(exact)][:50])
     assert len(top50_adc & top50_exact) >= 8  # chance is ~5
+
+
+def test_ivf_pq_prunes_to_probed_cluster(spark):
+    """IVF-PQ composition invariants: every returned id belongs to the
+    query's coarse cluster, the result is exactly the ADC top-10 WITHIN
+    that cluster (the pruning is what distinguishes it from topk_pq_adc),
+    sorted ascending, and rerun-deterministic."""
+    from pyspark.sql import functions as F
+
+    from signal_messenger_vector_database_spark.io.sources import load_table
+    from signal_messenger_vector_database_spark.operators.ann import ivf_assign
+    from signal_messenger_vector_database_spark.plans.vectorops import (
+        _topk_ivf_pq,
+        _topk_pq_adc,
+    )
+
+    rows = _topk_ivf_pq(spark, SF).collect()
+    assert len(rows) == 10
+    dists = [r["adc_dist"] for r in rows]
+    assert dists == sorted(dists) and all(d >= 0 for d in dists)
+
+    emb = load_table(spark, SF, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    assign = {r["vec_id"]: r["cid"] for r in ivf_assign(emb, centroids).collect()}
+    qcid = assign[0]
+    assert all(assign[r["vec_id"]] == qcid for r in rows)
+
+    # within-cluster ADC ranking agrees with the unpruned ADC ranking
+    # restricted to the cluster: take the global ADC ordering, keep only
+    # probed-cluster members, and the prefix must equal our result set
+    global_adc = _topk_pq_adc(spark, SF).collect()
+    in_cluster = [r for r in global_adc if assign[r["vec_id"]] == qcid]
+    prefix = [(r["vec_id"], r["adc_dist"]) for r in in_cluster]
+    ours = [(r["vec_id"], r["adc_dist"]) for r in rows][: len(prefix)]
+    assert prefix == ours[: len(prefix)]
+
+    again = [(r["vec_id"], r["adc_dist"]) for r in _topk_ivf_pq(spark, SF).collect()]
+    assert again == [(r["vec_id"], r["adc_dist"]) for r in rows]

@@ -62,6 +62,7 @@ COMMENTARY = {
     "q21_waiting_supplier": "TPC-H Q21 shape: the EXISTS and NOT EXISTS lineitem self-correlations decorrelate into one left-semi and one left-anti hash join on l_orderkey (asserted by test_scale) — no per-row subquery execution; nation/supplier broadcast.",
     "dsir_weights": "DSIR importance weights: hashed uni+bigram features (md5 mod 128, no vocabulary), target and raw bucket distributions hang off the SAME (doc, lang, bucket) aggregate — Catalyst reuses the exchange for all three consumers — and the 128-row log-ratio table broadcasts into the per-doc scoring join.",
     "ccnet_buckets": "CCNet head/middle/tail perplexity tertiles: unigram-LM cross-entropy per doc (tiny word-count table broadcast), then NTILE(3) via the tie-aware two-pass global ranking operator — bucketing is a pure function of the rounded score, no single-task global window.",
+    "topk_ivf_pq": "IVF-PQ capstone: the coarse assignment prunes candidates to the probed cluster (broadcast centroid table, min_by partial-agg), then ADC scores 8-byte codes against a broadcast literal LUT — the hot loop reads 8 bytes/candidate; TakeOrderedAndProject keeps k.",
     "attachment_spec": "K5 AttachmentSpec build: binaryFile scan with the content column pruned (only path/length are read), extension->mime as a literal CASE cascade — the upload side-effect is the K4 dispatch seam, outside the analytic plan.",
 }
 
