@@ -53,6 +53,8 @@ HEADLINE = [
     # raw total — these two entries grow it)
     "gopher_quality_filter",
     "semdedup",
+    "dsir_weights",
+    "topk_ivf_pq",
 ]
 
 

@@ -1176,10 +1176,12 @@ SPECS["quality_classifier"] = QuerySpec(
 # corpus — log w(doc) = Σ_b c_b(doc)·(ln p̂_t(b) − ln p̂_r(b)) with add-1
 # smoothing over B hash buckets.  The 100 TB shape: features are unigrams
 # plus bigrams hashed md5-mod-B (no vocabulary table, no fit step), both
-# bucket-count distributions come from ONE (doc, lang, bucket) aggregate
-# whose shuffle all three consumers reuse (Catalyst exchange reuse — the
-# raw counts, the target counts, and the per-doc scoring all hang off the
-# identical groupBy), and the B-row log-ratio table broadcasts.  The
+# bucket-count distributions come from ONE persisted (doc, lang, bucket)
+# aggregate — persisted, not left to Catalyst exchange reuse, because the
+# target branch's lang filter gets pushed BELOW the aggregation, making
+# the three subtrees physically distinct and silently re-running the
+# explode+md5 pass per consumer (measured: 5 parquet scans, 0 reused
+# exchanges) — and the B-row log-ratio table broadcasts.  The
 # fixture's target ('en' docs) has a near-raw distribution, so weights
 # cluster near 0 — the discrimination is corpus-dependent; the operator,
 # and its oracle parity, are not.
@@ -1211,6 +1213,7 @@ def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", F.explode(feats).alias("f"))
         .groupBy("doc_id", "lang", bucket.alias("b"))
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
     raw = bc.groupBy("b").agg(F.sum("c").alias("cr"))
     tgt = (
