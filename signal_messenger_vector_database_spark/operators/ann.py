@@ -80,6 +80,24 @@ def hyperplane_bucket(vec_col: str, dim: int, n_planes: int, table: int = 0) -> 
     return F.concat(*bits)
 
 
+def lsh_geometry(n_vectors: int, target_bucket: int = 128) -> tuple[int, int]:
+    """(n_planes, n_tables) scaled to the corpus: planes grow log2(n) so
+    the EXPECTED bucket population stays ~target_bucket — with a fixed
+    plane count the bucket count is a constant, bucket size grows
+    linearly with n, and the within-bucket verify join grows
+    QUADRATICALLY (measured by tools/scaling_probe.py: 2.1 s -> 17 s ->
+    515 s over 1x/4x/16x with decorrelated vectors before this scaling).
+    Tables grow with planes to compensate the per-table recall loss
+    (collision prob p^planes, OR-amplified 1-(1-p^planes)^tables).  At
+    the fixture scales (<= 2k vectors) this resolves to the (4, 4) the
+    DuckDB oracle pins as literals — the semdedup k=max(8, n/125)
+    pattern for data-dependent knobs."""
+    import math
+
+    n_planes = max(4, math.ceil(math.log2(max(n_vectors, 1) / target_bucket)))
+    return n_planes, max(4, n_planes)
+
+
 def lsh_cosine_pairs(
     emb: DataFrame,
     threshold: float,
@@ -93,7 +111,9 @@ def lsh_cosine_pairs(
     ``n_tables`` independent hash tables (OR-amplified recall), equi-join
     on the bucket — the 100 TB path — then verify exact cosine within
     buckets.  Recall < 1 by construction; tests measure it on the fixture
-    against ``exact_cosine_pairs``."""
+    against ``exact_cosine_pairs``.  Size ``n_planes``/``n_tables`` with
+    ``lsh_geometry`` so bucket population stays bounded as the corpus
+    grows."""
     buckets = F.array(
         *[hyperplane_bucket(vec_col, dim, n_planes, t) for t in range(n_tables)]
     )

@@ -5,6 +5,15 @@ seeds.  Deterministic given the seed; the returned distances are exact
 are sized for full recall at oracle scale, so each entry is paired with
 an exact-SQL twin (see the oracle note below).  Tests additionally
 measure recall against the exact operators.
+
+Scale note: these FIXED knobs (bucketLength=1.0, numHashTables) are the
+oracle-scale demonstration of the MLlib API, not the corpus-growth
+story — a fixed bucket geometry means bucket population grows linearly
+with n and the candidate join quadratically.  The production-scale
+variant is operators/ann.py::lsh_cosine_pairs sized by ``lsh_geometry``
+(planes grow log2(n); see tools/scaling_probe.py for the measured
+blow-up that motivated it); for MLlib, shrink bucketLength ~ n^(-1/planes)
+or raise numHashTables equivalently.
 """
 
 from __future__ import annotations

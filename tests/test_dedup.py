@@ -267,3 +267,19 @@ def test_ccnet_buckets_are_balanced_tertiles(spark):
     assert max(by_bucket["head"]) <= min(by_bucket["tail"])
     assert max(by_bucket["head"]) <= min(by_bucket["middle"])
     assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
+
+
+def test_lsh_geometry_bounds_bucket_population():
+    """Planes must grow log2(n) so expected bucket population stays
+    bounded (fixed planes made the verify join quadratic — scaling_probe
+    measured 515 s at 16x sf0.1); at oracle scale the geometry must be
+    exactly the (4, 4) the DuckDB twin pins as literals."""
+    from signal_messenger_vector_database_spark.operators.ann import lsh_geometry
+
+    assert lsh_geometry(500) == (4, 4)      # sf0.01 — oracle-pinned
+    assert lsh_geometry(2000) == (4, 4)     # sf0.1 — bench geometry
+    assert lsh_geometry(32_000) == (8, 8)   # 16x probe scale
+    for n in (10**6, 10**9, 10**12):
+        planes, tables = lsh_geometry(n)
+        assert n / 2**planes <= 128, (n, planes)
+        assert tables >= planes

@@ -1,0 +1,171 @@
+"""Empirical scaling probe: time the flagship scale operators at 1x, 4x,
+and 16x the sf0.1 fixture volume and report the observed growth ratios.
+
+The fixtures top out at sf0.1, which is enough for correctness but says
+nothing about how the plans GROW.  This tool replicates documents/
+embeddings k-fold into /tmp (doc_id/vec_id offset per replica so keys
+stay unique; each replica's text gets a one-token suffix and each
+replica's embedding is ROTATED by the replica index — norm-preserving,
+and a rotation's cosine against the original is ~0 for this data — so
+the near-dup/similarity DENSITY stays constant per capita.  A k-fold
+stack of IDENTICAL rows would grow the true near-dup output itself
+quadratically by construction and measure the data, not the plan: the
+first run of this probe did exactly that and "found" embedding_neardup
+going 8.5x on 4x data purely because every replica pair was a genuine
+dup).  Each query is warmed once untimed (plan compilation/codegen
+dominates sub-second queries), then timed cold-cache at every scale.
+A scale-safe plan should grow ~linearly in rows modulo fixed job
+overhead; anything super-linear is flagged.
+
+Usage: python tools/scaling_probe.py [--scales 1,4,16] [--out SCALING.md]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+WORK = "/tmp/smvd_scaling_probe"
+
+# (query name, tables it reads) — documents/embeddings only, so the probe
+# replicates just those.
+PROBES = [
+    "exact_dedup",
+    "gopher_quality_filter",
+    "dsir_weights",
+    "ccnet_buckets",
+    "minhash_lsh_pairs",
+    "simhash",
+    "line_dedup",
+    "token_packing",
+    "tokenize",
+    "quality_score",
+    "topk_cosine",
+    "topk_ivf_pq",
+    "semdedup",
+    "embedding_neardup_lsh",
+]
+
+
+def build_scaled(spark, k: int) -> str:
+    """Replicate documents + embeddings k-fold with unique ids."""
+    from pyspark.sql import functions as F
+
+    out = os.path.join(WORK, f"x{k}")
+    if os.path.exists(os.path.join(out, "_OK")):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    docs = spark.read.parquet(os.path.join(BASE, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(BASE, "embeddings.parquet"))
+    n_docs = docs.count()
+    n_vecs = emb.count()
+    reps = spark.range(k).select(F.col("id").cast("int").alias("rep"))
+    # rep > 0: deterministically SCRAMBLE the word order (sort words by a
+    # rep-salted md5) and append a rep token.  An order-preserving
+    # perturbation is not enough for the shingle-based dedup ops: replicas
+    # would share nearly all bigrams, be genuine near-dups of each other,
+    # and the true pair count itself would grow quadratically in k —
+    # measuring the data, not the plan.  Scrambling keeps unigram stats
+    # (token counts, quality features) while decorrelating shingles.
+    ws = F.split(F.col("text"), " ")
+    scrambled = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.zip_with(
+                    ws,
+                    F.sequence(F.lit(1), F.size(ws)),
+                    lambda w, i: F.struct(
+                        F.md5(
+                            F.concat_ws("_", w, i.cast("string"), F.col("rep").cast("string"))
+                        ).alias("k"),
+                        w.alias("w"),
+                    ),
+                )
+            ),
+            lambda s: s["w"],
+        ),
+        " ",
+    )
+    (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * n_docs).alias("doc_id"),
+            F.when(F.col("rep") == 0, F.col("text"))
+            .otherwise(F.concat(scrambled, F.lit(" r"), F.col("rep")))
+            .alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "documents.parquet"))
+    )
+    dim = len(emb.select("embedding").first()[0])
+    rot = F.when(F.col("rep") == 0, F.col("embedding")).otherwise(
+        F.concat(
+            F.slice(F.col("embedding"), F.col("rep") + 1, dim),
+            F.slice(F.col("embedding"), F.lit(1), F.col("rep")),
+        )
+    )
+    (
+        emb.crossJoin(reps)
+        .select(
+            (F.col("vec_id") + F.col("rep") * n_vecs).alias("vec_id"),
+            rot.alias("embedding"),
+            "label",
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "embeddings.parquet"))
+    )
+    open(os.path.join(out, "_OK"), "w").close()
+    return out
+
+
+def main() -> None:
+    scales = [1, 4, 16]
+    for a in sys.argv[1:]:
+        if a.startswith("--scales"):
+            scales = [int(x) for x in a.split("=", 1)[1].split(",")]
+
+    from signal_messenger_vector_database_spark.session import get_spark
+
+    import __spark_entry__ as entry
+
+    spark = get_spark("scaling-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+
+    dirs = {k: build_scaled(spark, k) for k in scales}
+
+    # untimed warmup: plan compilation + codegen caches
+    for name in PROBES:
+        qs[name](spark, dirs[scales[0]]).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        spark.catalog.clearCache()
+
+    results: dict[str, dict[int, float]] = {}
+    for name in PROBES:
+        results[name] = {}
+        for k in scales:
+            spark.catalog.clearCache()
+            t0 = time.time()
+            qs[name](spark, dirs[k]).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            results[name][k] = round(dt, 2)
+            print(f"{name:28s} x{k:<3d} {dt:7.2f}s", flush=True)
+
+    print(json.dumps({n: r for n, r in results.items()}))
+
+
+if __name__ == "__main__":
+    main()
