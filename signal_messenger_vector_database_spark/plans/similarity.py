@@ -614,11 +614,15 @@ SPECS["fuzzy_dedup_edit"] = QuerySpec(
 # (``fuzzy_dedup_edit``) and LSH: sort records by a key, compare each
 # record only to its w nearest neighbors in sort order.  Distributed
 # shape: the sort key's PREFIX partitions the data (a window per prefix
-# block, parallel across blocks — never one global-ordered task), the
-# rank self-join is an equi-join on the block with a bounded rank delta,
-# and levenshtein runs only on the w*n candidates.  Prefix blocks can be
-# hot only if many docs share a 2-char prefix; the bounded window keeps
-# per-block work linear in block size either way.
+# block, parallel across blocks — never one global-ordered task), and
+# the rank self-join BINS the rank into w-wide buckets and equi-joins on
+# (block, bucket) — the interval_join_binned pattern — with the exact
+# rank-delta predicate as a residual.  A block-only equi-join with the
+# rank delta as residual LOOKS bounded but executes block_size^2
+# comparisons before filtering: the probe measured it quadratic
+# (tools/scaling_probe.py — 1.7 s / 25 s / 319 s over 1x/4x/16x, since
+# the 2-char prefix blocks grow linearly with the corpus).  With the
+# bucket in the join key, per-block work is O(block_size * w).
 
 _SN_WINDOW = 3
 
@@ -634,19 +638,39 @@ def _sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(key, 1, 40).alias("k40"),
     )
     rn = F.row_number().over(Window.partitionBy("blk").orderBy("k40", "doc_id"))
-    ranked = d.withColumn("rn", rn).persist()
-    x, y = ranked.alias("x"), ranked.alias("y")
+    ranked = (
+        d.withColumn("rn", rn)
+        .withColumn("bk", F.floor((F.col("rn") - 1) / _SN_WINDOW))
+        .persist()
+    )
+    # y.rn in (x.rn, x.rn + w] can only live in x's bucket or the next
+    # one, so x probes both and the join key carries the bucket
+    x = ranked.select(
+        F.col("doc_id").alias("x_doc_id"),
+        F.col("blk").alias("x_blk"),
+        F.col("k40").alias("x_k40"),
+        F.col("rn").alias("x_rn"),
+        F.explode(F.array(F.col("bk"), F.col("bk") + 1)).alias("x_jk"),
+    )
+    y = ranked.select(
+        F.col("doc_id").alias("y_doc_id"),
+        F.col("blk").alias("y_blk"),
+        F.col("k40").alias("y_k40"),
+        F.col("rn").alias("y_rn"),
+        F.col("bk").alias("y_jk"),
+    )
     cand = x.join(
         y,
-        (F.col("x.blk") == F.col("y.blk"))
-        & (F.col("y.rn") > F.col("x.rn"))
-        & (F.col("y.rn") <= F.col("x.rn") + _SN_WINDOW),
+        (F.col("x_blk") == F.col("y_blk"))
+        & (F.col("x_jk") == F.col("y_jk"))
+        & (F.col("y_rn") > F.col("x_rn"))
+        & (F.col("y_rn") <= F.col("x_rn") + _SN_WINDOW),
     )
     return (
         cand.select(
-            F.col("x.doc_id").alias("id_a"),
-            F.col("y.doc_id").alias("id_b"),
-            F.levenshtein(F.col("x.k40"), F.col("y.k40")).alias("edit_dist"),
+            F.col("x_doc_id").alias("id_a"),
+            F.col("y_doc_id").alias("id_b"),
+            F.levenshtein(F.col("x_k40"), F.col("y_k40")).alias("edit_dist"),
         )
         .filter(F.col("edit_dist") <= 5)
         .select(

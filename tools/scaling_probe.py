@@ -52,13 +52,48 @@ PROBES = [
     "embedding_neardup_lsh",
 ]
 
+# second wave: the remaining pair-generating / index-building text ops
+# (documents-only, so the same replicas serve).  Selected via
+# --wave=2; kept separate because several have candidate volumes that
+# depend on vocabulary richness, which fixture scrambling cannot grow.
+PROBES_WAVE2 = [
+    "ngram_jaccard_pairs",
+    "shingle_containment",
+    "sorted_neighborhood",
+    "decontaminate",
+    "tfidf_top_terms",
+    "bm25_topk",
+    "quality_classifier",
+    "repetition_score",
+    "neardup_clusters",
+]
+
+# third wave: events-table time-series/sessionization ops.  Replicas
+# shift user_id (so the user population scales and per-user windows stay
+# constant-size) and event_id; timestamps are untouched, so temporal
+# density grows with scale — the realistic high-traffic regime.
+PROBES_WAVE3 = [
+    "asof_join",
+    "window_range_frame",
+    "sessionize",
+    "event_funnel",
+    "retention_cohorts",
+    "ewma_per_user",
+    "scd2_intervals",
+    "cusum_drift",
+    "hll_distinct",
+    "cms_heavy_hitters",
+    "markov_transitions",
+    "assoc_rules",
+]
+
 
 def build_scaled(spark, k: int) -> str:
     """Replicate documents + embeddings k-fold with unique ids."""
     from pyspark.sql import functions as F
 
     out = os.path.join(WORK, f"x{k}")
-    if os.path.exists(os.path.join(out, "_OK")):
+    if os.path.exists(os.path.join(out, "_OK3")):
         return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
@@ -126,15 +161,42 @@ def build_scaled(spark, k: int) -> str:
         .write.mode("overwrite")
         .parquet(os.path.join(out, "embeddings.parquet"))
     )
-    open(os.path.join(out, "_OK"), "w").close()
+    # events: nanos-vintage parquet goes through the loader's conversion;
+    # replicas shift user_id/event_id so keys stay unique and the user
+    # population scales with k (per-user window state stays bounded)
+    from signal_messenger_vector_database_spark.io.sources import load_table
+
+    ev = load_table(spark, BASE, "events")
+    n_ev = ev.count()
+    n_users = ev.agg(F.max("user_id")).first()[0] + 1
+    (
+        ev.crossJoin(reps)
+        .select(
+            (F.col("event_id") + F.col("rep") * n_ev).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("rep") * n_users).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "events.parquet"))
+    )
+    open(os.path.join(out, "_OK3"), "w").close()
     return out
 
 
 def main() -> None:
     scales = [1, 4, 16]
+    probes = PROBES
     for a in sys.argv[1:]:
         if a.startswith("--scales"):
             scales = [int(x) for x in a.split("=", 1)[1].split(",")]
+        if a.startswith("--wave=2"):
+            probes = PROBES_WAVE2
+        if a.startswith("--wave=3"):
+            probes = PROBES_WAVE3
 
     from signal_messenger_vector_database_spark.session import get_spark
 
@@ -147,14 +209,14 @@ def main() -> None:
     dirs = {k: build_scaled(spark, k) for k in scales}
 
     # untimed warmup: plan compilation + codegen caches
-    for name in PROBES:
+    for name in probes:
         qs[name](spark, dirs[scales[0]]).write.format("noop").mode(
             "overwrite"
         ).save()
         spark.catalog.clearCache()
 
     results: dict[str, dict[int, float]] = {}
-    for name in PROBES:
+    for name in probes:
         results[name] = {}
         for k in scales:
             spark.catalog.clearCache()
