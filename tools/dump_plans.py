@@ -54,7 +54,7 @@ COMMENTARY = {
     "triangle_count": "Degree-oriented triangle counting: every edge directed from its (degree,id)-smaller endpoint, wedges enumerated only over out-edges, closed by a (src,dst) equi-join. Out-degree under orientation is O(sqrt(m)) even at a hub, so wedge volume is bounded where the naive triple join goes quadratic on hot nodes; no theta join in the plan (asserted by tests).",
     "cusum_drift": "Recursive CUSUM fold rewritten via the prefix-sum identity S_i = P_i - min(0, running-min P): two running windows per user replace the unexpressible recursion — no per-user array gather, state is the window frame, partitions parallelize across users. Centering mean is a DECIMAL-exact sum so both engines subtract the identical constant.",
     "shingle_containment": "Asymmetric containment dedup: candidates from the shingle equi-join with the max_df stop-shingle projection (join cost is sum(df^2) — hot shingles dominate quadratically with no signal; 26 s -> 1.6 s at sf0.1). Sizes computed in the same projected space keep C(A->B)=1.0 for true subsets.",
-    "sorted_neighborhood": "Sorted-neighborhood blocking: rank windows run PER PREFIX BLOCK (parallel, never one global-ordered task), candidates meet on a block equi-join with a bounded rank delta, levenshtein runs only on w*n candidate pairs.",
+    "sorted_neighborhood": "Sorted-neighborhood blocking: rank windows run PER PREFIX BLOCK (parallel, never one global-ordered task); the candidate join carries (block, rank-bin) in the EQUI key — r7, after the scaling probe measured the block-only join quadratic (319 s at 16x; the rank-delta residual filtered block_size^2 physical comparisons) — so per-block work is O(block_size * w) and levenshtein runs on w*n candidates.",
     "rank_family": "Global ranking without the single-task global window: the bucket id is a pure function of the key VALUE (sampled quantile boundaries as literals — r7, replacing spark_partition_id() whose branch-stability depended on exchange reuse), local row_number per bucket runs in parallel, and the only single-partition stage is the ~32-row offset prefix sum.",
     "rank_family_ties": "The tie-aware variant over the non-unique o_orderdate key: value bucketing guarantees a tie group never spans buckets, so per-bucket rank/dense_rank are exact and global ranks are local + prefix-summed (row, distinct-key) offsets. rank != dense_rank != row_number is actually exercised here.",
     "semdedup": "SemDeDup: k-means assignment is the in-place argmin over one broadcast codebook row (r7 — zero pair rows, zero shuffle per Lloyd round); the quadratic cosine pair join is fenced INSIDE clusters (n/k per side), never across the corpus; keep rule is a left-anti against the dropped-id set — deterministic lowest-id-wins. 8.0 s -> 3.6 s in-bench at sf0.1.",
