@@ -68,6 +68,29 @@ PROBES_WAVE2 = [
     "neardup_clusters",
 ]
 
+# fourth wave: TPC-H relational shapes.  Facts (orders, lineitem)
+# replicate with a consistent o_orderkey/l_orderkey offset; dimensions
+# (customer, supplier, part, nation, region) stay FIXED — the realistic
+# warehouse growth pattern, and exactly the regime where broadcast joins
+# must stay broadcast.
+PROBES_WAVE4 = [
+    "pricing_summary",
+    "region_rollup",
+    "topk_per_group",
+    "order_stats",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q10_returned_items",
+    "q19_bracket_revenue",
+    "q18_large_orders",
+    "q21_waiting_supplier",
+    "rank_family",
+    "rank_family_ties",
+    "cube_agg",
+    "semi_anti_join",
+    "skew_salted_join",
+]
+
 # third wave: events-table time-series/sessionization ops.  Replicas
 # shift user_id (so the user population scales and per-user windows stay
 # constant-size) and event_id; timestamps are untouched, so temporal
@@ -93,7 +116,7 @@ def build_scaled(spark, k: int) -> str:
     from pyspark.sql import functions as F
 
     out = os.path.join(WORK, f"x{k}")
-    if os.path.exists(os.path.join(out, "_OK3")):
+    if os.path.exists(os.path.join(out, "_OK4")):
         return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
@@ -183,7 +206,40 @@ def build_scaled(spark, k: int) -> str:
         .write.mode("overwrite")
         .parquet(os.path.join(out, "events.parquet"))
     )
-    open(os.path.join(out, "_OK3"), "w").close()
+    # TPC-H facts: orderkey offset keeps orders<->lineitem consistent;
+    # foreign keys into the (unreplicated) dimensions are untouched
+    orders = spark.read.parquet(os.path.join(BASE, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(BASE, "lineitem.parquet"))
+    okey_span = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    (
+        orders.crossJoin(reps)
+        .select(
+            (F.col("o_orderkey") + F.col("rep") * okey_span).alias("o_orderkey"),
+            "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+            "o_orderpriority",
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "orders.parquet"))
+    )
+    (
+        li.crossJoin(reps)
+        .select(
+            (F.col("l_orderkey") + F.col("rep") * okey_span).alias("l_orderkey"),
+            "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+            "l_linestatus", "l_shipdate",
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "lineitem.parquet"))
+    )
+    for dim in ("customer", "supplier", "part", "nation", "region"):
+        src = os.path.join(BASE, f"{dim}.parquet")
+        dst = os.path.join(out, f"{dim}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(src, dst)
+    open(os.path.join(out, "_OK4"), "w").close()
     return out
 
 
@@ -197,6 +253,8 @@ def main() -> None:
             probes = PROBES_WAVE2
         if a.startswith("--wave=3"):
             probes = PROBES_WAVE3
+        if a.startswith("--wave=4"):
+            probes = PROBES_WAVE4
 
     from signal_messenger_vector_database_spark.session import get_spark
 
