@@ -91,6 +91,33 @@ PROBES_WAVE4 = [
     "skew_salted_join",
 ]
 
+# fifth wave: graph (edges from the replicated TPC-H facts), the
+# Python-boundary ingest pipeline, PQ/embedding transforms, and the
+# remaining train-data prep ops.
+PROBES_WAVE5 = [
+    "pagerank3_shuffle",
+    "triangle_count",
+    "bfs_khops",
+    "ingest_pipeline",
+    "mock_embed",
+    "chunk_explode",
+    "pq_encode",
+    "pq_encode_trained",
+    "kmeans_fit_assign",
+    "embedding_covariance",
+    "random_projection",
+    "hybrid_rrf",
+    "inverted_index",
+    "feature_hashing",
+    "dedup_keep_first",
+    "incremental_new_docs",
+    "train_test_split",
+    "domain_mixture",
+    "pii_redact",
+    "length_buckets",
+    "chunk_overlap",
+]
+
 # third wave: events-table time-series/sessionization ops.  Replicas
 # shift user_id (so the user population scales and per-user windows stay
 # constant-size) and event_id; timestamps are untouched, so temporal
@@ -255,6 +282,8 @@ def main() -> None:
             probes = PROBES_WAVE3
         if a.startswith("--wave=4"):
             probes = PROBES_WAVE4
+        if a.startswith("--wave=5"):
+            probes = PROBES_WAVE5
 
     from signal_messenger_vector_database_spark.session import get_spark
 
