@@ -45,9 +45,18 @@ def _events_stream_schema(sf_dir: str) -> tuple[StructType, bool]:
     import pyarrow as pa
     import pyarrow.parquet as pa_pq
 
-    ts_type = (
-        pa_pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
-    )
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):
+        # Spark-written tables are DIRECTORIES of part files (every real
+        # deployment); probe the first part's footer — one metadata read
+        # either way
+        parts = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        if not parts:
+            raise FileNotFoundError(f"no parquet part files under {path}")
+        path = os.path.join(path, parts[0])
+    ts_type = pa_pq.read_schema(path).field("ts").type
     # structural check, not string equality: a tz-annotated nanos field
     # prints "timestamp[ns, tz=UTC]" and would dodge an exact-match probe
     raw_nanos = pa.types.is_timestamp(ts_type) and ts_type.unit == "ns"
@@ -70,11 +79,18 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema, raw_nanos = _events_stream_schema(sf_dir)
     if raw_nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):
+        # Spark-written table: a DIRECTORY of part files — stream the
+        # directory itself.  The glob-filter arm below would match zero
+        # part files against the literal name and silently drain nothing.
+        raw = spark.readStream.schema(schema).parquet(path)
+    else:
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     if raw_nanos:
         # Truncate ns -> us exactly like the batch loader / DuckDB.
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

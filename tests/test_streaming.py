@@ -204,3 +204,30 @@ def test_stream_ts_matches_batch_on_both_fixture_vintages(spark, tmp_path):
         assert q.awaitTermination(120)
         got = sorted(r.ts for r in s.table(sink).select("ts").collect())
         assert got == stamps, f"{unit} vintage: {got} != {stamps}"
+
+
+def test_stream_reads_directory_shaped_events_table(spark, tmp_path):
+    """Spark-written tables are DIRECTORIES of part files.  The stream
+    source's pathGlobFilter arm matches only a flat file named
+    events.parquet — against a directory it matched zero part files and
+    silently drained NOTHING (0 rows, no error: the wrong-answer class).
+    The directory arm must stream every part file and agree with batch."""
+    sf_dir = str(tmp_path)
+    ev = load_table(spark, SF, "events")
+    ev.repartition(4).write.parquet(f"{sf_dir}/events.parquet")
+
+    from signal_messenger_vector_database_spark.streaming.ingest import (
+        windowed_counts_availablenow,
+    )
+
+    streamed = windowed_counts_availablenow(spark, sf_dir)
+    batch = (
+        ev.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    got = {(r.day, r.event_type): r.cnt for r in streamed.collect()}
+    want = {(r.day, r.event_type): r.cnt for r in batch.collect()}
+    assert got == want and len(got) > 0
