@@ -52,11 +52,11 @@ class DocumentsSource(DataSource):
 
 
 class _Range(InputPartition):
-    """A row range WITHIN one row group: ``start``/``end`` are local row
-    offsets inside row group ``rg``."""
+    """A row range WITHIN one row group of one part file: ``start``/
+    ``end`` are local row offsets inside row group ``rg`` of ``file``."""
 
-    def __init__(self, rg: int, start: int, end: int):
-        self.rg, self.start, self.end = rg, start, end
+    def __init__(self, file: str | None, rg: int, start: int, end: int):
+        self.file, self.rg, self.start, self.end = file, rg, start, end
 
 
 class DocumentsReader(DataSourceReader):
@@ -92,41 +92,56 @@ class DocumentsReader(DataSourceReader):
         }
         return all(checks[op](v) for op, v in self.doc_id_preds)
 
+    def _part_files(self) -> list[str]:
+        """A Spark-written table is a DIRECTORY of part files; a flat
+        fixture is one file.  Plan over whichever shape we were given."""
+        import os
+
+        if os.path.isdir(self.path):
+            files = sorted(
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if f.endswith(".parquet")
+            )
+            return files
+        return [self.path]
+
     def partitions(self):
         import pyarrow.parquet as pq
 
-        md = pq.ParquetFile(self.path).metadata
-        if md.num_row_groups == 0:
-            # a zero-row-group file is valid parquet (e.g. an empty
-            # write); probing row_group(0) would raise at planning
-            return [_Range(0, 0, 0)]
-        doc_id_idx = next(
-            i
-            for i in range(md.row_group(0).num_columns)
-            if md.row_group(0).column(i).path_in_schema == "doc_id"
-        )
-        kept: list[tuple[int, int]] = []  # (rg index, rows)
-        for g in range(md.num_row_groups):
-            rg = md.row_group(g)
-            stats = rg.column(doc_id_idx).statistics
-            if (
-                stats is not None
-                and stats.has_min_max
-                and not self._rg_may_match(stats.min, stats.max)
-            ):
-                continue  # statistics prove no row here can match
-            kept.append((g, rg.num_rows))
+        kept: list[tuple[str, int, int]] = []  # (file, rg index, rows)
+        for file in self._part_files():
+            md = pq.ParquetFile(file).metadata
+            if md.num_row_groups == 0:
+                # a zero-row-group file is valid parquet (e.g. an empty
+                # write); probing row_group(0) would raise at planning
+                continue
+            doc_id_idx = next(
+                i
+                for i in range(md.row_group(0).num_columns)
+                if md.row_group(0).column(i).path_in_schema == "doc_id"
+            )
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                stats = rg.column(doc_id_idx).statistics
+                if (
+                    stats is not None
+                    and stats.has_min_max
+                    and not self._rg_may_match(stats.min, stats.max)
+                ):
+                    continue  # statistics prove no row here can match
+                kept.append((file, g, rg.num_rows))
         # split surviving row groups into ~n_parts ranges; each range stays
-        # inside ONE row group, so a partition's read cost is bounded by
-        # the row-group size regardless of file size
-        total = sum(n for _, n in kept)
+        # inside ONE row group of ONE file, so a partition's read cost is
+        # bounded by the row-group size regardless of table size
+        total = sum(n for _, _, n in kept)
         step = max(1, (total + self.n_parts - 1) // self.n_parts)
         parts = [
-            _Range(g, s, min(s + step, n))
-            for g, n in kept
+            _Range(file, g, s, min(s + step, n))
+            for file, g, n in kept
             for s in range(0, n, step)
         ]
-        return parts or [_Range(0, 0, 0)]  # all pruned: one empty read
+        return parts or [_Range(None, 0, 0, 0)]  # all pruned: one empty read
 
     def read(self, partition: _Range):
         import pyarrow.compute as pc
@@ -134,7 +149,7 @@ class DocumentsReader(DataSourceReader):
 
         if partition.end == partition.start:
             return
-        table = pq.ParquetFile(self.path).read_row_group(
+        table = pq.ParquetFile(partition.file).read_row_group(
             partition.rg, columns=_COLUMNS
         )
         table = table.slice(partition.start, partition.end - partition.start)

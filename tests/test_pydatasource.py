@@ -129,3 +129,32 @@ def test_pyds_scan_leaves_caller_config_untouched(spark):
     df = SPECS["pyds_scan"].fn(spark, SF_SMALL)
     assert df.count() > 0
     assert spark.conf.get(key, None) == before
+
+
+def test_reader_plans_over_directory_shaped_table(spark, tmp_path):
+    """Spark-written tables are directories of part files: planning must
+    enumerate every part file's row groups (a single-file ParquetFile
+    open raised on a directory before r7), and pushdown must still prune
+    per part-file statistics."""
+    from signal_messenger_vector_database_spark.io.pydatasource import (
+        DocumentsReader,
+    )
+
+    table_dir = str(tmp_path / "documents.parquet")
+    docs = spark.read.parquet(PATH)
+    docs.repartition(4, "doc_id").write.parquet(table_dir)
+    n = docs.count()
+
+    r = DocumentsReader({"path": table_dir, "npartitions": "8"})
+    parts = r.partitions()
+    assert len({p.file for p in parts}) == 4  # every part file planned
+    rows = [
+        row
+        for part in parts
+        for batch in r.read(part)
+        for row in batch.to_pylist()
+    ]
+    assert len(rows) == n
+    assert {row["doc_id"] for row in rows} == {
+        r2.doc_id for r2 in docs.collect()
+    }
