@@ -80,22 +80,40 @@ def hyperplane_bucket(vec_col: str, dim: int, n_planes: int, table: int = 0) -> 
     return F.concat(*bits)
 
 
-def lsh_geometry(n_vectors: int, target_bucket: int = 128) -> tuple[int, int]:
-    """(n_planes, n_tables) scaled to the corpus: planes grow log2(n) so
-    the EXPECTED bucket population stays ~target_bucket — with a fixed
-    plane count the bucket count is a constant, bucket size grows
-    linearly with n, and the within-bucket verify join grows
-    QUADRATICALLY (measured by tools/scaling_probe.py: 2.1 s -> 17 s ->
-    515 s over 1x/4x/16x with decorrelated vectors before this scaling).
-    Tables grow with planes to compensate the per-table recall loss
-    (collision prob p^planes, OR-amplified 1-(1-p^planes)^tables).  At
-    the fixture scales (<= 2k vectors) this resolves to the (4, 4) the
-    DuckDB oracle pins as literals — the semdedup k=max(8, n/125)
-    pattern for data-dependent knobs."""
+def lsh_geometry(
+    n_vectors: int,
+    threshold: float = 0.35,
+    target_bucket: int = 128,
+    target_recall: float = 0.45,
+) -> tuple[int, int]:
+    """(n_planes, n_tables) scaled to the corpus.
+
+    Planes grow log2(n) so the EXPECTED bucket population stays
+    ~target_bucket — with a fixed plane count the bucket count is a
+    constant, bucket size grows linearly with n, and the within-bucket
+    verify join grows QUADRATICALLY (measured by tools/scaling_probe.py:
+    2.1 s -> 17 s -> 515 s over 1x/4x/16x before this scaling).
+
+    Tables come from LSH theory, not a heuristic: a vector pair at the
+    cosine threshold collides under one hyperplane with probability
+    p = 1 - acos(threshold)/pi, survives one table with q = p^planes,
+    and is OR-amplified to recall 1 - (1-q)^tables — so holding recall
+    at the fixture-measured level needs tables = ln(1-target) / ln(1-q).
+    A first cut grew tables linearly with planes; the probe measured its
+    recall collapsing 0.46 -> 0.17 at 16x, because doubling tables
+    cannot offset SQUARING q.  The analytic count reproduces exactly the
+    (4, 4) the DuckDB oracle pins at fixture scales (p=0.614 at the 0.35
+    threshold: q=0.142, tables=3.9 -> 4), and the super-linear cost it
+    implies at large n (n^rho candidate work) is the real price of
+    recall under LSH, paid in table count rather than hidden in a
+    quadratic bucket join."""
     import math
 
     n_planes = max(4, math.ceil(math.log2(max(n_vectors, 1) / target_bucket)))
-    return n_planes, max(4, n_planes)
+    p = 1.0 - math.acos(threshold) / math.pi
+    q = p**n_planes
+    n_tables = max(4, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - q)))
+    return n_planes, n_tables
 
 
 def lsh_cosine_pairs(

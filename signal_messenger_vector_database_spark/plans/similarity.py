@@ -248,7 +248,7 @@ def _embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixed planes made bucket size linear in n and the verify join
     # quadratic (scaling_probe, 515 s at 16x).  At oracle scale (sf0.01,
     # 500 vectors) this is the pinned (4, 4) the SQL twin replays.
-    n_planes, n_tables = lsh_geometry(emb.count())
+    n_planes, n_tables = lsh_geometry(emb.count(), threshold=_NEARDUP_THRESHOLD)
     return lsh_cosine_pairs(
         emb,
         threshold=_NEARDUP_THRESHOLD,

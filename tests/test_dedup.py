@@ -276,10 +276,16 @@ def test_lsh_geometry_bounds_bucket_population():
     exactly the (4, 4) the DuckDB twin pins as literals."""
     from signal_messenger_vector_database_spark.operators.ann import lsh_geometry
 
+    import math
+
     assert lsh_geometry(500) == (4, 4)      # sf0.01 — oracle-pinned
     assert lsh_geometry(2000) == (4, 4)     # sf0.1 — bench geometry
-    assert lsh_geometry(32_000) == (8, 8)   # 16x probe scale
+    assert lsh_geometry(32_000) == (8, 30)  # 16x probe scale
+    p = 1.0 - math.acos(0.35) / math.pi
     for n in (10**6, 10**9, 10**12):
         planes, tables = lsh_geometry(n)
         assert n / 2**planes <= 128, (n, planes)
-        assert tables >= planes
+        # the analytic table count must actually deliver the target
+        # recall: 1-(1-p^planes)^tables >= 0.45 (the first-cut linear
+        # growth failed exactly this — measured 0.17 at 16x)
+        assert 1.0 - (1.0 - p**planes) ** tables >= 0.45, (n, planes, tables)
