@@ -67,6 +67,7 @@ _WINDOW = [
     "dsir_weights",
     "ccnet_buckets",
     "topk_ivf_pq",
+    "shard_manifest",
     # -- never driver-checked (rows-only): get them a first row --
     "approx_distinct",
     "kmeans_fit_assign",

@@ -1381,3 +1381,60 @@ SPECS["ccnet_buckets"] = QuerySpec(
     _CCNET_BUCKETS_SQL,
     "CCNet head/middle/tail perplexity tertiles via scale-safe two-pass ranking",
 )
+
+
+# --- deterministic output sharding (training-order shuffle + manifest) ---
+# The last stage of every pretraining data pipeline: shuffle the corpus
+# into a reproducible pseudo-random order and shard it into N output
+# files.  Order is md5(doc_id) — a pure function of the data, invariant
+# to cluster size and run order (the weighted_sample/train_test_split
+# hashing rule); the shard is the hash's low bits, so the physical write
+# is `repartition(shard).sortWithinPartitions(sort_key)` with NO global
+# sort.  The checkable artifact is the per-shard MANIFEST (counts, token
+# mass, first/last sort key rendered as hex) — the write itself is a
+# side effect, exercised in tests via the same plan.
+
+_SHARDS = 8
+
+
+def _shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    skey = F.md5(F.col("doc_id").cast("string"))
+    shard = (
+        F.conv(F.substring(skey, 1, 4), 16, 10).cast("int") % _SHARDS
+    )
+    return (
+        docs.select(
+            "doc_id",
+            token_count("text").alias("tokens"),
+            skey.alias("skey"),
+            shard.alias("shard"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tokens").cast("long").alias("shard_tokens"),
+            F.min("skey").alias("first_key"),
+            F.max("skey").alias("last_key"),
+        )
+    )
+
+
+_SHARD_MANIFEST_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {_SQL_TOKENS} AS tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS skey,
+         {_SQL_HEX4_MD5} % {_SHARDS} AS shard
+  FROM documents
+)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tokens) AS BIGINT) AS shard_tokens,
+       MIN(skey) AS first_key, MAX(skey) AS last_key
+FROM d GROUP BY shard
+"""
+
+SPECS["shard_manifest"] = QuerySpec(
+    _shard_manifest,
+    _SHARD_MANIFEST_SQL,
+    f"deterministic training-order shuffle manifest: md5 order, {_SHARDS} shards",
+)

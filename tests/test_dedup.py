@@ -289,3 +289,38 @@ def test_lsh_geometry_bounds_bucket_population():
         # recall: 1-(1-p^planes)^tables >= 0.45 (the first-cut linear
         # growth failed exactly this — measured 0.17 at 16x)
         assert 1.0 - (1.0 - p**planes) ** tables >= 0.45, (n, planes, tables)
+
+
+def test_shard_manifest_matches_physical_sharded_write(spark, tmp_path):
+    """The manifest must describe exactly what the physical
+    repartition(shard).sortWithinPartitions(skey) write produces: same
+    per-shard counts, and every output file sorted by the shuffle key
+    with min/max matching the manifest."""
+    from pyspark.sql import functions as F
+
+    from signal_messenger_vector_database_spark.io.sources import load_table
+    from signal_messenger_vector_database_spark.plans.traindata import (
+        _SHARDS,
+        _shard_manifest,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    manifest = {r.shard: r for r in _shard_manifest(spark, sf).collect()}
+    assert sum(r.n_docs for r in manifest.values()) == 500
+
+    docs = load_table(spark, sf, "documents")
+    skey = F.md5(F.col("doc_id").cast("string"))
+    shard = F.conv(F.substring(skey, 1, 4), 16, 10).cast("int") % _SHARDS
+    out = str(tmp_path / "shards")
+    (
+        docs.select("doc_id", skey.alias("skey"), shard.alias("shard"))
+        .repartition(_SHARDS, "shard")
+        .sortWithinPartitions("skey")
+        .write.partitionBy("shard")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    for s, row in manifest.items():
+        part = [r.skey for r in back.filter(F.col("shard") == s).collect()]
+        assert len(part) == row.n_docs
+        assert min(part) == row.first_key and max(part) == row.last_key
