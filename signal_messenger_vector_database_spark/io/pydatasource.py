@@ -103,6 +103,14 @@ class DocumentsReader(DataSourceReader):
                 for f in os.listdir(self.path)
                 if f.endswith(".parquet")
             )
+            if not files:
+                # loud, like the streaming twin: a directory with no
+                # top-level part files (empty dir, mistyped path, or a
+                # partitionBy-nested layout this reader doesn't walk)
+                # must not plan an empty scan and silently read 0 rows
+                raise FileNotFoundError(
+                    f"no parquet part files directly under {self.path}"
+                )
             return files
         return [self.path]
 

@@ -243,11 +243,17 @@ def _embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     # dim from the fixture constant, not a first() probe: the plan must
-    # build without running a job (r2 VERDICT task 8).  The LSH geometry
-    # scales with the corpus (count() is metadata-cheap over parquet):
-    # fixed planes made bucket size linear in n and the verify join
-    # quadratic (scaling_probe, 515 s at 16x).  At oracle scale (sf0.01,
-    # 500 vectors) this is the pinned (4, 4) the SQL twin replays.
+    # build without running a job (r2 VERDICT task 8); the count() below
+    # is the documented metadata-cheap exception (token_packing,
+    # semdedup).  The LSH geometry scales with the corpus: fixed planes
+    # made bucket size linear in n and the verify join quadratic
+    # (scaling_probe, 515 s at 16x).  PARITY SCOPE: the SQL twin pins
+    # (4, 4) as literals, which lsh_geometry reproduces at every fixture
+    # scale (<= 2048 vectors) — the same contract as semdedup's
+    # k = max(8, n/125): the oracle pairing is valid exactly where the
+    # derived knob equals the pinned literal, and the geometry unit test
+    # pins both fixture scales.  Above that, the scaled geometry is the
+    # production path and the oracle twin does not apply.
     n_planes, n_tables = lsh_geometry(emb.count(), threshold=_NEARDUP_THRESHOLD)
     return lsh_cosine_pairs(
         emb,

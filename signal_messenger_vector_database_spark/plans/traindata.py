@@ -1253,12 +1253,12 @@ def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dsir_weights_sql() -> str:
+    # one shared hex4-md5 decode (reuse, not a second hand-maintained
+    # copy: a drift between the two would silently desynchronize DSIR's
+    # bucketing from every other hashed operator)
     b_of_f = (
-        "((instr('0123456789abcdef', substr(md5(f), 1, 1)) - 1) * 4096 + "
-        "(instr('0123456789abcdef', substr(md5(f), 2, 1)) - 1) * 256 + "
-        "(instr('0123456789abcdef', substr(md5(f), 3, 1)) - 1) * 16 + "
-        "(instr('0123456789abcdef', substr(md5(f), 4, 1)) - 1))"
-        f" % {_DSIR_BUCKETS}"
+        _SQL_HEX4_MD5.replace("md5(CAST(doc_id AS VARCHAR))", "md5(f)")
+        + f" % {_DSIR_BUCKETS}"
     )
     return f"""
 WITH d AS (
@@ -1327,6 +1327,12 @@ def _ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cnt = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     n = cnt.agg(F.sum("c").cast("double").alias("_n"))
+    # persisted: the ranking subtree and the final join both consume it,
+    # and without the pin each branch would recompute the float log-sum
+    # with its own partial-aggregation order — a doc on a 1e-4 rounding
+    # boundary could then rank under one xent and emit the other,
+    # breaking the (xent, bucket) pair's internal consistency (same
+    # multi-consumer hazard the DSIR aggregate above hit)
     perdoc = (
         words.join(F.broadcast(cnt), "w")
         .crossJoin(F.broadcast(n))
@@ -1336,6 +1342,7 @@ def _ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 -F.sum(F.log(F.col("c") / F.col("_n"))) / F.count(F.lit(1)), 4
             ).alias("xent")
         )
+        .persist()
     )
     ranked = global_rank_family(
         perdoc,

@@ -602,6 +602,28 @@ def _pq_lut() -> list[list[float]]:
     return luts
 
 
+def _adc_spark_expr() -> str:
+    """Spark-side ADC sum over the shared quantized LUT literals —
+    defined ONCE for both topk_pq_adc and topk_ivf_pq so the
+    expressions cannot drift (the cross-engine bit-identity of the
+    shared-literal rule depends on every consumer using the same
+    strings)."""
+    lut = _pq_lut()
+    return " + ".join(
+        "array(" + ", ".join(repr(v) for v in lut[j]) + f")[c{j}]"  # 0-based
+        for j in range(_PQ_M)
+    )
+
+
+def _adc_sql_expr(prefix: str = "codes.") -> str:
+    """DuckDB twin of :func:`_adc_spark_expr` (1-based subscripts)."""
+    lut = _pq_lut()
+    return " + ".join(
+        "[" + ", ".join(repr(v) for v in lut[j]) + f"][{prefix}c{j} + 1]"
+        for j in range(_PQ_M)
+    )
+
+
 def _topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC top-k: a fixed query vector scores each encoded vector as the
     SUM of per-subspace lookup distances.  The 8x16 LUT is computed
@@ -611,14 +633,9 @@ def _topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     wins at 100 TB: the hot loop touches 8 bytes/vector, not 256, and the
     LUT is a k*m-value broadcast literal."""
     codes = _pq_encode(spark, sf_dir)
-    lut = _pq_lut()
-    luts = []
-    for j in range(_PQ_M):
-        arr = "array(" + ", ".join(repr(v) for v in lut[j]) + ")"
-        luts.append(f"{arr}[c{j}]")  # 0-based subscript
     # left-associated sum of 8 shared literals -> bit-identical in both
     # engines by IEEE-754 determinism; the trailing FLOOR is cosmetic
-    adc = " + ".join(luts)
+    adc = _adc_spark_expr()
     return (
         codes.selectExpr(
             "vec_id",
@@ -633,13 +650,8 @@ def _topk_pq_adc_sql() -> str:
     # The oracle consumes the SAME quantized LUT literals the Spark
     # expression does; only the codes are computed in-database (and
     # pq_encode is independently oracle-proven green).
-    lut = _pq_lut()
     enc = _pq_encode_sql()
-    luts = []
-    for j in range(_PQ_M):
-        dl = "[" + ", ".join(repr(v) for v in lut[j]) + "]"
-        luts.append(f"{dl}[codes.c{j} + 1]")
-    adc = " + ".join(luts)
+    adc = _adc_sql_expr()
     return f"""
 WITH codes AS ({enc})
 SELECT codes.vec_id, FLOOR(({adc}) * 10000 + 0.5) / 10000 AS adc_dist
@@ -911,11 +923,7 @@ def _topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = ivf_assign(emb, centroids)
     qcid = assign.filter(F.col("vec_id") == 0).select(F.col("cid").alias("qcid"))
     codes = _pq_encode(spark, sf_dir)
-    lut = _pq_lut()
-    adc = " + ".join(
-        "array(" + ", ".join(repr(v) for v in lut[j]) + f")[c{j}]"
-        for j in range(_PQ_M)
-    )
+    adc = _adc_spark_expr()
     return (
         codes.join(assign, "vec_id")
         .join(F.broadcast(qcid), F.col("cid") == F.col("qcid"))
@@ -929,12 +937,8 @@ def _topk_ivf_pq_sql() -> str:
     from .similarity import _SQL_COS
 
     cos_ec = _SQL_COS.format(a="e.embedding", b="c.cv")
-    lut = _pq_lut()
     enc = _pq_encode_sql()
-    adc = " + ".join(
-        "[" + ", ".join(repr(v) for v in lut[j]) + f"][codes.c{j} + 1]"
-        for j in range(_PQ_M)
-    )
+    adc = _adc_sql_expr()
     return f"""
 WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
 sims AS (

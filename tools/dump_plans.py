@@ -60,8 +60,8 @@ COMMENTARY = {
     "semdedup": "SemDeDup: k-means assignment is the in-place argmin over one broadcast codebook row (r7 — zero pair rows, zero shuffle per Lloyd round); the quadratic cosine pair join is fenced INSIDE clusters (n/k per side), never across the corpus; keep rule is a left-anti against the dropped-id set — deterministic lowest-id-wins. 8.0 s -> 3.6 s in-bench at sf0.1.",
     "gopher_quality_filter": "Gopher keep/drop composite, single-pass (r7): all four rule features are moments of the per-doc (word, count) table — total words, character mass, stopword hits, top-word count — one explode + two doc-keyed partial-aggregated groupBys, no array folds, no re-join (3.2 s -> 0.8 s at sf0.1).",
     "q21_waiting_supplier": "TPC-H Q21 shape: the EXISTS and NOT EXISTS lineitem self-correlations decorrelate into one left-semi and one left-anti hash join on l_orderkey (asserted by test_scale) — no per-row subquery execution; nation/supplier broadcast.",
-    "dsir_weights": "DSIR importance weights: hashed uni+bigram features (md5 mod 128, no vocabulary), target and raw bucket distributions hang off the SAME (doc, lang, bucket) aggregate — Catalyst reuses the exchange for all three consumers — and the 128-row log-ratio table broadcasts into the per-doc scoring join.",
-    "ccnet_buckets": "CCNet head/middle/tail perplexity tertiles: unigram-LM cross-entropy per doc (tiny word-count table broadcast), then NTILE(3) via the tie-aware two-pass global ranking operator — bucketing is a pure function of the rounded score, no single-task global window.",
+    "dsir_weights": "DSIR importance weights: hashed uni+bigram features (md5 mod 128, no vocabulary); the (doc, lang, bucket) aggregate is PERSISTED because Catalyst cannot reuse the exchange across its three consumers (the target branch's lang filter pushes below the aggregation, making the subtrees physically distinct — measured 5 parquet scans without the pin); the 128-row log-ratio table broadcasts into the per-doc scoring join.",
+    "ccnet_buckets": "CCNet head/middle/tail perplexity tertiles: unigram-LM cross-entropy per doc (tiny word-count table broadcast, result persisted — the ranking subtree and the final join both consume it and a re-computed float log-sum could round differently on a 1e-4 boundary), then NTILE(3) via the tie-aware two-pass global ranking operator — no single-task global window.",
     "topk_ivf_pq": "IVF-PQ capstone: the coarse assignment prunes candidates to the probed cluster (broadcast centroid table, min_by partial-agg), then ADC scores 8-byte codes against a broadcast literal LUT — the hot loop reads 8 bytes/candidate; TakeOrderedAndProject keeps k.",
     "attachment_spec": "K5 AttachmentSpec build: binaryFile scan with the content column pruned (only path/length are read), extension->mime as a literal CASE cascade — the upload side-effect is the K4 dispatch seam, outside the analytic plan.",
 }

@@ -272,18 +272,24 @@ def build_scaled(spark, k: int) -> str:
 
 def main() -> None:
     scales = [1, 4, 16]
+    waves = {
+        "1": PROBES,
+        "2": PROBES_WAVE2,
+        "3": PROBES_WAVE3,
+        "4": PROBES_WAVE4,
+        "5": PROBES_WAVE5,
+    }
     probes = PROBES
     for a in sys.argv[1:]:
-        if a.startswith("--scales"):
+        if a.startswith("--scales="):
             scales = [int(x) for x in a.split("=", 1)[1].split(",")]
-        if a.startswith("--wave=2"):
-            probes = PROBES_WAVE2
-        if a.startswith("--wave=3"):
-            probes = PROBES_WAVE3
-        if a.startswith("--wave=4"):
-            probes = PROBES_WAVE4
-        if a.startswith("--wave=5"):
-            probes = PROBES_WAVE5
+        elif a.startswith("--wave="):
+            wave = a.split("=", 1)[1]
+            if wave not in waves:
+                sys.exit(f"unknown wave {wave!r}; choose one of {sorted(waves)}")
+            probes = waves[wave]
+        else:
+            sys.exit(f"unrecognized argument {a!r} (use --scales=1,4,16 --wave=N)")
 
     from signal_messenger_vector_database_spark.session import get_spark
 
