@@ -118,6 +118,16 @@ PROBES_WAVE5 = [
     "chunk_overlap",
 ]
 
+# sixth wave: stateful Structured Streaming drains (AvailableNow over
+# the replicated events directory; slower — each query builds a
+# checkpoint).  First run of this wave caught the glob-arm silent empty
+# drain on directory-shaped tables (see SCALING.md).
+PROBES_WAVE6 = [
+    "stream_windowed_counts",
+    "stream_dedup_counts",
+    "stream_sessionize",
+]
+
 # third wave: events-table time-series/sessionization ops.  Replicas
 # shift user_id (so the user population scales and per-user windows stay
 # constant-size) and event_id; timestamps are untouched, so temporal
@@ -278,6 +288,7 @@ def main() -> None:
         "3": PROBES_WAVE3,
         "4": PROBES_WAVE4,
         "5": PROBES_WAVE5,
+        "6": PROBES_WAVE6,
     }
     probes = PROBES
     for a in sys.argv[1:]:
