@@ -653,9 +653,15 @@ def _bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact",
             "n_bloom_positive",
             "n_false_positive",
+            # NULL when every probe key is a true member (denominator 0):
+            # an fp RATE is undefined with no non-members, and under
+            # Spark 4's default ANSI mode the bare division THROWS on an
+            # all-members corpus (hit at sf0.001; sf0.01 has 1 non-member)
             portable_round(
                 F.col("n_false_positive")
-                / (F.col("n_probe") - F.col("n_exact")),
+                / F.nullif(
+                    (F.col("n_probe") - F.col("n_exact")).cast("double"), F.lit(0.0)
+                ),
                 6,
             ).alias("fp_rate"),
         )
@@ -698,7 +704,7 @@ SELECT CAST(n_probe AS BIGINT) AS n_probe,
        CAST(n_exact AS BIGINT) AS n_exact,
        CAST(n_bloom_positive AS BIGINT) AS n_bloom_positive,
        CAST(n_false_positive AS BIGINT) AS n_false_positive,
-       FLOOR(n_false_positive * 1.0 / (n_probe - n_exact) * 1000000 + 0.5) / 1000000 AS fp_rate
+       FLOOR(n_false_positive * 1.0 / NULLIF(n_probe - n_exact, 0) * 1000000 + 0.5) / 1000000 AS fp_rate
 FROM s
 """
 

@@ -149,3 +149,19 @@ def test_cms_never_undercounts(spark):
     for r in rows:
         assert r.cms_estimate >= r.n_exact
         assert r.overcount >= 0
+
+
+def test_bloom_fp_rate_null_when_every_probe_is_member(spark):
+    """sf0.001 is an all-members corpus (every customer has a >150k
+    order): the false-positive RATE is undefined there and must come
+    back NULL — under Spark 4's default ANSI mode the unguarded
+    division THREW instead (caught by the catalog-wide two-layout
+    sweep; the driver's sf0.01 corpus has one non-member so its row
+    never exercised this arm)."""
+    from signal_messenger_vector_database_spark.plans.analytics import (
+        _bloom_membership,
+    )
+
+    row = _bloom_membership(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row.n_probe == row.n_exact == 150
+    assert row.fp_rate is None
