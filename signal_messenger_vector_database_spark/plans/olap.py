@@ -219,23 +219,80 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 
 # --- exact percentiles (linear interpolation) per group -----------------
 def _percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    return (
-        lineitem.groupBy("l_returnflag")
-        .agg(
-            F.round(F.expr("percentile(l_extendedprice, 0.25)"), 2).alias("p25"),
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("p50"),
-            F.round(F.expr("percentile(l_extendedprice, 0.75)"), 2).alias("p75"),
-            F.count(F.lit(1)).alias("n_rows"),
+    """EXACT percentiles without per-group value buffering.
+
+    Spark's ``percentile()`` aggregate holds every group value in one
+    aggregation buffer — ~n/3 doubles on a single executor here, which
+    is the quiet OOM at 100 TB (the scaling probe surfaced it as the
+    one wave-7 query whose cost tracked raw row count).  Instead:
+    reduce to the per-(flag, price) VALUE HISTOGRAM — bounded by the
+    price domain's cardinality, not the corpus — then a running-count
+    window over histogram rows locates the order statistics and the
+    standard type-7 interpolation lo + frac*(hi-lo) reproduces
+    percentile()/quantile_cont bit-for-bit (same doubles, same formula),
+    so the DuckDB oracle is unchanged."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").alias("v")
+    )
+    hist = li.groupBy("l_returnflag", "v").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("l_returnflag").orderBy("v")
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    n_tbl = hist.groupBy("l_returnflag").agg(F.sum("c").alias("n"))
+    j = cum.join(n_tbl, "l_returnflag")
+
+    def lo_hi(p: float, tag: str):
+        # h references the per-row (per-group-constant) n, so the order-
+        # statistic conditions are row-level and legal inside the aggs
+        h = (F.col("n") - 1) * F.lit(p)
+        return [
+            F.min(F.when(F.col("cum") >= F.floor(h) + 1, F.col("v"))).alias(
+                f"_lo{tag}"
+            ),
+            F.min(F.when(F.col("cum") >= F.ceil(h) + 1, F.col("v"))).alias(
+                f"_hi{tag}"
+            ),
+        ]
+
+    agg = j.groupBy("l_returnflag").agg(
+        F.first("n").alias("n"),
+        *lo_hi(0.25, "25"),
+        *lo_hi(0.5, "50"),
+        *lo_hi(0.75, "75"),
+    )
+
+    def interp(p: float, tag: str):
+        # Mirror DuckDB's quantile_cont arithmetic EXACTLY:
+        # lo*(1-frac) + hi*frac — the algebraically equal lo+frac*(hi-lo)
+        # differs in the last ulp (81364.255 vs 81364.25499999999 at
+        # sf0.001) and that ulp decides the .xx5 rounding boundary.  And
+        # portable_round, not F.round: the interpolated value itself
+        # lands on such boundaries (raw p50 52724.244999999995 — Spark
+        # ROUND gives .24 off the binary expansion, DuckDB .25 off the
+        # shortest decimal; latent since r2, exposed by the sf0.001
+        # sweep)
+        h = (F.col("n") - 1) * F.lit(p)
+        frac = h - F.floor(h)
+        return portable_round(
+            F.col(f"_lo{tag}") * (F.lit(1.0) - frac) + F.col(f"_hi{tag}") * frac,
+            2,
         )
+
+    return agg.select(
+        "l_returnflag",
+        interp(0.25, "25").alias("p25"),
+        interp(0.5, "50").alias("p50"),
+        interp(0.75, "75").alias("p75"),
+        F.col("n").cast("long").alias("n_rows"),
     )
 
 
 _PERCENTILE_SQL = """
 SELECT l_returnflag,
-       ROUND(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
-       ROUND(quantile_cont(l_extendedprice, 0.5),  2) AS p50,
-       ROUND(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
+       FLOOR(quantile_cont(l_extendedprice, 0.25) * 100 + 0.5) / 100 AS p25,
+       FLOOR(quantile_cont(l_extendedprice, 0.5)  * 100 + 0.5) / 100 AS p50,
+       FLOOR(quantile_cont(l_extendedprice, 0.75) * 100 + 0.5) / 100 AS p75,
        COUNT(*) AS n_rows
 FROM lineitem
 GROUP BY l_returnflag

@@ -128,6 +128,27 @@ PROBES_WAVE6 = [
     "stream_sessionize",
 ]
 
+# seventh wave: everything not yet probed — the remaining TPC-H
+# q-series, the distributive-stats family, OLAP/advanced shapes, and
+# time-series fills.  Shapes repeat proven-flat families; the wave is
+# cheap and makes the program's coverage claim near-total.
+PROBES_WAVE7 = [
+    "q2_min_price", "q4_priority_exists", "q6_revenue_delta",
+    "q7_nation_volume", "q8_market_share", "q9_nation_profit",
+    "q11_value_share", "q12_priority_classes", "q13_order_distribution",
+    "q14_promo_effect", "q15_top_supplier", "q16_supplier_variety",
+    "q17_small_quantity", "q20_part_promotion", "q22_dormant_customers",
+    "correlated_subquery", "ols_regression", "zscore_outliers",
+    "mad_outliers", "winsorized_stats", "zipf_fit", "table_stats",
+    "dq_audit", "deletion_audit", "upsert_latest", "date_spine_fill",
+    "locf_fill", "dense_ids", "array_set_ops", "variant_props",
+    "json_props", "unpivot_metrics", "rollup_agg", "grouping_sets_agg",
+    "percentile_summary", "price_histogram", "user_trend",
+    "first_touch_attribution", "weighted_sample", "cumulative_distinct",
+    "nullsafe_join", "interval_join", "interval_join_binned",
+    "hex_project", "explode_outer_words", "lateral_topk",
+]
+
 # third wave: events-table time-series/sessionization ops.  Replicas
 # shift user_id (so the user population scales and per-user windows stay
 # constant-size) and event_id; timestamps are untouched, so temporal
@@ -289,6 +310,7 @@ def main() -> None:
         "4": PROBES_WAVE4,
         "5": PROBES_WAVE5,
         "6": PROBES_WAVE6,
+        "7": PROBES_WAVE7,
     }
     probes = PROBES
     for a in sys.argv[1:]:
