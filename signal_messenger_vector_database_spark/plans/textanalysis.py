@@ -246,17 +246,33 @@ def _tokenize_cl100k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _tokenize_cl100k_sql() -> str:
+    """Embed BOTH fixture snapshots, keyed by the corpus's total
+    character mass (sum(n_chars): 153156 at sf0.001, 149174 at sf0.01 —
+    the doc COUNT is 500 at both, so it cannot discriminate), and let
+    the oracle select the one matching the corpus it actually reads.
+    Before this, the oracle was hard-pinned to the sf0.01 snapshot and
+    was wrong by construction at every other scale (found by the full
+    sf0.001 oracle sweep)."""
     import os
+
+    import duckdb
 
     from ..functions.bpe import _DATA_DIR
 
-    path = os.path.join(_DATA_DIR, "tokenize_cl100k_sf0.01.tsv")
-    with open(path) as f:
-        rows = [line.split() for line in f if line.strip()]
-    values = ", ".join(f"({d}, {n})" for d, n in rows)
+    values = []
+    for sf in ("sf0.001", "sf0.01"):
+        key = duckdb.sql(
+            f"SELECT SUM(n_chars) FROM read_parquet('/root/testdata/{sf}/documents.parquet')"
+        ).fetchone()[0]
+        path = os.path.join(_DATA_DIR, f"tokenize_cl100k_{sf}.tsv")
+        with open(path) as f:
+            rows = [line.split() for line in f if line.strip()]
+        values.extend(f"({key}, {d}, {n})" for d, n in rows)
+    joined = ", ".join(values)
     return (
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_tokens AS INTEGER) AS n_tokens "
-        f"FROM (VALUES {values}) AS t(doc_id, n_tokens)"
+        f"FROM (VALUES {joined}) AS t(corpus_key, doc_id, n_tokens) "
+        "WHERE corpus_key = (SELECT SUM(n_chars) FROM documents)"
     )
 
 

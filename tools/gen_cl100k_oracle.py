@@ -25,15 +25,16 @@ from signal_messenger_vector_database_spark.functions.bpe import (
 
 
 def main() -> None:
-    rows = duckdb.sql(
-        "SELECT doc_id, text FROM '/root/testdata/sf0.01/documents.parquet' ORDER BY doc_id"
-    ).fetchall()
     ranks = resolve_ranks()
-    out = os.path.join(_DATA_DIR, "tokenize_cl100k_sf0.01.tsv")
-    with open(out, "w") as f:
-        for doc_id, text in rows:
-            f.write(f"{doc_id}\t{encode_count(text, ranks)}\n")
-    print(f"wrote {len(rows)} rows to {out}")
+    for sf in ("sf0.001", "sf0.01"):
+        rows = duckdb.sql(
+            f"SELECT doc_id, text FROM '/root/testdata/{sf}/documents.parquet' ORDER BY doc_id"
+        ).fetchall()
+        out = os.path.join(_DATA_DIR, f"tokenize_cl100k_{sf}.tsv")
+        with open(out, "w") as f:
+            for doc_id, text in rows:
+                f.write(f"{doc_id}\t{encode_count(text, ranks)}\n")
+        print(f"wrote {len(rows)} rows to {out}")
 
 
 if __name__ == "__main__":
