@@ -247,8 +247,8 @@ def _tokenize_cl100k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _tokenize_cl100k_sql() -> str:
     """Embed BOTH fixture snapshots, keyed by the corpus's total
-    character mass (sum(n_chars): 153156 at sf0.001, 149174 at sf0.01 —
-    the doc COUNT is 500 at both, so it cannot discriminate), and let
+    character mass (sum(n_chars); the doc COUNT is 500
+    at both small fixtures, so it cannot discriminate), and let
     the oracle select the one matching the corpus it actually reads.
     Before this, the oracle was hard-pinned to the sf0.01 snapshot and
     was wrong by construction at every other scale (found by the full
@@ -260,7 +260,7 @@ def _tokenize_cl100k_sql() -> str:
     from ..functions.bpe import _DATA_DIR
 
     values = []
-    for sf in ("sf0.001", "sf0.01"):
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
         key = duckdb.sql(
             f"SELECT SUM(n_chars) FROM read_parquet('/root/testdata/{sf}/documents.parquet')"
         ).fetchone()[0]

@@ -26,7 +26,7 @@ from signal_messenger_vector_database_spark.functions.bpe import (
 
 def main() -> None:
     ranks = resolve_ranks()
-    for sf in ("sf0.001", "sf0.01"):
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
         rows = duckdb.sql(
             f"SELECT doc_id, text FROM '/root/testdata/{sf}/documents.parquet' ORDER BY doc_id"
         ).fetchall()
