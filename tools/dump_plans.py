@@ -63,6 +63,7 @@ COMMENTARY = {
     "dsir_weights": "DSIR importance weights: hashed uni+bigram features (md5 mod 128, no vocabulary); the (doc, lang, bucket) aggregate is PERSISTED because Catalyst cannot reuse the exchange across its three consumers (the target branch's lang filter pushes below the aggregation, making the subtrees physically distinct — measured 5 parquet scans without the pin); the 128-row log-ratio table broadcasts into the per-doc scoring join.",
     "ccnet_buckets": "CCNet head/middle/tail perplexity tertiles: unigram-LM cross-entropy per doc (tiny word-count table broadcast, result persisted — the ranking subtree and the final join both consume it and a re-computed float log-sum could round differently on a 1e-4 boundary), then NTILE(3) via the tie-aware two-pass global ranking operator — no single-task global window.",
     "topk_ivf_pq": "IVF-PQ capstone: the coarse assignment prunes candidates to the probed cluster (broadcast centroid table, min_by partial-agg), then ADC scores 8-byte codes against a broadcast literal LUT — the hot loop reads 8 bytes/candidate; TakeOrderedAndProject keeps k.",
+    "percentile_summary": "Exact percentiles WITHOUT per-group value buffering (r7): the per-(group, value) histogram is bounded by the value domain, not the corpus; a running-count window over histogram rows locates the order statistics and conditional aggregates pick lo/hi — Spark's percentile() aggregate would hold every group value in one buffer (~n/3 doubles on one executor), the quiet OOM at scale.",
     "attachment_spec": "K5 AttachmentSpec build: binaryFile scan with the content column pruned (only path/length are read), extension->mime as a literal CASE cascade — the upload side-effect is the K4 dispatch seam, outside the analytic plan.",
 }
 
