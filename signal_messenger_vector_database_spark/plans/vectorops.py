@@ -762,9 +762,26 @@ _SQL_COS_E = (
 )
 
 
+def _semdedup_sql_multiscale(iters: int = 3) -> str:
+    """Corpus-keyed oracle (the cl100k-snapshot pattern): the Spark side
+    derives k = max(8, n/125), so a single pinned-k SQL twin is only
+    valid at corpora where that resolves to its literal.  Embed one full
+    replay per FIXTURE k (8 for n<=1124, 16 for sf0.1's n=2000), each
+    branch guarded by the same formula over the corpus it reads — the
+    oracle now follows the derived knob across every fixture scale
+    instead of documenting the divergence away."""
+    branches = []
+    for k in (8, 16):
+        branches.append(
+            f"SELECT * FROM ({_semdedup_sql(k, iters)}) b{k} "
+            f"WHERE GREATEST(8, (SELECT COUNT(*) FROM embeddings) // 125) = {k}"
+        )
+    return " UNION ALL ".join(branches)
+
+
 SPECS["semdedup"] = QuerySpec(
     _semdedup,
-    _semdedup_sql(),
+    _semdedup_sql_multiscale(),
     "SemDeDup: within-kmeans-cluster cosine near-dup drop (semantic dedup scale path)",
 )
 
