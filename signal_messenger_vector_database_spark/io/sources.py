@@ -37,6 +37,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def parquet_row_count(sf_dir: str, name: str) -> int:
+    """Exact table row count from parquet FOOTER metadata — no Spark job,
+    no data pages read.
+
+    Plan-building code that needs the corpus size to pick a knob (semdedup
+    cluster count, LSH geometry) must not run a ``df.count()`` action: that
+    launches a full scan job during plan CONSTRUCTION, violating the repo's
+    'a plan must build without running a job' rule (r2 VERDICT task 8;
+    ADVICE r7).  Parquet stores ``num_rows`` in every file footer, so the
+    count costs one footer read per file — the same metadata the Python
+    data source planner (io/pydatasource.py) already relies on.  Handles
+    both single-file fixtures and directory-shaped (multi-part) tables.
+    """
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    else:
+        files = [path]
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     names = names or TESTDATA_TABLES
     return {n: load_table(spark, sf_dir, n) for n in names}

@@ -280,29 +280,40 @@ def _user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     out = per_user_trend(events.repartition(8, "user_id"))
+    # portable_round on a bit-identical double (see per_user_trend's
+    # exact-integer definition) — both engines floor the same value.
     return out.select("user_id", "n", portable_round(F.col("slope"), 4).alias("slope"))
 
 
-# oracle: DuckDB's closed-form regr_slope over the same normalized
-# regressor — deliberately an INDEPENDENT implementation of the same
-# statistic (numpy in the Arrow grouped-map vs streaming sufficient
-# statistics in DuckDB), so their accumulation orders differ at ulp
-# level and a slope landing exactly on the 1e-4 rounding grain can
-# round apart.  Parity scope: green at both driver fixture scales
-# (sf0.001/sf0.01); the full sf0.1 sweep found ONE boundary-landing
-# user in 1500 (raw slope ~ -0.00625) — accepted, because forcing the
-# two engines onto identical arithmetic would defeat the point of an
-# independent cross-check.
+# oracle: the SAME exact-integer sufficient-statistic definition the
+# grouped map computes (operators/groupedmap.py module docstring) —
+# implementations stay independent (pandas grouped-map vs SQL window +
+# HUGEINT aggregates) but the statistic is DEFINED so that every sum is
+# an exact integer and the only double roundings are the final two
+# int→double casts, identical in both engines.  The previous
+# regr_slope-vs-numpy pair rounded apart at the 1e-4 grain for 1 user
+# in 1500 at sf0.1 (raw slope on a .xx5 boundary, VERDICT r7 task 4);
+# exact sufficient statistics make that class unrepresentable.
 _USER_TREND_SQL = """
-WITH t AS (
+WITH p AS (
   SELECT user_id,
-         (epoch(ts) - MIN(epoch(ts)) OVER (PARTITION BY user_id)) / 3600.0 AS t,
-         value
+         epoch_us(ts) // 1000000
+           - MIN(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id) AS t,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
   FROM events
+),
+s AS (
+  SELECT user_id, COUNT(*) AS n,
+         SUM(t) AS st, SUM(v) AS sv, SUM(t * v) AS stv, SUM(t * t) AS stt
+  FROM p GROUP BY user_id
 )
-SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
-       floor(regr_slope(value, t) * 10000.0 + 0.5) / 10000.0 AS slope
-FROM t GROUP BY user_id
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       CASE WHEN n * stt - st * st = 0 THEN CAST('nan' AS DOUBLE)
+            ELSE floor(36.0 * (CAST(n * stv - st * sv AS DOUBLE)
+                               / CAST(n * stt - st * st AS DOUBLE))
+                       * 10000.0 + 0.5) / 10000.0
+       END AS slope
+FROM s
 """
 
 
@@ -925,7 +936,10 @@ def _assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     ut = ev.select("user_id", "event_type").distinct().persist()
-    n_users = ut.select("user_id").distinct().count()
+    # n_users stays IN the plan as a broadcast 1-row aggregate (the SQL
+    # twin's CROSS JOIN nu) — no driver-side count() action at plan build
+    # (r2 VERDICT task 8's rule; this was the last plan that ran one).
+    nu = ut.agg(F.count_distinct("user_id").alias("n_users"))
     per_type = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
     pairs = (
         ut.alias("l")
@@ -938,12 +952,15 @@ def _assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = per_type.select(F.col("event_type").alias("a"), F.col("n_t").alias("n_a"))
     nb = per_type.select(F.col("event_type").alias("b"), F.col("n_t").alias("n_b"))
-    supp = F.col("n_ab") / F.lit(float(n_users))
+    supp = F.col("n_ab") / F.col("n_users").cast("double")
     conf = F.col("n_ab") / F.col("n_a")
-    lift = (F.col("n_ab") * F.lit(float(n_users))) / (F.col("n_a") * F.col("n_b"))
+    lift = (F.col("n_ab") * F.col("n_users").cast("double")) / (
+        F.col("n_a") * F.col("n_b")
+    )
     return (
         pairs.join(F.broadcast(na), "a")
         .join(F.broadcast(nb), "b")
+        .crossJoin(F.broadcast(nu))
         .select(
             "a",
             "b",

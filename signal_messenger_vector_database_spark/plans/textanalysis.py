@@ -246,26 +246,34 @@ def _tokenize_cl100k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _tokenize_cl100k_sql() -> str:
-    """Embed BOTH fixture snapshots, keyed by the corpus's total
+    """Embed ALL fixture snapshots, keyed by the corpus's total
     character mass (sum(n_chars); the doc COUNT is 500
     at both small fixtures, so it cannot discriminate), and let
     the oracle select the one matching the corpus it actually reads.
     Before this, the oracle was hard-pinned to the sf0.01 snapshot and
     was wrong by construction at every other scale (found by the full
-    sf0.001 oracle sweep)."""
-    import os
+    sf0.001 oracle sweep).
 
-    import duckdb
+    The corpus key is read from each snapshot's ``# corpus_key=`` header
+    (baked in by tools/gen_cl100k_oracle.py, which already reads the
+    corpus) — building this SQL does NO fixture I/O, so importing the
+    plans catalog works on machines without the fixtures and pays no
+    parquet scans (ADVICE r7 medium)."""
+    import os
 
     from ..functions.bpe import _DATA_DIR
 
     values = []
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
-        key = duckdb.sql(
-            f"SELECT SUM(n_chars) FROM read_parquet('/root/testdata/{sf}/documents.parquet')"
-        ).fetchone()[0]
         path = os.path.join(_DATA_DIR, f"tokenize_cl100k_{sf}.tsv")
         with open(path) as f:
+            header = f.readline().strip()
+            if not header.startswith("# corpus_key="):
+                raise ValueError(
+                    f"{path}: missing '# corpus_key=' header — regenerate "
+                    "with tools/gen_cl100k_oracle.py"
+                )
+            key = int(header.split("=", 1)[1])
             rows = [line.split() for line in f if line.strip()]
         values.extend(f"({key}, {d}, {n})" for d, n in rows)
     joined = ", ".join(values)

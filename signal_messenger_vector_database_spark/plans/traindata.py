@@ -187,7 +187,10 @@ FROM counts GROUP BY doc_id
 # --- TF-IDF top terms ----------------------------------------------------
 def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    # footer metadata, not a count() action: plans build without jobs
+    from ..io.sources import parquet_row_count
+
+    n_docs = parquet_row_count(sf_dir, "documents")
     posting = shingle_rows(docs, "doc_id", "text")  # distinct bigrams per doc
     df_counts = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0))

@@ -634,12 +634,19 @@ def _topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     LUT is a k*m-value broadcast literal."""
     codes = _pq_encode(spark, sf_dir)
     # left-associated sum of 8 shared literals -> bit-identical in both
-    # engines by IEEE-754 determinism; the trailing FLOOR is cosmetic
+    # engines by IEEE-754 determinism; the trailing FLOOR is cosmetic.
+    # The outer CAST(... AS DOUBLE) is load-bearing for the driver hash:
+    # the quantized LUT literals parse as DECIMAL in Spark SQL, so the
+    # uncast expression emits decimal(21,6) rendering '1.293600' while
+    # DuckDB renders DOUBLE '1.2936' — identical values, different
+    # canonical strings (the r7 red-cell root cause).  Both engines cast
+    # the exact decimal result to DOUBLE, which rounds to the identical
+    # nearest double.
     adc = _adc_spark_expr()
     return (
         codes.selectExpr(
             "vec_id",
-            f"FLOOR(({adc}) * 10000 + 0.5) / 10000 AS adc_dist",
+            f"CAST(FLOOR(({adc}) * 10000 + 0.5) / 10000 AS DOUBLE) AS adc_dist",
         )
         .orderBy("adc_dist", "vec_id")
         .limit(10)
@@ -654,7 +661,7 @@ def _topk_pq_adc_sql() -> str:
     adc = _adc_sql_expr()
     return f"""
 WITH codes AS ({enc})
-SELECT codes.vec_id, FLOOR(({adc}) * 10000 + 0.5) / 10000 AS adc_dist
+SELECT codes.vec_id, CAST(FLOOR(({adc}) * 10000 + 0.5) / 10000 AS DOUBLE) AS adc_dist
 FROM codes
 ORDER BY adc_dist, vec_id
 LIMIT 10
@@ -696,8 +703,12 @@ def _semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cluster count scales with the corpus so cluster SIZE stays bounded
     # (~125): the pair join is quadratic in cluster size, so a fixed k
     # would quietly re-grow the all-pairs blow-up at 100 TB.  The floor
-    # of 8 matches the static k the sf0.01 oracle replays.
-    n = emb.count()
+    # of 8 matches the static k the sf0.01 oracle replays.  n comes from
+    # parquet footer metadata — no count() scan job in the plan
+    # (VERDICT r7 task 7: one fewer job in the semdedup plan).
+    from ..io.sources import parquet_row_count
+
+    n = parquet_row_count(sf_dir, "embeddings")
     assigned, _ = kmeans_fit(spark, emb, k=max(8, n // 125), max_iter=3, tol=-1.0)
     # Lineage cut + per-vector norms computed ONCE (n fold passes, not
     # 2*pairs): the assignment feeds three plan branches (both pair-join
@@ -944,7 +955,12 @@ def _topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         codes.join(assign, "vec_id")
         .join(F.broadcast(qcid), F.col("cid") == F.col("qcid"))
-        .selectExpr("vec_id", f"FLOOR(({adc}) * 10000 + 0.5) / 10000 AS adc_dist")
+        # CAST AS DOUBLE: same rendering-parity requirement as
+        # _topk_pq_adc (decimal(21,6) vs DOUBLE, the r7 red cell).
+        .selectExpr(
+            "vec_id",
+            f"CAST(FLOOR(({adc}) * 10000 + 0.5) / 10000 AS DOUBLE) AS adc_dist",
+        )
         .orderBy("adc_dist", "vec_id")
         .limit(10)
     )
@@ -970,7 +986,7 @@ assign AS (
 ),
 qc AS (SELECT cid FROM assign WHERE vec_id = 0),
 codes AS ({enc})
-SELECT codes.vec_id, FLOOR(({adc}) * 10000 + 0.5) / 10000 AS adc_dist
+SELECT codes.vec_id, CAST(FLOOR(({adc}) * 10000 + 0.5) / 10000 AS DOUBLE) AS adc_dist
 FROM codes JOIN assign s ON codes.vec_id = s.vec_id JOIN qc ON s.cid = qc.cid
 ORDER BY adc_dist, codes.vec_id
 LIMIT 10

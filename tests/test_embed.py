@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 
@@ -200,3 +202,47 @@ def test_http_embedder_live_exhausted_retries_raise():
         assert state["calls"] == 3
     finally:
         srv.shutdown()
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SMVD_EMBED_URL"),
+    reason="no live embedding endpoint ($SMVD_EMBED_URL unset)",
+)
+def test_http_embedder_against_real_endpoint(spark):
+    """End-to-end against a REAL Ollama-compatible endpoint (VERDICT r7
+    task 6): the only seam the recorded-response and loopback-socket
+    tests cannot cover is a genuine third-party server.  Gated on
+    $SMVD_EMBED_URL (optionally $SMVD_EMBED_MODEL / $SMVD_EMBED_DIM,
+    defaults matching the reference's nomic-embed-text/768,
+    src/rag/dataframes.rs:113-151); skipped in containers without a
+    service, runs on any cluster where one is reachable."""
+    from pyspark.sql import functions as F
+
+    from signal_messenger_vector_database_spark.operators.embed import (
+        HttpEmbedder,
+        with_embeddings,
+    )
+
+    url = os.environ["SMVD_EMBED_URL"]
+    model = os.environ.get("SMVD_EMBED_MODEL", "nomic-embed-text")
+    dim = int(os.environ.get("SMVD_EMBED_DIM", "768"))
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "a delivery receipt arrived\ntoday")],
+        "id long, body string",
+    )
+    out = with_embeddings(
+        df,
+        text_col="body",
+        dim=dim,
+        embedder_factory=lambda: HttpEmbedder(url=url, model=model, dim=dim),
+    )
+    rows = out.orderBy("id").collect()
+    assert [r.id for r in rows] == [1, 2]
+    for r in rows:
+        assert len(r.embedding) == dim
+        # a real model returns a non-degenerate vector
+        assert any(abs(x) > 1e-8 for x in r.embedding)
+    # determinism across calls is NOT asserted (real services may not be);
+    # schema and dim are the contract.
+    assert dict(out.dtypes)["embedding"] == "array<float>"

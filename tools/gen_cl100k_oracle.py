@@ -30,11 +30,19 @@ def main() -> None:
         rows = duckdb.sql(
             f"SELECT doc_id, text FROM '/root/testdata/{sf}/documents.parquet' ORDER BY doc_id"
         ).fetchall()
+        # Bake the corpus key (SUM(n_chars), the discriminator the oracle
+        # SQL matches on) into the snapshot header, so building the oracle
+        # SQL needs NO fixture I/O — previously the catalog scanned all
+        # three parquet fixtures at import time (ADVICE r7 medium).
+        key = duckdb.sql(
+            f"SELECT SUM(n_chars) FROM '/root/testdata/{sf}/documents.parquet'"
+        ).fetchone()[0]
         out = os.path.join(_DATA_DIR, f"tokenize_cl100k_{sf}.tsv")
         with open(out, "w") as f:
+            f.write(f"# corpus_key={key}\n")
             for doc_id, text in rows:
                 f.write(f"{doc_id}\t{encode_count(text, ranks)}\n")
-        print(f"wrote {len(rows)} rows to {out}")
+        print(f"wrote {len(rows)} rows to {out} (corpus_key={key})")
 
 
 if __name__ == "__main__":

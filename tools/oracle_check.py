@@ -32,7 +32,13 @@ def canon_value(v):
     if isinstance(v, bool):
         return str(v)
     if isinstance(v, Decimal):
-        v = float(v)
+        # Do NOT coerce to float: the driver canonicalizes Decimal by its
+        # exact rendering, so decimal(21,6) '1.293600' vs DOUBLE '1.2936'
+        # is a hash mismatch there.  Coercing here masked exactly that
+        # class for two rounds (topk_pq_adc, r5-r7).  Canonicalize the
+        # exact string so the local checker FAILS whenever the driver
+        # would.
+        return str(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
