@@ -80,12 +80,32 @@ def hyperplane_bucket(vec_col: str, dim: int, n_planes: int, table: int = 0) -> 
     return F.concat(*bits)
 
 
+class LshGeometry(tuple):
+    """(n_planes, n_tables) with the analytic recall attached.
+
+    Subclasses tuple so existing ``planes, tables = lsh_geometry(...)``
+    unpacking keeps working; ``predicted_recall`` and ``capped`` carry
+    the trade-off the caller accepted (ADVICE r7: when the table cap
+    binds at large n, the caller must SEE the recall they are getting
+    instead of silently receiving an infeasible geometry)."""
+
+    predicted_recall: float
+    capped: bool
+
+    def __new__(cls, n_planes: int, n_tables: int, predicted_recall: float, capped: bool):
+        self = super().__new__(cls, (n_planes, n_tables))
+        self.predicted_recall = predicted_recall
+        self.capped = capped
+        return self
+
+
 def lsh_geometry(
     n_vectors: int,
     threshold: float = 0.35,
     target_bucket: int = 128,
-    target_recall: float = 0.45,
-) -> tuple[int, int]:
+    target_recall: float = 0.8,
+    max_tables: int = 128,
+) -> LshGeometry:
     """(n_planes, n_tables) scaled to the corpus.
 
     Planes grow log2(n) so the EXPECTED bucket population stays
@@ -98,22 +118,41 @@ def lsh_geometry(
     cosine threshold collides under one hyperplane with probability
     p = 1 - acos(threshold)/pi, survives one table with q = p^planes,
     and is OR-amplified to recall 1 - (1-q)^tables — so holding recall
-    at the fixture-measured level needs tables = ln(1-target) / ln(1-q).
-    A first cut grew tables linearly with planes; the probe measured its
-    recall collapsing 0.46 -> 0.17 at 16x, because doubling tables
-    cannot offset SQUARING q.  The analytic count reproduces exactly the
-    (4, 4) the DuckDB oracle pins at fixture scales (p=0.614 at the 0.35
-    threshold: q=0.142, tables=3.9 -> 4), and the super-linear cost it
-    implies at large n (n^rho candidate work) is the real price of
-    recall under LSH, paid in table count rather than hidden in a
-    quadratic bucket join."""
+    at the target needs tables = ln(1-target) / ln(1-q).  A first cut
+    grew tables linearly with planes; the probe measured its recall
+    collapsing 0.46 -> 0.17 at 16x, because doubling tables cannot
+    offset SQUARING q.  The super-linear table growth this implies
+    (n^rho candidate work, rho = ln(1/p)/ln 2 — 0.70 at the fixture's
+    hard 0.35 threshold, 0.22 at a production 0.9 near-dup threshold)
+    is the real price of recall under LSH, paid in table count rather
+    than hidden in a quadratic bucket join.
+
+    Defaults (r8): ``target_recall=0.8`` — the 0.45 operating point r7
+    shipped measured 0.508 at 16x, too weak a default; the recall sweep
+    (tools/lsh_recall_sweep.py, SCALING.md) measured the 0.8-target
+    geometry.  The oracle-paired fixture query pins the r1-era (4, 4)
+    geometry by passing ``target_recall=0.45`` explicitly — its DuckDB
+    twin bakes those literals (plans/similarity.py parity-scope note).
+
+    ``max_tables`` caps the analytic count: unbounded, it reaches ~1e5
+    tables at 1e9 vectors (ADVICE r7) — each table materializes a bucket
+    row per vector, so that geometry is unbuildable.  When the cap
+    binds, ``capped=True`` and ``predicted_recall`` reports the recall
+    the capped geometry actually delivers, so callers choose eyes-open:
+    accept the lower recall, raise the cap, or raise ``target_bucket``
+    (fewer planes -> higher q -> fewer tables at quadratically more
+    verify work per bucket)."""
     import math
 
     n_planes = max(4, math.ceil(math.log2(max(n_vectors, 1) / target_bucket)))
     p = 1.0 - math.acos(threshold) / math.pi
     q = p**n_planes
     n_tables = max(4, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - q)))
-    return n_planes, n_tables
+    capped = n_tables > max_tables
+    if capped:
+        n_tables = max_tables
+    achieved = 1.0 - (1.0 - q) ** n_tables
+    return LshGeometry(n_planes, n_tables, achieved, capped)
 
 
 def lsh_cosine_pairs(
@@ -135,15 +174,26 @@ def lsh_cosine_pairs(
     buckets = F.array(
         *[hyperplane_bucket(vec_col, dim, n_planes, t) for t in range(n_tables)]
     )
-    bucketed = emb.select(
-        F.col(id_col), F.col(vec_col), F.explode(buckets).alias("bucket")
-    )
-    a = bucketed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
-    b = bucketed.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
-    return (
+    # The bucket join carries IDS ONLY: at n_tables in the tens (the
+    # 0.8-recall regime) shuffling the vectors through the explode would
+    # move n_tables copies of every embedding — the vectors re-join once
+    # AFTER the candidate pairs are deduped across tables, so each
+    # vector crosses the verify exchange at most (its candidate count)
+    # times and the explode shuffles ~24 bytes/row instead of ~520.
+    bucketed = emb.select(F.col(id_col), F.explode(buckets).alias("bucket"))
+    a = bucketed.select(F.col(id_col).alias("id_a"), "bucket")
+    b = bucketed.select(F.col(id_col).alias("id_b"), "bucket")
+    cands = (
         a.join(b, ["bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
         .select("id_a", "id_b", F.round(cosine_similarity("va", "vb"), 4).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )

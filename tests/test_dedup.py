@@ -272,23 +272,38 @@ def test_ccnet_buckets_are_balanced_tertiles(spark):
 def test_lsh_geometry_bounds_bucket_population():
     """Planes must grow log2(n) so expected bucket population stays
     bounded (fixed planes made the verify join quadratic — scaling_probe
-    measured 515 s at 16x sf0.1); at oracle scale the geometry must be
-    exactly the (4, 4) the DuckDB twin pins as literals."""
+    measured 515 s at 16x sf0.1); at oracle scale the 0.45-target
+    operating point must be exactly the (4, 4) the DuckDB twin pins as
+    literals (the catalog query passes target_recall=0.45 explicitly)."""
     from signal_messenger_vector_database_spark.operators.ann import lsh_geometry
 
     import math
 
-    assert lsh_geometry(500) == (4, 4)      # sf0.01 — oracle-pinned
-    assert lsh_geometry(2000) == (4, 4)     # sf0.1 — bench geometry
-    assert lsh_geometry(32_000) == (8, 30)  # 16x probe scale
+    # oracle-pinned operating point (explicit in plans/similarity.py)
+    assert lsh_geometry(500, target_recall=0.45) == (4, 4)    # sf0.01
+    assert lsh_geometry(2000, target_recall=0.45) == (4, 4)   # sf0.1 bench
+    assert lsh_geometry(32_000, target_recall=0.45) == (8, 30)  # 16x probe
+    # production default: 0.8-target (r8; measured by lsh_recall_sweep)
+    assert lsh_geometry(32_000) == (8, 80)
     p = 1.0 - math.acos(0.35) / math.pi
     for n in (10**6, 10**9, 10**12):
-        planes, tables = lsh_geometry(n)
+        g = lsh_geometry(n)
+        planes, tables = g
         assert n / 2**planes <= 128, (n, planes)
-        # the analytic table count must actually deliver the target
-        # recall: 1-(1-p^planes)^tables >= 0.45 (the first-cut linear
-        # growth failed exactly this — measured 0.17 at 16x)
-        assert 1.0 - (1.0 - p**planes) ** tables >= 0.45, (n, planes, tables)
+        # the analytic table count must deliver the target recall — OR
+        # the cap must bind and say so, with the achieved recall surfaced
+        # (ADVICE r7: unbounded, the count reaches ~1e5 tables at 1e9
+        # vectors, an unbuildable geometry)
+        achieved = 1.0 - (1.0 - p**planes) ** tables
+        assert abs(achieved - g.predicted_recall) < 1e-9
+        if g.capped:
+            assert tables == 128
+        else:
+            assert achieved >= 0.8, (n, planes, tables)
+    # at 1e9 vectors the cap MUST bind (the infeasible-geometry class)
+    assert lsh_geometry(10**9).capped
+    # raising the cap trades tables for recall, monotonically
+    assert lsh_geometry(10**9, max_tables=10**6).predicted_recall >= 0.8
 
 
 def test_shard_manifest_matches_physical_sharded_write(spark, tmp_path):
@@ -324,3 +339,34 @@ def test_shard_manifest_matches_physical_sharded_write(spark, tmp_path):
         part = [r.skey for r in back.filter(F.col("shard") == s).collect()]
         assert len(part) == row.n_docs
         assert min(part) == row.first_key and max(part) == row.last_key
+
+
+def test_lsh_default_geometry_recall_at_fixture_scale(spark):
+    """The r8 default geometry (target_recall=0.8) must actually deliver
+    >= 0.8 recall against the exact baseline at oracle scale — the
+    fixture-priced twin of the 16x sweep (tools/lsh_recall_sweep.py,
+    which measured 0.847 at 16x for the (8, 80) default).  Guards the
+    class where a geometry refactor silently trades recall for speed
+    (the first-cut linear table growth measured 0.17)."""
+    from signal_messenger_vector_database_spark.io.sources import load_table
+    from signal_messenger_vector_database_spark.operators.ann import (
+        exact_cosine_pairs,
+        lsh_cosine_pairs,
+        lsh_geometry,
+    )
+    from signal_messenger_vector_database_spark.schemas import FIXTURE_EMBEDDING_DIM
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    truth = {
+        (r.id_a, r.id_b) for r in exact_cosine_pairs(emb, 0.35).collect()
+    }
+    g = lsh_geometry(500)  # the production default: target_recall=0.8
+    found = {
+        (r.id_a, r.id_b)
+        for r in lsh_cosine_pairs(
+            emb, 0.35, dim=FIXTURE_EMBEDDING_DIM, n_planes=g[0], n_tables=g[1]
+        ).collect()
+    }
+    assert found <= truth  # exact verify: no false positives, ever
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.8, f"default-geometry recall {recall:.3f} < 0.8"
