@@ -55,6 +55,9 @@ HEADLINE = [
     "semdedup",
     "dsir_weights",
     "topk_ivf_pq",
+    # added r8 (same caveat)
+    "dup_substring_spans",
+    "topk_pq_rerank",
 ]
 
 

@@ -65,6 +65,9 @@ _WINDOW = [
     "q21_waiting_supplier",
     # -- oracle re-pinned this round --
     "user_trend",
+    # -- NEW this round (changed/added plans outrank stale-green rotation) --
+    "dup_substring_spans",
+    "topk_pq_rerank",
     # -- staleness rotation (oldest driver-green first: r1 era ...) --
     "lang_id",
     "multimodal_metadata",
@@ -108,8 +111,6 @@ _WINDOW = [
     "q6_revenue_delta",
     "q7_nation_volume",
     "q8_market_share",
-    "q9_nation_profit",
-    "repetition_score",
 ]
 
 

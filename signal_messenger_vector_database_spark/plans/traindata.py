@@ -1448,3 +1448,107 @@ SPECS["shard_manifest"] = QuerySpec(
     _SHARD_MANIFEST_SQL,
     f"deterministic training-order shuffle manifest: md5 order, {_SHARDS} shards",
 )
+
+
+# --- cross-document duplicate substring spans ----------------------------
+# The Lee et al. 2022 recipe ("Deduplicating Training Data Makes Language
+# Models Better", arXiv:2107.06499) removes EXACT substrings repeated
+# across documents — the dedup mode that catches boilerplate, licenses,
+# and templated text that document-level MinHash misses.  The suffix-array
+# machinery of the paper is a single-node construct; the relational
+# equivalent is CONTENT-DEFINED windows (the Rabin-anchor trick from
+# dedup storage systems): a position p is an anchor iff the hash of the
+# 8-gram starting at p lands in a 1-in-8 target set, and each anchor
+# hashes the W-char window starting there.  Because anchor placement
+# depends only on local CONTENT, a block shared by two documents yields
+# identical windows regardless of where the block sits in each doc — a
+# fixed-stride grid only matches duplicates aligned mod S (a planted-
+# block test caught exactly that failure in the first cut of this plan).
+# 100 TB shape: the window table is ~n_chars/8 rows of (doc_id, 16-byte
+# md5) — the substring itself never crosses the wire — and everything
+# downstream is groupBy/join on the window hash, whose cardinality grows
+# with the corpus (the SCALING.md audit rule).  NO pair join anywhere:
+# span dedup is linear where document near-dup needs candidate pairs.
+
+_DUPSPAN_W = 64  # window chars — long enough that collisions mean real text reuse
+_DUPSPAN_G = 8  # anchor-gram chars; first md5 hex in {'0','8'} = 1/8 density
+
+
+def _dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    W, G = _DUPSPAN_W, _DUPSPAN_G
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("t")
+    )
+    # length >= W BEFORE sequence(): Spark's sequence(0, negative) yields
+    # a DESCENDING sequence, not an empty one.  The anchor test is a pure
+    # string comparison on the md5 hex head — byte-identical across
+    # engines, no numeric conversion to disagree on.
+    wins = docs.filter(F.length("t") >= W).selectExpr(
+        "doc_id",
+        f"explode(transform("
+        f"  filter(sequence(0, length(t) - {W}),"
+        f"         p -> substring(md5(substring(t, p + 1, {G})), 1, 1) IN ('0', '8')),"
+        f"  p -> md5(substring(t, p + 1, {W})))) AS h",
+    )
+    dup = (
+        wins.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("_dup"))
+    )
+    agg = (
+        wins.join(dup, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0))).alias("n_dup"),
+        )
+    )
+    return docs.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+        F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup"),
+        F.when(F.col("n_windows").isNull(), F.lit(None).cast("double"))
+        .otherwise(
+            portable_round(F.col("n_dup") / F.col("n_windows").cast("double"), 4)
+        )
+        .alias("dup_frac"),
+    )
+
+
+def _dup_substring_spans_sql() -> str:
+    W, G = _DUPSPAN_W, _DUPSPAN_G
+    # DuckDB's generate_series cannot take a lateral column bound, so the
+    # oracle cross-joins a constant 0..2047 series and filters — that
+    # covers documents up to 2047 + W chars, ~3.6x the fixture max (577);
+    # the Spark side uses the exact per-row sequence bound.
+    return f"""
+WITH base AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+wins AS (
+  SELECT doc_id, md5(substring(t, p + 1, {W})) AS h
+  FROM base CROSS JOIN generate_series(0, 2047) g(p)
+  WHERE p <= length(t) - {W}
+    AND substring(md5(substring(t, p + 1, {G})), 1, 1) IN ('0', '8')
+),
+dup AS (SELECT h FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+agg AS (
+  SELECT wins.doc_id, COUNT(*) AS n_windows,
+         SUM(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+  FROM wins LEFT JOIN dup ON wins.h = dup.h
+  GROUP BY wins.doc_id
+)
+SELECT b.doc_id,
+       CAST(COALESCE(a.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(COALESCE(a.n_dup, 0) AS BIGINT) AS n_dup,
+       CASE WHEN a.n_windows IS NULL THEN NULL
+            ELSE floor(a.n_dup / CAST(a.n_windows AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+       END AS dup_frac
+FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
+"""
+
+
+SPECS["dup_substring_spans"] = QuerySpec(
+    _dup_substring_spans,
+    _dup_substring_spans_sql(),
+    "cross-document duplicate substring spans (Lee et al. rolling-window dedup, no pair join)",
+)

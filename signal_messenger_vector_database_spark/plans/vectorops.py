@@ -998,3 +998,80 @@ SPECS["topk_ivf_pq"] = QuerySpec(
     _topk_ivf_pq_sql(),
     "IVF-PQ search: coarse cluster pruning + asymmetric-distance scoring over 8-byte codes",
 )
+
+
+# --- PQ shortlist + exact re-rank: the production two-stage retrieval ----
+# Completes the ANN ladder (exact -> IVF -> PQ/ADC -> IVF-PQ) with the
+# shape real systems actually serve: the compressed index produces a
+# generous shortlist CHEAPLY (8 bytes/vector ADC scan), then only the
+# shortlist's full vectors are fetched and scored exactly.  At 100 TB the
+# full-precision vectors live in a separate store keyed by id; this plan
+# reads 100 rows of it instead of all n — the 64x compression does the
+# candidate generation, the re-rank restores exact ranking quality at
+# O(shortlist) cost.  Both stages reuse independently oracle-proven
+# pieces: the quantized shared-literal ADC LUT (_pq_lut) and the
+# topk_cosine scoring pattern against the SAME query-vector literals.
+
+_PQ_RERANK_SHORTLIST = 100
+
+
+def _topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import portable_round
+    from ..functions.vector import cosine_similarity
+
+    codes = _pq_encode(spark, sf_dir)
+    adc = _adc_spark_expr()
+    shortlist = (
+        codes.selectExpr(
+            "vec_id",
+            f"CAST(FLOOR(({adc}) * 10000 + 0.5) / 10000 AS DOUBLE) AS adc_dist",
+        )
+        .orderBy("adc_dist", "vec_id")
+        .limit(_PQ_RERANK_SHORTLIST)
+        .select("vec_id")
+    )
+    q = F.array(*[F.lit(x) for x in _pq_query_vec()]).cast("array<double>")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    return (
+        emb.join(F.broadcast(shortlist), "vec_id")
+        .select(
+            "vec_id",
+            portable_round(cosine_similarity(F.col("e"), q), 4).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(10)
+    )
+
+
+def _topk_pq_rerank_sql() -> str:
+    from .similarity import _SQL_COS
+
+    enc = _pq_encode_sql()
+    adc = _adc_sql_expr()
+    qlit = "[" + ", ".join(repr(x) for x in _pq_query_vec()) + "]::DOUBLE[]"
+    cos = _SQL_COS.format(a="e.embedding", b="q.qv")
+    return f"""
+WITH codes AS ({enc}),
+short AS (
+  SELECT codes.vec_id,
+         CAST(FLOOR(({adc}) * 10000 + 0.5) / 10000 AS DOUBLE) AS adc_dist
+  FROM codes
+  ORDER BY adc_dist, vec_id
+  LIMIT {_PQ_RERANK_SHORTLIST}
+),
+q AS (SELECT {qlit} AS qv)
+SELECT e.vec_id,
+       FLOOR(({cos}) * 10000 + 0.5) / 10000 AS sim
+FROM embeddings e JOIN short ON e.vec_id = short.vec_id, q
+ORDER BY sim DESC, e.vec_id
+LIMIT 10
+"""
+
+
+SPECS["topk_pq_rerank"] = QuerySpec(
+    _topk_pq_rerank,
+    _topk_pq_rerank_sql(),
+    "two-stage retrieval: 8-byte ADC shortlist, exact cosine re-rank of 100 candidates",
+)

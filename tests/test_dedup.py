@@ -370,3 +370,72 @@ def test_lsh_default_geometry_recall_at_fixture_scale(spark):
     assert found <= truth  # exact verify: no false positives, ever
     recall = len(found & truth) / len(truth)
     assert recall >= 0.8, f"default-geometry recall {recall:.3f} < 0.8"
+
+
+def test_dup_substring_spans_planted_block(spark):
+    """A 64+-char block shared verbatim by two docs must mark dup windows
+    in BOTH; a unique doc stays clean; a doc shorter than the window has
+    zero windows and a NULL fraction."""
+    from signal_messenger_vector_database_spark.plans.traindata import (
+        _DUPSPAN_W,
+        _dup_substring_spans,
+    )
+
+    block = "the same licensed boilerplate paragraph repeated across documents verbatim"
+    assert len(block) >= _DUPSPAN_W
+    rows = [
+        (0, "unique preamble alpha beta gamma. " + block),
+        (1, block + " trailing epilogue delta epsilon zeta omega."),
+        (2, "entirely unrelated content with no shared substring of any useful length here."),
+        (3, "short doc"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r.doc_id: r for r in _dup_substring_spans(spark, d).collect()}
+    assert out[0].n_dup > 0 and out[1].n_dup > 0  # the planted block collides
+    assert out[2].n_dup == 0
+    assert out[3].n_windows == 0 and out[3].dup_frac is None
+    assert 0 < out[0].dup_frac <= 1.0
+
+
+def test_topk_pq_rerank_scores_match_exact(spark):
+    """The re-rank stage must return EXACT cosine scores: every (vec_id,
+    sim) it emits must equal the brute-force cosine of that vector
+    against the same query literals — the PQ stage only selects
+    candidates, never distorts scores."""
+    from pyspark.sql import functions as F
+
+    from signal_messenger_vector_database_spark.functions.vector import (
+        cosine_similarity,
+    )
+    from signal_messenger_vector_database_spark.functions.text import portable_round
+    from signal_messenger_vector_database_spark.io.sources import load_table
+    from signal_messenger_vector_database_spark.plans.vectorops import (
+        _pq_query_vec,
+        _topk_pq_rerank,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = _topk_pq_rerank(spark, sf).collect()
+    assert len(got) == 10
+    sims = [r.sim for r in got]
+    assert sims == sorted(sims, reverse=True)
+    q = F.array(*[F.lit(x) for x in _pq_query_vec()]).cast("array<double>")
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    exact = {
+        r.vec_id: r.sim
+        for r in emb.select(
+            "vec_id", portable_round(cosine_similarity(F.col("e"), q), 4).alias("sim")
+        ).collect()
+    }
+    for r in got:
+        assert exact[r.vec_id] == r.sim
