@@ -118,6 +118,16 @@ PROBES_WAVE5 = [
     "chunk_overlap",
 ]
 
+# eighth wave: r8 additions — the content-anchored substring-span dedup
+# (expected LINEAR: window table ~n_chars/8 rows, groupBy/join on a hash
+# whose cardinality grows with the corpus, no pair join) and the PQ
+# shortlist re-rank (expected flat-ish: ADC scan linear, re-rank fixed
+# at 100 candidates).
+PROBES_WAVE8 = [
+    "dup_substring_spans",
+    "topk_pq_rerank",
+]
+
 # sixth wave: stateful Structured Streaming drains (AvailableNow over
 # the replicated events directory; slower — each query builds a
 # checkpoint).  First run of this wave caught the glob-arm silent empty
@@ -311,6 +321,7 @@ def main() -> None:
         "5": PROBES_WAVE5,
         "6": PROBES_WAVE6,
         "7": PROBES_WAVE7,
+        "8": PROBES_WAVE8,
     }
     probes = PROBES
     for a in sys.argv[1:]:
