@@ -1483,12 +1483,22 @@ def _dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a DESCENDING sequence, not an empty one.  The anchor test is a pure
     # string comparison on the md5 hex head — byte-identical across
     # engines, no numeric conversion to disagree on.
-    wins = docs.filter(F.length("t") >= W).selectExpr(
-        "doc_id",
-        f"explode(transform("
-        f"  filter(sequence(0, length(t) - {W}),"
-        f"         p -> substring(md5(substring(t, p + 1, {G})), 1, 1) IN ('0', '8')),"
-        f"  p -> md5(substring(t, p + 1, {W})))) AS h",
+    # PERSISTED: the window table feeds BOTH the dup-set aggregate and
+    # the per-doc flag join — without the pin Catalyst re-runs the
+    # Generate subtree (one md5 per character position, the dominant
+    # compute) once per consumer; .explain showed two Generate nodes.
+    # Materializing (doc_id, 32-hex) rows is ~linear in corpus bytes and
+    # spill-safe — strictly cheaper than 2x the md5 pass at 100 TB.
+    wins = (
+        docs.filter(F.length("t") >= W)
+        .selectExpr(
+            "doc_id",
+            f"explode(transform("
+            f"  filter(sequence(0, length(t) - {W}),"
+            f"         p -> substring(md5(substring(t, p + 1, {G})), 1, 1) IN ('0', '8')),"
+            f"  p -> md5(substring(t, p + 1, {W})))) AS h",
+        )
+        .persist()
     )
     dup = (
         wins.groupBy("h")

@@ -65,6 +65,8 @@ COMMENTARY = {
     "topk_ivf_pq": "IVF-PQ capstone: the coarse assignment prunes candidates to the probed cluster (broadcast centroid table, min_by partial-agg), then ADC scores 8-byte codes against a broadcast literal LUT — the hot loop reads 8 bytes/candidate; TakeOrderedAndProject keeps k.",
     "percentile_summary": "Exact percentiles WITHOUT per-group value buffering (r7): the per-(group, value) histogram is bounded by the value domain, not the corpus; a running-count window over histogram rows locates the order statistics and conditional aggregates pick lo/hi — Spark's percentile() aggregate would hold every group value in one buffer (~n/3 doubles on one executor), the quiet OOM at scale.",
     "attachment_spec": "K5 AttachmentSpec build: binaryFile scan with the content column pruned (only path/length are read), extension->mime as a literal CASE cascade — the upload side-effect is the K4 dispatch seam, outside the analytic plan.",
+    "dup_substring_spans": "Cross-document exact-substring spans (r8): content-defined anchors (md5 head of each position's 8-gram) pick the window set, so shared blocks hash identically at ANY alignment; the window table carries (doc_id, md5) only — the substring never crosses the wire — and is PERSISTED because the dup-set groupBy and the flag join both consume it (unpinned, the per-position md5 Generate ran twice — 3.91 s -> 2.91 s at 16x). Both downstream ops key on the window hash, whose cardinality grows with the corpus; NO pair join exists in this plan: span dedup is linear where document near-dup needs candidates (probe: 2.0x at 16x).",
+    "topk_pq_rerank": "Two-stage retrieval (r8): the ADC shortlist is a TakeOrderedAndProject over the 8-byte codes (literal LUT, no per-query join), then ONLY the 100 shortlist vectors re-join the full-precision table (broadcast) for exact cosine re-rank — corpus-size-independent second stage (probe: 1.4x at 16x).",
 }
 
 
