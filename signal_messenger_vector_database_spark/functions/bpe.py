@@ -187,3 +187,53 @@ def bpe_token_count_column(col, ranks_path: str | None = None):
         return texts.map(lambda t: encode_count(t, ranks) if t is not None else None)
 
     return _count(col)
+
+
+def bpe_merge_trace(
+    texts: list[str], n_merges: int = 16, pattern: str = CL100K_PATTERN
+) -> list[tuple[bytes, int]]:
+    """The TRACE of a BPE training run: [(merged_token_bytes, pair_count)]
+    in merge order.  Same algorithm and tie-break as :func:`train_bpe`
+    ((-count, left, right) — count desc, then lexicographic on the raw
+    bytes), exposed as a sequence so the distributed trainer
+    (operators/bpe_train.py) can be verified merge-for-merge against this
+    sequential reference.  Order-independent in the input texts: the
+    piece-frequency Counter erases document order, which is exactly what
+    makes the computation distributable."""
+    import regex
+
+    corpus: Counter[tuple[bytes, ...]] = Counter()
+    for t in texts:
+        for m in regex.finditer(pattern, t or ""):
+            piece = m.group().encode("utf-8")
+            corpus[tuple(piece[i : i + 1] for i in range(len(piece)))] += 1
+
+    trace: list[tuple[bytes, int]] = []
+    for _ in range(n_merges):
+        pair_freq: Counter[tuple[bytes, bytes]] = Counter()
+        for parts, freq in corpus.items():
+            for i in range(len(parts) - 1):
+                pair_freq[(parts[i], parts[i + 1])] += freq
+        if not pair_freq:
+            break
+        (a, b), freq = min(
+            pair_freq.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if freq < 2:
+            break
+        merged = a + b
+        trace.append((merged, freq))
+        new_corpus: Counter[tuple[bytes, ...]] = Counter()
+        for parts, f in corpus.items():
+            out: list[bytes] = []
+            i = 0
+            while i < len(parts):
+                if i + 1 < len(parts) and parts[i] == a and parts[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(parts[i])
+                    i += 1
+            new_corpus[tuple(out)] += f
+        corpus = new_corpus
+    return trace

@@ -68,6 +68,7 @@ _WINDOW = [
     # -- NEW this round (changed/added plans outrank stale-green rotation) --
     "dup_substring_spans",
     "topk_pq_rerank",
+    "bpe_train",
     # -- staleness rotation (oldest driver-green first: r1 era ...) --
     "lang_id",
     "multimodal_metadata",
@@ -110,7 +111,6 @@ _WINDOW = [
     "q5_local_supplier",
     "q6_revenue_delta",
     "q7_nation_volume",
-    "q8_market_share",
 ]
 
 

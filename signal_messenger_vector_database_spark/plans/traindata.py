@@ -1562,3 +1562,63 @@ SPECS["dup_substring_spans"] = QuerySpec(
     _dup_substring_spans_sql(),
     "cross-document duplicate substring spans (Lee et al. rolling-window dedup, no pair join)",
 )
+
+
+# --- distributed BPE tokenizer training -----------------------------------
+# The train-side twin of T1: the reference ENCODES with a pretrained
+# cl100k table; a 100 TB training-data pipeline also TRAINS tokenizers on
+# its corpus.  operators/bpe_train.py re-expresses classic BPE training
+# Spark-first (one Arrow pass collapses the corpus to a vocabulary-sized
+# (piece, freq) table; each merge round is a partial-aggregated pair count
+# whose argmax — ONE row — returns to the driver, the kmeans-codebook
+# pattern; the merge applies as a JVM fold).  Oracle: the sequential
+# pure-Python trace precomputed per fixture (tools/gen_bpe_trace_oracle.py,
+# corpus-keyed snapshot — the tokenize_cl100k pattern), valid because the
+# trace is order-independent in the input: the piece Counter erases
+# document order, which is exactly the property that makes BPE training
+# distributable.
+
+_BPE_TRAIN_MERGES = 16
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe_train import bpe_train_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train_merges(spark, docs, n_merges=_BPE_TRAIN_MERGES)
+
+
+def _bpe_train_sql() -> str:
+    import os
+
+    from ..functions.bpe import _DATA_DIR
+
+    values = []
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = os.path.join(_DATA_DIR, f"bpe_trace_{sf}.tsv")
+        with open(path) as f:
+            header = f.readline().strip()
+            if not header.startswith("# corpus_key="):
+                raise ValueError(
+                    f"{path}: missing '# corpus_key=' header — regenerate "
+                    "with tools/gen_bpe_trace_oracle.py"
+                )
+            key = int(header.split("=", 1)[1])
+            for line in f:
+                if line.strip():
+                    rank, token, count = line.split()
+                    values.append(f"({key}, {rank}, '{token}', {count})")
+    joined = ", ".join(values)
+    return (
+        "SELECT CAST(rank AS INTEGER) AS rank, token, "
+        "CAST(pair_count AS BIGINT) AS pair_count "
+        f"FROM (VALUES {joined}) AS t(corpus_key, rank, token, pair_count) "
+        "WHERE corpus_key = (SELECT SUM(n_chars) FROM documents)"
+    )
+
+
+SPECS["bpe_train"] = QuerySpec(
+    _bpe_train,
+    _bpe_train_sql(),
+    "distributed BPE tokenizer training: 16 merge rounds vs the sequential-reference trace",
+)
