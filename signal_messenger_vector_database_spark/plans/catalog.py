@@ -69,6 +69,8 @@ _WINDOW = [
     "dup_substring_spans",
     "topk_pq_rerank",
     "bpe_train",
+    "dedup_quality_keep",
+    "token_budget_waterfill",
     # -- staleness rotation (oldest driver-green first: r1 era ...) --
     "lang_id",
     "multimodal_metadata",
@@ -109,8 +111,6 @@ _WINDOW = [
     "q3_shipping_priority",
     "q4_priority_exists",
     "q5_local_supplier",
-    "q6_revenue_delta",
-    "q7_nation_volume",
 ]
 
 

@@ -802,3 +802,74 @@ SPECS["shingle_containment"] = QuerySpec(
     _SHINGLE_CONTAINMENT_SQL,
     f"asymmetric containment near-dup (C(A->B) >= {_CONTAINMENT_T}) via shingle equi-join",
 )
+
+
+# --- quality-aware dedup representative selection ------------------------
+# The dedup COMPLETION policy real pipelines want: keeping the lowest-id
+# doc per near-dup cluster (neardup_clusters) throws away quality signal —
+# the representative should be the BEST document of its cluster.
+# Composition of three independently oracle-proven pieces: minhash-LSH
+# pairs -> connected components -> per-cluster argmax over the (already
+# 1e-4-rounded, hash-green) quality_score, tie-broken by lowest doc_id so
+# both engines pick identically.  Singletons (docs in no pair) form their
+# own cluster.  At 100 TB: the pair/component stages are the proven LSH
+# shapes; the argmax is a min_by aggregate (partial map-side, one shuffle
+# on cluster) — never a window over the corpus.
+
+
+def _dedup_quality_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+    from ..operators.textanalysis import quality_features
+
+    pairs = _minhash_lsh_pairs(spark, sf_dir).select("id_a", "id_b")
+    labels = connected_components(pairs)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", quality_features("text")["quality_score"].alias("quality")
+    )
+    d = docs.join(labels, docs.doc_id == labels.id, "left").select(
+        "doc_id",
+        F.coalesce("label", "doc_id").alias("cluster"),
+        "quality",
+    )
+    best = d.groupBy("cluster").agg(
+        F.min_by(
+            "doc_id", F.struct((-F.col("quality")).alias("nq"), F.col("doc_id"))
+        ).alias("keep_id")
+    )
+    return d.join(best, "cluster").select(
+        "doc_id",
+        F.col("cluster").cast("long").alias("cluster"),
+        "quality",
+        (F.col("doc_id") == F.col("keep_id")).alias("keep"),
+    )
+
+
+def _dedup_quality_keep_sql() -> str:
+    from .textanalysis import _quality_sql
+
+    return f"""
+WITH qall AS ({_quality_sql()}),
+cl AS ({_NEARDUP_CLUSTERS_SQL}),
+d AS (
+  SELECT q.doc_id, CAST(COALESCE(cl.cluster, q.doc_id) AS BIGINT) AS cluster,
+         q.quality_score AS quality
+  FROM qall q LEFT JOIN cl ON q.doc_id = cl.doc_id
+),
+best AS (
+  SELECT cluster, doc_id AS keep_id FROM (
+    SELECT cluster, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY cluster
+                              ORDER BY quality DESC, doc_id) AS rn
+    FROM d
+  ) WHERE rn = 1
+)
+SELECT d.doc_id, d.cluster, d.quality, d.doc_id = b.keep_id AS keep
+FROM d JOIN best b USING (cluster)
+"""
+
+
+SPECS["dedup_quality_keep"] = QuerySpec(
+    _dedup_quality_keep,
+    _dedup_quality_keep_sql(),
+    "near-dup clusters keep the HIGHEST-quality representative (argmax aggregate, not lowest-id)",
+)

@@ -1622,3 +1622,118 @@ SPECS["bpe_train"] = QuerySpec(
     _bpe_train_sql(),
     "distributed BPE tokenizer training: 16 merge rounds vs the sequential-reference trace",
 )
+
+
+# --- token-budget water-filling (UniMax-style mixture planning) ----------
+# Given a global token budget, allocate per-domain token quotas so that
+# no domain exceeds its available tokens and the remaining budget spreads
+# UNIFORMLY over unsaturated domains — the water-filling allocation that
+# UniMax-style sampling (Chung et al. 2023) uses to avoid over-weighting
+# tiny domains.  The iterative "redistribute from saturated domains"
+# loop has a CLOSED relational form: sort domains by token count
+# ascending; domain i (of D) saturates iff giving every remaining domain
+# its own count would still fit the budget — tokens_i*(D-i+1) +
+# cum_before_i <= B, an exact INTEGER test — and the water level is
+# theta = (B - sum(saturated tokens)) / count(unsaturated).  The windows
+# run over D rows (the domain vocabulary — the corpus is already
+# collapsed by the aggregate), so the single-partition window is the
+# kmeans-codebook scale pattern, not a corpus-sized window.
+
+# 0.95 exercises BOTH allocation arms at every fixture scale (the
+# smallest domains saturate — 8/7/2 of 20 at sf0.001/0.01/0.1 — while
+# the rest sit at the water level); 0.5 left every near-uniform fixture
+# domain unsaturated, a dead arm by the repo's own test rule.
+_WATERFILL_BUDGET_FRAC = 0.95
+
+
+def _token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    dom = (
+        docs.select("source", token_count("text").alias("tk"))
+        .groupBy("source")
+        .agg(F.sum("tk").cast("long").alias("tokens"))
+    )
+    wall = W.orderBy("tokens", "source").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    wrun = W.orderBy("tokens", "source").rowsBetween(W.unboundedPreceding, 0)
+    d = dom.select(
+        "source",
+        "tokens",
+        F.row_number().over(W.orderBy("tokens", "source")).alias("i"),
+        (F.sum("tokens").over(wrun) - F.col("tokens")).alias("cum_before"),
+        F.sum("tokens").over(wall).alias("total"),
+        F.count(F.lit(1)).over(wall).alias("d_count"),
+    ).withColumn("budget", F.floor(F.col("total") * F.lit(_WATERFILL_BUDGET_FRAC)))
+    d = d.withColumn(
+        "saturated",
+        F.col("tokens") * (F.col("d_count") - F.col("i") + 1) + F.col("cum_before")
+        <= F.col("budget"),
+    )
+    d = d.select(
+        "*",
+        F.sum(F.when(F.col("saturated"), F.col("tokens")).otherwise(F.lit(0)))
+        .over(wall)
+        .alias("sat_sum"),
+        F.sum(F.when(F.col("saturated"), 0).otherwise(1)).over(wall).alias("n_unsat"),
+    )
+    theta = (F.col("budget") - F.col("sat_sum")) / F.col("n_unsat").cast("double")
+    alloc = F.when(F.col("saturated"), F.col("tokens").cast("double")).otherwise(theta)
+    return d.select(
+        "source",
+        "tokens",
+        "budget",
+        "saturated",
+        portable_round(alloc, 4).alias("alloc_tokens"),
+        portable_round(
+            alloc / F.nullif(F.col("tokens"), F.lit(0)).cast("double"), 4
+        ).alias("sample_rate"),
+    )
+
+
+_WATERFILL_SQL = f"""
+WITH dom AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN trim(COALESCE(text, '')) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+              AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+r AS (
+  SELECT source, tokens,
+         ROW_NUMBER() OVER (ORDER BY tokens, source) AS i,
+         SUM(tokens) OVER (ORDER BY tokens, source
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens AS cum_before,
+         SUM(tokens) OVER () AS total,
+         COUNT(*) OVER () AS d_count
+  FROM dom
+),
+s AS (
+  SELECT *, CAST(floor(total * {_WATERFILL_BUDGET_FRAC}) AS BIGINT) AS budget,
+         tokens * (d_count - i + 1) + cum_before
+             <= CAST(floor(total * {_WATERFILL_BUDGET_FRAC}) AS BIGINT) AS saturated
+  FROM r
+),
+agg AS (
+  SELECT *,
+         SUM(CASE WHEN saturated THEN tokens ELSE 0 END) OVER () AS sat_sum,
+         SUM(CASE WHEN saturated THEN 0 ELSE 1 END) OVER () AS n_unsat
+  FROM s
+)
+SELECT source, tokens, budget, saturated,
+       floor((CASE WHEN saturated THEN CAST(tokens AS DOUBLE)
+                   ELSE (budget - sat_sum) / CAST(n_unsat AS DOUBLE) END)
+             * 10000.0 + 0.5) / 10000.0 AS alloc_tokens,
+       floor((CASE WHEN saturated THEN CAST(tokens AS DOUBLE)
+                   ELSE (budget - sat_sum) / CAST(n_unsat AS DOUBLE) END)
+             / CAST(NULLIF(tokens, 0) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS sample_rate
+FROM agg
+"""
+
+SPECS["token_budget_waterfill"] = QuerySpec(
+    _token_budget_waterfill,
+    _WATERFILL_SQL,
+    "UniMax-style token-budget water-filling: closed-form saturation + uniform water level over domains",
+)

@@ -439,3 +439,54 @@ def test_topk_pq_rerank_scores_match_exact(spark):
     }
     for r in got:
         assert exact[r.vec_id] == r.sim
+
+
+def test_dedup_quality_keep_invariants(spark):
+    """Exactly ONE keeper per cluster; the keeper has the cluster-max
+    quality (ties -> lowest doc_id); singletons keep themselves."""
+    from collections import defaultdict
+
+    from signal_messenger_vector_database_spark.plans.similarity import (
+        _dedup_quality_keep,
+    )
+
+    rows = _dedup_quality_keep(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 500
+    by_cluster = defaultdict(list)
+    for r in rows:
+        by_cluster[r.cluster].append(r)
+    assert len(by_cluster) < 500  # the planted near-dups actually cluster
+    for cl, members in by_cluster.items():
+        keepers = [r for r in members if r.keep]
+        assert len(keepers) == 1, (cl, members)
+        k = keepers[0]
+        best_q = max(r.quality for r in members)
+        assert k.quality == best_q
+        assert k.doc_id == min(r.doc_id for r in members if r.quality == best_q)
+        if len(members) == 1:
+            assert members[0].keep
+
+
+def test_token_budget_waterfill_invariants(spark):
+    """Water-filling identities: allocations sum to the budget, saturated
+    domains get exactly their tokens, unsaturated domains share one water
+    level >= every saturated domain's size — and BOTH arms are live on
+    the fixture (a dead saturation arm is untested dead weight)."""
+    from signal_messenger_vector_database_spark.plans.traindata import (
+        _token_budget_waterfill,
+    )
+
+    rows = _token_budget_waterfill(spark, "/root/testdata/sf0.01").collect()
+    sat = [r for r in rows if r.saturated]
+    unsat = [r for r in rows if not r.saturated]
+    assert sat and unsat, "both allocation arms must be exercised"
+    budget = rows[0].budget
+    assert abs(sum(r.alloc_tokens for r in rows) - budget) < 1.0
+    for r in sat:
+        assert r.alloc_tokens == float(r.tokens)
+        assert r.sample_rate == 1.0
+    levels = {r.alloc_tokens for r in unsat}
+    assert len(levels) == 1  # one shared water level
+    theta = levels.pop()
+    assert all(r.tokens <= theta for r in sat)
+    assert all(r.tokens > theta for r in unsat)
