@@ -28,7 +28,21 @@ value-hash matches across engines):
   literal, make it one (rag_retrieve, topk_pq_adc, quality_classifier);
   recompute per-engine only when the constant is genuinely data-dependent
   at query time (kmeans centroids) and then keep every arithmetic step
-  order-identical.
+  order-identical;
+- NO query output may carry DecimalType (r8, the final topk_pq_adc root
+  cause): SQL decimal literals silently type whole expressions as
+  DECIMAL in Spark, which renders with trailing zeros ('1.293600') while
+  DuckDB's DOUBLE renders shortest ('1.2936') — identical values, hash
+  mismatch.  Wrap such expressions in CAST(... AS DOUBLE) on BOTH
+  engines; test_output_shapes rejects DecimalType catalog-wide, so the
+  class is unrepresentable.  DECIMAL is still the right tool *inside* a
+  query for order-independent exact sums — cast back to DOUBLE before
+  output;
+- when a statistic is prone to landing on the rounding grain (the
+  user_trend 1-in-1500 .xx5 boundary), DEFINE it over exact integer
+  sufficient statistics so both engines round the identical double —
+  engine independence at the implementation level, exactness at the
+  arithmetic level (operators/groupedmap.py is the worked example).
 """
 
 from __future__ import annotations
