@@ -126,6 +126,9 @@ PROBES_WAVE5 = [
 PROBES_WAVE8 = [
     "dup_substring_spans",
     "topk_pq_rerank",
+    "bpe_train",
+    "dedup_quality_keep",
+    "token_budget_waterfill",
 ]
 
 # sixth wave: stateful Structured Streaming drains (AvailableNow over
