@@ -177,9 +177,13 @@ def lsh_cosine_pairs(
     # The bucket join carries IDS ONLY: at n_tables in the tens (the
     # 0.8-recall regime) shuffling the vectors through the explode would
     # move n_tables copies of every embedding — the vectors re-join once
-    # AFTER the candidate pairs are deduped across tables, so each
-    # vector crosses the verify exchange at most (its candidate count)
-    # times and the explode shuffles ~24 bytes/row instead of ~520.
+    # AFTER the candidate pairs are deduped across tables, so the explode
+    # shuffles ~24 bytes/row instead of ~520 and the expensive cosine
+    # verify runs once per DISTINCT pair, not once per bucket collision.
+    # Measured at 16x/(8,30): the old vector-carrying join did not finish
+    # a 10-minute A/B budget; this shape runs in ~75 s (noop, warm).  A
+    # broadcast hint on the vector re-join measured NEUTRAL at this scale
+    # (AQE already plans the small side correctly), so none is forced.
     bucketed = emb.select(F.col(id_col), F.explode(buckets).alias("bucket"))
     a = bucketed.select(F.col(id_col).alias("id_a"), "bucket")
     b = bucketed.select(F.col(id_col).alias("id_b"), "bucket")
