@@ -67,6 +67,8 @@ COMMENTARY = {
     "attachment_spec": "K5 AttachmentSpec build: binaryFile scan with the content column pruned (only path/length are read), extension->mime as a literal CASE cascade — the upload side-effect is the K4 dispatch seam, outside the analytic plan.",
     "dup_substring_spans": "Cross-document exact-substring spans (r8): content-defined anchors (md5 head of each position's 8-gram) pick the window set, so shared blocks hash identically at ANY alignment; the window table carries (doc_id, md5) only — the substring never crosses the wire — and is PERSISTED because the dup-set groupBy and the flag join both consume it (unpinned, the per-position md5 Generate ran twice — 3.91 s -> 2.91 s at 16x). Both downstream ops key on the window hash, whose cardinality grows with the corpus; NO pair join exists in this plan: span dedup is linear where document near-dup needs candidates (probe: 2.0x at 16x).",
     "topk_pq_rerank": "Two-stage retrieval (r8): the ADC shortlist is a TakeOrderedAndProject over the 8-byte codes (literal LUT, no per-query join), then ONLY the 100 shortlist vectors re-join the full-precision table (broadcast) for exact cosine re-rank — corpus-size-independent second stage (probe: 1.4x at 16x).",
+    "dedup_quality_keep": "Quality-aware dedup completion (r8): minhash-LSH pairs -> iterative connected components -> per-cluster argmax via min_by over the (-quality, doc_id) struct — a partial-aggregated groupBy on cluster, never a corpus window; singletons coalesce to their own cluster through the left join. Probe: 3.9x at 16x, inherited from the probed pair/component stages.",
+    "token_budget_waterfill": "UniMax water-filling in closed form (r8): the corpus collapses to D domain rows FIRST (partial-aggregated token sum), then saturation is an exact-integer inequality over a running window and the water level one expression over two D-row windows — single-partition window state is the domain vocabulary, the kmeans-codebook scale pattern. Probe: 2.6x at 16x.",
 }
 
 
