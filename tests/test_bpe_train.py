@@ -52,3 +52,44 @@ def test_trace_is_document_order_independent():
 
     texts = ["spark shuffles rows", "rows shuffle sparks", "the spark of rows"]
     assert bpe_merge_trace(texts, 8) == bpe_merge_trace(texts[::-1], 8)
+
+
+def test_trained_merges_drive_the_encoder(spark):
+    """Train→apply end-to-end: ranks built from the distributed trainer's
+    merge table must drive functions/bpe.py's encoder exactly like ranks
+    from the sequential trainer — and more merges can never increase a
+    text's token count."""
+    from signal_messenger_vector_database_spark.functions.bpe import (
+        bpe_merge_trace,
+        encode_count,
+    )
+    from signal_messenger_vector_database_spark.io.sources import load_table
+    from signal_messenger_vector_database_spark.operators.bpe_train import (
+        bpe_train_merges,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = bpe_train_merges(spark, load_table(spark, sf, "documents"), 16).collect()
+
+    def ranks_from(trace_tokens):
+        ranks = {bytes([b]): b for b in range(256)}
+        for tok in trace_tokens:
+            if tok not in ranks:
+                ranks[tok] = len(ranks)
+        return ranks
+
+    distributed = ranks_from([bytes.fromhex(r.token) for r in got])
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT text FROM '{sf}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    sequential = ranks_from([m for m, _ in bpe_merge_trace([r[0] for r in rows], 16)])
+    assert distributed == sequential
+
+    sample = [r[0] for r in rows[:25]]
+    base_ranks = {bytes([b]): b for b in range(256)}
+    for t in sample:
+        n_trained = encode_count(t, distributed)
+        n_bytes = encode_count(t, base_ranks)
+        assert 0 < n_trained <= n_bytes  # merges only ever shrink counts

@@ -211,3 +211,65 @@ def test_global_rank_family_matches_native_windows(spark, keys, width):
     assert len(got) == len(want)
     for rid, g in got.items():
         assert tuple(g) == tuple(want[rid]), (rid, g, want[rid])
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=40),
+    st.floats(min_value=0.01, max_value=0.999),
+)
+@settings(max_examples=200, deadline=None)
+def test_waterfill_closed_form_equals_iterative(tokens, frac):
+    """The closed-form saturation rule in token_budget_waterfill
+    (sorted-ascending integer inequality + one water level) must equal
+    the NAIVE iterative water-filling algorithm — repeatedly cap domains
+    at the current uniform level and redistribute — for arbitrary domain
+    sizes and budget fractions.  Pure-Python twin of the relational
+    plan's math; the relational side is oracle-paired separately."""
+    import math
+
+    total = sum(tokens)
+    budget = math.floor(total * frac)
+
+    # naive iterative water-filling
+    remaining = budget
+    unsat = list(range(len(tokens)))
+    alloc = [0.0] * len(tokens)
+    while unsat:
+        level = remaining / len(unsat)
+        newly = [i for i in unsat if tokens[i] <= level]
+        if not newly:
+            for i in unsat:
+                alloc[i] = level
+            break
+        for i in newly:
+            alloc[i] = float(tokens[i])
+            remaining -= tokens[i]
+        unsat = [i for i in unsat if i not in newly]
+
+    # closed form (the plan's math): sort ascending, exact integer test
+    order = sorted(range(len(tokens)), key=lambda i: tokens[i])
+    D = len(tokens)
+    cum = 0
+    sat = set()
+    for pos, i in enumerate(order, 1):
+        if tokens[i] * (D - pos + 1) + cum <= budget:
+            sat.add(i)
+        cum += tokens[i]
+    n_unsat = D - len(sat)
+    sat_sum = sum(tokens[i] for i in sat)
+    theta = (budget - sat_sum) / n_unsat if n_unsat else None
+
+    for i in range(len(tokens)):
+        closed = float(tokens[i]) if i in sat else theta
+        if n_unsat == 0:
+            # fully saturated corpus: iterative also gave everyone tokens
+            assert alloc[i] == float(tokens[i])
+        else:
+            assert closed is not None
+            assert abs(closed - alloc[i]) < 1e-6 * max(1.0, alloc[i]), (
+                tokens, frac, i, closed, alloc[i]
+            )
+    if n_unsat:
+        assert abs(sum(
+            (float(tokens[i]) if i in sat else theta) for i in range(D)
+        ) - budget) < 1e-6 * max(1.0, budget)
