@@ -72,11 +72,18 @@ def piece_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 for m in pat.finditer(t or ""):
                     p = m.group().encode("utf-8")
                     local[p] = local.get(p, 0) + 1
+            if not local:
+                # an all-null/empty batch yields NOTHING: an empty pandas
+                # frame defaults its columns to float64 and Arrow cannot
+                # convert an empty float column to list<binary> (found by
+                # the degenerate-documents test)
+                continue
             yield pd.DataFrame(
                 {
-                    "parts": [
-                        [p[i : i + 1] for i in range(len(p))] for p in local
-                    ],
+                    "parts": pd.Series(
+                        [[p[i : i + 1] for i in range(len(p))] for p in local],
+                        dtype=object,
+                    ),
                     "freq": list(local.values()),
                 }
             )

@@ -46,3 +46,49 @@ def test_write_compacted_bounds_file_count(spark):
     files = [f for f in os.listdir(d) if f.endswith(".parquet")]
     assert len(files) <= 2
     assert spark.read.parquet(d).count() == 10000
+
+
+def test_r8_operators_tolerate_degenerate_documents(spark):
+    """Null text, empty text, unicode, and sub-window-length docs must
+    flow through every r8 document operator without exceptions, with the
+    documented degenerate outputs (F6's null-tolerance discipline)."""
+    rows = [
+        (0, None, "en", "a", 0),
+        (1, "", "en", "a", 0),
+        (2, "héllo wörld ünïcode — em-dash and émojis 🎉 here", "en", "b", 48),
+        (3, "x", "en", "b", 1),
+        (4, "plain english words repeated words repeated words", "en", "c", 49),
+    ]
+    d = tempfile.mkdtemp(prefix="smvd-r8-degen-")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    from signal_messenger_vector_database_spark.operators.bpe_train import (
+        bpe_train_merges,
+        piece_frequencies,
+    )
+    from signal_messenger_vector_database_spark.plans.traindata import (
+        _dup_substring_spans,
+        _token_budget_waterfill,
+    )
+
+    spans = {r.doc_id: r for r in _dup_substring_spans(spark, d).collect()}
+    assert set(spans) == {0, 1, 2, 3, 4}
+    # every doc here is shorter than the 64-char window -> zero windows
+    assert all(r.n_windows == 0 and r.dup_frac is None for r in spans.values())
+
+    wf = _token_budget_waterfill(spark, d).collect()
+    assert {r.source for r in wf} == {"a", "b", "c"}
+    zero = [r for r in wf if r.tokens == 0]
+    assert all(r.sample_rate is None for r in zero)  # NULLIF guard, no div0
+
+    # trainer: null/empty docs contribute no pieces; merges still learn
+    pf = piece_frequencies(
+        spark.read.parquet(os.path.join(d, "documents.parquet"))
+    ).collect()
+    assert all(r.freq > 0 for r in pf)
+    merges = bpe_train_merges(
+        spark, spark.read.parquet(os.path.join(d, "documents.parquet")), 4
+    ).collect()
+    assert all(r.pair_count >= 2 for r in merges)
