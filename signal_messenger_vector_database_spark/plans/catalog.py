@@ -71,6 +71,7 @@ _WINDOW = [
     "bpe_train",
     "dedup_quality_keep",
     "token_budget_waterfill",
+    "incremental_span_novelty",
     # -- staleness rotation (oldest driver-green first: r1 era ...) --
     "lang_id",
     "multimodal_metadata",
@@ -110,7 +111,6 @@ _WINDOW = [
     "q2_min_price",
     "q3_shipping_priority",
     "q4_priority_exists",
-    "q5_local_supplier",
 ]
 
 

@@ -1737,3 +1737,98 @@ SPECS["token_budget_waterfill"] = QuerySpec(
     _WATERFILL_SQL,
     "UniMax-style token-budget water-filling: closed-form saturation + uniform water level over domains",
 )
+
+
+# --- incremental span novelty: the ingest-time dedup decision -------------
+# The question an incremental 100 TB ingest actually asks is not "which
+# documents in the lake duplicate each other" (dup_substring_spans) but
+# "how much of THIS incoming batch is already in the lake?"  Same
+# content-defined window machinery; the batch's window hashes left-join
+# the HISTORY's distinct window-hash set (an equi-join on a key whose
+# cardinality grows with the lake — at scale the history side is a
+# bucketed/Bloom-fronted table, cf. incremental_new_docs), and each batch
+# doc reports how many of its windows are already known.  Split is the
+# deterministic doc_id % 5 == 0 batch used by incremental_new_docs, so
+# the two incremental operators describe the same delivery.
+
+
+def _incremental_span_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    W, G = _DUPSPAN_W, _DUPSPAN_G
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("t")
+    )
+    win_expr = (
+        f"explode(transform("
+        f"  filter(sequence(0, length(t) - {W}),"
+        f"         p -> substring(md5(substring(t, p + 1, {G})), 1, 1) IN ('0', '8')),"
+        f"  p -> md5(substring(t, p + 1, {W})))) AS h"
+    )
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    history = docs.filter(F.col("doc_id") % 5 != 0)
+    bwins = batch.filter(F.length("t") >= W).selectExpr("doc_id", win_expr)
+    known = (
+        history.filter(F.length("t") >= W)
+        .selectExpr("doc_id", win_expr)
+        .select("h")
+        .distinct()
+        .withColumn("_known", F.lit(1))
+    )
+    agg = (
+        bwins.join(known, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.coalesce(F.col("_known"), F.lit(0))).alias("n_known"),
+        )
+    )
+    return batch.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+        F.coalesce("n_known", F.lit(0)).cast("long").alias("n_known"),
+        F.when(F.col("n_windows").isNull(), F.lit(None).cast("double"))
+        .otherwise(
+            portable_round(
+                (F.col("n_windows") - F.col("n_known"))
+                / F.col("n_windows").cast("double"),
+                4,
+            )
+        )
+        .alias("novelty_frac"),
+    )
+
+
+def _incremental_span_novelty_sql() -> str:
+    W, G = _DUPSPAN_W, _DUPSPAN_G
+    return f"""
+WITH base AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+wins AS (
+  SELECT doc_id, md5(substring(t, p + 1, {W})) AS h
+  FROM base CROSS JOIN generate_series(0, 2047) g(p)
+  WHERE p <= length(t) - {W}
+    AND substring(md5(substring(t, p + 1, {G})), 1, 1) IN ('0', '8')
+),
+known AS (SELECT DISTINCT h FROM wins WHERE doc_id % 5 != 0),
+agg AS (
+  SELECT w.doc_id, COUNT(*) AS n_windows,
+         SUM(CASE WHEN known.h IS NOT NULL THEN 1 ELSE 0 END) AS n_known
+  FROM wins w LEFT JOIN known ON w.h = known.h
+  WHERE w.doc_id % 5 = 0
+  GROUP BY w.doc_id
+)
+SELECT b.doc_id,
+       CAST(COALESCE(a.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(COALESCE(a.n_known, 0) AS BIGINT) AS n_known,
+       CASE WHEN a.n_windows IS NULL THEN NULL
+            ELSE floor((a.n_windows - a.n_known) / CAST(a.n_windows AS DOUBLE)
+                       * 10000.0 + 0.5) / 10000.0
+       END AS novelty_frac
+FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
+WHERE b.doc_id % 5 = 0
+"""
+
+
+SPECS["incremental_span_novelty"] = QuerySpec(
+    _incremental_span_novelty,
+    _incremental_span_novelty_sql(),
+    "ingest-time span novelty: batch window hashes vs the lake's known-hash set (no pair join)",
+)

@@ -490,3 +490,29 @@ def test_token_budget_waterfill_invariants(spark):
     theta = levels.pop()
     assert all(r.tokens <= theta for r in sat)
     assert all(r.tokens > theta for r in unsat)
+
+
+def test_incremental_span_novelty_invariants(spark):
+    """Batch docs only; n_known <= n_windows; novelty_frac is exactly
+    (n_windows - n_known) / n_windows at the 1e-4 grain; both arms live
+    on the fixture (some batch windows are known to history, some docs
+    are fully novel)."""
+    import math
+
+    from signal_messenger_vector_database_spark.plans.traindata import (
+        _incremental_span_novelty,
+    )
+
+    rows = _incremental_span_novelty(spark, "/root/testdata/sf0.001").collect()
+    assert all(r.doc_id % 5 == 0 for r in rows)
+    assert any(r.n_known > 0 for r in rows), "known arm dead"
+    assert any(r.n_known == 0 and r.n_windows > 0 for r in rows), "novel arm dead"
+    for r in rows:
+        assert 0 <= r.n_known <= r.n_windows
+        if r.n_windows == 0:
+            assert r.novelty_frac is None
+        else:
+            want = math.floor(
+                (r.n_windows - r.n_known) / r.n_windows * 10000 + 0.5
+            ) / 10000
+            assert r.novelty_frac == want
