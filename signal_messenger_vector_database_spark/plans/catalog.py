@@ -5,10 +5,8 @@
 Ordering contract: the driver verifies only the FIRST 50 entries of
 ``queries()`` against their DuckDB oracles each round, so insertion order
 is a verification budget.  ``_WINDOW`` below pins this round's priority
-list (round 7: the topk_pq_adc literal-LUT fix, this round's new/changed
-plans, and the two never-driver-checked rows-only entries, per VERDICT r6
-tasks 1/5/8); everything else follows in catalog order, with oracle-less
-entries (which can never turn green) sorted to the tail.
+list (see its comment block); everything else follows in catalog order,
+with oracle-less entries (which can never turn green) sorted to the tail.
 """
 
 from __future__ import annotations
@@ -72,6 +70,7 @@ _WINDOW = [
     "dedup_quality_keep",
     "token_budget_waterfill",
     "incremental_span_novelty",
+    "dup_span_removal",
     # -- staleness rotation (oldest driver-green first: r1 era ...) --
     "lang_id",
     "multimodal_metadata",
@@ -110,7 +109,6 @@ _WINDOW = [
     "q22_dormant_customers",
     "q2_min_price",
     "q3_shipping_priority",
-    "q4_priority_exists",
 ]
 
 

@@ -1832,3 +1832,182 @@ SPECS["incremental_span_novelty"] = QuerySpec(
     _incremental_span_novelty_sql(),
     "ingest-time span novelty: batch window hashes vs the lake's known-hash set (no pair join)",
 )
+
+
+# --- duplicate-span REMOVAL: materialize the deduplicated corpus ----------
+# dup_substring_spans MEASURES cross-document duplication; this operator
+# performs the Lee et al. transformation itself: every duplicated span is
+# cut out of every document except the span's OWNER (the minimum doc_id
+# containing the window hash — deterministic, order-free), and the
+# cleaned text is spliced back together.  The whole thing is relational:
+#
+# * removable window positions are an equi-join (window hash -> owner);
+# * overlapping windows merge into maximal spans with the classic
+#   ISLANDS pattern — because every window has the SAME width W, "next
+#   position starts a new span" is simply p - lag(p) > W, so no
+#   fold-with-array-surgery is needed, just a lag + running sum;
+# * splicing is per-span kept-piece extraction (substring between the
+#   previous span's end and this span's start — another lag) + an
+#   ordered string_agg, with the tail after the last span appended.
+#
+# No floating point anywhere — positions and strings only — so the
+# oracle compare is exact by construction.  At 100 TB every step is a
+# groupBy/join on doc_id or the corpus-growing window hash.
+
+
+def _dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W_
+
+    W, G = _DUPSPAN_W, _DUPSPAN_G
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("t")
+    )
+    wins = (
+        docs.filter(F.length("t") >= W)
+        .select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.expr(
+                    f"filter(sequence(0, length(t) - {W}),"
+                    f" p -> substring(md5(substring(t, p + 1, {G})), 1, 1) IN ('0', '8'))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p", F.expr(f"md5(substring(t, p + 1, {W}))").alias("h"))
+    )
+    owners = (
+        wins.groupBy("h")
+        .agg(
+            F.min("doc_id").alias("owner"),
+            F.count_distinct("doc_id").alias("nd"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("h", "owner")
+    )
+    rem = (
+        wins.join(owners, "h")
+        .filter(F.col("doc_id") != F.col("owner"))
+        .select("doc_id", "p")
+        .distinct()
+    )
+    wp = W_.partitionBy("doc_id").orderBy("p")
+    isl = rem.select(
+        "doc_id",
+        "p",
+        F.when(F.col("p") - F.lag("p").over(wp) > W, 1).otherwise(0).alias("newi"),
+    ).select(
+        "doc_id",
+        "p",
+        F.sum("newi").over(wp.rowsBetween(W_.unboundedPreceding, 0)).alias("island"),
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("p").alias("s"), (F.max("p") + W).alias("e")
+    )
+    ws = W_.partitionBy("doc_id").orderBy("s")
+    pieces = spans.select(
+        "doc_id",
+        "s",
+        "e",
+        F.coalesce(F.lag("e").over(ws), F.lit(0)).alias("prev_e"),
+    ).join(docs, "doc_id")
+    agg = pieces.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s")).alias("removed_chars"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("s"),
+                            F.expr("substring(t, prev_e + 1, s - prev_e)").alias(
+                                "piece"
+                            ),
+                        )
+                    )
+                ),
+                lambda x: x["piece"],
+            ),
+            "",
+        ).alias("head"),
+        F.max("e").alias("last_e"),
+    )
+    return (
+        docs.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("removed_chars", F.lit(0)).cast("long").alias("removed_chars"),
+            F.when(F.col("n_spans").isNull(), F.col("t"))
+            .otherwise(
+                F.concat(
+                    F.col("head"),
+                    F.expr("substring(t, last_e + 1, length(t) - last_e)"),
+                )
+            )
+            .alias("cleaned"),
+        )
+    )
+
+
+def _dup_span_removal_sql() -> str:
+    W, G = _DUPSPAN_W, _DUPSPAN_G
+    return f"""
+WITH base AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+wins AS (
+  SELECT doc_id, p, md5(substring(t, p + 1, {W})) AS h
+  FROM base CROSS JOIN generate_series(0, 2047) g(p)
+  WHERE p <= length(t) - {W}
+    AND substring(md5(substring(t, p + 1, {G})), 1, 1) IN ('0', '8')
+),
+owners AS (
+  SELECT h, MIN(doc_id) AS owner FROM wins
+  GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+),
+rem AS (
+  SELECT DISTINCT w.doc_id, w.p
+  FROM wins w JOIN owners o ON w.h = o.h AND w.doc_id != o.owner
+),
+isl AS (
+  SELECT doc_id, p,
+         CASE WHEN p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p) > {W}
+              THEN 1 ELSE 0 END AS newi
+  FROM rem
+),
+isl2 AS (
+  SELECT doc_id, p,
+         SUM(newi) OVER (PARTITION BY doc_id ORDER BY p
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, island, MIN(p) AS s, MAX(p) + {W} AS e
+  FROM isl2 GROUP BY doc_id, island
+),
+pieces AS (
+  SELECT sp.doc_id, sp.s, sp.e,
+         COALESCE(LAG(sp.e) OVER (PARTITION BY sp.doc_id ORDER BY sp.s), 0) AS prev_e,
+         b.t
+  FROM spans sp JOIN base b ON sp.doc_id = b.doc_id
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s) AS removed_chars,
+         string_agg(substring(t, prev_e + 1, s - prev_e), '' ORDER BY s) AS head,
+         MAX(e) AS last_e, MAX(t) AS t
+  FROM pieces GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(a.removed_chars, 0) AS BIGINT) AS removed_chars,
+       CASE WHEN a.n_spans IS NULL THEN b.t
+            ELSE a.head || substring(b.t, a.last_e + 1, length(b.t) - a.last_e)
+       END AS cleaned
+FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
+"""
+
+
+SPECS["dup_span_removal"] = QuerySpec(
+    _dup_span_removal,
+    _dup_span_removal_sql(),
+    "Lee et al. span removal: cut every duplicated span outside its owner doc, splice the cleaned text (pure relational islands + string_agg)",
+)

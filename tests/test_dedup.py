@@ -516,3 +516,46 @@ def test_incremental_span_novelty_invariants(spark):
                 (r.n_windows - r.n_known) / r.n_windows * 10000 + 0.5
             ) / 10000
             assert r.novelty_frac == want
+
+
+def test_dup_span_removal_semantics(spark):
+    """Owner keeps, duplicate loses: a block shared verbatim by two docs
+    must survive in the LOWER doc_id and be cut from the higher one;
+    untouched docs come back verbatim; length bookkeeping is exact."""
+    import os
+    import tempfile
+
+    from signal_messenger_vector_database_spark.plans.traindata import (
+        _dup_span_removal,
+        _dup_substring_spans,
+    )
+
+    block = (
+        "the same licensed boilerplate paragraph repeated across documents "
+        "verbatim and long enough to anchor"
+    )
+    rows = [
+        (0, "unique preamble alpha beta gamma. " + block + " unique tail zero."),
+        (1, "other opening words here. " + block + " different ending one."),
+        (2, "entirely unrelated content with no shared substring of any useful length at all."),
+    ]
+    d = tempfile.mkdtemp(prefix="smvd-span-rm-")
+    spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    out = {r.doc_id: r for r in _dup_span_removal(spark, d).collect()}
+    # owner (doc 0) keeps everything
+    assert out[0].n_spans == 0 and out[0].cleaned == rows[0][1]
+    # duplicate (doc 1) loses a span covering part of the shared block
+    assert out[1].n_spans >= 1 and out[1].removed_chars > 0
+    assert len(out[1].cleaned) == len(rows[1][1]) - out[1].removed_chars
+    # its distinctive head and tail survive the splice
+    assert out[1].cleaned.startswith("other opening words here.")
+    assert out[1].cleaned.endswith("different ending one.")
+    # untouched doc verbatim
+    assert out[2].n_spans == 0 and out[2].cleaned == rows[2][1]
+    # consistency with the measuring twin: doc 1's dup windows became spans
+    spans = {r.doc_id: r for r in _dup_substring_spans(spark, d).collect()}
+    assert spans[1].n_dup > 0
