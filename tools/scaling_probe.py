@@ -129,6 +129,8 @@ PROBES_WAVE8 = [
     "bpe_train",
     "dedup_quality_keep",
     "token_budget_waterfill",
+    "incremental_span_novelty",
+    "dup_span_removal",
 ]
 
 # sixth wave: stateful Structured Streaming drains (AvailableNow over
