@@ -68,7 +68,11 @@ def _fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
     den = n * s_tt - s_t * s_t
     # 36.0 = 3600 s/hr / 100 centi-units; parenthesization matches the
     # oracle SQL exactly (two casts, one divide, one multiply).
-    slope = float("nan") if den == 0 else 36.0 * (float(num) / float(den))
+    # Degenerate group (single event / zero time spread): slope is NULL —
+    # explicitly, because Arrow renders a pandas NaN as NULL anyway, so
+    # NULL is the only value this column can actually carry cross-engine
+    # (the oracle's CASE emits NULL to match; r8 code-review finding).
+    slope = None if den == 0 else 36.0 * (float(num) / float(den))
     return pd.DataFrame(
         {"user_id": [int(pdf["user_id"].iloc[0])], "n": [n], "slope": [slope]}
     )
@@ -81,7 +85,15 @@ def per_user_trend(events: DataFrame) -> DataFrame:
     grouped map — no ``Window.partitionBy`` pre-pass, so the plan is one
     shuffle (the groupBy) instead of two.
     """
-    prepared = events.select(
+    # Null rows are dropped BEFORE the grouped map (F6 null-tolerance):
+    # the integer sufficient statistics cannot absorb a NaN (int(NaN)
+    # raises), and the DuckDB twin must see the identical row set — its
+    # SUMs would silently skip NULLs while COUNT(*) counted them,
+    # desynchronizing the statistics (code-review r8 finding).  The twin
+    # carries the same WHERE.
+    prepared = events.filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    ).select(
         "user_id",
         F.unix_timestamp("ts").alias("sec"),
         "value",

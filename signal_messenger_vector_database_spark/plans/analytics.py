@@ -282,7 +282,19 @@ def _user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = per_user_trend(events.repartition(8, "user_id"))
     # portable_round on a bit-identical double (see per_user_trend's
     # exact-integer definition) — both engines floor the same value.
-    return out.select("user_id", "n", portable_round(F.col("slope"), 4).alias("slope"))
+    # The degenerate arm (den == 0) is NULL in both engines (Arrow
+    # renders a pandas NaN as NULL, so NULL is the only cross-engine-
+    # stable encoding; r8 code-review finding) — portable_round passes
+    # NULL through, and the isnan guard protects the hypothetical case
+    # of a genuine NaN surviving the Arrow crossing, which floor-based
+    # rounding would otherwise collapse to a fabricated 0.0.
+    return out.select(
+        "user_id",
+        "n",
+        F.when(F.isnan("slope"), F.lit(None).cast("double"))
+        .otherwise(portable_round(F.col("slope"), 4))
+        .alias("slope"),
+    )
 
 
 # oracle: the SAME exact-integer sufficient-statistic definition the
@@ -301,6 +313,7 @@ WITH p AS (
            - MIN(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id) AS t,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
   FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
 ),
 s AS (
   SELECT user_id, COUNT(*) AS n,
@@ -308,7 +321,7 @@ s AS (
   FROM p GROUP BY user_id
 )
 SELECT user_id, CAST(n AS BIGINT) AS n,
-       CASE WHEN n * stt - st * st = 0 THEN CAST('nan' AS DOUBLE)
+       CASE WHEN n * stt - st * st = 0 THEN CAST(NULL AS DOUBLE)
             ELSE floor(36.0 * (CAST(n * stv - st * sv AS DOUBLE)
                                / CAST(n * stt - st * st AS DOUBLE))
                        * 10000.0 + 0.5) / 10000.0

@@ -1474,32 +1474,71 @@ _DUPSPAN_W = 64  # window chars — long enough that collisions mean real text r
 _DUPSPAN_G = 8  # anchor-gram chars; first md5 hex in {'0','8'} = 1/8 density
 
 
-def _dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    W, G = _DUPSPAN_W, _DUPSPAN_G
-    docs = load_table(spark, sf_dir, "documents").select(
+def _span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents as (doc_id, t) with the F6 null coalesce — the shared
+    base of the three span operators."""
+    return load_table(spark, sf_dir, "documents").select(
         "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("t")
     )
-    # length >= W BEFORE sequence(): Spark's sequence(0, negative) yields
-    # a DESCENDING sequence, not an empty one.  The anchor test is a pure
-    # string comparison on the md5 hex head — byte-identical across
-    # engines, no numeric conversion to disagree on.
-    # PERSISTED: the window table feeds BOTH the dup-set aggregate and
-    # the per-doc flag join — without the pin Catalyst re-runs the
-    # Generate subtree (one md5 per character position, the dominant
-    # compute) once per consumer; .explain showed two Generate nodes.
-    # Materializing (doc_id, 32-hex) rows is ~linear in corpus bytes and
-    # spill-safe — strictly cheaper than 2x the md5 pass at 100 TB.
-    wins = (
-        docs.filter(F.length("t") >= W)
-        .selectExpr(
-            "doc_id",
-            f"explode(transform("
-            f"  filter(sequence(0, length(t) - {W}),"
-            f"         p -> substring(md5(substring(t, p + 1, {G})), 1, 1) IN ('0', '8')),"
-            f"  p -> md5(substring(t, p + 1, {W})))) AS h",
-        )
-        .persist()
+
+
+def _span_windows(docs: DataFrame, with_pos: bool = False) -> DataFrame:
+    """Content-defined window table (doc_id[, p], h) — ONE definition for
+    all three span operators (dup_substring_spans, incremental_span_
+    novelty, dup_span_removal), so the anchor rule / W / G can never
+    silently drift between them (code-review r8 finding).
+
+    length >= W BEFORE sequence(): Spark's sequence(0, negative) yields a
+    DESCENDING sequence, not an empty one.  The anchor test is a pure
+    string comparison on the md5 hex head — byte-identical across
+    engines, no numeric conversion to disagree on.
+
+    Callers that consume the result more than once must .persist() it:
+    the per-position md5 Generate is the dominant compute and Catalyst
+    re-runs it per consumer otherwise (.explain showed two Generate
+    nodes; 3.91 s -> 2.91 s at 16x from pinning).  Materializing
+    (doc_id, 32-hex) rows is ~linear in corpus bytes and spill-safe —
+    strictly cheaper than 2x the md5 pass at 100 TB."""
+    W, G = _DUPSPAN_W, _DUPSPAN_G
+    anchors = (
+        f"filter(sequence(0, length(t) - {W}),"
+        f" p -> substring(md5(substring(t, p + 1, {G})), 1, 1) IN ('0', '8'))"
     )
+    base = docs.filter(F.length("t") >= W)
+    if with_pos:
+        return base.select(
+            "doc_id", "t", F.explode(F.expr(anchors)).alias("p")
+        ).select(
+            "doc_id", "p", F.expr(f"md5(substring(t, p + 1, {W}))").alias("h")
+        )
+    return base.selectExpr(
+        "doc_id",
+        f"explode(transform({anchors}, p -> md5(substring(t, p + 1, {W})))) AS h",
+    )
+
+
+def _span_wins_cte() -> str:
+    """DuckDB twin of :func:`_span_windows` (with positions; consumers
+    that only need hashes ignore ``p``).  Expects a ``base(doc_id, t)``
+    CTE in scope.  DuckDB's generate_series cannot take a lateral column
+    bound, so the oracle cross-joins a constant 0..2047 series and
+    filters — that covers documents up to 2047 + W chars, ~3.6x the
+    fixture max (577); the Spark side uses the exact per-row sequence
+    bound."""
+    W, G = _DUPSPAN_W, _DUPSPAN_G
+    return f"""wins AS (
+  SELECT doc_id, p, md5(substring(t, p + 1, {W})) AS h
+  FROM base CROSS JOIN generate_series(0, 2047) g(p)
+  WHERE p <= length(t) - {W}
+    AND substring(md5(substring(t, p + 1, {G})), 1, 1) IN ('0', '8')
+)"""
+
+
+def _dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _span_docs(spark, sf_dir)
+    # persisted: feeds BOTH the dup-set aggregate and the per-doc flag
+    # join (see _span_windows' docstring)
+    wins = _span_windows(docs).persist()
     dup = (
         wins.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -1527,19 +1566,9 @@ def _dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dup_substring_spans_sql() -> str:
-    W, G = _DUPSPAN_W, _DUPSPAN_G
-    # DuckDB's generate_series cannot take a lateral column bound, so the
-    # oracle cross-joins a constant 0..2047 series and filters — that
-    # covers documents up to 2047 + W chars, ~3.6x the fixture max (577);
-    # the Spark side uses the exact per-row sequence bound.
     return f"""
 WITH base AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
-wins AS (
-  SELECT doc_id, md5(substring(t, p + 1, {W})) AS h
-  FROM base CROSS JOIN generate_series(0, 2047) g(p)
-  WHERE p <= length(t) - {W}
-    AND substring(md5(substring(t, p + 1, {G})), 1, 1) IN ('0', '8')
-),
+{_span_wins_cte()},
 dup AS (SELECT h FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
 agg AS (
   SELECT wins.doc_id, COUNT(*) AS n_windows,
@@ -1753,22 +1782,13 @@ SPECS["token_budget_waterfill"] = QuerySpec(
 
 
 def _incremental_span_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    W, G = _DUPSPAN_W, _DUPSPAN_G
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("t")
-    )
-    win_expr = (
-        f"explode(transform("
-        f"  filter(sequence(0, length(t) - {W}),"
-        f"         p -> substring(md5(substring(t, p + 1, {G})), 1, 1) IN ('0', '8')),"
-        f"  p -> md5(substring(t, p + 1, {W})))) AS h"
-    )
+    docs = _span_docs(spark, sf_dir)
     batch = docs.filter(F.col("doc_id") % 5 == 0)
     history = docs.filter(F.col("doc_id") % 5 != 0)
-    bwins = batch.filter(F.length("t") >= W).selectExpr("doc_id", win_expr)
+    # single-consumer window tables — no persist needed on either side
+    bwins = _span_windows(batch)
     known = (
-        history.filter(F.length("t") >= W)
-        .selectExpr("doc_id", win_expr)
+        _span_windows(history)
         .select("h")
         .distinct()
         .withColumn("_known", F.lit(1))
@@ -1798,15 +1818,9 @@ def _incremental_span_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _incremental_span_novelty_sql() -> str:
-    W, G = _DUPSPAN_W, _DUPSPAN_G
     return f"""
 WITH base AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
-wins AS (
-  SELECT doc_id, md5(substring(t, p + 1, {W})) AS h
-  FROM base CROSS JOIN generate_series(0, 2047) g(p)
-  WHERE p <= length(t) - {W}
-    AND substring(md5(substring(t, p + 1, {G})), 1, 1) IN ('0', '8')
-),
+{_span_wins_cte()},
 known AS (SELECT DISTINCT h FROM wins WHERE doc_id % 5 != 0),
 agg AS (
   SELECT w.doc_id, COUNT(*) AS n_windows,
@@ -1858,24 +1872,12 @@ SPECS["incremental_span_novelty"] = QuerySpec(
 def _dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W_
 
-    W, G = _DUPSPAN_W, _DUPSPAN_G
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("t")
-    )
-    wins = (
-        docs.filter(F.length("t") >= W)
-        .select(
-            "doc_id",
-            "t",
-            F.explode(
-                F.expr(
-                    f"filter(sequence(0, length(t) - {W}),"
-                    f" p -> substring(md5(substring(t, p + 1, {G})), 1, 1) IN ('0', '8'))"
-                )
-            ).alias("p"),
-        )
-        .select("doc_id", "p", F.expr(f"md5(substring(t, p + 1, {W}))").alias("h"))
-    )
+    W = _DUPSPAN_W
+    docs = _span_docs(spark, sf_dir)
+    # persisted: feeds BOTH the owners aggregate and the removable join —
+    # unpinned, the per-position md5 Generate runs once per consumer
+    # (code-review r8 finding; see _span_windows' docstring)
+    wins = _span_windows(docs, with_pos=True).persist()
     owners = (
         wins.groupBy("h")
         .agg(
@@ -1951,15 +1953,10 @@ def _dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dup_span_removal_sql() -> str:
-    W, G = _DUPSPAN_W, _DUPSPAN_G
+    W = _DUPSPAN_W
     return f"""
 WITH base AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
-wins AS (
-  SELECT doc_id, p, md5(substring(t, p + 1, {W})) AS h
-  FROM base CROSS JOIN generate_series(0, 2047) g(p)
-  WHERE p <= length(t) - {W}
-    AND substring(md5(substring(t, p + 1, {G})), 1, 1) IN ('0', '8')
-),
+{_span_wins_cte()},
 owners AS (
   SELECT h, MIN(doc_id) AS owner FROM wins
   GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2

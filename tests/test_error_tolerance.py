@@ -92,3 +92,70 @@ def test_r8_operators_tolerate_degenerate_documents(spark):
         spark, spark.read.parquet(os.path.join(d, "documents.parquet")), 4
     ).collect()
     assert all(r.pair_count >= 2 for r in merges)
+
+
+def test_user_trend_degenerate_groups_and_nulls(spark):
+    """The r8 code-review findings, pinned: (a) a single-event user's
+    slope is NULL in BOTH engines (Arrow renders the pandas NaN as NULL,
+    and Spark's floor-based rounding must never collapse the degenerate
+    arm to a fabricated 0.0), and (b) null ts/value rows are dropped
+    before the grouped map instead of crashing int(NaN)."""
+    import math
+
+    from pyspark.sql import Row
+    from signal_messenger_vector_database_spark.operators.groupedmap import (
+        per_user_trend,
+    )
+    from signal_messenger_vector_database_spark.plans.analytics import (
+        _USER_TREND_SQL,
+    )
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        Row(event_id=1, ts=t0, user_id=1, event_type="view", value=10.0, props=None),
+        # user 2: two events -> real slope
+        Row(event_id=2, ts=t0, user_id=2, event_type="view", value=10.0, props=None),
+        Row(event_id=3, ts=t0 + datetime.timedelta(hours=1), user_id=2,
+            event_type="view", value=46.0, props=None),
+        # user 3: the null rows the reference silently drops (F6)
+        Row(event_id=4, ts=None, user_id=3, event_type="view", value=5.0, props=None),
+        Row(event_id=5, ts=t0, user_id=3, event_type="view", value=None, props=None),
+        Row(event_id=6, ts=t0, user_id=3, event_type="view", value=7.0, props=None),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r.user_id: r for r in per_user_trend(ev).collect()}
+    # single-event user: den == 0 -> NULL (Arrow renders pandas NaN as
+    # NULL, so NULL is the only cross-engine-stable encoding) — and
+    # never a fabricated 0.0 through the floor-based rounding
+    assert got[1].slope is None
+    # two clean events: slope = 36 units/hour, exactly
+    assert got[2].n == 2 and abs(got[2].slope - 36.0) < 1e-9
+    # null rows dropped, no crash; the surviving event makes a 1-row group
+    assert got[3].n == 1 and got[3].slope is None
+    # and the full plan (with the NaN-bypassing rounding) agrees with the
+    # oracle on the same data
+    import duckdb
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="smvd-ut-degen-")
+    ev.write.parquet(os.path.join(d, "events.parquet"))
+    con = duckdb.connect()
+    # Spark writes a DIRECTORY-shaped table; DuckDB needs the part glob
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet/*.parquet'"
+    )
+    from signal_messenger_vector_database_spark.plans.analytics import _user_trend
+    from tools.oracle_check import canon_rows
+
+    sdf = _user_trend(spark, d)
+    srows = sdf.collect()
+    cur = con.execute(_USER_TREND_SQL)
+    ocols = [c[0] for c in cur.description]
+    orows = cur.fetchall()
+    assert canon_rows(srows, sdf.columns) == canon_rows(orows, ocols)
