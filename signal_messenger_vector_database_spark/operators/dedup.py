@@ -235,6 +235,87 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return sums.select(F.col(id_col), fp.cast("int").alias("simhash"))
 
 
+def simhash_hamming_pairs(
+    fp_df: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "simhash",
+    ham_max: int = 3,
+    n_bands: int = 4,
+    fp_bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """All pairs within Hamming distance ``ham_max`` of each other's
+    fingerprints, WITHOUT a cross join — the near-dup *completion* step for
+    SimHash (``simhash`` above only emits fingerprints).
+
+    Pigeonhole banding makes this EXACT, not approximate: split the
+    ``fp_bits``-bit fingerprint into ``n_bands`` disjoint bands; any pair
+    with Hamming distance <= ham_max differs in at most ham_max bands, so
+    whenever ``n_bands >= ham_max + 1`` at least one band matches exactly
+    and the banded equi-join provably recalls every qualifying pair.
+    Candidates are then verified with ``bit_count(fp_a XOR fp_b)`` — pure
+    integer arithmetic, no floating point anywhere.
+
+    Scale audit (SCALING.md rule: a candidate join whose equi-key
+    cardinality does not grow with the corpus is a quadratic in disguise):
+    the equi-key here is (band, band_value) with 2^(fp_bits/n_bands)
+    values per band, FIXED by the geometry — so bucket population grows
+    ~n / 2^(band_width) and the verify stage is quadratic in it.  The
+    production shape at 100 TB is therefore a WIDE fingerprint sized to
+    the corpus: 64-bit SimHash split 4x16 gives 65,536 buckets per band
+    (vs 16 for the 4x4 fixture geometry), and band width must satisfy
+    2^(fp_bits/n_bands) >= n / target_bucket_population.  This function
+    is geometry-agnostic — callers pass (fp_bits, n_bands) derived from
+    corpus size, exactly as lsh_geometry does for hyperplane LSH."""
+    if n_bands < ham_max + 1:
+        raise ValueError(
+            f"pigeonhole completeness needs n_bands >= ham_max+1 "
+            f"(got n_bands={n_bands}, ham_max={ham_max})"
+        )
+    if fp_bits % n_bands:
+        raise ValueError(f"fp_bits={fp_bits} not divisible by n_bands={n_bands}")
+    width = fp_bits // n_bands
+    mask = (1 << width) - 1
+    bands = fp_df.select(
+        F.col(id_col).alias("id"),
+        F.col(fp_col).alias("fp"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col(fp_col), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "fp", F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        # a pair sharing k bands appears k times; dedup BEFORE the verify
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int")
+    return (
+        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= ham_max)
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard via posting-list (inverted index) self-join
 

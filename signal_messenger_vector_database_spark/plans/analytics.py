@@ -1067,3 +1067,71 @@ SPECS["markov_transitions"] = QuerySpec(
     _MARKOV_SQL,
     "first-order Markov transition matrix over per-user event sequences",
 )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (materialized-view merge)
+
+
+def _rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the per-(user, event_type)
+    rollup is computed as base-partial + delta-partial MERGED, and must be
+    indistinguishable from a full recompute (which is exactly what the
+    DuckDB oracle does — the equivalence IS the check).
+
+    The deterministic 80/20 split (event_id % 5) stands in for "the stored
+    base aggregate" vs "today's arriving batch"; at 100 TB the base
+    partial is a stored table and merge cost is O(|base agg| + |delta
+    agg|) — never a rescan of the corpus.  The merge is exact because the
+    sufficient statistics are exact integers (count + centi-quantized
+    value sum): integer addition is associative, so base+delta regrouping
+    CANNOT drift from the full recompute — this is the same
+    exact-sufficient-statistics rule as user_trend
+    (operators/groupedmap.py), applied to make incremental == batch a
+    theorem instead of a tolerance.  Double SUMs would not survive this
+    test: regrouping changes summation order, and the .005 rounding
+    boundary eventually lands on the seam."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    with_cents = ev.select("event_id", "user_id", "event_type", cents.alias("cents"))
+    base = with_cents.filter(F.col("event_id") % 5 < 4)
+    delta = with_cents.filter(F.col("event_id") % 5 >= 4)
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c")
+        )
+
+    merged = (
+        partial(base)
+        .unionByName(partial(delta))
+        .groupBy("user_id", "event_type")
+        .agg(F.sum("n").alias("n_events"), F.sum("c").alias("sum_cents"))
+    )
+    return merged.select(
+        "user_id",
+        "event_type",
+        "n_events",
+        (F.col("sum_cents") / 100.0).alias("total_value"),
+    )
+
+
+# The oracle recomputes from scratch — the whole point: merged partials
+# must hash-match the direct GROUP BY.
+_ROLLUP_INCREMENTAL_SQL = """
+SELECT user_id, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       -- CAST ... AS DOUBLE before the division: BIGINT / 100.0 is
+       -- DECIMAL in DuckDB (the forbidden output type); DOUBLE / 100 is
+       -- exact here (cents < 2^53, division correctly rounded)
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS total_value
+FROM events
+WHERE value IS NOT NULL
+GROUP BY user_id, event_type
+"""
+
+SPECS["rollup_incremental"] = QuerySpec(
+    _rollup_incremental,
+    _ROLLUP_INCREMENTAL_SQL,
+    "incremental MV maintenance: base+delta partial-aggregate merge == full recompute (exact integer stats)",
+)

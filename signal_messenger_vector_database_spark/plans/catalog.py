@@ -49,9 +49,12 @@ _MODULES = (
 #      (added late in r7, after that window was pinned);
 #   3. user_trend, whose oracle is re-pinned this round at the arithmetic
 #      level (explicit cov/var formula; the 1-in-1500 sf0.1 boundary);
-#   4. staleness rotation: the 43 oracle-paired entries whose latest
+#   4. staleness rotation: the oracle-paired entries whose latest
 #      driver-green row is oldest (r1–r3 era), so no green row keeps
-#      aging silently while plans around it evolve.
+#      aging silently while plans around it evolve.  (Four tail slots
+#      rotated out late-round to admit the second-wave additions —
+#      simhash_hamming_pairs / knn_graph_ivf / rollup_incremental /
+#      mixture_temperature, all three-scale green locally.)
 _WINDOW = [
     # -- r7 red cells: DOUBLE-cast fix, must go driver-green --
     "topk_pq_adc",
@@ -71,6 +74,10 @@ _WINDOW = [
     "token_budget_waterfill",
     "incremental_span_novelty",
     "dup_span_removal",
+    "simhash_hamming_pairs",
+    "knn_graph_ivf",
+    "rollup_incremental",
+    "mixture_temperature",
     # -- staleness rotation (oldest driver-green first: r1 era ...) --
     "lang_id",
     "multimodal_metadata",
@@ -105,10 +112,6 @@ _WINDOW = [
     "q16_supplier_variety",
     "q17_small_quantity",
     "q18_large_orders",
-    "q19_bracket_revenue",
-    "q22_dormant_customers",
-    "q2_min_price",
-    "q3_shipping_priority",
 ]
 
 

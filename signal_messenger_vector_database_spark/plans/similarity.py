@@ -25,6 +25,7 @@ from ..operators.dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
+    simhash_hamming_pairs,
 )
 from .registry import QuerySpec
 
@@ -872,4 +873,151 @@ SPECS["dedup_quality_keep"] = QuerySpec(
     _dedup_quality_keep,
     _dedup_quality_keep_sql(),
     "near-dup clusters keep the HIGHEST-quality representative (argmax aggregate, not lowest-id)",
+)
+
+
+# ---------------------------------------------------------------------------
+# SimHash Hamming-ball pairs (pigeonhole banding — exact, integer-only)
+
+
+# ham_max must scale with fingerprint width: the classic 64-bit SimHash
+# dedup threshold is d<=3 (95% bit agreement); the width-equivalent on the
+# 16-bit fixture fingerprint is d<=1 (94%).  d<=3 on 16 bits is only 81%
+# agreement and marks 30% of ALL pairs in this corpus "near-dup" —
+# measured: ham histogram at sf0.01 is {0: 1790, 1: 5516, 2: 11337,
+# 3: 18591, ...}, a saturated threshold, not a similarity signal.
+_SIMHASH_HAM_MAX = 1
+_SIMHASH_N_BANDS = 4  # >= ham_max+1 => banded recall is provably complete
+
+
+def _simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup completion for SimHash: all doc pairs with fingerprint
+    Hamming distance <= 3, via the pigeonhole band join (see
+    operators/dedup.py::simhash_hamming_pairs for the completeness proof
+    and the 100 TB geometry discussion — at scale the fingerprint widens
+    to 64 bits so each band keys 2^16 buckets; the 16-bit fixture
+    geometry is what the oracle replays).  Unlike every other similarity
+    verify in this module, the verdict is pure integer arithmetic
+    (bit_count of XOR) — no rounding seam exists at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = simhash(docs, id_col="doc_id", text_col="text")
+    return simhash_hamming_pairs(
+        fp,
+        id_col="doc_id",
+        fp_col="simhash",
+        ham_max=_SIMHASH_HAM_MAX,
+        n_bands=_SIMHASH_N_BANDS,
+    )
+
+
+def _simhash_hamming_pairs_sql() -> str:
+    width = SIMHASH_BITS // _SIMHASH_N_BANDS
+    mask = (1 << width) - 1
+    band_ids = ", ".join(str(b) for b in range(_SIMHASH_N_BANDS))
+    return f"""
+WITH fp AS ({_simhash_sql()}),
+bands AS (
+  SELECT doc_id, simhash, bb.band AS band,
+         (simhash >> (bb.band * {width})) & {mask} AS val
+  FROM fp, (SELECT unnest([{band_ids}]) AS band) bb
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.simhash AS fp_a, b.simhash AS fp_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(fp_a, fp_b)) <= {_SIMHASH_HAM_MAX}
+"""
+
+
+SPECS["simhash_hamming_pairs"] = QuerySpec(
+    _simhash_hamming_pairs,
+    _simhash_hamming_pairs_sql(),
+    "SimHash Hamming<=3 pairs via pigeonhole band join (exact recall, integer-only verify)",
+)
+
+
+# ---------------------------------------------------------------------------
+# k-NN graph, IVF-fenced (the SemDeDup/graph-dedup/hard-negative primitive)
+
+
+_KNN_K = 3
+
+
+def _knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector top-k neighbor list (a k-NN GRAPH, not a single-query
+    search): the substrate for SemDeDup-style pruning, graph-based dedup,
+    label propagation, and hard-negative mining.  Same coarse quantizer as
+    ann_ivf (8 seed centroids, oracle-replayable assignment); the pair
+    join is fenced INSIDE each cluster, so — as with semdedup — candidate
+    cost is sum over clusters of |c|^2 and stays bounded when the cluster
+    count k scales ~n/target_cluster_size with the corpus.  Top-k per
+    source is the standard rounded-sim window (ties broken by neighbor
+    id), the topk_per_group shape.  At 100 TB the within-cluster exact
+    cosine becomes the topk_pq_rerank composition (ADC shortlist, exact
+    re-rank); the graph shape — fenced candidates, per-source top-k — is
+    identical."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    assign = ivf_assign(emb, centroids)
+    v = emb.join(assign, "vec_id")
+    a = v.select(
+        F.col("vec_id").alias("src"), F.col("embedding").alias("va"), "cid"
+    )
+    b = v.select(
+        F.col("vec_id").alias("nbr"), F.col("embedding").alias("vb"), "cid"
+    )
+    sims = (
+        a.join(b, "cid")
+        .filter(F.col("src") != F.col("nbr"))
+        .select(
+            "src", "nbr", F.round(cosine_similarity("va", "vb"), 4).alias("sim")
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), F.col("nbr"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KNN_K)
+        .select("src", F.col("rk").cast("int").alias("rk"), "nbr", "sim")
+    )
+
+
+_knn_cos_ab = _SQL_COS.format(a="a.embedding", b="b.embedding")
+_KNN_GRAPH_IVF_SQL = f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+sims0 AS (
+  SELECT e.vec_id, c.cid, {_SQL_COS.format(a="e.embedding", b="c.cv")} AS csim
+  FROM embeddings e, c
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rk
+    FROM sims0
+  ) WHERE rk = 1
+),
+v AS (SELECT e.vec_id, e.embedding, s.cid FROM embeddings e JOIN assign s USING (vec_id)),
+cand AS (
+  SELECT a.vec_id AS src, b.vec_id AS nbr, ROUND({_knn_cos_ab}, 4) AS sim
+  FROM v a JOIN v b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+)
+SELECT src, CAST(rk AS INTEGER) AS rk, nbr, sim FROM (
+  SELECT src, nbr, sim,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, nbr) AS rk
+  FROM cand
+) WHERE rk <= {_KNN_K}
+"""
+
+
+SPECS["knn_graph_ivf"] = QuerySpec(
+    _knn_graph_ivf,
+    _KNN_GRAPH_IVF_SQL,
+    "IVF-fenced k-NN graph (top-3 neighbors per vector, cluster-bounded candidates)",
 )

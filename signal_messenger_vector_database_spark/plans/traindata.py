@@ -2008,3 +2008,81 @@ SPECS["dup_span_removal"] = QuerySpec(
     _dup_span_removal_sql(),
     "Lee et al. span removal: cut every duplicated span outside its owner doc, splice the cleaned text (pure relational islands + string_agg)",
 )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture weights (alpha = 1/2)
+
+
+def _mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling weights over domains, w_i ∝ size_i^alpha with
+    alpha = 1/2 — the standard multilingual/multi-domain rebalancing
+    (mT5-style; the saturating variant is token_budget_waterfill).  Domain
+    size is SUM(n_chars), the token proxy, so the weights are non-trivial
+    on this corpus (doc counts are uniform by construction).
+
+    alpha = 1/2 is chosen deliberately for the parity rules: size^0.5 =
+    sqrt(BIGINT) is CORRECTLY-ROUNDED IEEE — both engines produce the
+    bit-identical double, with no pow/exp/ln seam.  The normalizer Z =
+    sum of 20 sqrt doubles IS order-sensitive at the ulp level, so both
+    engines compute it as the running sum of an ORDER BY source window
+    and take MAX (weights are positive, the running sum is monotone) —
+    the token_budget_waterfill trick: engine independence at the
+    implementation level, one pinned addition order at the arithmetic
+    level.  The boost column (weight / natural share) is what a sampler
+    multiplies per-domain sampling rates by; boost > 1 up-samples small
+    domains.  The D-row window is driver-scale state (D = #domains),
+    never corpus-scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    sizes = docs.groupBy("source").agg(
+        F.sum("n_chars").alias("n_chars_tot"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    w = sizes.withColumn("w_raw", F.sqrt(F.col("n_chars_tot")))
+    win = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = w.withColumn("cum_w", F.sum("w_raw").over(win))
+    z = cum.agg(
+        F.max("cum_w").alias("z"),
+        F.sum("n_chars_tot").alias("tot"),  # integer: order-free exact
+    )
+    share = F.col("n_chars_tot").cast("double") / F.col("tot").cast("double")
+    weight = F.col("w_raw") / F.col("z")
+    return (
+        w.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            "n_chars_tot",
+            portable_round(weight, 4).alias("weight"),
+            portable_round(weight / share, 4).alias("boost"),
+        )
+    )
+
+
+_MIXTURE_TEMPERATURE_SQL = """
+WITH sizes AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n_chars_tot,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+w AS (SELECT *, sqrt(n_chars_tot) AS w_raw FROM sizes),
+cum AS (
+  SELECT *, SUM(w_raw) OVER (ORDER BY source
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w
+  FROM w
+),
+z AS (SELECT MAX(cum_w) AS z, CAST(SUM(n_chars_tot) AS BIGINT) AS tot FROM cum)
+SELECT source, n_docs, n_chars_tot,
+       FLOOR(w_raw / z.z * 10000 + 0.5) / 10000 AS weight,
+       FLOOR((w_raw / z.z) / (CAST(n_chars_tot AS DOUBLE) / CAST(z.tot AS DOUBLE))
+             * 10000 + 0.5) / 10000 AS boost
+FROM w, z
+"""
+
+SPECS["mixture_temperature"] = QuerySpec(
+    _mixture_temperature,
+    _MIXTURE_TEMPERATURE_SQL,
+    "alpha=1/2 temperature mixture weights over domain token mass (pinned-order normalizer)",
+)
