@@ -58,6 +58,8 @@ HEADLINE = [
     # added r8 (same caveat)
     "dup_substring_spans",
     "topk_pq_rerank",
+    "simhash_hamming_pairs",
+    "knn_graph_ivf",
 ]
 
 

@@ -78,6 +78,7 @@ _WINDOW = [
     "knn_graph_ivf",
     "rollup_incremental",
     "mixture_temperature",
+    "epoch_repeat_plan",
     # -- staleness rotation (oldest driver-green first: r1 era ...) --
     "lang_id",
     "multimodal_metadata",
@@ -111,7 +112,6 @@ _WINDOW = [
     "q15_top_supplier",
     "q16_supplier_variety",
     "q17_small_quantity",
-    "q18_large_orders",
 ]
 
 

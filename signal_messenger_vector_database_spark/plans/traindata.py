@@ -2086,3 +2086,56 @@ SPECS["mixture_temperature"] = QuerySpec(
     _MIXTURE_TEMPERATURE_SQL,
     "alpha=1/2 temperature mixture weights over domain token mass (pinned-order normalizer)",
 )
+
+
+def _epoch_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the temperature mixture into per-document REPEAT
+    factors — the step a sampler actually executes.  Domain i's boost
+    (weight_i / natural share, from mixture_temperature) is split into
+    floor(boost) guaranteed epochs plus a fractional epoch realized by
+    the deterministic md5 bucket coin every sampling op in this module
+    uses (domain_mixture, train_test_split): doc repeats
+    floor(boost) + [bucket < frac * 65536] times.  Per-domain realized
+    mass then tracks boost * n_docs to within binomial noise while the
+    whole plan stays reproducible bit-for-bit — shuffle-free sampling: a
+    20-row broadcast join + per-row arithmetic, no corpus shuffle at
+    all.  Unused repeats at 0 are retained (n_repeats = 0 rows document
+    the down-sampled domains explicitly)."""
+    docs = load_table(spark, sf_dir, "documents")
+    mix = _mixture_temperature(spark, sf_dir).select("source", "boost")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+    )
+    frac = F.col("boost") - F.floor(F.col("boost"))
+    return (
+        docs.select("doc_id", "source", bucket.alias("bucket"))
+        .join(F.broadcast(mix), "source")
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.floor(F.col("boost")).cast("long")
+                + (F.col("bucket") < frac * 65536).cast("long")
+            ).alias("n_repeats"),
+        )
+    )
+
+
+_EPOCH_REPEAT_SQL = f"""
+WITH mix AS ({_MIXTURE_TEMPERATURE_SQL}),
+d AS (
+  SELECT doc_id, source, {_SQL_HEX4_MD5} AS bucket FROM documents
+)
+SELECT d.doc_id, d.source,
+       CAST(FLOOR(m.boost) AS BIGINT)
+         + CASE WHEN d.bucket < (m.boost - FLOOR(m.boost)) * 65536
+                THEN 1 ELSE 0 END AS n_repeats
+FROM d JOIN mix m ON d.source = m.source
+"""
+
+SPECS["epoch_repeat_plan"] = QuerySpec(
+    _epoch_repeat_plan,
+    _EPOCH_REPEAT_SQL,
+    "temperature mixture materialized as deterministic per-doc repeat factors (floor + md5-coin fraction)",
+)

@@ -210,3 +210,47 @@ def test_mixture_temperature_invariants(spark):
         assert small.boost >= big.boost
     # temperature up-samples the smallest domain, down-samples the largest
     assert ordered[0].boost > 1.0 > ordered[-1].boost
+
+
+# ---------------------------------------------------------------------------
+# epoch_repeat_plan
+
+
+def test_epoch_repeat_realizes_boost(spark):
+    """Per doc, n_repeats is floor(boost) or floor(boost)+1; per domain,
+    the realized mass sits within binomial noise of boost * n_docs; and
+    the plan is shuffle-free sampling (broadcast join only)."""
+    from signal_messenger_vector_database_spark.plans.traindata import (
+        _epoch_repeat_plan,
+        _mixture_temperature,
+    )
+    import math
+
+    boosts = {r.source: r.boost for r in _mixture_temperature(spark, SF).collect()}
+    rows = _epoch_repeat_plan(spark, SF).collect()
+    assert len(rows) == 500
+    per_domain: dict[str, list] = {}
+    for r in rows:
+        b = boosts[r.source]
+        assert r.n_repeats in (math.floor(b), math.floor(b) + 1)
+        per_domain.setdefault(r.source, []).append(r.n_repeats)
+    for src, reps in per_domain.items():
+        want = boosts[src] * len(reps)
+        # 4-sigma binomial bound on the fractional coin
+        tol = 4 * math.sqrt(len(reps) * 0.25) + 1
+        assert abs(sum(reps) - want) <= tol, (src, sum(reps), want)
+
+
+def test_epoch_repeat_plan_is_broadcast_only(spark):
+    from signal_messenger_vector_database_spark.plans.traindata import (
+        _epoch_repeat_plan,
+    )
+
+    plan = (
+        _epoch_repeat_plan(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -69,6 +69,8 @@ COMMENTARY = {
     "topk_pq_rerank": "Two-stage retrieval (r8): the ADC shortlist is a TakeOrderedAndProject over the 8-byte codes (literal LUT, no per-query join), then ONLY the 100 shortlist vectors re-join the full-precision table (broadcast) for exact cosine re-rank — corpus-size-independent second stage (probe: 1.4x at 16x).",
     "dedup_quality_keep": "Quality-aware dedup completion (r8): minhash-LSH pairs -> iterative connected components -> per-cluster argmax via min_by over the (-quality, doc_id) struct — a partial-aggregated groupBy on cluster, never a corpus window; singletons coalesce to their own cluster through the left join. Probe: 3.9x at 16x, inherited from the probed pair/component stages.",
     "token_budget_waterfill": "UniMax water-filling in closed form (r8): the corpus collapses to D domain rows FIRST (partial-aggregated token sum), then saturation is an exact-integer inequality over a running window and the water level one expression over two D-row windows — single-partition window state is the domain vocabulary, the kmeans-codebook scale pattern. Probe: 2.6x at 16x.",
+    "simhash_hamming_pairs": "Hamming-ball dedup completion (r8 second batch): candidates from the (band, band_value) equi-join — pigeonhole-complete for d<=ham_max when bands > ham_max — then an integer-only bit_count(XOR) verify; no floating point exists in this plan at all. The scan->explode->join chain shuffles on the band key; bucket population is n/2^band_width, so the production geometry widens the fingerprint with the corpus (4x16 bands at 64-bit = 65k buckets/band) — geometry is a caller knob, exactly like lsh_geometry.",
+    "knn_graph_ivf": "k-NN GRAPH (r8 second batch): one broadcast centroid argmin assigns every vector (min_by partial aggregation — no window), the pair join is fenced on the cluster id, and top-3 per source is a bounded window over ~cluster-sized groups. Candidate volume is sum(|c|^2) — bounded at scale by growing k ~ n/target (the semdedup rule); within the fence the graph is EXACT (tested against brute force).",
 }
 
 

@@ -133,6 +133,23 @@ PROBES_WAVE8 = [
     "dup_span_removal",
 ]
 
+# ninth wave: r8 second-batch additions.  simhash_hamming_pairs is the
+# one to watch: its (band, val) equi-key has FIXED cardinality (16
+# values/band at the fixture's 4x4 geometry), so by the audit rule its
+# candidate volume grows ~n^2/16 — the measurement documents the
+# fixture geometry's ceiling; the production answer is widening the
+# fingerprint (64-bit -> 65k buckets/band), not a different algorithm.
+# knn_graph_ivf is cluster-fenced with FIXED k=8 at fixture geometry —
+# also expected super-linear here, bounded at scale by k ~ n/target
+# (the semdedup scaling rule).  rollup_incremental / mixture_temperature
+# are plain aggregates, expected linear/flat.
+PROBES_WAVE9 = [
+    "simhash_hamming_pairs",
+    "knn_graph_ivf",
+    "rollup_incremental",
+    "mixture_temperature",
+]
+
 # sixth wave: stateful Structured Streaming drains (AvailableNow over
 # the replicated events directory; slower — each query builds a
 # checkpoint).  First run of this wave caught the glob-arm silent empty
@@ -327,6 +344,7 @@ def main() -> None:
         "6": PROBES_WAVE6,
         "7": PROBES_WAVE7,
         "8": PROBES_WAVE8,
+        "9": PROBES_WAVE9,
     }
     probes = PROBES
     for a in sys.argv[1:]:
