@@ -203,36 +203,58 @@ SIMHASH_BITS = 16
 _HEX = "0123456789abcdef"
 
 
-def _hex4_to_int(h: Column) -> Column:
-    """First 4 hex chars of an md5 -> int in [0, 65536).  Pure arithmetic
-    (instr on a hex alphabet) so Spark and DuckDB evaluate identically."""
-    val = F.lit(0)
-    for pos, weight in ((1, 4096), (2, 256), (3, 16), (4, 1)):
-        val = val + (F.instr(F.lit(_HEX), F.substring(h, pos, 1)) - 1) * weight
+def _hex_to_int(h: Column, n_chars: int = 4) -> Column:
+    """First ``n_chars`` hex chars of an md5 -> int in [0, 16^n_chars).
+    Pure arithmetic (instr on a hex alphabet) so Spark and DuckDB
+    evaluate identically.  n_chars <= 15 keeps the value in a long."""
+    val = F.lit(0).cast("long")
+    for pos in range(1, n_chars + 1):
+        weight = 16 ** (n_chars - pos)
+        # long arithmetic: at n_chars=8 the top weight is 16^7 ≈ 2.7e8 and
+        # digit*weight tops 4e9 — an int32 ANSI overflow (hit at first run)
+        val = val + (F.instr(F.lit(_HEX), F.substring(h, pos, 1)) - 1).cast(
+            "long"
+        ) * F.lit(weight).cast("long")
     return val
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """16-bit SimHash over the distinct words of the normalized text:
-    per word, a 16-bit md5-derived hash votes +1/-1 on each bit position;
-    fingerprint bit b is set iff the sum is positive."""
+def _hex4_to_int(h: Column) -> Column:
+    return _hex_to_int(h, 4)
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """SimHash over the distinct words of the normalized text: per word,
+    a ``bits``-wide md5-derived hash votes +1/-1 on each bit position;
+    fingerprint bit b is set iff the sum is positive.  Default 16 bits
+    (the oracle-pinned fixture geometry); ``bits`` widens the
+    fingerprint for corpus-sized Hamming banding (simhash_hamming_pairs'
+    bucket population is n / 2^(bits/n_bands), so bits is the knob that
+    keeps the candidate join linear as n grows).  bits must be a
+    multiple of 4 (whole hex chars) and <= 60 (long-safe)."""
+    if bits % 4 or not 0 < bits <= 60:
+        raise ValueError(f"bits must be a multiple of 4 in (0, 60], got {bits}")
     words = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(normalized_text(text_col), " "))).alias("w"),
     )
-    hv = _hex4_to_int(F.md5(F.col("w")))
+    hv = _hex_to_int(F.md5(F.col("w")), bits // 4)
     bit_sums = [
         F.sum(
             F.when((F.floor(hv / F.lit(2**b)) % 2) == 1, 1).otherwise(-1)
         ).alias(f"s{b}")
-        for b in range(SIMHASH_BITS)
+        for b in range(bits)
     ]
     sums = words.groupBy(id_col).agg(*bit_sums)
     fp = None
-    for b in range(SIMHASH_BITS):
+    for b in range(bits):
         term = F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
-    return sums.select(F.col(id_col), fp.cast("int").alias("simhash"))
+    # int for the classic 16-bit geometry (oracle-pinned schema); wider
+    # fingerprints don't fit int32 and carry long
+    out_type = "int" if bits <= 31 else "long"
+    return sums.select(F.col(id_col), fp.cast(out_type).alias("simhash"))
 
 
 def simhash_hamming_pairs(

@@ -75,6 +75,7 @@ _WINDOW = [
     "incremental_span_novelty",
     "dup_span_removal",
     "simhash_hamming_pairs",
+    "simhash_hamming_pairs_w32",
     "knn_graph_ivf",
     "rollup_incremental",
     "mixture_temperature",
@@ -111,7 +112,6 @@ _WINDOW = [
     "q14_promo_effect",
     "q15_top_supplier",
     "q16_supplier_variety",
-    "q17_small_quantity",
 ]
 
 

@@ -147,30 +147,38 @@ def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs, id_col="doc_id", text_col="text")
 
 
-def _sql_hex4(expr: str) -> str:
+def _sql_hexn(expr: str, n_chars: int = 4) -> str:
     terms = [
-        f"(instr('0123456789abcdef', substr({expr}, {pos}, 1)) - 1) * {weight}"
-        for pos, weight in ((1, 4096), (2, 256), (3, 16), (4, 1))
+        f"(instr('0123456789abcdef', substr({expr}, {pos}, 1)) - 1) * {16 ** (n_chars - pos)}"
+        for pos in range(1, n_chars + 1)
     ]
     return "(" + " + ".join(terms) + ")"
 
 
-def _simhash_sql() -> str:
+def _sql_hex4(expr: str) -> str:
+    return _sql_hexn(expr, 4)
+
+
+def _simhash_sql(bits: int = SIMHASH_BITS) -> str:
+    """Twin of operators/dedup.py::simhash at any fingerprint width
+    (INTEGER output at the classic 16-bit geometry, BIGINT when wider —
+    matching the Spark side's int/long switch)."""
     norm = _SQL_NORM.format(c="text")
     bit_sums = ", ".join(
         f"SUM(CASE WHEN CAST(floor(hv / {2**b}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
-        for b in range(SIMHASH_BITS)
+        for b in range(bits)
     )
     fp = " + ".join(
-        f"(CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+        f"(CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(bits)
     )
+    out_type = "INTEGER" if bits <= 31 else "BIGINT"
     return f"""
 WITH w AS (
   SELECT doc_id, unnest(list_distinct(string_split({norm}, ' '))) AS w FROM documents
 ),
-h AS (SELECT doc_id, {_sql_hex4("md5(w)")} AS hv FROM w),
+h AS (SELECT doc_id, {_sql_hexn("md5(w)", bits // 4)} AS hv FROM w),
 s AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
-SELECT doc_id, CAST({fp} AS INTEGER) AS simhash FROM s
+SELECT doc_id, CAST({fp} AS {out_type}) AS simhash FROM s
 """
 
 
@@ -890,32 +898,56 @@ _SIMHASH_HAM_MAX = 1
 _SIMHASH_N_BANDS = 4  # >= ham_max+1 => banded recall is provably complete
 
 
-def _simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup completion for SimHash: all doc pairs with fingerprint
-    Hamming distance <= 3, via the pigeonhole band join (see
-    operators/dedup.py::simhash_hamming_pairs for the completeness proof
-    and the 100 TB geometry discussion — at scale the fingerprint widens
-    to 64 bits so each band keys 2^16 buckets; the 16-bit fixture
-    geometry is what the oracle replays).  Unlike every other similarity
-    verify in this module, the verdict is pure integer arithmetic
-    (bit_count of XOR) — no rounding seam exists at all."""
+def _simhash_hamming_pairs_with(
+    spark: SparkSession, sf_dir: str, bits: int, ham_max: int
+) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    fp = simhash(docs, id_col="doc_id", text_col="text")
+    fp = simhash(docs, id_col="doc_id", text_col="text", bits=bits)
     return simhash_hamming_pairs(
         fp,
         id_col="doc_id",
         fp_col="simhash",
-        ham_max=_SIMHASH_HAM_MAX,
+        ham_max=ham_max,
         n_bands=_SIMHASH_N_BANDS,
+        fp_bits=bits,
     )
 
 
-def _simhash_hamming_pairs_sql() -> str:
-    width = SIMHASH_BITS // _SIMHASH_N_BANDS
+def _simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup completion for SimHash: all doc pairs with fingerprint
+    Hamming distance <= 1, via the pigeonhole band join (see
+    operators/dedup.py::simhash_hamming_pairs for the completeness proof
+    and the 100 TB geometry discussion).  This entry pins the CLASSIC
+    16-bit fixture geometry the r1 `simhash` query emits; its wave-9
+    probe point (2.0/24/180 s at 1x/4x/16x — quadratic) is the measured
+    cost of a fingerprint that does NOT grow with the corpus, and
+    `simhash_hamming_pairs_w32` is the same operator at the next
+    geometry rung (32-bit, 256 buckets/band) demonstrating the fix.
+    Unlike every other similarity verify in this module, the verdict is
+    pure integer arithmetic (bit_count of XOR) — no rounding seam
+    exists at all."""
+    return _simhash_hamming_pairs_with(
+        spark, sf_dir, SIMHASH_BITS, _SIMHASH_HAM_MAX
+    )
+
+
+def _simhash_hamming_pairs_w32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The geometry-scaled twin: 32-bit fingerprint, same 4 bands (so
+    2^8 = 256 bucket values per band vs 16) — the knob the operator's
+    scale audit prescribes, measured against the 16-bit entry in the
+    wave-9 probe.  Same d<=1 threshold: on a wider fingerprint the same
+    d is a STRICTER similarity bar (96.9% vs 93.8% bit agreement), which
+    is the correct direction — at production 64-bit, d<=3 is the classic
+    Google-crawl setting."""
+    return _simhash_hamming_pairs_with(spark, sf_dir, 32, _SIMHASH_HAM_MAX)
+
+
+def _simhash_hamming_pairs_sql(bits: int = SIMHASH_BITS) -> str:
+    width = bits // _SIMHASH_N_BANDS
     mask = (1 << width) - 1
     band_ids = ", ".join(str(b) for b in range(_SIMHASH_N_BANDS))
     return f"""
-WITH fp AS ({_simhash_sql()}),
+WITH fp AS ({_simhash_sql(bits)}),
 bands AS (
   SELECT doc_id, simhash, bb.band AS band,
          (simhash >> (bb.band * {width})) & {mask} AS val
@@ -936,7 +968,13 @@ WHERE bit_count(xor(fp_a, fp_b)) <= {_SIMHASH_HAM_MAX}
 SPECS["simhash_hamming_pairs"] = QuerySpec(
     _simhash_hamming_pairs,
     _simhash_hamming_pairs_sql(),
-    "SimHash Hamming<=3 pairs via pigeonhole band join (exact recall, integer-only verify)",
+    "SimHash Hamming<=1 pairs via pigeonhole band join (exact recall, integer-only verify)",
+)
+
+SPECS["simhash_hamming_pairs_w32"] = QuerySpec(
+    _simhash_hamming_pairs_w32,
+    _simhash_hamming_pairs_sql(32),
+    "the geometry-scaled twin: 32-bit fingerprint, 256 buckets/band — the corpus-growth knob, measured",
 )
 
 
@@ -959,9 +997,25 @@ def _knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     id), the topk_per_group shape.  At 100 TB the within-cluster exact
     cosine becomes the topk_pq_rerank composition (ADC shortlist, exact
     re-rank); the graph shape — fenced candidates, per-source top-k — is
-    identical."""
+    identical.
+
+    The cluster count scales with the corpus, k = max(8, n/125) — the
+    semdedup rule: the pair join is quadratic in CLUSTER SIZE, so a
+    fixed k re-grows the all-pairs blow-up (wave-9 probe, fixed k=8:
+    7.6 / 74 / 650 s at 1x/4x/16x — quadratic; scaled k re-measured in
+    SCALING.md).  n comes from parquet footer metadata (plan
+    construction stays job-free); the oracle derives the same k from
+    COUNT(*) as a scalar subquery.  Seeded Voronoi cells (vec_id < k)
+    are unbalanced vs trained kmeans — mean size is pinned at ~125 but
+    the tail cell can run a small multiple of that; at production scale
+    use the trained codebook (semdedup's kmeans_fit) when cell-size
+    variance matters."""
+    from ..io.sources import parquet_row_count
+
+    n = parquet_row_count(sf_dir, "embeddings")
+    k = max(8, n // 125)
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") < 8).select(
+    centroids = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
     assign = ivf_assign(emb, centroids)
@@ -991,7 +1045,8 @@ def _knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _knn_cos_ab = _SQL_COS.format(a="a.embedding", b="b.embedding")
 _KNN_GRAPH_IVF_SQL = f"""
-WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+           WHERE vec_id < (SELECT GREATEST(8, COUNT(*) // 125) FROM embeddings)),
 sims0 AS (
   SELECT e.vec_id, c.cid, {_SQL_COS.format(a="e.embedding", b="c.cv")} AS csim
   FROM embeddings e, c

@@ -254,3 +254,41 @@ def test_epoch_repeat_plan_is_broadcast_only(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_simhash_banding_complete_at_wide_geometry(spark):
+    """Same completeness proof at the 32-bit geometry (256 buckets/band):
+    widening the fingerprint changes the bucket key cardinality, not the
+    pigeonhole guarantee."""
+    from signal_messenger_vector_database_spark.operators.dedup import (
+        simhash,
+        simhash_hamming_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(120)
+    fp = simhash(docs, id_col="doc_id", text_col="text", bits=32).cache()
+    banded = simhash_hamming_pairs(fp, ham_max=1, n_bands=4, fp_bits=32)
+    a, b = fp.alias("a"), fp.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int")
+    brute = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 1)
+    )
+    got = {(r.id_a, r.id_b, r.hamming) for r in banded.collect()}
+    want = {(r.id_a, r.id_b, r.hamming) for r in brute.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_simhash_rejects_bad_bit_widths(spark):
+    from signal_messenger_vector_database_spark.operators.dedup import simhash
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(5)
+    with pytest.raises(ValueError, match="multiple of 4"):
+        simhash(docs, id_col="doc_id", text_col="text", bits=30)
+    with pytest.raises(ValueError, match="multiple of 4"):
+        simhash(docs, id_col="doc_id", text_col="text", bits=64)

@@ -145,9 +145,11 @@ PROBES_WAVE8 = [
 # are plain aggregates, expected linear/flat.
 PROBES_WAVE9 = [
     "simhash_hamming_pairs",
+    "simhash_hamming_pairs_w32",
     "knn_graph_ivf",
     "rollup_incremental",
     "mixture_temperature",
+    "epoch_repeat_plan",
 ]
 
 # sixth wave: stateful Structured Streaming drains (AvailableNow over
