@@ -60,6 +60,7 @@ HEADLINE = [
     "topk_pq_rerank",
     "simhash_hamming_pairs",
     "knn_graph_ivf",
+    "ann_recall_at_k",
 ]
 
 

@@ -35,6 +35,7 @@ _MODULES = (
     "scale_queries",
     "formats",
     "retrieval",
+    "retrieval_eval",
     "stats",
     "graph",
 )
@@ -80,6 +81,9 @@ _WINDOW = [
     "rollup_incremental",
     "mixture_temperature",
     "epoch_repeat_plan",
+    "ann_recall_at_k",
+    "hard_negative_mining",
+    "vocab_coverage",
     # -- staleness rotation (oldest driver-green first: r1 era ...) --
     "lang_id",
     "multimodal_metadata",
@@ -109,9 +113,6 @@ _WINDOW = [
     "q10_returned_items",
     "q11_value_share",
     "q13_order_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_supplier_variety",
 ]
 
 

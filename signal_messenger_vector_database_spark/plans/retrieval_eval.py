@@ -1,0 +1,244 @@
+"""Retrieval-quality evaluation queries: measured ANN recall and
+hard-negative mining.
+
+The ANN ladder (topk_cosine -> ann_ivf -> topk_pq_adc -> topk_ivf_pq ->
+topk_pq_rerank) gives the *mechanisms* that survive 100 TB; these queries
+add the *measurement* a production vector store runs continuously:
+
+- ``ann_recall_at_k`` — per-query recall@10 of the IVF nprobe=1 path
+  against exact brute-force ground truth over a fixed anchor sample.
+  This is the metric every ANN deployment dashboards (the reference
+  declares pgvector similarity search at src/rag/sqlx.rs:22-42 without
+  ever measuring it; SCALING.md's LSH recall sweep measures our LSH arm
+  offline — this puts the IVF arm's recall IN the catalog, oracle-paired).
+- ``hard_negative_mining`` — per-anchor top-5 similar-but-not-near-dup
+  candidates fenced inside the anchor's IVF cluster: the contrastive-
+  training data op (mine negatives that are hard enough to teach the
+  model but below the near-dup bar so they are true negatives).
+
+Scale design, explicitly:
+
+- The anchor set is a FIXED-size sample (``vec_id % 100 = 7 AND
+  vec_id < 2000`` — at most 20 anchors at any corpus size), so the exact
+  ground-truth arm is O(n * |Q|), linear in the corpus: this is how real
+  systems compute ANN ground truth too (a frozen query sample, never
+  all-pairs).
+- The exact arm's per-anchor top-10 uses the TWO-PHASE top-k: phase 1
+  keeps each scan partition's local top-10 per anchor (window over
+  (qid, partition), bounded partitions), phase 2 merges only
+  10 * n_partitions rows per anchor.  A single window over qid would
+  shuffle all n rows into |Q| partitions — the classic top-k skew.
+  Correctness is partition-invariant: the global top-10 is a subset of
+  the union of per-partition top-10s for ANY partitioning, so the
+  nondeterministic partition id never reaches the result.
+- The approx arm and the miner touch only the anchor's cluster
+  (~125 rows under the k = max(8, n/125) rule shared with knn_graph_ivf
+  and semdedup; n from parquet footers, plan construction stays
+  job-free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import portable_round
+from ..functions.vector import cosine_similarity
+from ..io.sources import load_table, parquet_row_count
+from ..operators.ann import ivf_assign
+from .registry import QuerySpec
+from .similarity import _SQL_COS
+
+_RECALL_K = 10
+_HARDNEG_K = 5
+# Hard-negative band: similar enough to be hard (>= 0.10 on a corpus
+# whose cosine mass sits in [-0.3, 0.35]) but strictly below the
+# corpus's near-dup threshold (0.35, similarity.py) with margin — a
+# mined "negative" that is secretly a duplicate would poison the loss.
+_HARDNEG_LO = 0.10
+_HARDNEG_HI = 0.30
+
+_ANCHOR_PRED = "vec_id % 100 = 7 AND vec_id < 2000"
+
+
+def _ivf_pieces(spark: SparkSession, sf_dir: str):
+    """Shared build: (embeddings, anchors, assignment, anchor-cluster
+    candidates scored by rounded cosine).  Candidates are fenced inside
+    the anchor's cluster (nprobe=1) and exclude the anchor itself."""
+    n = parquet_row_count(sf_dir, "embeddings")
+    kc = max(8, n // 125)
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < kc).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    assign = ivf_assign(emb, centroids)
+    anchors = emb.filter(F.expr(_ANCHOR_PRED)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    qassign = (
+        assign.withColumnRenamed("vec_id", "qid")
+        .join(anchors, "qid")
+        .select("qid", F.col("cid").alias("qcid"), "qv")
+    )
+    cand = (
+        emb.join(assign, "vec_id")
+        .join(F.broadcast(qassign), F.col("cid") == F.col("qcid"))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            portable_round(cosine_similarity("embedding", "qv"), 4).alias("sim"),
+        )
+    )
+    return emb, anchors, cand
+
+
+def _ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, anchors, cand = _ivf_pieces(spark, sf_dir)
+
+    # exact ground truth: two-phase top-10 per anchor (see module doc)
+    scored = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            portable_round(cosine_similarity("embedding", "qv"), 4).alias("sim"),
+        )
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w1 = Window.partitionBy("qid", "pid").orderBy(F.desc("sim"), "vec_id")
+    local = (
+        scored.withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") <= _RECALL_K)
+        .drop("pid", "rk")
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
+    exact = (
+        local.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= _RECALL_K)
+        .select("qid", "vec_id")
+    )
+
+    wa = Window.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
+    approx = (
+        cand.withColumn("rk", F.row_number().over(wa))
+        .filter(F.col("rk") <= _RECALL_K)
+        .select("qid", "vec_id")
+    )
+
+    hits = approx.join(exact, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        anchors.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.lit(float(_RECALL_K))
+            ).alias("recall"),
+        )
+    )
+
+
+_COS_EA = _SQL_COS.format(a="e.embedding", b="a.qv")
+_COS_EC = _SQL_COS.format(a="e.embedding", b="c.cv")
+
+# Shared oracle CTE prefix: corpus-scaled centroids, assignment, anchors,
+# anchor-cluster candidates with rounded cosine — the DuckDB twin of
+# _ivf_pieces (same k rule as knn_graph_ivf's oracle).
+_IVF_PIECES_CTE = f"""
+c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      WHERE vec_id < (SELECT GREATEST(8, COUNT(*) // 125) FROM embeddings)),
+sims0 AS (
+  SELECT e.vec_id, c.cid, {_COS_EC} AS csim FROM embeddings e, c
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rk
+    FROM sims0
+  ) WHERE rk = 1
+),
+anchors AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+            WHERE {_ANCHOR_PRED}),
+qa AS (SELECT a.qid, s.cid AS qcid, a.qv
+       FROM anchors a JOIN assign s ON a.qid = s.vec_id),
+cand AS (
+  SELECT qa.qid, e.vec_id,
+         FLOOR(({_SQL_COS.format(a="e.embedding", b="qa.qv")}) * 10000 + 0.5) / 10000 AS sim
+  FROM embeddings e
+  JOIN assign s ON e.vec_id = s.vec_id
+  JOIN qa ON s.cid = qa.qcid AND e.vec_id <> qa.qid
+)
+"""
+
+_ANN_RECALL_SQL = f"""
+WITH {_IVF_PIECES_CTE},
+exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT a.qid, e.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.qid
+             ORDER BY FLOOR(({_COS_EA}) * 10000 + 0.5) / 10000 DESC, e.vec_id
+           ) AS rk
+    FROM embeddings e JOIN anchors a ON e.vec_id <> a.qid
+  ) WHERE rk <= {_RECALL_K}
+),
+approx AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+    FROM cand
+  ) WHERE rk <= {_RECALL_K}
+),
+hits AS (
+  SELECT qid, COUNT(*) AS n_hits
+  FROM approx JOIN exact USING (qid, vec_id) GROUP BY qid
+)
+SELECT a.qid,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {float(_RECALL_K)} AS recall
+FROM anchors a LEFT JOIN hits h ON a.qid = h.qid
+"""
+
+
+def _hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, _, cand = _ivf_pieces(spark, sf_dir)
+    banded = cand.filter(
+        (F.col("sim") >= _HARDNEG_LO) & (F.col("sim") < _HARDNEG_HI)
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
+    return (
+        banded.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _HARDNEG_K)
+        .select("qid", F.col("vec_id").alias("neg_id"), "sim")
+    )
+
+
+_HARDNEG_SQL = f"""
+WITH {_IVF_PIECES_CTE}
+SELECT qid, vec_id AS neg_id, sim FROM (
+  SELECT qid, vec_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+  FROM cand
+  WHERE sim >= {_HARDNEG_LO} AND sim < {_HARDNEG_HI}
+) WHERE rk <= {_HARDNEG_K}
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "ann_recall_at_k": QuerySpec(
+        _ann_recall_at_k,
+        _ANN_RECALL_SQL,
+        "measured recall@10 of the IVF nprobe=1 path vs exact ground truth over a fixed anchor sample",
+    ),
+    "hard_negative_mining": QuerySpec(
+        _hard_negative_mining,
+        _HARDNEG_SQL,
+        "contrastive hard negatives: top-5 in-cluster candidates in the [0.10, 0.30) similarity band",
+    ),
+}

@@ -463,3 +463,80 @@ SPECS["collocations_pmi"] = QuerySpec(
     _COLLOCATIONS_SQL,
     "top-20 PMI collocations over adjacent word pairs (phrase mining)",
 )
+
+
+# --- vocabulary coverage / OOV rate (tokenizer-fit metric) ----------------
+# The train-side complement of bpe_train: given a tokenizer vocabulary,
+# what fraction of each document's tokens fall outside it?  OOV rate is
+# the metric that decides whether a tokenizer needs retraining on a new
+# corpus and which documents a fixed-vocab model will mangle.  Scale
+# shape: token counts partial-aggregate map-side (shuffle is |vocab|,
+# not |tokens|); the vocabulary itself is a top-V over the |vocab|-row
+# aggregate (the single-partition rank touches |vocab| rows, never the
+# corpus) and joins back as a BROADCAST dimension, so the per-doc pass
+# is one scan + one map-side join + one groupBy(doc_id).  V=20 exercises
+# both arms on the 31-word fixture vocabulary; production V (~50k for a
+# BPE vocab) changes only the broadcast size.
+
+_VOCAB_V = 20
+
+
+def _vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import whitespace_words
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(whitespace_words(F.lower(F.col("text")))).alias("word"),
+    )
+    wf = word_frequencies(docs, "text")
+    rk = Window.orderBy(F.desc("freq"), "word")
+    vocab = (
+        wf.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= _VOCAB_V)
+        .select("word", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_oov").cast("long").alias("n_oov"),
+            (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
+        )
+    )
+
+
+_VOCAB_COVERAGE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_WORDS_LOWER.format(c="text")}) AS word FROM documents
+),
+vocab AS (
+  SELECT word FROM (
+    SELECT word, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word) AS rk
+    FROM toks GROUP BY word
+  ) WHERE rk <= {_VOCAB_V}
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.word = v.word
+GROUP BY t.doc_id
+"""
+
+SPECS["vocab_coverage"] = QuerySpec(
+    _vocab_coverage,
+    _VOCAB_COVERAGE_SQL,
+    "per-doc OOV rate against the top-V corpus vocabulary (tokenizer-fit metric)",
+)

@@ -1,0 +1,163 @@
+"""Invariant tests for the retrieval-evaluation queries (ann_recall_at_k,
+hard_negative_mining) and vocab_coverage.  Oracle equivalence is covered by
+tools/oracle_check at all three fixture scales; these pin the structural
+properties the oracle compare cannot see: partition-invariance of the
+two-phase exact top-k, the similarity band + fence of the mined negatives,
+and the coverage accounting identity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ann_recall_two_phase_topk_is_partition_invariant(spark):
+    """The exact arm keeps per-partition local top-10s before the global
+    merge, so ``spark_partition_id()`` appears in the plan — the result
+    must nonetheless be independent of the physical layout.  Replaying the
+    whole query under a different shuffle width must give identical rows."""
+    from signal_messenger_vector_database_spark.plans.retrieval_eval import (
+        _ann_recall_at_k,
+    )
+
+    base = {tuple(r) for r in _ann_recall_at_k(spark, SF).collect()}
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        narrow = {tuple(r) for r in _ann_recall_at_k(spark, SF).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert base == narrow and len(base) > 0
+
+
+def test_ann_recall_exact_arm_matches_single_window_topk(spark):
+    """The two-phase (local top-k per partition, then merge) exact ground
+    truth must equal the naive single-window top-k — the optimization is
+    a physical rewrite, not a semantic one."""
+    from pyspark.sql import Window
+
+    from signal_messenger_vector_database_spark.functions.text import (
+        portable_round,
+    )
+    from signal_messenger_vector_database_spark.functions.vector import (
+        cosine_similarity,
+    )
+    from signal_messenger_vector_database_spark.io.sources import load_table
+    from signal_messenger_vector_database_spark.plans.retrieval_eval import (
+        _ANCHOR_PRED,
+        _RECALL_K,
+        _ivf_pieces,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    anchors = emb.filter(F.expr(_ANCHOR_PRED)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            portable_round(cosine_similarity("embedding", "qv"), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
+    naive = {
+        (r.qid, r.vec_id)
+        for r in scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _RECALL_K)
+        .select("qid", "vec_id")
+        .collect()
+    }
+
+    # re-derive the two-phase exact set exactly as the query builds it
+    scored2 = scored.withColumn("pid", F.spark_partition_id())
+    w1 = Window.partitionBy("qid", "pid").orderBy(F.desc("sim"), "vec_id")
+    local = (
+        scored2.withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") <= _RECALL_K)
+        .drop("pid", "rk")
+    )
+    two_phase = {
+        (r.qid, r.vec_id)
+        for r in local.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _RECALL_K)
+        .select("qid", "vec_id")
+        .collect()
+    }
+    assert naive == two_phase
+
+    # sanity: the pieces builder agrees on the anchor set
+    _, a2, _ = _ivf_pieces(spark, SF)
+    assert {r.qid for r in a2.collect()} == {q for q, _ in naive}
+
+
+def test_hard_negatives_live_in_band_and_fence(spark):
+    """Every mined negative sits inside [LO, HI) — below the near-dup bar
+    with margin, above the too-easy floor — comes from the anchor's own
+    IVF cluster, never the anchor itself, at most K per anchor."""
+    from signal_messenger_vector_database_spark.io.sources import (
+        load_table,
+        parquet_row_count,
+    )
+    from signal_messenger_vector_database_spark.operators.ann import ivf_assign
+    from signal_messenger_vector_database_spark.plans.retrieval_eval import (
+        _HARDNEG_HI,
+        _HARDNEG_K,
+        _HARDNEG_LO,
+        _hard_negative_mining,
+    )
+
+    rows = _hard_negative_mining(spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert _HARDNEG_LO <= r.sim < _HARDNEG_HI
+        assert r.neg_id != r.qid
+    from collections import Counter
+
+    per_anchor = Counter(r.qid for r in rows)
+    assert max(per_anchor.values()) <= _HARDNEG_K
+
+    n = parquet_row_count(SF, "embeddings")
+    kc = max(8, n // 125)
+    emb = load_table(spark, SF, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < kc).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    cluster_of = {r.vec_id: r.cid for r in ivf_assign(emb, centroids).collect()}
+    for r in rows:
+        assert cluster_of[r.neg_id] == cluster_of[r.qid]
+
+
+def test_vocab_coverage_accounting_identity(spark):
+    """oov_rate == n_oov / n_tokens per doc; totals reconcile with the
+    corpus token count; a doc made only of top-V words has oov_rate 0."""
+    from signal_messenger_vector_database_spark.functions.text import (
+        whitespace_words,
+    )
+    from signal_messenger_vector_database_spark.io.sources import load_table
+    from signal_messenger_vector_database_spark.plans.retrieval_eval import (  # noqa: F401  (module import sanity)
+        _RECALL_K,
+    )
+    from signal_messenger_vector_database_spark.plans.textanalysis import (
+        _vocab_coverage,
+    )
+
+    cov = _vocab_coverage(spark, SF).collect()
+    assert len(cov) > 0
+    for r in cov:
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert abs(r.oov_rate - r.n_oov / r.n_tokens) < 1e-12
+
+    docs = load_table(spark, SF, "documents")
+    total_tokens = (
+        docs.select(
+            F.explode(whitespace_words(F.lower(F.col("text")))).alias("w")
+        ).count()
+    )
+    assert sum(r.n_tokens for r in cov) == total_tokens
+    # the top-V vocabulary covers the most frequent words, so SOME doc
+    # must have a sub-1 oov rate, and no rate exceeds 1 by construction
+    assert min(r.oov_rate for r in cov) < 1.0
