@@ -217,11 +217,26 @@ def ivf_assign(
     (not n*k) ever cross the exchange.  A ``Window.partitionBy(id)`` +
     ``row_number`` formulation gets no partial aggregation and shuffles
     the full n*k cross product — the scale-killer this replaces.  This is
-    the IVF build step; the centroid table is always broadcast."""
-    joined = emb.crossJoin(F.broadcast(centroids)).select(
+    the IVF build step; the centroid table is always broadcast.
+
+    Norms are hoisted out of the n*k loop (the exact_cosine_pairs trick):
+    csim = dot(v,c)/(|v|*|c|) with |v| computed once per vector and |c|
+    once per centroid — bit-identical to the per-pair form (same fold,
+    same sqrt, same divide), a third of the flops."""
+    from ..functions.vector import l2_norm
+
+    ev = emb.select(
+        F.col(id_col), F.col(vec_col), l2_norm(vec_col).alias("_nv")
+    )
+    cv = centroids.select(
+        "cid", "cv", l2_norm("cv").alias("_nc")
+    )
+    joined = ev.crossJoin(F.broadcast(cv)).select(
         F.col(id_col),
         F.col("cid"),
-        cosine_similarity(vec_col, "cv").alias("csim"),
+        (dot_product(vec_col, "cv") / (F.col("_nv") * F.col("_nc"))).alias(
+            "csim"
+        ),
     )
     return joined.groupBy(id_col).agg(
         F.min_by("cid", F.struct((-F.col("csim")).alias("negsim"), F.col("cid"))).alias(

@@ -1019,18 +1019,34 @@ def _knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
     assign = ivf_assign(emb, centroids)
-    v = emb.join(assign, "vec_id")
+    # norms hoisted out of the |c|^2 loop (bit-identical, 3x fewer flops
+    # per pair — the exact_cosine_pairs trick)
+    from ..functions.vector import dot_product, l2_norm
+
+    v = emb.select(
+        "vec_id", "embedding", l2_norm("embedding").alias("nv")
+    ).join(assign, "vec_id")
     a = v.select(
-        F.col("vec_id").alias("src"), F.col("embedding").alias("va"), "cid"
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("va"),
+        F.col("nv").alias("na"),
+        "cid",
     )
     b = v.select(
-        F.col("vec_id").alias("nbr"), F.col("embedding").alias("vb"), "cid"
+        F.col("vec_id").alias("nbr"),
+        F.col("embedding").alias("vb"),
+        F.col("nv").alias("nb"),
+        "cid",
     )
     sims = (
         a.join(b, "cid")
         .filter(F.col("src") != F.col("nbr"))
         .select(
-            "src", "nbr", F.round(cosine_similarity("va", "vb"), 4).alias("sim")
+            "src",
+            "nbr",
+            F.round(
+                dot_product("va", "vb") / (F.col("na") * F.col("nb")), 4
+            ).alias("sim"),
         )
     )
     from pyspark.sql.window import Window

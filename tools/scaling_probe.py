@@ -152,6 +152,21 @@ PROBES_WAVE9 = [
     "epoch_repeat_plan",
 ]
 
+# tenth wave: r8 third-batch additions (retrieval eval + tokenizer fit).
+# ann_recall_at_k: the exact ground-truth arm is O(n * |Q|) with |Q|
+# FIXED (<= 20 anchors at any corpus size — the anchor predicate pins
+# vec_id < 2000), and the approx arm is cluster-fenced under the
+# k ~ n/125 rule, so both arms are expected LINEAR; the per-anchor
+# top-k is two-phase so no single qid partition ever sees all n rows.
+# hard_negative_mining shares the fenced candidate build (linear).
+# vocab_coverage shuffles |vocab| rows (word-keyed partial aggregate),
+# then one broadcast join + groupBy(doc_id): expected linear.
+PROBES_WAVE10 = [
+    "ann_recall_at_k",
+    "hard_negative_mining",
+    "vocab_coverage",
+]
+
 # sixth wave: stateful Structured Streaming drains (AvailableNow over
 # the replicated events directory; slower — each query builds a
 # checkpoint).  First run of this wave caught the glob-arm silent empty
@@ -347,6 +362,7 @@ def main() -> None:
         "7": PROBES_WAVE7,
         "8": PROBES_WAVE8,
         "9": PROBES_WAVE9,
+        "10": PROBES_WAVE10,
     }
     probes = PROBES
     for a in sys.argv[1:]:
