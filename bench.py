@@ -61,6 +61,8 @@ HEADLINE = [
     "simhash_hamming_pairs",
     "knn_graph_ivf",
     "ann_recall_at_k",
+    "centroid_outlier_prune",
+    "boilerplate_strip",
 ]
 
 

@@ -84,6 +84,9 @@ _WINDOW = [
     "ann_recall_at_k",
     "hard_negative_mining",
     "vocab_coverage",
+    "ndcg_eval",
+    "centroid_outlier_prune",
+    "boilerplate_strip",
     # -- staleness rotation (oldest driver-green first: r1 era ...) --
     "lang_id",
     "multimodal_metadata",
@@ -110,9 +113,6 @@ _WINDOW = [
     "percentile_summary",
     "pii_redact",
     "pivot_counts",
-    "q10_returned_items",
-    "q11_value_share",
-    "q13_order_distribution",
 ]
 
 

@@ -17,6 +17,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -278,4 +280,137 @@ SPECS["inverted_index"] = QuerySpec(
     _inverted_index,
     _INVERTED_INDEX_SQL,
     "inverted-index build: per-term df/tf + bounded posting sample",
+)
+
+
+# --- nDCG@10 ranking-quality evaluation ------------------------------------
+# The IR metric a production retrieval stack dashboards next to latency:
+# how good is the BM25 ranking, judged by graded relevance?  Ground truth
+# here is lexical and deterministic — rel(doc) = number of DISTINCT query
+# terms the doc contains (0..|q|) — so both engines derive identical
+# integer grades with no model in the loop.  (ann_recall_at_k is the
+# vector-side twin; this evaluates the lexical arm of hybrid_rrf.)
+#
+# Cross-engine FP discipline: the per-rank discount 1/log2(rank+1) is a
+# SHARED LITERAL table (computed once in Python, embedded verbatim in both
+# texts — log2 is an engine seam, a literal is not), and each rank's
+# contribution (2^rel - 1) * discount is quantized to an exact 1e-6
+# integer BEFORE summation, so DCG/IDCG are exact BIGINT sums and
+# ndcg = dcg/idcg is one deterministic division.  The system ranking is
+# orderBy().limit(10) (TakeOrdered — no global single-task window); the
+# 10-row result then gets ranks from a scale-free window.
+
+_NDCG_K = 10
+_NDCG_DISCOUNTS = [1.0 / math.log2(r + 1) for r in range(1, _NDCG_K + 1)]
+
+
+def _graded_rel(docs: DataFrame) -> DataFrame:
+    """rel(doc) = count of distinct query terms present (docs with rel=0
+    are absent; they contribute gain 0 and never rank)."""
+    qterms = F.array(*[F.lit(t) for t in _QUERY.split()])
+    return (
+        docs.select("doc_id", F.explode(_norm_words()).alias("term"))
+        .filter(F.array_contains(qterms, F.col("term")))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").cast("int").alias("rel"))
+    )
+
+
+def _ndcg_contrib_q(rel_col: F.Column, rank_col: F.Column) -> F.Column:
+    """floor((2^rel - 1) * discount[rank] * 1e6 + 0.5) as exact BIGINT.
+
+    2^rel via pow on small ints (rel <= |q| = 3) is exact in IEEE, so the
+    gain doubles are exactly 0/1/3/7 — identical to the oracle's integer
+    (1 << rel) - 1 cast to DOUBLE."""
+    gain = F.pow(F.lit(2.0), rel_col.cast("double")) - F.lit(1.0)
+    disc = F.element_at(
+        F.array(*[F.lit(d) for d in _NDCG_DISCOUNTS]), rank_col
+    )
+    return F.floor(gain * disc * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+
+
+def _ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rel = _graded_rel(docs)
+
+    scored = _bm25_scores(docs, _QUERY.split()).select(
+        "doc_id", portable_round(F.col("score"), 4).alias("bm25")
+    )
+    sys10 = scored.orderBy(F.desc("bm25"), "doc_id").limit(_NDCG_K)
+    wr = Window.orderBy(F.desc("bm25"), "doc_id")
+    sys_ranked = (
+        sys10.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .join(rel, "doc_id", "left")
+        .select(
+            _ndcg_contrib_q(
+                F.coalesce(F.col("rel"), F.lit(0)), F.col("rank")
+            ).alias("cq")
+        )
+    )
+    dcg = sys_ranked.agg(F.sum("cq").alias("dcg_q"))
+
+    ideal10 = rel.orderBy(F.desc("rel"), "doc_id").limit(_NDCG_K)
+    wi = Window.orderBy(F.desc("rel"), "doc_id")
+    ideal_ranked = ideal10.withColumn(
+        "rank", F.row_number().over(wi).cast("int")
+    ).select(_ndcg_contrib_q(F.col("rel"), F.col("rank")).alias("cq"))
+    idcg = ideal_ranked.agg(F.sum("cq").alias("idcg_q"))
+
+    return dcg.crossJoin(idcg).select(
+        (F.col("dcg_q").cast("double") / F.col("idcg_q").cast("double")).alias(
+            "ndcg10"
+        ),
+        F.col("dcg_q").cast("long").alias("dcg_q"),
+        F.col("idcg_q").cast("long").alias("idcg_q"),
+    )
+
+
+def _ndcg_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _QUERY.split())
+    discs = ", ".join(repr(d) for d in _NDCG_DISCOUNTS)
+    # contribution template: exact 1e-6-quantized (2^rel - 1) * discount
+    def cq(rel: str, rank: str) -> str:
+        return (
+            f"CAST(FLOOR(CAST((1 << {rel}) - 1 AS DOUBLE)"
+            f" * ([{discs}])[{rank}] * 1000000.0 + 0.5) AS BIGINT)"
+        )
+
+    return f"""
+WITH {_bm25_sql()},
+rel AS (
+  SELECT doc_id, CAST(COUNT(DISTINCT term) AS INTEGER) AS rel
+  FROM words WHERE term IN ({terms}) GROUP BY doc_id
+),
+sys10 AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY FLOOR(score * 10000 + 0.5) / 10000 DESC, doc_id
+           ) AS INTEGER) AS rank
+    FROM bm25
+  ) WHERE rank <= {_NDCG_K}
+),
+dcg AS (
+  SELECT SUM({cq("COALESCE(r.rel, 0)", "s.rank")}) AS dcg_q
+  FROM sys10 s LEFT JOIN rel r ON s.doc_id = r.doc_id
+),
+ideal10 AS (
+  SELECT rel, rank FROM (
+    SELECT rel,
+           CAST(ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS INTEGER) AS rank
+    FROM rel
+  ) WHERE rank <= {_NDCG_K}
+),
+idcg AS (SELECT SUM({cq("rel", "rank")}) AS idcg_q FROM ideal10)
+SELECT CAST(dcg_q AS DOUBLE) / CAST(idcg_q AS DOUBLE) AS ndcg10,
+       CAST(dcg_q AS BIGINT) AS dcg_q,
+       CAST(idcg_q AS BIGINT) AS idcg_q
+FROM dcg CROSS JOIN idcg
+"""
+
+
+SPECS["ndcg_eval"] = QuerySpec(
+    _ndcg_eval,
+    _ndcg_sql(),
+    "nDCG@10 of the BM25 ranking vs graded lexical relevance (exact-integer DCG)",
 )

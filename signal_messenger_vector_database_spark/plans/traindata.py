@@ -2139,3 +2139,156 @@ SPECS["epoch_repeat_plan"] = QuerySpec(
     _EPOCH_REPEAT_SQL,
     "temperature mixture materialized as deterministic per-doc repeat factors (floor + md5-coin fraction)",
 )
+
+
+# --- boilerplate stripping (CCNet/RefinedWeb preprocessing) ----------------
+# line_dedup MEASURES cross-document repeated segments; this is the
+# TRANSFORMATION: segments whose distinct-document frequency reaches the
+# boilerplate bar (headers, licence blocks, nav chrome) are cut from
+# EVERY document and the remaining text spliced back in order — unlike
+# dup_span_removal there is no owner: boilerplate has no rightful home.
+# Same disjoint 10-word segmentation as line_dedup (fixture text has no
+# newlines); the tail words after the last full segment always survive.
+#
+# Scale shape: one explode to (doc, start, segment) rows, a distinct-doc
+# frequency per fingerprint (corpus-growing key), a semi/anti join back,
+# and a per-doc ordered string_agg — every join/group keys on doc_id or
+# the segment hash; no pair join, no floating point anywhere, so the
+# oracle compare is exact by construction.
+
+_BP_DF = 3  # a segment in >= 3 distinct docs is boilerplate
+
+
+def _boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import normalized_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.split(normalized_text(F.col("text")), " ").alias("ws"),
+    ).select("doc_id", "ws", F.size("ws").alias("nw"))
+    segs = (
+        base.filter(F.col("nw") >= _SEG_WORDS)
+        .select(
+            "doc_id",
+            "ws",
+            "nw",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.col("nw") - _SEG_WORDS, F.lit(_SEG_WORDS)
+                )
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            "start",
+            F.array_join(
+                F.slice("ws", F.col("start") + 1, _SEG_WORDS), " "
+            ).alias("seg"),
+        )
+        .withColumn("fp", F.md5("seg"))
+    )
+    hot = (
+        segs.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= _BP_DF)
+        .select("fp")
+    )
+    n_seg = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segs"))
+    n_rm = (
+        segs.join(hot, "fp", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_removed"))
+    )
+    head = (
+        segs.join(hot, "fp", "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("start", "seg"))),
+                    lambda x: x["seg"],
+                ),
+                " ",
+            ).alias("head")
+        )
+    )
+    tail = F.array_join(
+        F.slice(
+            "ws",
+            (F.col("nw") - F.col("nw") % _SEG_WORDS) + 1,
+            F.col("nw") % _SEG_WORDS,
+        ),
+        " ",
+    )
+    return (
+        base.join(n_seg, "doc_id", "left")
+        .join(n_rm, "doc_id", "left")
+        .join(head, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_segs", F.lit(0)).cast("long").alias("n_segs"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            F.when(
+                F.col("nw") < _SEG_WORDS, F.array_join("ws", " ")
+            )
+            .otherwise(
+                F.trim(
+                    F.concat_ws(" ", F.coalesce(F.col("head"), F.lit("")), tail)
+                )
+            )
+            .alias("cleaned"),
+        )
+    )
+
+
+_BOILERPLATE_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         string_split(lower(regexp_replace(trim(COALESCE(text, '')), '\\s+', ' ', 'g')), ' ') AS ws
+  FROM documents
+),
+b2 AS (SELECT doc_id, ws, len(ws) AS nw FROM base),
+segs AS (
+  SELECT doc_id, start,
+         array_to_string(ws[start + 1 : start + {_SEG_WORDS}], ' ') AS seg
+  FROM (
+    SELECT doc_id, ws,
+           unnest(generate_series(0, nw - {_SEG_WORDS}, {_SEG_WORDS})) AS start
+    FROM b2 WHERE nw >= {_SEG_WORDS}
+  )
+),
+fps AS (
+  SELECT md5(seg) AS fp FROM segs
+  GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= {_BP_DF}
+),
+n_seg AS (SELECT doc_id, COUNT(*) AS n_segs FROM segs GROUP BY doc_id),
+n_rm AS (
+  SELECT doc_id, COUNT(*) AS n_removed
+  FROM segs WHERE md5(seg) IN (SELECT fp FROM fps)
+  GROUP BY doc_id
+),
+head AS (
+  SELECT doc_id, string_agg(seg, ' ' ORDER BY start) AS head
+  FROM segs WHERE md5(seg) NOT IN (SELECT fp FROM fps)
+  GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(COALESCE(s.n_segs, 0) AS BIGINT) AS n_segs,
+       CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed,
+       CASE WHEN b.nw < {_SEG_WORDS} THEN array_to_string(b.ws, ' ')
+            ELSE trim(COALESCE(h.head, '') || ' ' ||
+                 COALESCE(array_to_string(b.ws[b.nw - b.nw % {_SEG_WORDS} + 1 : b.nw], ' '), ''))
+       END AS cleaned
+FROM b2 b
+LEFT JOIN n_seg s ON b.doc_id = s.doc_id
+LEFT JOIN n_rm r ON b.doc_id = r.doc_id
+LEFT JOIN head h ON b.doc_id = h.doc_id
+"""
+
+
+SPECS["boilerplate_strip"] = QuerySpec(
+    _boilerplate_strip,
+    _BOILERPLATE_SQL,
+    f"strip segments appearing in >= {_BP_DF} docs (boilerplate) and splice the cleaned text",
+)

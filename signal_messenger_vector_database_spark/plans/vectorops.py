@@ -1075,3 +1075,132 @@ SPECS["topk_pq_rerank"] = QuerySpec(
     _topk_pq_rerank_sql(),
     "two-stage retrieval: 8-byte ADC shortlist, exact cosine re-rank of 100 candidates",
 )
+
+
+# --- centroid-outlier pruning (semantic quality filter) --------------------
+# The embedding-space quality filter (the CLIP-score / semantic-outlier
+# pruning family): score every vector by cosine to ITS OWN label's
+# centroid and drop the bottom decile per label — mislabeled or noisy
+# points sit far from their class center.  Complements semdedup (which
+# drops near-DUPLICATES inside clusters; this drops OUTLIERS).
+#
+# Scale shape: the centroid build is the embedding_centroids aggregate
+# (one (label,pos) shuffle with map-side partials); centroids broadcast;
+# the scoring pass is one linear scan (each vector vs one centroid — no
+# pair join anywhere).  The per-label decile is NOT a row rank (a window
+# over |labels| partitions would funnel n rows into 10 tasks): it is a
+# VALUE threshold read off the per-(label, rounded-csim) histogram, whose
+# cardinality is bounded by 20001 values/label regardless of corpus size.
+# keep = csim > t_label where t_label is the value at which the running
+# count first reaches floor(n_label/10); ties at the threshold survive,
+# so the drop count is <= the decile by construction (deterministic,
+# value-based — no dependence on physical row order).
+#
+# FP discipline: centroid elements are quantized to the 1e-4 grid (the
+# proven embedding_centroids grain) BEFORE the cosine, so both engines
+# score against bit-identical centroids; csim is portable_round(4); the
+# scored table is persisted because three consumers (histogram, counts,
+# final projection) would otherwise each recompute the float cosine with
+# their own partial-aggregation order (the ccnet_buckets lesson).
+
+_PRUNE_DECILE = 10  # drop floor(n/10) per label
+
+
+def _centroid_outlier_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions.vector import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        _exploded(spark, sf_dir)
+        .groupBy(F.col("label").alias("c_label"), "pos")
+        .agg(portable_round(F.avg("val"), 4).alias("cval"))
+        .groupBy("c_label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pv"))
+        .select("c_label", F.col("pv.cval").alias("cv"))
+    )
+    scored = (
+        emb.join(F.broadcast(cent), emb.label == F.col("c_label"))
+        .select(
+            "vec_id",
+            "label",
+            portable_round(cosine_similarity("embedding", "cv"), 4).alias(
+                "csim"
+            ),
+        )
+        .persist()
+    )
+    hist = scored.groupBy("label", "csim").agg(F.count(F.lit(1)).alias("c"))
+    wl = Window.partitionBy("label").orderBy("csim")
+    cum = hist.withColumn(
+        "cum", F.sum("c").over(wl.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    nl = scored.groupBy("label").agg(F.count(F.lit(1)).alias("n_l"))
+    thr = (
+        cum.join(F.broadcast(nl), "label")
+        .filter(
+            (F.floor(F.col("n_l") / _PRUNE_DECILE) >= 1)
+            & (F.col("cum") >= F.floor(F.col("n_l") / _PRUNE_DECILE))
+        )
+        .groupBy("label")
+        .agg(F.min("csim").alias("thr"))
+    )
+    return scored.join(F.broadcast(thr), "label", "left").select(
+        "vec_id",
+        "label",
+        "csim",
+        (F.col("thr").isNull() | (F.col("csim") > F.col("thr"))).alias("keep"),
+    )
+
+
+_CENTROID_PRUNE_SQL = f"""
+WITH expl AS (
+  SELECT label AS c_label,
+         unnest(list_transform(embedding,
+                (x, i) -> struct_pack(pos := i, val := x))) AS u
+  FROM embeddings
+),
+cent AS (
+  SELECT c_label, list(cval ORDER BY pos) AS cv
+  FROM (
+    SELECT c_label, u.pos AS pos,
+           FLOOR(AVG(u.val) * 10000 + 0.5) / 10000 AS cval
+    FROM expl GROUP BY 1, 2
+  )
+  GROUP BY c_label
+),
+scored AS (
+  SELECT e.vec_id, e.label,
+         FLOOR(list_dot_product(e.embedding::DOUBLE[], c.cv) /
+               (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(c.cv, c.cv)))
+               * 10000 + 0.5) / 10000 AS csim
+  FROM embeddings e JOIN cent c ON e.label = c.c_label
+),
+hist AS (SELECT label, csim, COUNT(*) AS c FROM scored GROUP BY 1, 2),
+cum AS (
+  SELECT label, csim,
+         SUM(c) OVER (PARTITION BY label ORDER BY csim
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist
+),
+nl AS (SELECT label, COUNT(*) AS n_l FROM scored GROUP BY label),
+thr AS (
+  SELECT cum.label, MIN(csim) AS thr
+  FROM cum JOIN nl ON cum.label = nl.label
+  WHERE FLOOR(n_l / {_PRUNE_DECILE}) >= 1
+    AND cum >= FLOOR(n_l / {_PRUNE_DECILE})
+  GROUP BY cum.label
+)
+SELECT s.vec_id, s.label, s.csim,
+       (t.thr IS NULL OR s.csim > t.thr) AS keep
+FROM scored s LEFT JOIN thr t ON s.label = t.label
+"""
+
+
+SPECS["centroid_outlier_prune"] = QuerySpec(
+    _centroid_outlier_prune,
+    _CENTROID_PRUNE_SQL,
+    "per-label bottom-decile outlier drop by cosine-to-centroid (value-histogram threshold, no pair join)",
+)

@@ -1,0 +1,106 @@
+"""Invariant tests for ndcg_eval, centroid_outlier_prune, and
+boilerplate_strip.  Oracle equivalence is proven by tools/oracle_check at
+all three fixture scales; these pin what the oracle compare cannot see:
+the nDCG identity on a perfect ranking, the decile-threshold semantics of
+the prune, and the splice's reconstruction/accounting identities."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ndcg_bounds_and_perfect_ranking_identity(spark):
+    """0 < ndcg <= 1, and the ideal ranking scores exactly idcg (nDCG 1):
+    re-deriving DCG over the relevance-sorted list must reproduce idcg_q,
+    so the metric's numerator and denominator use one contribution rule."""
+    import math
+
+    from signal_messenger_vector_database_spark.plans.retrieval import (
+        _NDCG_DISCOUNTS,
+        _NDCG_K,
+        _graded_rel,
+        _ndcg_eval,
+    )
+    from signal_messenger_vector_database_spark.io.sources import load_table
+
+    row = _ndcg_eval(spark, SF).collect()[0]
+    assert 0.0 < row.ndcg10 <= 1.0
+    assert 0 < row.dcg_q <= row.idcg_q
+    assert abs(row.ndcg10 - row.dcg_q / row.idcg_q) < 1e-15
+
+    rels = sorted(
+        (
+            (r.rel, r.doc_id)
+            for r in _graded_rel(load_table(spark, SF, "documents")).collect()
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )[:_NDCG_K]
+    idcg = sum(
+        math.floor((2 ** rel - 1) * _NDCG_DISCOUNTS[i] * 1e6 + 0.5)
+        for i, (rel, _) in enumerate(rels)
+    )
+    assert idcg == row.idcg_q
+
+
+def test_centroid_prune_decile_threshold_semantics(spark):
+    """Per label: every dropped vector scores <= every kept vector; at
+    least floor(n/10) are dropped when n >= 10 (ties at the threshold
+    survive, so the count can exceed the decile only through ties at
+    values STRICTLY below the threshold — never undershoot); labels with
+    n < 10 keep everything."""
+    from signal_messenger_vector_database_spark.plans.vectorops import (
+        _centroid_outlier_prune,
+    )
+
+    rows = _centroid_outlier_prune(spark, SF).collect()
+    by_label = defaultdict(list)
+    for r in rows:
+        by_label[r.label].append(r)
+    assert len(by_label) >= 2
+    saw_drop = False
+    for label, rs in by_label.items():
+        n = len(rs)
+        dropped = [r.csim for r in rs if not r.keep]
+        kept = [r.csim for r in rs if r.keep]
+        if n < 10:
+            assert not dropped
+            continue
+        assert len(dropped) >= n // 10
+        saw_drop = saw_drop or bool(dropped)
+        assert kept, f"label {label} dropped everything"
+        assert max(dropped) < min(kept)
+    assert saw_drop
+
+
+def test_boilerplate_strip_accounting_and_reconstruction(spark):
+    """(a) cleaned word count == nw - SEG*n_removed for every doc;
+    (b) docs with nothing removed reconstruct their normalized text
+    EXACTLY (the splice is lossless); (c) the fixture actually exercises
+    the removal arm."""
+    from signal_messenger_vector_database_spark.operators.dedup import (
+        normalized_text,
+    )
+    from signal_messenger_vector_database_spark.io.sources import load_table
+    from signal_messenger_vector_database_spark.plans.traindata import (
+        _SEG_WORDS,
+        _boilerplate_strip,
+    )
+
+    out = {r.doc_id: r for r in _boilerplate_strip(spark, SF).collect()}
+    norm = {
+        r.doc_id: r.nt
+        for r in load_table(spark, SF, "documents")
+        .select("doc_id", normalized_text(F.col("text")).alias("nt"))
+        .collect()
+    }
+    assert sum(r.n_removed for r in out.values()) > 0
+    for doc_id, r in out.items():
+        nw = len(norm[doc_id].split(" ")) if norm[doc_id] else 0
+        cleaned_words = len(r.cleaned.split(" ")) if r.cleaned else 0
+        assert cleaned_words == nw - _SEG_WORDS * r.n_removed, doc_id
+        if r.n_removed == 0:
+            assert r.cleaned == norm[doc_id], doc_id

@@ -167,6 +167,20 @@ PROBES_WAVE10 = [
     "vocab_coverage",
 ]
 
+# eleventh wave: r8 fourth-batch curation/eval ops.  ndcg_eval: the
+# ranking windows run over 10-row LIMITed sets; the BM25 posting is
+# filtered to |q|=3 terms — expected flat-ish (the corpus-side work is
+# the normalize+explode scan).  centroid_outlier_prune: linear scan +
+# a value histogram bounded at 20001 rows/label — expected linear.
+# boilerplate_strip: same segment explode as line_dedup plus an ordered
+# per-doc string_agg — expected linear (no pair join; the hot set keys
+# on a corpus-growing hash).
+PROBES_WAVE11 = [
+    "ndcg_eval",
+    "centroid_outlier_prune",
+    "boilerplate_strip",
+]
+
 # sixth wave: stateful Structured Streaming drains (AvailableNow over
 # the replicated events directory; slower — each query builds a
 # checkpoint).  First run of this wave caught the glob-arm silent empty
@@ -363,6 +377,7 @@ def main() -> None:
         "8": PROBES_WAVE8,
         "9": PROBES_WAVE9,
         "10": PROBES_WAVE10,
+        "11": PROBES_WAVE11,
     }
     probes = PROBES
     for a in sys.argv[1:]:
