@@ -70,7 +70,10 @@ COMMENTARY = {
     "dedup_quality_keep": "Quality-aware dedup completion (r8): minhash-LSH pairs -> iterative connected components -> per-cluster argmax via min_by over the (-quality, doc_id) struct — a partial-aggregated groupBy on cluster, never a corpus window; singletons coalesce to their own cluster through the left join. Probe: 3.9x at 16x, inherited from the probed pair/component stages.",
     "token_budget_waterfill": "UniMax water-filling in closed form (r8): the corpus collapses to D domain rows FIRST (partial-aggregated token sum), then saturation is an exact-integer inequality over a running window and the water level one expression over two D-row windows — single-partition window state is the domain vocabulary, the kmeans-codebook scale pattern. Probe: 2.6x at 16x.",
     "simhash_hamming_pairs": "Hamming-ball dedup completion (r8 second batch): candidates from the (band, band_value) equi-join — pigeonhole-complete for d<=ham_max when bands > ham_max — then an integer-only bit_count(XOR) verify; no floating point exists in this plan at all. The scan->explode->join chain shuffles on the band key; bucket population is n/2^band_width, so the production geometry widens the fingerprint with the corpus (4x16 bands at 64-bit = 65k buckets/band) — geometry is a caller knob, exactly like lsh_geometry.",
-    "knn_graph_ivf": "k-NN GRAPH (r8 second batch): one broadcast centroid argmin assigns every vector (min_by partial aggregation — no window), the pair join is fenced on the cluster id, and top-3 per source is a bounded window over ~cluster-sized groups. Candidate volume is sum(|c|^2) — bounded at scale by growing k ~ n/target (the semdedup rule); within the fence the graph is EXACT (tested against brute force).",
+    "knn_graph_ivf": "k-NN GRAPH (r8 second batch): one broadcast centroid argmin assigns every vector (min_by partial aggregation — no window), the pair join is fenced on the cluster id, and top-3 per source is a bounded window over ~cluster-sized groups. Candidate volume is sum(|c|^2) — bounded at scale by growing k ~ n/target (the semdedup rule); within the fence the graph is EXACT (tested against brute force). r8: per-vector L2 norms hoisted out of the pair loop (sim = dot/(na*nb), bit-identical) — a third of the flops, 4.5 -> 2.9 s at sf0.1.",
+    "ann_recall_at_k": "Measured ANN recall (r8 third batch): the exact ground-truth arm scores n x |Q| rows with |Q| FIXED (<= 20 anchors by predicate), then finds each anchor's top-10 via the TWO-PHASE top-k — per-(qid, partition) local top-10s first, global merge over 10*partitions rows — so no single-qid window ever receives all n rows (the classic top-k skew funnel; partition-invariance is tested). The approx arm touches only the anchor's IVF cluster. Recall itself is a k-row join + count.",
+    "centroid_outlier_prune": "Semantic-outlier prune (r8 third batch): centroid build is the embedding_centroids partial-aggregated (label,pos) shuffle; scoring is ONE linear scan against broadcast centroids (persisted — three consumers must see identical rounded csims); the per-label decile is a VALUE threshold read off the (label, rounded-csim) histogram whose cardinality is bounded at 20001 rows/label — a per-label row-rank window would funnel n rows into |labels| tasks.",
+    "boilerplate_strip": "Boilerplate removal (r8 third batch): line_dedup's disjoint-segment explode, a distinct-doc frequency on the segment hash (corpus-growing key), one anti/semi join pair, and a per-doc ORDERED string_agg splice — zero floating point, no pair join; the surviving tail words append via pure slice arithmetic shared with the oracle.",
 }
 
 
