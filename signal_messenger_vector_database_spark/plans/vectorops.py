@@ -1092,9 +1092,11 @@ SPECS["topk_pq_rerank"] = QuerySpec(
 # VALUE threshold read off the per-(label, rounded-csim) histogram, whose
 # cardinality is bounded by 20001 values/label regardless of corpus size.
 # keep = csim > t_label where t_label is the value at which the running
-# count first reaches floor(n_label/10); ties at the threshold survive,
-# so the drop count is <= the decile by construction (deterministic,
-# value-based — no dependence on physical row order).
+# count first reaches floor(n_label/10); ties AT the threshold value are
+# dropped together, so the drop count is >= the decile and never
+# undershoots (deterministic, value-based — no dependence on physical
+# row order; on a corpus where one value covers a whole label the label
+# drops entirely, the documented degenerate arm).
 #
 # FP discipline: centroid elements are quantized to the 1e-4 grid (the
 # proven embedding_centroids grain) BEFORE the cosine, so both engines

@@ -48,10 +48,9 @@ def test_ndcg_bounds_and_perfect_ranking_identity(spark):
 
 def test_centroid_prune_decile_threshold_semantics(spark):
     """Per label: every dropped vector scores <= every kept vector; at
-    least floor(n/10) are dropped when n >= 10 (ties at the threshold
-    survive, so the count can exceed the decile only through ties at
-    values STRICTLY below the threshold — never undershoot); labels with
-    n < 10 keep everything."""
+    least floor(n/10) are dropped when n >= 10 (ties AT the threshold
+    value drop together, so the count can exceed the decile but never
+    undershoots it); labels with n < 10 keep everything."""
     from signal_messenger_vector_database_spark.plans.vectorops import (
         _centroid_outlier_prune,
     )
