@@ -1135,3 +1135,147 @@ SPECS["rollup_incremental"] = QuerySpec(
     _ROLLUP_INCREMENTAL_SQL,
     "incremental MV maintenance: base+delta partial-aggregate merge == full recompute (exact integer stats)",
 )
+
+
+# --- mergeable equi-width quantile sketch ---------------------------------
+# Completes the from-scratch sketch suite (HLL distinct / Bloom
+# membership / Count-Min heavy hitters): approximate per-group quantiles
+# from a 256-bin equi-width histogram.  Like the others it is MERGEABLE
+# — shard histograms combine by adding bin counts, so at 100 TB each map
+# task emits <= 256 rows per group and the exchange carries bins, not
+# values (the same partial-aggregate shape as hll_distinct's registers).
+# percentile_summary is the EXACT twin (value-domain histogram); this is
+# the bounded-memory variant whose state is 256 bins regardless of value
+# cardinality.  Quantile semantics are percentile_disc: est brackets the
+# ceil(p*n)-th ORDER STATISTIC's bin, so |est - v_(ceil(pn))| <=
+# range/256 (asserted in tests; an INTERPOLATED quantile can sit a
+# sparse-tail gap beyond any bin edge, which the sketch cannot claim).
+#
+# Exact cross-engine parity BY CONSTRUCTION — no portable_round anywhere:
+# MIN/MAX are order-insensitive (no float-sum seam), the bin index is one
+# multiply+divide+floor over identical doubles, counts are integers, and
+# the estimate is one FMA-free expression over (min, max, bin).  The
+# degenerate one-value group pins bin 0 (CASE guard, both engines).
+
+_QSK_BINS = 256
+_QSK_PS = [0.5, 0.95, 0.99]
+
+
+def _sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    rng = ev.groupBy("event_type").agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(_QSK_BINS))
+    binned = (
+        ev.join(F.broadcast(rng), "event_type")
+        .select(
+            "event_type",
+            F.when(F.col("mx") == F.col("mn"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(_QSK_BINS - 1),
+                    F.floor(
+                        (F.col("value") - F.col("mn"))
+                        / (F.col("mx") - F.col("mn"))
+                        * _QSK_BINS
+                    ).cast("int"),
+                )
+            )
+            .alias("bin"),
+        )
+    )
+    hist = binned.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("c"))
+    wt = Window.partitionBy("event_type").orderBy("bin")
+    cum = hist.withColumn(
+        "cum", F.sum("c").over(wt.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    ps = rng.select(
+        "event_type",
+        "mn",
+        "mx",
+        "n",
+        F.explode(F.array(*[F.lit(p) for p in _QSK_PS])).alias("p"),
+    ).withColumn("thresh", F.ceil(F.col("p") * F.col("n")))
+    qbin = (
+        cum.join(F.broadcast(ps), "event_type")
+        .filter(F.col("cum") >= F.col("thresh"))
+        .groupBy("event_type", "p", "mn", "mx")
+        .agg(F.min("bin").alias("qbin"))
+    )
+    est = F.when(F.col("mx") == F.col("mn"), F.col("mn")).otherwise(
+        F.col("mn")
+        + (F.col("qbin") + 1)
+        * (F.col("mx") - F.col("mn"))
+        / F.lit(float(_QSK_BINS))
+    )
+    return qbin.select(
+        "event_type",
+        "p",
+        est.alias("est"),
+        F.when(
+            F.col("mx") == F.col("mn"), F.lit(0.0)
+        )
+        .otherwise((F.col("mx") - F.col("mn")) / F.lit(float(_QSK_BINS)))
+        .alias("err_bound"),
+    )
+
+
+_SKETCH_QUANTILES_SQL = f"""
+WITH ev AS (
+  SELECT event_type, value FROM events WHERE value IS NOT NULL
+),
+rng AS (
+  SELECT event_type, MIN(value) AS mn, MAX(value) AS mx, COUNT(*) AS n
+  FROM ev GROUP BY event_type
+),
+binned AS (
+  SELECT e.event_type,
+         CASE WHEN r.mx = r.mn THEN 0
+              ELSE LEAST({_QSK_BINS - 1},
+                   CAST(FLOOR((e.value - r.mn) / (r.mx - r.mn) * {_QSK_BINS}) AS INTEGER))
+         END AS bin
+  FROM ev e JOIN rng r ON e.event_type = r.event_type
+),
+hist AS (SELECT event_type, bin, COUNT(*) AS c FROM binned GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bin,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist
+),
+ps AS (
+  -- CAST: DuckDB types the list literal DECIMAL ('0.50'), Spark's is
+  -- DOUBLE ('0.5') — the decimal-rendering hash seam (r7 red cells)
+  SELECT r.event_type, r.mn, r.mx, r.n, CAST(p.p AS DOUBLE) AS p,
+         CEIL(CAST(p.p AS DOUBLE) * r.n) AS thresh
+  FROM rng r, (SELECT unnest([{", ".join(repr(p) for p in _QSK_PS)}]) AS p) p
+),
+qbin AS (
+  SELECT c.event_type, p.p, p.mn, p.mx, MIN(c.bin) AS qbin
+  FROM cum c JOIN ps p ON c.event_type = p.event_type
+  WHERE c.cum >= p.thresh
+  GROUP BY 1, 2, 3, 4
+)
+SELECT event_type, p,
+       CASE WHEN mx = mn THEN mn
+            ELSE mn + (qbin + 1) * (mx - mn) / {float(_QSK_BINS)}
+       END AS est,
+       CASE WHEN mx = mn THEN 0.0
+            ELSE (mx - mn) / {float(_QSK_BINS)}
+       END AS err_bound
+FROM qbin
+"""
+
+
+SPECS["sketch_quantiles"] = QuerySpec(
+    _sketch_quantiles,
+    _SKETCH_QUANTILES_SQL,
+    f"mergeable {_QSK_BINS}-bin equi-width quantile sketch (p50/p95/p99 per type, range/{_QSK_BINS} error bound)",
+)

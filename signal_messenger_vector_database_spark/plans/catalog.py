@@ -87,6 +87,7 @@ _WINDOW = [
     "ndcg_eval",
     "centroid_outlier_prune",
     "boilerplate_strip",
+    "sketch_quantiles",
     # -- staleness rotation (oldest driver-green first: r1 era ...) --
     "lang_id",
     "multimodal_metadata",
@@ -112,7 +113,6 @@ _WINDOW = [
     "nullsafe_join",
     "percentile_summary",
     "pii_redact",
-    "pivot_counts",
 ]
 
 

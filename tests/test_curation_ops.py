@@ -103,3 +103,42 @@ def test_boilerplate_strip_accounting_and_reconstruction(spark):
         assert cleaned_words == nw - _SEG_WORDS * r.n_removed, doc_id
         if r.n_removed == 0:
             assert r.cleaned == norm[doc_id], doc_id
+
+
+def test_sketch_quantiles_error_bound_vs_exact(spark):
+    """The sketch's defining guarantee: |est - v_(ceil(p*n))| <=
+    err_bound = range/256 for every (type, p), where v_(k) is the exact
+    k-th order statistic (percentile_disc semantics — the sketch brackets
+    the ORDER STATISTIC's bin; an interpolated quantile can sit a sparse
+    tail gap away from any bin edge, which is not the claim).  Also:
+    estimates are monotone in p within a type."""
+    import math
+
+    from signal_messenger_vector_database_spark.io.sources import load_table
+    from signal_messenger_vector_database_spark.plans.analytics import (
+        _sketch_quantiles,
+    )
+
+    rows = _sketch_quantiles(spark, SF).collect()
+    assert len(rows) >= 9  # >= 3 types x 3 ps
+    vals = defaultdict(list)
+    for r in (
+        load_table(spark, SF, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+        .collect()
+    ):
+        vals[r.event_type].append(r.value)
+    for v in vals.values():
+        v.sort()
+    by_type = defaultdict(dict)
+    for r in rows:
+        v = vals[r.event_type]
+        order_stat = v[math.ceil(r.p * len(v)) - 1]
+        assert abs(r.est - order_stat) <= r.err_bound + 1e-12, (
+            r.event_type,
+            r.p,
+        )
+        by_type[r.event_type][r.p] = r.est
+    for t, ests in by_type.items():
+        assert ests[0.5] <= ests[0.95] <= ests[0.99], t

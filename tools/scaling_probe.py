@@ -179,6 +179,9 @@ PROBES_WAVE11 = [
     "ndcg_eval",
     "centroid_outlier_prune",
     "boilerplate_strip",
+    # sketch_quantiles: expected flat — the exchange carries <= 256 bins
+    # per (group, map task), the mergeable-sketch shape (hll_distinct)
+    "sketch_quantiles",
 ]
 
 # sixth wave: stateful Structured Streaming drains (AvailableNow over
