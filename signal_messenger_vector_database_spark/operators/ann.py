@@ -203,6 +203,29 @@ def lsh_cosine_pairs(
     )
 
 
+def scaled_cluster_count(n: int, target: int = 125, floor: int = 8) -> int:
+    """The corpus-scaled IVF/k-means cluster count, k = max(floor,
+    n // target): cluster SIZE — the quadratic term of every in-cluster
+    pair join — stays ~target as the corpus grows (the semdedup rule;
+    wave-9 probe showed fixed k quadratic: 7.6/74/650 s at 1x/4x/16x).
+    Shared by semdedup, knn_graph_ivf, and the retrieval-eval pieces so
+    the rule cannot drift between plans and their SQL oracles."""
+    return max(floor, n // target)
+
+
+def ivf_seed_centroids(
+    emb: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Seeded coarse quantizer: the first k vectors (id < k) as centroids
+    — deterministic and oracle-replayable (both engines pick identical
+    rows).  Unbalanced vs trained kmeans (mean cell ~n/k but the tail
+    cell can run a small multiple); use kmeans_fit when cell-size
+    variance matters."""
+    return emb.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+
+
 def ivf_assign(
     emb: DataFrame,
     centroids: DataFrame,

@@ -1172,7 +1172,6 @@ def _sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").alias("mx"),
         F.count(F.lit(1)).alias("n"),
     )
-    width = (F.col("mx") - F.col("mn")) / F.lit(float(_QSK_BINS))
     binned = (
         ev.join(F.broadcast(rng), "event_type")
         .select(

@@ -70,13 +70,11 @@ def _ivf_pieces(spark: SparkSession, sf_dir: str):
     bit-identical to the per-pair cosine (same fold/sqrt/divide), a
     third of the flops in both the fenced and the exact arm."""
     from ..functions.vector import dot_product, l2_norm
+    from ..operators.ann import ivf_seed_centroids, scaled_cluster_count
 
     n = parquet_row_count(sf_dir, "embeddings")
-    kc = max(8, n // 125)
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") < kc).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
-    )
+    centroids = ivf_seed_centroids(emb, scaled_cluster_count(n))
     assign = ivf_assign(emb, centroids)
     embn = emb.select(
         "vec_id", "embedding", l2_norm("embedding").alias("nv")

@@ -1012,12 +1012,12 @@ def _knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     variance matters."""
     from ..io.sources import parquet_row_count
 
+    from ..operators.ann import ivf_seed_centroids, scaled_cluster_count
+
     n = parquet_row_count(sf_dir, "embeddings")
-    k = max(8, n // 125)
+    k = scaled_cluster_count(n)
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
-    )
+    centroids = ivf_seed_centroids(emb, k)
     assign = ivf_assign(emb, centroids)
     # norms hoisted out of the |c|^2 loop (bit-identical, 3x fewer flops
     # per pair — the exact_cosine_pairs trick)

@@ -2187,6 +2187,10 @@ def _boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seg"),
         )
         .withColumn("fp", F.md5("seg"))
+        # persisted: four consumers (hot, n_seg, n_rm, head) would each
+        # re-run the scan + normalize + explode + md5 subtree (the
+        # _span_windows lesson, r8 code review both rounds)
+        .persist()
     )
     hot = (
         segs.groupBy("fp")

@@ -707,9 +707,12 @@ def _semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parquet footer metadata — no count() scan job in the plan
     # (VERDICT r7 task 7: one fewer job in the semdedup plan).
     from ..io.sources import parquet_row_count
+    from ..operators.ann import scaled_cluster_count
 
     n = parquet_row_count(sf_dir, "embeddings")
-    assigned, _ = kmeans_fit(spark, emb, k=max(8, n // 125), max_iter=3, tol=-1.0)
+    assigned, _ = kmeans_fit(
+        spark, emb, k=scaled_cluster_count(n), max_iter=3, tol=-1.0
+    )
     # Lineage cut + per-vector norms computed ONCE (n fold passes, not
     # 2*pairs): the assignment feeds three plan branches (both pair-join
     # sides and the final keep projection) — without the checkpoint each

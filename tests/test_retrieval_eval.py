@@ -102,7 +102,11 @@ def test_hard_negatives_live_in_band_and_fence(spark):
         load_table,
         parquet_row_count,
     )
-    from signal_messenger_vector_database_spark.operators.ann import ivf_assign
+    from signal_messenger_vector_database_spark.operators.ann import (
+        ivf_assign,
+        ivf_seed_centroids,
+        scaled_cluster_count,
+    )
     from signal_messenger_vector_database_spark.plans.retrieval_eval import (
         _HARDNEG_HI,
         _HARDNEG_K,
@@ -121,11 +125,8 @@ def test_hard_negatives_live_in_band_and_fence(spark):
     assert max(per_anchor.values()) <= _HARDNEG_K
 
     n = parquet_row_count(SF, "embeddings")
-    kc = max(8, n // 125)
     emb = load_table(spark, SF, "embeddings")
-    centroids = emb.filter(F.col("vec_id") < kc).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
-    )
+    centroids = ivf_seed_centroids(emb, scaled_cluster_count(n))
     cluster_of = {r.vec_id: r.cid for r in ivf_assign(emb, centroids).collect()}
     for r in rows:
         assert cluster_of[r.neg_id] == cluster_of[r.qid]
