@@ -88,6 +88,7 @@ _WINDOW = [
     "centroid_outlier_prune",
     "boilerplate_strip",
     "sketch_quantiles",
+    "classifier_calibration",
     # -- staleness rotation (oldest driver-green first: r1 era ...) --
     "lang_id",
     "multimodal_metadata",
@@ -112,7 +113,6 @@ _WINDOW = [
     "minhash_lsh_mllib",
     "nullsafe_join",
     "percentile_summary",
-    "pii_redact",
 ]
 
 

@@ -2296,3 +2296,78 @@ SPECS["boilerplate_strip"] = QuerySpec(
     _BOILERPLATE_SQL,
     f"strip segments appearing in >= {_BP_DF} docs (boilerplate) and splice the cleaned text",
 )
+
+
+# --- classifier calibration (reliability bins) ----------------------------
+# The classifier-QA query a model-based filtering pipeline runs before
+# trusting scores as sampling weights: bucket quality_classifier scores
+# into deciles and compare mean predicted score vs the observed rate of
+# the (independent) Gopher rule-based keep label per bin — the data
+# behind a reliability diagram, and the per-bin |gap| that an expected-
+# calibration-error (ECE) sums.  Both inputs are existing oracle-green
+# queries composed in one plan; at scale this is two document scans and
+# two doc-keyed aggregates joined on doc_id, then a 10-row rollup.
+#
+# FP discipline: scores are already on the 1e-4 grid (quality_classifier
+# rounds), the bin is an integer floor of that grid value, observed rate
+# is an exact integer ratio, and only mean_score (a float sum across the
+# bin) needs portable_round; the gap subtracts two identical doubles.
+
+
+def _classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qc = _quality_classifier(spark, sf_dir).select("doc_id", "score")
+    gf = _gopher_quality_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").cast("int").alias("label")
+    )
+    binned = qc.join(gf, "doc_id").select(
+        F.least(F.lit(9), F.floor(F.col("score") * 10).cast("int")).alias(
+            "bin"
+        ),
+        "score",
+        "label",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            portable_round(F.avg("score"), 4).alias("mean_score"),
+            portable_round(
+                F.sum("label") / F.count(F.lit(1)), 4
+            ).alias("obs_rate"),
+        )
+        .select(
+            "bin",
+            "n",
+            "mean_score",
+            "obs_rate",
+            F.abs(F.col("mean_score") - F.col("obs_rate")).alias("gap"),
+        )
+    )
+
+
+def _classifier_calibration_sql() -> str:
+    return f"""
+WITH qc AS ({_quality_classifier_sql()}),
+gf AS ({_gopher_quality_filter_sql()}),
+binned AS (
+  SELECT LEAST(9, CAST(FLOOR(qc.score * 10) AS INTEGER)) AS bin,
+         qc.score,
+         CASE WHEN gf.keep THEN 1 ELSE 0 END AS label
+  FROM qc JOIN gf ON qc.doc_id = gf.doc_id
+),
+agg AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+         FLOOR(AVG(score) * 10000.0 + 0.5) / 10000.0 AS mean_score,
+         FLOOR(SUM(label) / CAST(COUNT(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS obs_rate
+  FROM binned GROUP BY bin
+)
+SELECT bin, n, mean_score, obs_rate, ABS(mean_score - obs_rate) AS gap
+FROM agg
+"""
+
+
+SPECS["classifier_calibration"] = QuerySpec(
+    _classifier_calibration,
+    _classifier_calibration_sql(),
+    "reliability bins: decile-bucketed classifier score vs observed Gopher keep rate (+|gap|)",
+)

@@ -142,3 +142,80 @@ def test_sketch_quantiles_error_bound_vs_exact(spark):
         by_type[r.event_type][r.p] = r.est
     for t, ests in by_type.items():
         assert ests[0.5] <= ests[0.95] <= ests[0.99], t
+
+
+def test_sketch_quantiles_histograms_merge_exactly(spark):
+    """Mergeability as a theorem, not a claim (the rollup_incremental
+    pattern): bin counts from two disjoint halves of the corpus, merged
+    by addition, equal the full-corpus histogram EXACTLY — integer
+    counts over identical (mn, mx) geometry have no merge seam.  This is
+    what lets 100 TB of shards combine with 256 rows per group per
+    shard."""
+    from signal_messenger_vector_database_spark.io.sources import load_table
+    from signal_messenger_vector_database_spark.plans.analytics import (
+        _QSK_BINS,
+    )
+
+    ev = (
+        load_table(spark, SF, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "event_type", "value")
+    )
+    rng = ev.groupBy("event_type").agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+
+    def hist(df):
+        binned = df.join(F.broadcast(rng), "event_type").select(
+            "event_type",
+            F.when(F.col("mx") == F.col("mn"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(_QSK_BINS - 1),
+                    F.floor(
+                        (F.col("value") - F.col("mn"))
+                        / (F.col("mx") - F.col("mn"))
+                        * _QSK_BINS
+                    ).cast("int"),
+                )
+            )
+            .alias("bin"),
+        )
+        return {
+            (r.event_type, r.bin): r.c
+            for r in binned.groupBy("event_type", "bin")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+
+    full = hist(ev)
+    h1 = hist(ev.filter(F.col("event_id") % 2 == 0))
+    h2 = hist(ev.filter(F.col("event_id") % 2 == 1))
+    merged = dict(h1)
+    for k, c in h2.items():
+        merged[k] = merged.get(k, 0) + c
+    assert merged == full
+
+
+def test_classifier_calibration_accounting(spark):
+    """Bins partition the corpus (counts sum to n_docs), rates live in
+    [0,1], gap == |mean_score - obs_rate|, and the fixture exercises
+    nondegenerate bins (some bin has 0 < obs_rate < 1 or at least two
+    bins disagree in observed rate)."""
+    from signal_messenger_vector_database_spark.io.sources import load_table
+    from signal_messenger_vector_database_spark.plans.traindata import (
+        _classifier_calibration,
+    )
+
+    rows = _classifier_calibration(spark, SF).collect()
+    n_docs = load_table(spark, SF, "documents").count()
+    assert sum(r.n for r in rows) == n_docs
+    for r in rows:
+        assert 0 <= r.bin <= 9
+        assert 0.0 <= r.mean_score <= 1.0
+        assert 0.0 <= r.obs_rate <= 1.0
+        assert abs(r.gap - abs(r.mean_score - r.obs_rate)) < 1e-12
+        # mean score of a decile bin must sit in (or round-adjacent to)
+        # its own bin's value range
+        assert r.bin / 10 - 1e-4 <= r.mean_score <= (r.bin + 1) / 10 + 1e-4
+    assert len({r.obs_rate for r in rows}) > 1

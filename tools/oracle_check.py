@@ -66,7 +66,25 @@ def main():
     from pyspark.sql import SparkSession
     from signal_messenger_vector_database_spark.session import get_spark
 
-    spark = get_spark("oracle-check")
+    if os.environ.get("SMVD_HOSTILE"):
+        # Adversarial physical layout: tiny parallelism, prime shuffle
+        # width, ANSI on.  A query whose values depend on partitioning
+        # (spark_partition_id leaks, non-deterministic tie-breaks,
+        # overflow hidden by non-ANSI) fails HERE before a driver slot
+        # is burned on it.
+        spark = (
+            SparkSession.builder.master("local[3]")
+            .appName("oracle-check-hostile")
+            .config("spark.sql.shuffle.partitions", "7")
+            .config("spark.sql.ansi.enabled", "true")
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("oracle-check")
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as e

@@ -182,6 +182,9 @@ PROBES_WAVE11 = [
     # sketch_quantiles: expected flat — the exchange carries <= 256 bins
     # per (group, map task), the mergeable-sketch shape (hll_distinct)
     "sketch_quantiles",
+    # classifier_calibration: two doc-keyed aggregates + a 10-row rollup
+    # — expected linear in the corpus scan
+    "classifier_calibration",
 ]
 
 # sixth wave: stateful Structured Streaming drains (AvailableNow over
