@@ -89,6 +89,8 @@ _WINDOW = [
     "boilerplate_strip",
     "sketch_quantiles",
     "classifier_calibration",
+    "ivf_maintenance",
+    "ivf_hier_quality",
     # -- staleness rotation (oldest driver-green first: r1 era ...) --
     "lang_id",
     "multimodal_metadata",
@@ -111,8 +113,6 @@ _WINDOW = [
     "kmeans_assign",
     "locf_fill",
     "minhash_lsh_mllib",
-    "nullsafe_join",
-    "percentile_summary",
 ]
 
 

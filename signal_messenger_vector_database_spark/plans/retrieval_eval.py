@@ -255,3 +255,111 @@ SPECS: dict[str, QuerySpec] = {
         "contrastive hard negatives: top-5 in-cluster candidates in the [0.10, 0.30) similarity band",
     ),
 }
+
+
+# --- hierarchical-assignment quality (the flat-assignment scale escape) ----
+# With the corpus-scaled k ~ n/125, FLAT coarse assignment is n*k =
+# n^2/125 cosines — the next quadratic after the pair joins it fences
+# (wave-11: ivf_maintenance 0.75/0.74/3.13 s at 1x/4x/16x).  The
+# production escape is the two-level quantizer (operators/ann.py::
+# ivf_assign_hier, n * 2*sqrt(k) cosines); it is APPROXIMATE, so this
+# query MEASURES the agreement with flat assignment — the number a
+# deployment checks before switching the index build to the
+# hierarchical path.  n_super = max(2, floor(sqrt(k))) and nprobe=3 in
+# both engines (the fixture's isotropic vectors are the routing worst
+# case; nprobe 1/2/3/4 measured 0.49 / 0.68 / 0.85 / 1.0 at sf0.1).
+
+
+def _ivf_hier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from ..operators.ann import (
+        ivf_assign,
+        ivf_assign_hier,
+        ivf_seed_centroids,
+        scaled_cluster_count,
+    )
+
+    n = parquet_row_count(sf_dir, "embeddings")
+    k = scaled_cluster_count(n)
+    ns = max(2, math.isqrt(k))
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = ivf_seed_centroids(emb, k)
+    flat = ivf_assign(emb, cent).withColumnRenamed("cid", "cid_flat")
+    hier = ivf_assign_hier(emb, cent, ns).withColumnRenamed("cid", "cid_hier")
+    return (
+        flat.join(hier, "vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("cid_flat") == F.col("cid_hier"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_agree"),
+        )
+        .select(
+            "n",
+            "n_agree",
+            (F.col("n_agree").cast("double") / F.col("n")).alias("agree_frac"),
+        )
+    )
+
+
+_COS_EC2 = _SQL_COS.format(a="e.embedding", b="c.cv")
+_COS_ES = _SQL_COS.format(a="e.embedding", b="s.sv")
+_COS_CS = _SQL_COS.format(a="c.cv", b="s.sv")
+_COS_VC = _SQL_COS.format(a="v.v", b="c2.cv")
+
+_IVF_HIER_QUALITY_SQL = f"""
+WITH p AS (
+  SELECT GREATEST(8, COUNT(*) // 125) AS k,
+         GREATEST(2, CAST(FLOOR(SQRT(GREATEST(8, COUNT(*) // 125))) AS INTEGER)) AS ns
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings, p WHERE vec_id < p.k),
+s AS (SELECT cid AS sid, cv AS sv FROM c, p WHERE cid < p.ns),
+flat AS (
+  SELECT vec_id, cid AS cid_flat FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY ({_COS_EC2}) DESC, c.cid) AS rk
+    FROM embeddings e, c
+  ) WHERE rk = 1
+),
+c2s AS (
+  SELECT cid, cv, sid FROM (
+    SELECT c.cid, c.cv, s.sid,
+           ROW_NUMBER() OVER (PARTITION BY c.cid
+                              ORDER BY ({_COS_CS}) DESC, s.sid) AS rk
+    FROM c, s
+  ) WHERE rk = 1
+),
+v2s AS (
+  SELECT vec_id, v, sid FROM (
+    SELECT e.vec_id, e.embedding AS v, s.sid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY ({_COS_ES}) DESC, s.sid) AS rk
+    FROM embeddings e, s
+  ) WHERE rk <= 3  -- nprobe=3, the measured default
+),
+hier AS (
+  SELECT vec_id, cid AS cid_hier FROM (
+    SELECT v.vec_id, c2.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY ({_COS_VC}) DESC, c2.cid) AS rk
+    FROM v2s v JOIN c2s c2 ON v.sid = c2.sid
+  ) WHERE rk = 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN cid_flat = cid_hier THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       CAST(SUM(CASE WHEN cid_flat = cid_hier THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS agree_frac
+FROM flat JOIN hier USING (vec_id)
+"""
+
+
+SPECS["ivf_hier_quality"] = QuerySpec(
+    _ivf_hier_quality,
+    _IVF_HIER_QUALITY_SQL,
+    "two-level quantizer agreement with flat IVF assignment (the n*k -> n*2sqrt(k) scale escape, measured)",
+)

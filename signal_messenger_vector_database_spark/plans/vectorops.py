@@ -1209,3 +1209,119 @@ SPECS["centroid_outlier_prune"] = QuerySpec(
     _CENTROID_PRUNE_SQL,
     "per-label bottom-decile outlier drop by cosine-to-centroid (value-histogram threshold, no pair join)",
 )
+
+
+# --- IVF index maintenance (the vector-store operations query) -------------
+# The reference IS a vector store (pgvector append-only, BASELINE.md) —
+# this is the maintenance pass an IVF index over that store runs after
+# every ingest+delete cycle: assign the incoming batch to the existing
+# coarse quantizer, account tombstoned rows, and flag clusters that need
+# a SPLIT (overfull vs the mean occupancy) or a COMPACTION (live
+# fraction dropped below 98%).  Batch/tombstone membership is derived
+# from vec_id here (the newest max(50, n/10) ids are "incoming"; base
+# ids with vec_id % 37 = 5 are tombstoned) purely so both engines see
+# identical deterministic sets; in production those are the delta table
+# and the delete log, and the base assignment is the STORED index — the
+# delta-only assignment is this same ivf_assign call on the delta frame.
+#
+# Every decision is exact-integer (10*(nl+nn)*k > 11*total for split;
+# 50*nl < 49*(nl+nt) for compact — i.e. live < 0.98): zero FP outside
+# the proven assignment cosine, so the oracle compare has no seam.  The
+# maintenance table is k rows; `total` stays IN the plan as a broadcast
+# 1-row aggregate (no driver action).
+
+
+def _ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.sources import parquet_row_count
+    from ..operators.ann import (
+        ivf_assign,
+        ivf_seed_centroids,
+        scaled_cluster_count,
+    )
+
+    n = parquet_row_count(sf_dir, "embeddings")
+    k = scaled_cluster_count(n)
+    cut = n - max(50, n // 10)
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = ivf_assign(emb, ivf_seed_centroids(emb, k))
+    tagged = assign.select(
+        "cid",
+        F.when(F.col("vec_id") >= cut, "new")
+        .when(F.col("vec_id") % 37 == 5, "tomb")
+        .otherwise("live")
+        .alias("st"),
+    )
+    agg = tagged.groupBy("cid").agg(
+        F.sum(F.when(F.col("st") == "live", 1).otherwise(0)).alias("n_live"),
+        F.sum(F.when(F.col("st") == "tomb", 1).otherwise(0)).alias("n_tomb"),
+        F.sum(F.when(F.col("st") == "new", 1).otherwise(0)).alias("n_new"),
+    )
+    tot = agg.agg(
+        F.sum(F.col("n_live") + F.col("n_new")).alias("_total"),
+        F.count(F.lit(1)).alias("_k"),
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        F.col("cid").cast("long").alias("cid"),
+        F.col("n_live").cast("long").alias("n_live"),
+        F.col("n_tomb").cast("long").alias("n_tomb"),
+        F.col("n_new").cast("long").alias("n_new"),
+        (
+            10 * (F.col("n_live") + F.col("n_new")) * F.col("_k")
+            > 11 * F.col("_total")
+        ).alias("needs_split"),
+        (
+            50 * F.col("n_live") < 49 * (F.col("n_live") + F.col("n_tomb"))
+        ).alias("needs_compact"),
+    )
+
+
+_IVF_MAINT_SQL = f"""
+WITH p AS (
+  SELECT COUNT(*) AS n,
+         GREATEST(8, COUNT(*) // 125) AS k,
+         COUNT(*) - GREATEST(50, COUNT(*) // 10) AS cut
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings, p
+      WHERE vec_id < p.k),
+sims0 AS (
+  SELECT e.vec_id, c.cid, {_SQL_COS_E.format(a="e.embedding::DOUBLE[]", b="c.cv::DOUBLE[]")} AS csim
+  FROM embeddings e, c
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rk
+    FROM sims0
+  ) WHERE rk = 1
+),
+tagged AS (
+  SELECT a.cid,
+         CASE WHEN a.vec_id >= p.cut THEN 'new'
+              WHEN a.vec_id % 37 = 5 THEN 'tomb'
+              ELSE 'live' END AS st
+  FROM assign a, p
+),
+agg AS (
+  SELECT cid,
+         SUM(CASE WHEN st = 'live' THEN 1 ELSE 0 END) AS n_live,
+         SUM(CASE WHEN st = 'tomb' THEN 1 ELSE 0 END) AS n_tomb,
+         SUM(CASE WHEN st = 'new' THEN 1 ELSE 0 END) AS n_new
+  FROM tagged GROUP BY cid
+),
+tot AS (SELECT SUM(n_live + n_new) AS total, COUNT(*) AS k FROM agg)
+SELECT CAST(a.cid AS BIGINT) AS cid,
+       CAST(a.n_live AS BIGINT) AS n_live,
+       CAST(a.n_tomb AS BIGINT) AS n_tomb,
+       CAST(a.n_new AS BIGINT) AS n_new,
+       (10 * (a.n_live + a.n_new) * t.k > 11 * t.total) AS needs_split,
+       (50 * a.n_live < 49 * (a.n_live + a.n_tomb)) AS needs_compact
+FROM agg a, tot t
+"""
+
+
+SPECS["ivf_maintenance"] = QuerySpec(
+    _ivf_maintenance,
+    _IVF_MAINT_SQL,
+    "IVF index maintenance: delta assignment + tombstone accounting, split/compact flags (exact-integer rules)",
+)

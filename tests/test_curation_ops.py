@@ -219,3 +219,32 @@ def test_classifier_calibration_accounting(spark):
         # its own bin's value range
         assert r.bin / 10 - 1e-4 <= r.mean_score <= (r.bin + 1) / 10 + 1e-4
     assert len({r.obs_rate for r in rows}) > 1
+
+
+def test_ivf_maintenance_accounting_and_flags(spark):
+    """Cluster rows partition the corpus (live+tomb+new sums to n); both
+    flag arms are live on the fixture; flags re-derive from the emitted
+    counts via the exact-integer rules (no hidden state)."""
+    from signal_messenger_vector_database_spark.io.sources import (
+        parquet_row_count,
+    )
+    from signal_messenger_vector_database_spark.plans.vectorops import (
+        _ivf_maintenance,
+    )
+
+    rows = _ivf_maintenance(spark, SF).collect()
+    n = parquet_row_count(SF, "embeddings")
+    assert sum(r.n_live + r.n_tomb + r.n_new for r in rows) == n
+    total = sum(r.n_live + r.n_new for r in rows)
+    k = len(rows)
+    assert any(r.needs_split for r in rows) and not all(
+        r.needs_split for r in rows
+    )
+    assert any(r.needs_compact for r in rows) and not all(
+        r.needs_compact for r in rows
+    )
+    for r in rows:
+        assert r.needs_split == (10 * (r.n_live + r.n_new) * k > 11 * total)
+        assert r.needs_compact == (
+            50 * r.n_live < 49 * (r.n_live + r.n_tomb)
+        )

@@ -162,3 +162,37 @@ def test_vocab_coverage_accounting_identity(spark):
     # the top-V vocabulary covers the most frequent words, so SOME doc
     # must have a sub-1 oov rate, and no rate exceeds 1 by construction
     assert min(r.oov_rate for r in cov) < 1.0
+
+
+def test_ivf_hier_agreement_floor_and_validity(spark):
+    """The two-level quantizer's shipped geometry (n_super = floor
+    sqrt(k), nprobe=3) must agree with flat assignment on >= 0.8 of
+    vectors even on the isotropic fixture (the routing worst case), and
+    every hier-assigned cid must be a real centroid id."""
+    import math
+
+    from signal_messenger_vector_database_spark.io.sources import (
+        load_table,
+        parquet_row_count,
+    )
+    from signal_messenger_vector_database_spark.operators.ann import (
+        ivf_assign_hier,
+        ivf_seed_centroids,
+        scaled_cluster_count,
+    )
+    from signal_messenger_vector_database_spark.plans.retrieval_eval import (
+        _ivf_hier_quality,
+    )
+
+    row = _ivf_hier_quality(spark, SF).collect()[0]
+    assert row.agree_frac >= 0.8
+    assert row.n_agree <= row.n
+
+    n = parquet_row_count(SF, "embeddings")
+    k = scaled_cluster_count(n)
+    emb = load_table(spark, SF, "embeddings")
+    hier = ivf_assign_hier(
+        emb, ivf_seed_centroids(emb, k), max(2, math.isqrt(k))
+    ).collect()
+    assert len(hier) == n  # exactly one assignment per vector
+    assert all(0 <= r.cid < k for r in hier)

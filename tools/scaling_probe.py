@@ -185,6 +185,13 @@ PROBES_WAVE11 = [
     # classifier_calibration: two doc-keyed aggregates + a 10-row rollup
     # — expected linear in the corpus scan
     "classifier_calibration",
+    # ivf_maintenance: broadcast argmin assignment (linear n*k with the
+    # scaled-k rule) + k-row integer flags — expected linear
+    "ivf_maintenance",
+    # ivf_hier_quality: runs BOTH assignments (flat n*k + two-level
+    # n*(ns + nprobe*k/ns)) — the flat arm dominates, expected to track
+    # ivf_maintenance's n*k growth; the hier arm alone is the escape
+    "ivf_hier_quality",
 ]
 
 # sixth wave: stateful Structured Streaming drains (AvailableNow over
