@@ -63,6 +63,8 @@ HEADLINE = [
     "ann_recall_at_k",
     "centroid_outlier_prune",
     "boilerplate_strip",
+    "sketch_quantiles",
+    "ivf_maintenance",
 ]
 
 

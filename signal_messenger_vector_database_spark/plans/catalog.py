@@ -91,6 +91,7 @@ _WINDOW = [
     "classifier_calibration",
     "ivf_maintenance",
     "ivf_hier_quality",
+    "ann_ivf_hier",
     # -- staleness rotation (oldest driver-green first: r1 era ...) --
     "lang_id",
     "multimodal_metadata",
@@ -112,7 +113,6 @@ _WINDOW = [
     "grouping_sets_agg",
     "kmeans_assign",
     "locf_fill",
-    "minhash_lsh_mllib",
 ]
 
 

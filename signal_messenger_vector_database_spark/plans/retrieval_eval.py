@@ -310,22 +310,17 @@ _COS_ES = _SQL_COS.format(a="e.embedding", b="s.sv")
 _COS_CS = _SQL_COS.format(a="c.cv", b="s.sv")
 _COS_VC = _SQL_COS.format(a="v.v", b="c2.cv")
 
-_IVF_HIER_QUALITY_SQL = f"""
-WITH p AS (
+# ONE hier-assignment CTE chain shared by every consumer (the
+# span-window-sharing lesson: geometry/nprobe drift between a query and
+# a sibling's oracle must be structurally impossible).  Yields `hier`
+# (vec_id, cid_hier) plus the intermediate p/c/s/c2s/v2s tables.
+_HIER_ASSIGN_CTES = f"""p AS (
   SELECT GREATEST(8, COUNT(*) // 125) AS k,
          GREATEST(2, CAST(FLOOR(SQRT(GREATEST(8, COUNT(*) // 125))) AS INTEGER)) AS ns
   FROM embeddings
 ),
 c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings, p WHERE vec_id < p.k),
 s AS (SELECT cid AS sid, cv AS sv FROM c, p WHERE cid < p.ns),
-flat AS (
-  SELECT vec_id, cid AS cid_flat FROM (
-    SELECT e.vec_id, c.cid,
-           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                              ORDER BY ({_COS_EC2}) DESC, c.cid) AS rk
-    FROM embeddings e, c
-  ) WHERE rk = 1
-),
 c2s AS (
   SELECT cid, cv, sid FROM (
     SELECT c.cid, c.cv, s.sid,
@@ -349,6 +344,17 @@ hier AS (
                               ORDER BY ({_COS_VC}) DESC, c2.cid) AS rk
     FROM v2s v JOIN c2s c2 ON v.sid = c2.sid
   ) WHERE rk = 1
+)"""
+
+_IVF_HIER_QUALITY_SQL = f"""
+WITH {_HIER_ASSIGN_CTES},
+flat AS (
+  SELECT vec_id, cid AS cid_flat FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY ({_COS_EC2}) DESC, c.cid) AS rk
+    FROM embeddings e, c
+  ) WHERE rk = 1
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(CASE WHEN cid_flat = cid_hier THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
@@ -362,4 +368,68 @@ SPECS["ivf_hier_quality"] = QuerySpec(
     _ivf_hier_quality,
     _IVF_HIER_QUALITY_SQL,
     "two-level quantizer agreement with flat IVF assignment (the n*k -> n*2sqrt(k) scale escape, measured)",
+)
+
+
+# --- the search query on the hierarchical index ---------------------------
+# ann_ivf's twin with BOTH scale rules applied: corpus-scaled k (cluster
+# size bounded for the probe) AND two-level assignment (index build cost
+# n*2sqrt(k) instead of n*k) — the shape that survives when both n and k
+# are large.  Same query vector (vec_id 0), same probed-cluster top-5.
+
+
+def _ann_ivf_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from ..functions.vector import cosine_similarity
+    from ..operators.ann import (
+        ivf_assign_hier,
+        ivf_seed_centroids,
+        scaled_cluster_count,
+    )
+
+    n = parquet_row_count(sf_dir, "embeddings")
+    k = scaled_cluster_count(n)
+    ns = max(2, math.isqrt(k))
+    emb = load_table(spark, sf_dir, "embeddings")
+    hier = ivf_assign_hier(emb, ivf_seed_centroids(emb, k), ns)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    qcid = hier.filter(F.col("vec_id") == 0).select(
+        F.col("cid").alias("qcid")
+    )
+    return (
+        emb.join(hier, "vec_id")
+        .join(F.broadcast(qcid), F.col("cid") == F.col("qcid"))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            portable_round(cosine_similarity("embedding", "qv"), 4).alias(
+                "sim"
+            ),
+        )
+        .orderBy(F.desc("sim"), F.col("vec_id"))
+        .limit(5)
+    )
+
+
+_COS_EQ2 = _SQL_COS.format(a="e.embedding", b="q.qv")
+
+_ANN_IVF_HIER_SQL = f"""
+WITH {_HIER_ASSIGN_CTES},
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qc AS (SELECT cid_hier AS cid FROM hier WHERE vec_id = 0)
+SELECT e.vec_id,
+       FLOOR(({_COS_EQ2}) * 10000 + 0.5) / 10000 AS sim
+FROM embeddings e
+JOIN hier h ON e.vec_id = h.vec_id
+JOIN qc ON h.cid_hier = qc.cid, q
+ORDER BY sim DESC, e.vec_id
+LIMIT 5
+"""
+
+
+SPECS["ann_ivf_hier"] = QuerySpec(
+    _ann_ivf_hier,
+    _ANN_IVF_HIER_SQL,
+    "IVF search through the two-level quantizer (corpus-scaled k + sqrt(k)-super routing)",
 )

@@ -192,6 +192,9 @@ PROBES_WAVE11 = [
     # n*(ns + nprobe*k/ns)) — the flat arm dominates, expected to track
     # ivf_maintenance's n*k growth; the hier arm alone is the escape
     "ivf_hier_quality",
+    # ann_ivf_hier: search through the two-level index — hier assignment
+    # only (no flat arm), expected to grow slower than ivf_maintenance
+    "ann_ivf_hier",
 ]
 
 # sixth wave: stateful Structured Streaming drains (AvailableNow over
