@@ -1161,36 +1161,28 @@ _QSK_BINS = 256
 _QSK_PS = [0.5, 0.95, 0.99]
 
 
-def _sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull())
-        .select("event_type", "value")
-    )
-    rng = ev.groupBy("event_type").agg(
-        F.min("value").alias("mn"),
-        F.max("value").alias("mx"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    binned = (
-        ev.join(F.broadcast(rng), "event_type")
-        .select(
-            "event_type",
-            F.when(F.col("mx") == F.col("mn"), F.lit(0))
-            .otherwise(
-                F.least(
-                    F.lit(_QSK_BINS - 1),
-                    F.floor(
-                        (F.col("value") - F.col("mn"))
-                        / (F.col("mx") - F.col("mn"))
-                        * _QSK_BINS
-                    ).cast("int"),
-                )
+def _qsk_bin_expr() -> F.Column:
+    """Bin index for a (value, mn, mx) row — ONE definition shared by the
+    batch sketch, the streaming twin, and the merge test."""
+    return (
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(_QSK_BINS - 1),
+                F.floor(
+                    (F.col("value") - F.col("mn"))
+                    / (F.col("mx") - F.col("mn"))
+                    * _QSK_BINS
+                ).cast("int"),
             )
-            .alias("bin"),
         )
     )
-    hist = binned.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("c"))
+
+
+def _qsk_quantile_pick(hist: DataFrame, rng: DataFrame) -> DataFrame:
+    """Quantile estimates from a (event_type, bin, c) histogram and its
+    (event_type, mn, mx, n) geometry — the post-aggregation half of the
+    sketch, shared by the batch and streaming variants."""
     wt = Window.partitionBy("event_type").orderBy("bin")
     cum = hist.withColumn(
         "cum", F.sum("c").over(wt.rowsBetween(Window.unboundedPreceding, 0))
@@ -1224,6 +1216,33 @@ def _sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise((F.col("mx") - F.col("mn")) / F.lit(float(_QSK_BINS)))
         .alias("err_bound"),
     )
+
+
+def _qsk_inputs(spark: SparkSession, sf_dir: str):
+    """(events, geometry) shared by the batch sketch and the streaming
+    twin's frozen-geometry read."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    rng = ev.groupBy("event_type").agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return ev, rng
+
+
+def _sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev, rng = _qsk_inputs(spark, sf_dir)
+    binned = ev.join(F.broadcast(rng), "event_type").select(
+        "event_type", _qsk_bin_expr().alias("bin")
+    )
+    hist = binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return _qsk_quantile_pick(hist, rng)
 
 
 _SKETCH_QUANTILES_SQL = f"""

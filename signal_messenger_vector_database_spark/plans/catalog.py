@@ -92,6 +92,7 @@ _WINDOW = [
     "ivf_maintenance",
     "ivf_hier_quality",
     "ann_ivf_hier",
+    "stream_sketch_quantiles",
     # -- staleness rotation (oldest driver-green first: r1 era ...) --
     "lang_id",
     "multimodal_metadata",
@@ -112,7 +113,6 @@ _WINDOW = [
     "event_funnel",
     "grouping_sets_agg",
     "kmeans_assign",
-    "locf_fill",
 ]
 
 

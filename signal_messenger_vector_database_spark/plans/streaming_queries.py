@@ -278,3 +278,58 @@ SPECS["stream_sessionize"] = QuerySpec(
     _stream_sessionize_sql(),
     "streaming session_window + watermark (AvailableNow) == batch sessionization",
 )
+
+
+def _stream_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile sketch's STREAMING story: bin-count state accumulates
+    across micro-batches (a streaming groupBy over (event_type, bin) —
+    state is bounded at 256 bins x |types| regardless of how many events
+    flow through, which is exactly the mergeable-sketch property the
+    batch twin's merge==full test proves), then the drained histogram
+    feeds the same quantile-pick as batch.  Bin geometry (per-type
+    min/max) is FROZEN from the historical table before the stream
+    starts — how production sketches handle unbounded input (a new
+    out-of-range value clips into the edge bin rather than rebinning
+    history).  Oracle: the batch sketch SQL verbatim — a drained
+    AvailableNow run over the same rows must land the identical
+    histogram, hence identical quantiles."""
+    import tempfile
+    import uuid
+
+    from .analytics import _qsk_bin_expr, _qsk_inputs, _qsk_quantile_pick
+
+    spark = streaming_session(spark)
+    _, rng = _qsk_inputs(spark, sf_dir)
+    stream = read_events_stream(spark, sf_dir).filter(
+        F.col("value").isNotNull()
+    )
+    binned = stream.join(F.broadcast(rng), "event_type").select(
+        "event_type", _qsk_bin_expr().alias("bin")
+    )
+    hist = binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    sink = f"stream_qsk_{uuid.uuid4().hex[:8]}"
+    q = (
+        hist.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="smvd-ckpt-qsk-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_drained(q)
+    return _qsk_quantile_pick(spark.table(sink), rng)
+
+
+def _stream_sketch_quantiles_sql() -> str:
+    from .analytics import _SKETCH_QUANTILES_SQL
+
+    return _SKETCH_QUANTILES_SQL
+
+
+SPECS["stream_sketch_quantiles"] = QuerySpec(
+    _stream_sketch_quantiles,
+    _stream_sketch_quantiles_sql(),
+    "streaming quantile sketch: bounded bin-count state across micro-batches == the batch sketch",
+)

@@ -115,3 +115,50 @@ def test_stream_dedup_suppresses_duplicate_arriving_in_later_batch(spark):
     await_drained(q)
     assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 2
     assert s.table(sink).collect()[0].n == 50
+
+
+def test_sketch_histogram_accumulates_across_micro_batches(spark):
+    """The streaming quantile sketch's bin-count state must accumulate
+    across REAL micro-batches (4 files, maxFilesPerTrigger=1) and land
+    the identical histogram — and hence identical quantiles — as the
+    batch sketch over the same rows.  This is the mergeable-sketch
+    property exercised through checkpointed streaming state rather than
+    a hand-merge."""
+    from signal_messenger_vector_database_spark.plans.analytics import (
+        _qsk_bin_expr,
+        _qsk_inputs,
+        _qsk_quantile_pick,
+        _sketch_quantiles,
+    )
+
+    s = streaming_session(spark)
+    events, stage = _staged_events(s, 4)
+    _, rng = _qsk_inputs(s, SF)
+    stream = (
+        s.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .filter(F.col("value").isNotNull())
+    )
+    binned = stream.join(F.broadcast(rng), "event_type").select(
+        "event_type", _qsk_bin_expr().alias("bin")
+    )
+    hist = binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    sink = f"qsk_mb_{uuid.uuid4().hex[:8]}"
+    q = (
+        hist.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="smvd-ckpt-qmb-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_drained(q)
+    assert q.lastProgress is not None and q.lastProgress["batchId"] >= 3
+    streamed = {
+        tuple(r) for r in _qsk_quantile_pick(s.table(sink), rng).collect()
+    }
+    batch = {tuple(r) for r in _sketch_quantiles(spark, SF).collect()}
+    assert streamed == batch and len(batch) >= 9
