@@ -74,6 +74,10 @@ COMMENTARY = {
     "ann_recall_at_k": "Measured ANN recall (r8 third batch): the exact ground-truth arm scores n x |Q| rows with |Q| FIXED (<= 20 anchors by predicate), then finds each anchor's top-10 via the TWO-PHASE top-k — per-(qid, partition) local top-10s first, global merge over 10*partitions rows — so no single-qid window ever receives all n rows (the classic top-k skew funnel; partition-invariance is tested). The approx arm touches only the anchor's IVF cluster. Recall itself is a k-row join + count.",
     "centroid_outlier_prune": "Semantic-outlier prune (r8 third batch): centroid build is the embedding_centroids partial-aggregated (label,pos) shuffle; scoring is ONE linear scan against broadcast centroids (persisted — three consumers must see identical rounded csims); the per-label decile is a VALUE threshold read off the (label, rounded-csim) histogram whose cardinality is bounded at 20001 rows/label — a per-label row-rank window would funnel n rows into |labels| tasks.",
     "boilerplate_strip": "Boilerplate removal (r8 third batch): line_dedup's disjoint-segment explode, a distinct-doc frequency on the segment hash (corpus-growing key), one anti/semi join pair, and a per-doc ORDERED string_agg splice — zero floating point, no pair join; the surviving tail words append via pure slice arithmetic shared with the oracle.",
+    "sketch_quantiles": "Mergeable quantile sketch (r8): the bin index is one multiply+divide+floor in codegen; the histogram partial-aggregates map-side so each map task emits <= 256 bins per group across the exchange (hll_distinct's register shape); the quantile pick is a window over <= 256 rows/group. No portable_round anywhere — min/max have no float-sum seam, so parity is exact by construction.",
+    "ivf_maintenance": "IVF index ops (r8): one broadcast-argmin assignment pass (min_by partial agg, no window), integer-only status tagging, and a k-row decision table with the mean-occupancy total kept IN the plan as a broadcast 1-row aggregate. All flags are exact-integer comparisons — the oracle compare has no seam outside the proven assignment cosine.",
+    "ann_ivf_hier": "Search through the two-level quantizer (r8): level-1 routes each vector to its top-3 super-cells (collect/sort/slice aggregate — the exchange carries n rows, not n*n_super), level-2 argmins only over the routed cells' centroids; the probed-cluster top-5 is TakeOrderedAndProject. Composes the corpus-scaled-k rule (bounded probe cost) with the sqrt(k)-super routing (n*2sqrt(k) index build) — the shape where BOTH n and k are large.",
+    "classifier_calibration": "Classifier QA (r8): two document-keyed partial-aggregated passes (hashed-BoW score, Gopher label) joined on doc_id, then a 10-row reliability rollup — the decile bin is an integer floor of the already-rounded score, so the only float sum is the per-bin mean (portable_rounded).",
 }
 
 
