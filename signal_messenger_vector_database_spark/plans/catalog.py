@@ -93,6 +93,7 @@ _WINDOW = [
     "ivf_hier_quality",
     "ann_ivf_hier",
     "stream_sketch_quantiles",
+    "tfidf_cosine_topk",
     # -- staleness rotation (oldest driver-green first: r1 era ...) --
     "lang_id",
     "multimodal_metadata",
@@ -112,7 +113,6 @@ _WINDOW = [
     "embedding_centroids",
     "event_funnel",
     "grouping_sets_agg",
-    "kmeans_assign",
 ]
 
 

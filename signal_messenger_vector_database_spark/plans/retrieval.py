@@ -414,3 +414,98 @@ SPECS["ndcg_eval"] = QuerySpec(
     _ndcg_sql(),
     "nDCG@10 of the BM25 ranking vs graded lexical relevance (exact-integer DCG)",
 )
+
+
+# --- tf-idf cosine retrieval (the vector-space model baseline) -------------
+# The third lexical scoring mode beside BM25 and the embedding arm: docs
+# and the query as sparse tf-idf vectors, ranked by cosine.  idf =
+# ln(N/df) over the document frequency of the FULL corpus; the doc norm
+# therefore needs every term's tfidf (one vocabulary-keyed df join + one
+# doc-keyed aggregate — linear, the inverted_index shape), while the
+# numerator only touches the |q| query terms' postings.  The query
+# vector has tf=1 per distinct term, so ||q|| = sqrt(sum idf(t)^2) over
+# the query terms — computed IN the plan from the same df table (a
+# |q|-row broadcast), never a driver-side constant.
+
+
+def _tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(_norm_words()).alias("term"))
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.log(F.col("n_docs") / F.col("df"))
+    # per-doc L2 norm over the FULL tf-idf vector
+    norms = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(F.sqrt(F.sum(F.pow(F.col("tf") * idf, F.lit(2.0)))).alias("dnorm"))
+    )
+    qterms = F.array(*[F.lit(t) for t in _QUERY.split()])
+    qdf = df_.filter(F.array_contains(qterms, F.col("term")))
+    qnorm = (
+        qdf.crossJoin(F.broadcast(n_docs))
+        .agg(F.sqrt(F.sum(F.pow(idf, F.lit(2.0)))).alias("qnorm"))
+    )
+    dot = (
+        tf.join(F.broadcast(qdf), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * idf * idf).alias("dot"))
+    )
+    return (
+        dot.join(norms, "doc_id")
+        .crossJoin(F.broadcast(qnorm))
+        .select(
+            "doc_id",
+            portable_round(
+                F.col("dot") / (F.col("dnorm") * F.col("qnorm")), 4
+            ).alias("tfidf_cos"),
+        )
+        .orderBy(F.desc("tfidf_cos"), "doc_id")
+        .limit(_TOPK)
+    )
+
+
+def _tfidf_cosine_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _QUERY.split())
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split({_SQL_NORM}, ' ')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+norms AS (
+  SELECT doc_id,
+         sqrt(SUM(pow(tf * ln(n_docs / CAST(df AS DOUBLE)), 2.0))) AS dnorm
+  FROM tf JOIN df USING (term), nd
+  GROUP BY doc_id
+),
+qdf AS (SELECT term, df FROM df WHERE term IN ({terms})),
+qn AS (
+  SELECT sqrt(SUM(pow(ln(n_docs / CAST(df AS DOUBLE)), 2.0))) AS qnorm
+  FROM qdf, nd
+),
+dot AS (
+  SELECT doc_id,
+         SUM(tf * ln(n_docs / CAST(df AS DOUBLE))
+                * ln(n_docs / CAST(df AS DOUBLE))) AS dot
+  FROM tf JOIN qdf USING (term), nd
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       FLOOR(d.dot / (n.dnorm * q.qnorm) * 10000 + 0.5) / 10000 AS tfidf_cos
+FROM dot d JOIN norms n USING (doc_id), qn q
+ORDER BY tfidf_cos DESC, d.doc_id
+LIMIT {_TOPK}
+"""
+
+
+SPECS["tfidf_cosine_topk"] = QuerySpec(
+    _tfidf_cosine_topk,
+    _tfidf_cosine_sql(),
+    "vector-space retrieval: sparse tf-idf cosine top-k (full-corpus norms, query-term postings)",
+)

@@ -248,3 +248,49 @@ def test_ivf_maintenance_accounting_and_flags(spark):
         assert r.needs_compact == (
             50 * r.n_live < 49 * (r.n_live + r.n_tomb)
         )
+
+
+def test_tfidf_cosine_matches_pure_python(spark):
+    """Recompute the tf-idf cosine for every returned doc in pure Python
+    (explicit tf/df/idf over the normalized corpus) — the Spark value
+    must match to the 1e-4 grain, scores are in (0, 1], and every hit
+    contains at least one query term."""
+    import math
+    from collections import Counter
+
+    from signal_messenger_vector_database_spark.io.sources import load_table
+    from signal_messenger_vector_database_spark.operators.dedup import (
+        normalized_text,
+    )
+    from signal_messenger_vector_database_spark.plans.retrieval import (
+        _QUERY,
+        _tfidf_cosine_topk,
+    )
+
+    rows = _tfidf_cosine_topk(spark, SF).collect()
+    assert 0 < len(rows) <= 10
+    corpus = {
+        r.doc_id: r.nt.split(" ")
+        for r in load_table(spark, SF, "documents")
+        .select("doc_id", normalized_text(F.col("text")).alias("nt"))
+        .collect()
+    }
+    n_docs = len(corpus)
+    df = Counter()
+    for ws in corpus.values():
+        for t in set(ws):
+            df[t] += 1
+    qterms = _QUERY.split()
+
+    def idf(t):
+        return math.log(n_docs / df[t])
+
+    qnorm = math.sqrt(sum(idf(t) ** 2 for t in qterms if df[t]))
+    for r in rows:
+        tf = Counter(corpus[r.doc_id])
+        assert any(t in tf for t in qterms)
+        dot = sum(tf[t] * idf(t) * idf(t) for t in qterms if tf[t])
+        dnorm = math.sqrt(sum((c * idf(t)) ** 2 for t, c in tf.items()))
+        want = math.floor(dot / (dnorm * qnorm) * 10000 + 0.5) / 10000
+        assert abs(r.tfidf_cos - want) < 1.5e-4, r.doc_id
+        assert 0.0 < r.tfidf_cos <= 1.0
