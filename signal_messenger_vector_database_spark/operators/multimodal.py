@@ -202,3 +202,71 @@ def sniff_mime(payload_col) -> "F.Column":
         cond = head.startswith(prefix)
         expr = F.when(cond, mime) if expr is None else expr.when(cond, mime)
     return expr.otherwise("application/octet-stream")
+
+
+def resize_image(payload: bytes, w: int, h: int) -> bytes:
+    """Real image resize (PNG out) when Pillow is importable; raises
+    otherwise — the decode_image seam.  The catalog query always uses
+    ``stub_resize`` so its oracle is engine-portable; this arm is the
+    production swap-in, exercised by the env-gated Pillow test."""
+    Image = _pil()
+    if Image is None:
+        raise NotImplementedError(
+            "image resize requires PIL; use stub_resize() for the "
+            "pipeline shape"
+        )
+    import io
+
+    with Image.open(io.BytesIO(payload)) as im:
+        out = io.BytesIO()
+        im.convert("RGB").resize((w, h)).save(out, format="PNG")
+        return out.getvalue()
+
+
+def stub_resize(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic resize stand-in: stride-subsample the payload down
+    to at most w*h bytes (stride = max(1, n // (w*h))).  Pure arithmetic
+    over the byte length, so the 1:1 transform is SQL-replayable while
+    the bytes stay opaque."""
+    n = len(payload)
+    stride = max(1, n // (w * h))
+    return payload[::stride]
+
+
+def resize_batch(
+    df: DataFrame,
+    w: int = 32,
+    h: int = 32,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow-batched resize stage (mapInPandas): same schema and batch
+    shape as the production version; the per-row transform is
+    ``stub_resize`` (swap point: ``resize_image``)."""
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType(), True),
+            StructField("orig_len", IntegerType(), True),
+            StructField("resized", BinaryType(), True),
+            StructField("method", StringType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = r[payload_col]
+                rows.append(
+                    {
+                        id_col: r[id_col],
+                        "orig_len": len(payload),
+                        "resized": stub_resize(payload, w, h),
+                        "method": "stub",
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "orig_len", "resized", "method"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)

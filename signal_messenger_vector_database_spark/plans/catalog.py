@@ -52,10 +52,11 @@ _MODULES = (
 #      level (explicit cov/var formula; the 1-in-1500 sf0.1 boundary);
 #   4. staleness rotation: the oracle-paired entries whose latest
 #      driver-green row is oldest (r1–r3 era), so no green row keeps
-#      aging silently while plans around it evolve.  (Four tail slots
-#      rotated out late-round to admit the second-wave additions —
-#      simhash_hamming_pairs / knn_graph_ivf / rollup_incremental /
-#      mixture_temperature, all three-scale green locally.)
+#      aging silently while plans around it evolve.  (The rotation tail
+#      shrank through the round as each new operator batch claimed a
+#      slot — new/changed plans outrank stale-green rotation; the
+#      displaced r2/r3-era entries stay green in the local three-scale
+#      sweeps and queue for r9.)
 _WINDOW = [
     # -- r7 red cells: DOUBLE-cast fix, must go driver-green --
     "topk_pq_adc",
@@ -94,6 +95,7 @@ _WINDOW = [
     "ann_ivf_hier",
     "stream_sketch_quantiles",
     "tfidf_cosine_topk",
+    "multimodal_resize",
     # -- staleness rotation (oldest driver-green first: r1 era ...) --
     "lang_id",
     "multimodal_metadata",
@@ -112,7 +114,6 @@ _WINDOW = [
     "dedup_keep_first",
     "embedding_centroids",
     "event_funnel",
-    "grouping_sets_agg",
 ]
 
 

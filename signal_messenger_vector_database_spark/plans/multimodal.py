@@ -9,7 +9,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io.sources import load_table
-from ..operators.multimodal import attach_binary, extract_features, sample_frames
+from ..operators.multimodal import (
+    attach_binary,
+    extract_features,
+    resize_batch,
+    sample_frames,
+)
 from .registry import QuerySpec
 
 
@@ -112,10 +117,36 @@ SELECT doc_id,
 FROM x
 """
 
+def _multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    resized = resize_batch(attach_binary(docs).repartition(8))
+    return resized.select(
+        "doc_id",
+        "orig_len",
+        F.length("resized").alias("resized_len"),
+        "method",
+    )
+
+
+# stub_resize keeps every stride-th byte (stride = max(1, n // (32*32))),
+# so resized_len = ceil(n / stride) — pure integer arithmetic over the
+# payload length, SQL-replayable while the bytes stay opaque.
+_MULTIMODAL_RESIZE_SQL = """
+WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+s AS (SELECT doc_id, n, greatest(n // 1024, 1) AS stride FROM d)
+SELECT doc_id,
+       CAST(n AS INTEGER) AS orig_len,
+       CAST((n + stride - 1) // stride AS INTEGER) AS resized_len,
+       'stub' AS method
+FROM s
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "multimodal_metadata": QuerySpec(_multimodal_metadata, _MULTIMODAL_METADATA_SQL, "binary payload + typed metadata struct"),
     "multimodal_features": QuerySpec(_multimodal_features, _MULTIMODAL_FEATURES_SQL, "stubbed decode->featurize over binary (mapInPandas), exact bin-count oracle"),
     "multimodal_frames": QuerySpec(_multimodal_frames, _MULTIMODAL_FRAMES_SQL, "1->N frame sampling over binary payloads, deterministic slice-length oracle"),
+    "multimodal_resize": QuerySpec(_multimodal_resize, _MULTIMODAL_RESIZE_SQL, "Arrow-batched resize stage (stub transform, PIL swap point), integer-arithmetic oracle"),
 }
 
 

@@ -80,3 +80,53 @@ def test_sample_frames_explodes_deterministically(spark):
         expected_n = ((10 + i) % 3) + 1
         assert len(by_doc[i]) == expected_n
         assert [r.frame_id for r in sorted(by_doc[i], key=lambda r: r.frame_id)] == list(range(expected_n))
+
+
+def test_stub_resize_arithmetic_and_batch_shape(spark):
+    """stub_resize keeps every stride-th byte; the mapInPandas stage must
+    reproduce exactly ceil(n/stride) bytes per doc and preserve 1:1 row
+    cardinality."""
+    from signal_messenger_vector_database_spark.operators.multimodal import (
+        attach_binary,
+        resize_batch,
+        stub_resize,
+    )
+    from signal_messenger_vector_database_spark.io.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    out = resize_batch(attach_binary(docs)).collect()
+    assert len(out) == 50
+    for r in out:
+        stride = max(1, r.orig_len // 1024)
+        assert len(r.resized) == (r.orig_len + stride - 1) // stride
+        assert r.method == "stub"
+    assert stub_resize(b"abcdefgh", 2, 2) == b"abce"[:0] + b"abcdefgh"[::2]
+
+
+@pytest.mark.skipif(
+    __import__(
+        "signal_messenger_vector_database_spark.operators.multimodal",
+        fromlist=["_pil"],
+    )._pil()
+    is None,
+    reason="Pillow not in this container",
+)
+def test_real_resize_with_pil():
+    """The production arm: a real 4x4 PNG resized to 2x2 decodes back at
+    the target dimensions."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from signal_messenger_vector_database_spark.operators.multimodal import (
+        decode_image,
+        resize_image,
+    )
+
+    buf = io.BytesIO()
+    Image.fromarray(
+        (np.arange(48, dtype=np.uint8).reshape(4, 4, 3))
+    ).save(buf, format="PNG")
+    resized = resize_image(buf.getvalue(), 2, 2)
+    assert decode_image(resized).shape == (2, 2, 3)
