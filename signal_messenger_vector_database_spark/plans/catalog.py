@@ -96,6 +96,7 @@ _WINDOW = [
     "stream_sketch_quantiles",
     "tfidf_cosine_topk",
     "multimodal_resize",
+    "hybrid_rrf3",
     # -- staleness rotation (oldest driver-green first: r1 era ...) --
     "lang_id",
     "multimodal_metadata",
@@ -113,7 +114,6 @@ _WINDOW = [
     "date_spine_fill",
     "dedup_keep_first",
     "embedding_centroids",
-    "event_funnel",
 ]
 
 

@@ -509,3 +509,108 @@ SPECS["tfidf_cosine_topk"] = QuerySpec(
     _tfidf_cosine_sql(),
     "vector-space retrieval: sparse tf-idf cosine top-k (full-corpus norms, query-term postings)",
 )
+
+
+# --- 3-way hybrid fusion --------------------------------------------------
+# hybrid_rrf fuses two rankings; production stacks fuse all available
+# scorers.  Same RRF arithmetic over three arms (BM25, tf-idf cosine,
+# embedding cosine); each arm is its own LIMITed top-k so every rank
+# window is scale-free, and the fusion join touches <= 3k rows.
+
+
+def _hybrid_rrf3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    lex = (
+        _bm25_scores(docs, _QUERY.split())
+        .select("doc_id", portable_round(F.col("score"), 4).alias("s"))
+        .orderBy(F.desc("s"), "doc_id")
+        .limit(_TOPK)
+        .withColumn(
+            "lex_rank",
+            F.row_number().over(Window.orderBy(F.desc("s"), "doc_id")),
+        )
+    )
+    vs = (
+        _tfidf_cosine_topk(spark, sf_dir)
+        .withColumn(
+            "vs_rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("tfidf_cos"), "doc_id")
+            ),
+        )
+    )
+    qv = F.array(*[F.lit(x) for x in _hybrid_query_vec()]).cast("array<double>")
+    sem = (
+        emb.select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine_similarity(F.col("embedding"), qv), 4).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), "doc_id")
+        .limit(_TOPK)
+        .withColumn(
+            "sem_rank",
+            F.row_number().over(Window.orderBy(F.desc("sim"), "doc_id")),
+        )
+    )
+    fused = (
+        lex.select("doc_id", "lex_rank")
+        .join(vs.select("doc_id", "vs_rank"), "doc_id", "full_outer")
+        .join(sem.select("doc_id", "sem_rank"), "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            portable_round(
+                F.coalesce(1.0 / (_RRF_K + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("vs_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("sem_rank")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(_TOPK)
+
+
+def _hybrid_rrf3_sql() -> str:
+    qv = "[" + ", ".join(repr(x) for x in _hybrid_query_vec()) + "]::DOUBLE[]"
+    return f"""
+WITH {_bm25_sql()},
+lex AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY FLOOR(score * 10000 + 0.5) / 10000 DESC, doc_id) AS lex_rank
+  FROM bm25
+  ORDER BY FLOOR(score * 10000 + 0.5) / 10000 DESC, doc_id
+  LIMIT {_TOPK}
+),
+vs AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY tfidf_cos DESC, doc_id) AS vs_rank
+  FROM ({_tfidf_cosine_sql()})
+),
+q AS (SELECT {qv} AS qv),
+sem AS (
+  SELECT vec_id AS doc_id,
+         ROW_NUMBER() OVER (ORDER BY ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv) /
+               (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(q.qv, q.qv))), 4) DESC, vec_id) AS sem_rank
+  FROM embeddings e, q
+  ORDER BY ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv) /
+               (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(q.qv, q.qv))), 4) DESC, vec_id
+  LIMIT {_TOPK}
+)
+SELECT doc_id,
+       FLOOR((COALESCE(1.0 / ({_RRF_K} + lex_rank), 0.0)
+            + COALESCE(1.0 / ({_RRF_K} + vs_rank), 0.0)
+            + COALESCE(1.0 / ({_RRF_K} + sem_rank), 0.0)) * 1000000 + 0.5) / 1000000 AS rrf
+FROM lex
+FULL OUTER JOIN vs USING (doc_id)
+FULL OUTER JOIN sem USING (doc_id)
+ORDER BY rrf DESC, doc_id
+LIMIT {_TOPK}
+"""
+
+
+SPECS["hybrid_rrf3"] = QuerySpec(
+    _hybrid_rrf3,
+    _hybrid_rrf3_sql(),
+    "3-way reciprocal-rank fusion: BM25 + tf-idf cosine + embedding cosine",
+)

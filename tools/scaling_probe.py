@@ -197,6 +197,18 @@ PROBES_WAVE11 = [
     "ann_ivf_hier",
 ]
 
+# twelfth wave: the retrieval-stack completion + multimodal resize.
+# tfidf_cosine_topk: the doc-norm pass is the inverted_index shape
+# (vocabulary-keyed df join + doc-keyed aggregate) — expected linear.
+# hybrid_rrf3: three LIMITed arms + a <=3k-row fusion join — linear in
+# the shared corpus passes.  multimodal_resize: one Arrow crossing,
+# linear.
+PROBES_WAVE12 = [
+    "tfidf_cosine_topk",
+    "hybrid_rrf3",
+    "multimodal_resize",
+]
+
 # sixth wave: stateful Structured Streaming drains (AvailableNow over
 # the replicated events directory; slower — each query builds a
 # checkpoint).  First run of this wave caught the glob-arm silent empty
@@ -394,6 +406,7 @@ def main() -> None:
         "9": PROBES_WAVE9,
         "10": PROBES_WAVE10,
         "11": PROBES_WAVE11,
+        "12": PROBES_WAVE12,
     }
     probes = PROBES
     for a in sys.argv[1:]:
