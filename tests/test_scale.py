@@ -554,3 +554,44 @@ def test_aqe_splits_skewed_join_partitions(spark):
     pdim = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
     want = pfact.join(pdim, "k").select(F.sum(F.col("v") + F.col("w")).alias("t")).collect()[0].t
     assert got == want
+
+
+def test_ivf_assign_hier_is_window_free_and_bounded_exchange(spark):
+    """Both levels of the hierarchical assignment must be aggregates
+    (partial-aggregable; the exchange carries n rows), never a window
+    over the n*n_super routing cross — and the top-nprobe routing is a
+    collect/sort/slice AGGREGATE, not a rank window."""
+    from signal_messenger_vector_database_spark.operators.ann import (
+        ivf_assign_hier,
+        ivf_seed_centroids,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    plan = _plan(ivf_assign_hier(emb, ivf_seed_centroids(emb, 8), 2))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+    # three aggregation stages (centroid routing, vector routing, final
+    # argmin), each partial+final
+    assert plan.count("Aggregate") >= 4, plan
+
+
+def test_sketch_histogram_partial_aggregates_map_side(spark):
+    """The quantile sketch's histogram must partial-aggregate below the
+    exchange — each map task emits <= 256 bins per group (the mergeable-
+    sketch shape); a plan where raw values cross the shuffle would be
+    the scale bug."""
+    from signal_messenger_vector_database_spark.plans.analytics import (
+        _sketch_quantiles,
+    )
+
+    plan = _plan(_sketch_quantiles(spark, SF))
+    lines = plan.splitlines()
+    # find the histogram aggregate: a HashAggregate keyed on (event_type,
+    # bin) must appear BELOW (after, in EXPLAIN print order) an Exchange
+    # keyed the same way — i.e. partial aggregation exists
+    agg_idx = [
+        i
+        for i, l in enumerate(lines)
+        if "HashAggregate" in l and "bin" in l and "event_type" in l
+    ]
+    assert len(agg_idx) >= 2, plan  # partial + final

@@ -78,6 +78,9 @@ COMMENTARY = {
     "ivf_maintenance": "IVF index ops (r8): one broadcast-argmin assignment pass (min_by partial agg, no window), integer-only status tagging, and a k-row decision table with the mean-occupancy total kept IN the plan as a broadcast 1-row aggregate. All flags are exact-integer comparisons — the oracle compare has no seam outside the proven assignment cosine.",
     "ann_ivf_hier": "Search through the two-level quantizer (r8): level-1 routes each vector to its top-3 super-cells (collect/sort/slice aggregate — the exchange carries n rows, not n*n_super), level-2 argmins only over the routed cells' centroids; the probed-cluster top-5 is TakeOrderedAndProject. Composes the corpus-scaled-k rule (bounded probe cost) with the sqrt(k)-super routing (n*2sqrt(k) index build) — the shape where BOTH n and k are large.",
     "classifier_calibration": "Classifier QA (r8): two document-keyed partial-aggregated passes (hashed-BoW score, Gopher label) joined on doc_id, then a 10-row reliability rollup — the decile bin is an integer floor of the already-rounded score, so the only float sum is the per-bin mean (portable_rounded).",
+    "tfidf_cosine_topk": "Vector-space retrieval (r8): the doc-norm pass is the inverted_index shape (one vocabulary-keyed df join + one doc-keyed aggregate, both partial-aggregated); the numerator joins only the |q|=3 query terms' postings (broadcast qdf); top-k is TakeOrderedAndProject. The query norm derives IN the plan from the same df table — no driver-side constants.",
+    "hybrid_rrf3": "3-way rank fusion (r8): each arm (BM25, tf-idf cosine, embedding cosine) is its own LIMITed top-k, so every row_number window runs over <= 10 rows; the fusion is two full-outer joins over <= 3k rows. The corpus-side cost is the arms' shared scans — fusion itself is scale-free.",
+    "multimodal_resize": "Arrow-batched resize stage (r8): binary payloads cross the Python boundary once (mapInPandas, the embed-stage shape); the stub transform's output length is pure integer arithmetic over the payload size, which is what makes the oracle engine-portable while the bytes stay opaque. Swap point: operators/multimodal.py::resize_image (Pillow).",
 }
 
 
