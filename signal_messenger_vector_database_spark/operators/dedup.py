@@ -446,3 +446,99 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    seg_words: int = 10,
+    min_df: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cut every disjoint ``seg_words``-word segment that appears in
+    >= ``min_df`` distinct documents (CCNet/RefinedWeb boilerplate) and
+    splice the remaining text back in order; the tail words after the
+    last full segment always survive.  Returns (id, n_segs, n_removed,
+    cleaned).  See plans/traindata.py::boilerplate_strip for the
+    oracle-paired catalog entry and the scale notes."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalized_text(F.col(text_col)), " ").alias("ws"),
+    ).select("doc_id", "ws", F.size("ws").alias("nw"))
+    segs = (
+        base.filter(F.col("nw") >= seg_words)
+        .select(
+            "doc_id",
+            "ws",
+            "nw",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.col("nw") - seg_words, F.lit(seg_words)
+                )
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            "start",
+            F.array_join(
+                F.slice("ws", F.col("start") + 1, seg_words), " "
+            ).alias("seg"),
+        )
+        .withColumn("fp", F.md5("seg"))
+        # persisted: four consumers (hot, n_seg, n_rm, head) would each
+        # re-run the scan + normalize + explode + md5 subtree (the
+        # _span_windows lesson, r8 code review both rounds)
+        .persist()
+    )
+    hot = (
+        segs.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_df)
+        .select("fp")
+    )
+    n_seg = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segs"))
+    n_rm = (
+        segs.join(hot, "fp", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_removed"))
+    )
+    head = (
+        segs.join(hot, "fp", "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("start", "seg"))),
+                    lambda x: x["seg"],
+                ),
+                " ",
+            ).alias("head")
+        )
+    )
+    tail = F.array_join(
+        F.slice(
+            "ws",
+            (F.col("nw") - F.col("nw") % seg_words) + 1,
+            F.col("nw") % seg_words,
+        ),
+        " ",
+    )
+    return (
+        base.join(n_seg, "doc_id", "left")
+        .join(n_rm, "doc_id", "left")
+        .join(head, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_segs", F.lit(0)).cast("long").alias("n_segs"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            F.when(F.col("nw") < seg_words, F.array_join("ws", " "))
+            .otherwise(
+                F.trim(
+                    F.concat_ws(
+                        " ", F.coalesce(F.col("head"), F.lit("")), tail
+                    )
+                )
+            )
+            .alias("cleaned"),
+        )
+    )

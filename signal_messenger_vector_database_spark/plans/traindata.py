@@ -2160,90 +2160,10 @@ _BP_DF = 3  # a segment in >= 3 distinct docs is boilerplate
 
 
 def _boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import normalized_text
+    from ..operators.dedup import strip_boilerplate
 
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id",
-        F.split(normalized_text(F.col("text")), " ").alias("ws"),
-    ).select("doc_id", "ws", F.size("ws").alias("nw"))
-    segs = (
-        base.filter(F.col("nw") >= _SEG_WORDS)
-        .select(
-            "doc_id",
-            "ws",
-            "nw",
-            F.explode(
-                F.sequence(
-                    F.lit(0), F.col("nw") - _SEG_WORDS, F.lit(_SEG_WORDS)
-                )
-            ).alias("start"),
-        )
-        .select(
-            "doc_id",
-            "start",
-            F.array_join(
-                F.slice("ws", F.col("start") + 1, _SEG_WORDS), " "
-            ).alias("seg"),
-        )
-        .withColumn("fp", F.md5("seg"))
-        # persisted: four consumers (hot, n_seg, n_rm, head) would each
-        # re-run the scan + normalize + explode + md5 subtree (the
-        # _span_windows lesson, r8 code review both rounds)
-        .persist()
-    )
-    hot = (
-        segs.groupBy("fp")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= _BP_DF)
-        .select("fp")
-    )
-    n_seg = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segs"))
-    n_rm = (
-        segs.join(hot, "fp", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_removed"))
-    )
-    head = (
-        segs.join(hot, "fp", "left_anti")
-        .groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("start", "seg"))),
-                    lambda x: x["seg"],
-                ),
-                " ",
-            ).alias("head")
-        )
-    )
-    tail = F.array_join(
-        F.slice(
-            "ws",
-            (F.col("nw") - F.col("nw") % _SEG_WORDS) + 1,
-            F.col("nw") % _SEG_WORDS,
-        ),
-        " ",
-    )
-    return (
-        base.join(n_seg, "doc_id", "left")
-        .join(n_rm, "doc_id", "left")
-        .join(head, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_segs", F.lit(0)).cast("long").alias("n_segs"),
-            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
-            F.when(
-                F.col("nw") < _SEG_WORDS, F.array_join("ws", " ")
-            )
-            .otherwise(
-                F.trim(
-                    F.concat_ws(" ", F.coalesce(F.col("head"), F.lit("")), tail)
-                )
-            )
-            .alias("cleaned"),
-        )
-    )
+    return strip_boilerplate(docs, seg_words=_SEG_WORDS, min_df=_BP_DF)
 
 
 _BOILERPLATE_SQL = f"""

@@ -294,3 +294,45 @@ def test_tfidf_cosine_matches_pure_python(spark):
         want = math.floor(dot / (dnorm * qnorm) * 10000 + 0.5) / 10000
         assert abs(r.tfidf_cos - want) < 1.5e-4, r.doc_id
         assert 0.0 < r.tfidf_cos <= 1.0
+
+
+def test_strip_boilerplate_planted_corpus_edges(spark):
+    """Planted-corpus edges the fixture cannot pin: a segment shared at
+    the SAME aligned offset strips from every doc; the same words at a
+    DIFFERENT alignment are NOT a segment match (disjoint fixed windows
+    — that asymmetry is dup_substring_spans' job); exact-multiple-of-10
+    docs have an empty tail; a 9-word doc passes through whole."""
+    from signal_messenger_vector_database_spark.operators.dedup import (
+        strip_boilerplate,
+    )
+
+    bp = "b0 b1 b2 b3 b4 b5 b6 b7 b8 b9"  # the planted boilerplate block
+    uniq = lambda d, n: " ".join(f"u{d}_{i}" for i in range(n))
+    rows = [
+        # docs 1-3: block at offset 0 (aligned) + 10 unique words → hot
+        (1, f"{bp} {uniq(1, 10)}"),
+        (2, f"{bp} {uniq(2, 10)}"),
+        (3, f"{bp} {uniq(3, 10)}"),
+        # doc 4: same words but shifted by 5 → its windows are
+        # (u4_0..4 b0..b4)(b5..b9 u4_5..9): no aligned match, keeps all
+        (4, f"{uniq(4, 5)} {bp} {uniq(4, 5).replace('u4', 'w4')}"),
+        # doc 5: exactly 20 words, block in SECOND window + empty tail
+        (5, f"{uniq(5, 10)} {bp}"),
+        # doc 6: 9 words — below one segment, passes through whole
+        (6, uniq(6, 9)),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in strip_boilerplate(docs, min_df=3).collect()}
+
+    # block is hot only where ALIGNED: docs 1,2,3 (offset 0); docs 4,5's
+    # windows never reproduce the exact block at a window boundary — doc
+    # 5's SECOND window IS the block though (start=10): recount — hot df
+    # counts doc 1,2,3,5 → 4 >= 3, so 5 strips too.
+    for d in (1, 2, 3):
+        assert out[d].n_removed == 1 and out[d].n_segs == 2
+        assert out[d].cleaned == uniq(d, 10)
+    assert out[5].n_removed == 1
+    assert out[5].cleaned == uniq(5, 10)  # empty tail spliced cleanly
+    assert out[4].n_removed == 0
+    assert out[4].cleaned == rows[3][1]
+    assert out[6].n_segs == 0 and out[6].cleaned == rows[5][1]
