@@ -97,6 +97,7 @@ _WINDOW = [
     "tfidf_cosine_topk",
     "multimodal_resize",
     "hybrid_rrf3",
+    "curriculum_order",
     # -- staleness rotation (oldest driver-green first: r1 era ...) --
     "lang_id",
     "multimodal_metadata",
@@ -113,7 +114,6 @@ _WINDOW = [
     "cube_agg",
     "date_spine_fill",
     "dedup_keep_first",
-    "embedding_centroids",
 ]
 
 

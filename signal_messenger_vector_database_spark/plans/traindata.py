@@ -2291,3 +2291,90 @@ SPECS["classifier_calibration"] = QuerySpec(
     _classifier_calibration_sql(),
     "reliability bins: decile-bucketed classifier score vs observed Gopher keep rate (+|gap|)",
 )
+
+
+# --- curriculum ordering (quality-phased training manifest) ---------------
+# shard_manifest fixes the training ORDER (md5 shuffle); curriculum
+# training orders by QUALITY first: phase 1 = the cleanest tertile,
+# trained first, then middle, then tail (anti-curriculum flips the
+# phases — same machinery).  Within a phase the order is the md5
+# shuffle, so batches stay i.i.d. inside a phase.  Both rankings are
+# scale-safe two-pass (the ccnet/rank_family operator): the tertile
+# buckets on the quality VALUE, the global sequence buckets on the
+# (phase, md5-prefix) key — no single-task global window anywhere.
+
+
+def _curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_rank_family
+    from ..operators.textanalysis import quality_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_features("text")["quality_score"]
+    scored = docs.select("doc_id", q.alias("q")).withColumn(
+        "negq", -F.col("q")
+    )
+    tert = global_rank_family(
+        scored,
+        "negq",
+        "doc_id",
+        bucket=F.floor(F.col("negq") * 16).cast("int"),
+        ntiles=3,
+    ).select("doc_id", F.col("quartile").cast("int").alias("phase"))
+    keyed = tert.select(
+        "doc_id",
+        "phase",
+        F.concat(
+            F.col("phase").cast("string"),
+            F.lit(":"),
+            F.md5(F.col("doc_id").cast("string")),
+        ).alias("okey"),
+    )
+    seq = global_rank_family(
+        keyed,
+        "okey",
+        "doc_id",
+        bucket=F.substring("okey", 1, 4),
+        ntiles=3,
+    ).select("doc_id", F.col("rk").alias("seq"))
+    return (
+        keyed.join(seq, "doc_id")
+        .select(
+            "doc_id",
+            "phase",
+            F.col("seq").cast("long").alias("seq"),
+            ((F.col("seq") - 1) % _SHARDS).cast("int").alias("shard"),
+        )
+    )
+
+
+def _curriculum_order_sql() -> str:
+    from .textanalysis import _quality_sql
+
+    return f"""
+WITH qf AS ({_quality_sql()}),
+nt AS (
+  SELECT doc_id, NTILE(3) OVER (ORDER BY -quality_score, doc_id) AS phase
+  FROM qf
+),
+keyed AS (
+  SELECT doc_id, phase,
+         CAST(phase AS VARCHAR) || ':' || md5(CAST(doc_id AS VARCHAR)) AS okey
+  FROM nt
+),
+sq AS (
+  SELECT doc_id, phase,
+         ROW_NUMBER() OVER (ORDER BY okey, doc_id) AS seq
+  FROM keyed
+)
+SELECT doc_id, CAST(phase AS INTEGER) AS phase,
+       CAST(seq AS BIGINT) AS seq,
+       CAST((seq - 1) % {_SHARDS} AS INTEGER) AS shard
+FROM sq
+"""
+
+
+SPECS["curriculum_order"] = QuerySpec(
+    _curriculum_order,
+    _curriculum_order_sql(),
+    "curriculum training manifest: quality tertile phases, md5 order within phase, two-pass global ranks",
+)

@@ -336,3 +336,44 @@ def test_strip_boilerplate_planted_corpus_edges(spark):
     assert out[4].n_removed == 0
     assert out[4].cleaned == rows[3][1]
     assert out[6].n_segs == 0 and out[6].cleaned == rows[5][1]
+
+
+def test_curriculum_order_is_phased_permutation(spark):
+    """seq is a permutation of 1..n; all of phase p's sequence numbers
+    precede phase p+1's (the curriculum property); phase sizes are
+    NTILE-balanced; and mean quality is monotone non-increasing across
+    phases (phase 1 = cleanest)."""
+    from signal_messenger_vector_database_spark.io.sources import load_table
+    from signal_messenger_vector_database_spark.operators.textanalysis import (
+        quality_features,
+    )
+    from signal_messenger_vector_database_spark.plans.traindata import (
+        _curriculum_order,
+    )
+
+    rows = _curriculum_order(spark, SF).collect()
+    n = len(rows)
+    assert sorted(r.seq for r in rows) == list(range(1, n + 1))
+    by_phase = defaultdict(list)
+    for r in rows:
+        by_phase[r.phase].append(r)
+        assert r.shard == (r.seq - 1) % 8
+    assert sorted(by_phase) == [1, 2, 3]
+    assert max(by_phase[1][0].seq for _ in [0]) is not None
+    assert max(r.seq for r in by_phase[1]) < min(r.seq for r in by_phase[2])
+    assert max(r.seq for r in by_phase[2]) < min(r.seq for r in by_phase[3])
+    sizes = [len(by_phase[p]) for p in (1, 2, 3)]
+    assert max(sizes) - min(sizes) <= 1
+
+    docs = load_table(spark, SF, "documents")
+    q = {
+        r.doc_id: r.q
+        for r in docs.select(
+            "doc_id", quality_features("text")["quality_score"].alias("q")
+        ).collect()
+    }
+    means = [
+        sum(q[r.doc_id] for r in by_phase[p]) / len(by_phase[p])
+        for p in (1, 2, 3)
+    ]
+    assert means[0] >= means[1] >= means[2]
