@@ -98,6 +98,7 @@ _WINDOW = [
     "multimodal_resize",
     "hybrid_rrf3",
     "curriculum_order",
+    "dataset_datasheet",
     # -- staleness rotation (oldest driver-green first: r1 era ...) --
     "lang_id",
     "multimodal_metadata",
@@ -113,7 +114,6 @@ _WINDOW = [
     "correlated_subquery",
     "cube_agg",
     "date_spine_fill",
-    "dedup_keep_first",
 ]
 
 

@@ -2378,3 +2378,115 @@ SPECS["curriculum_order"] = QuerySpec(
     _curriculum_order_sql(),
     "curriculum training manifest: quality tertile phases, md5 order within phase, two-pass global ranks",
 )
+
+
+# --- dataset datasheet (per-source release report) ------------------------
+# The "datasheets for datasets" rollup a corpus release ships: per
+# source, volume (docs/tokens), quality (mean composite score), language
+# mix (mode + its share), and exact-duplicate fraction.  One documents
+# scan feeds three doc-keyed projections that partial-aggregate to
+# |sources| rows; the lang mode is a min_by over per-(source, lang)
+# counts (never a window); the dup fraction counts docs whose exact
+# fingerprint repeats WITHIN the source (fingerprint-keyed aggregate,
+# corpus-growing key).
+
+
+def _dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textanalysis import quality_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        token_count("text").alias("tokens"),
+        quality_features("text")["quality_score"].alias("q"),
+        fingerprint_md5(F.col("text")).alias("fp"),
+    )
+    base = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("tokens").cast("long").alias("total_tokens"),
+        portable_round(F.avg("q"), 4).alias("mean_quality"),
+    )
+    lang_counts = per_doc.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("lc")
+    )
+    lang_mode = lang_counts.groupBy("source").agg(
+        F.min_by(
+            "lang", F.struct((-F.col("lc")).alias("neg"), F.col("lang"))
+        ).alias("top_lang"),
+        F.max(F.struct("lc", F.lit(1)))["lc"].alias("_top_lc"),
+    )
+    dup_docs = (
+        per_doc.groupBy("source", "fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
+                "n_dup_docs"
+            )
+        )
+    )
+    return (
+        base.join(lang_mode, "source")
+        .join(dup_docs, "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "mean_quality",
+            "top_lang",
+            portable_round(
+                F.col("_top_lc") / F.col("n_docs"), 4
+            ).alias("top_lang_share"),
+            portable_round(
+                F.col("n_dup_docs") / F.col("n_docs"), 4
+            ).alias("exact_dup_frac"),
+        )
+    )
+
+
+def _dataset_datasheet_sql() -> str:
+    from .textanalysis import _quality_sql
+
+    return f"""
+WITH qf AS ({_quality_sql()}),
+per_doc AS (
+  SELECT d.doc_id, d.source, d.lang, {_SQL_TOKENS} AS tokens,
+         qf.quality_score AS q, md5(COALESCE(d.text, '')) AS fp
+  FROM documents d JOIN qf ON d.doc_id = qf.doc_id
+),
+base AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+         FLOOR(AVG(q) * 10000 + 0.5) / 10000 AS mean_quality
+  FROM per_doc GROUP BY source
+),
+lc AS (SELECT source, lang, COUNT(*) AS lc FROM per_doc GROUP BY 1, 2),
+lang_mode AS (
+  SELECT source, lang AS top_lang, lc AS top_lc FROM (
+    SELECT source, lang, lc,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY lc DESC, lang) AS rk
+    FROM lc
+  ) WHERE rk = 1
+),
+dup AS (
+  SELECT source,
+         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS n_dup_docs
+  FROM (SELECT source, fp, COUNT(*) AS c FROM per_doc GROUP BY 1, 2)
+  GROUP BY source
+)
+SELECT b.source, b.n_docs, b.total_tokens, b.mean_quality,
+       m.top_lang,
+       FLOOR(m.top_lc / CAST(b.n_docs AS DOUBLE) * 10000 + 0.5) / 10000 AS top_lang_share,
+       FLOOR(d.n_dup_docs / CAST(b.n_docs AS DOUBLE) * 10000 + 0.5) / 10000 AS exact_dup_frac
+FROM base b JOIN lang_mode m ON b.source = m.source
+JOIN dup d ON b.source = d.source
+"""
+
+
+SPECS["dataset_datasheet"] = QuerySpec(
+    _dataset_datasheet,
+    _dataset_datasheet_sql(),
+    "per-source release datasheet: volume, mean quality, language mode + share, exact-dup fraction",
+)

@@ -377,3 +377,28 @@ def test_curriculum_order_is_phased_permutation(spark):
         for p in (1, 2, 3)
     ]
     assert means[0] >= means[1] >= means[2]
+
+
+def test_dataset_datasheet_reconciles_with_corpus(spark):
+    """Per-source doc counts sum to the corpus; token totals reconcile
+    with source_stats' machinery; shares and fractions live in [0,1];
+    the top lang really is the per-source mode."""
+    from collections import Counter
+
+    from signal_messenger_vector_database_spark.io.sources import load_table
+    from signal_messenger_vector_database_spark.plans.traindata import (
+        _dataset_datasheet,
+    )
+
+    rows = {r.source: r for r in _dataset_datasheet(spark, SF).collect()}
+    docs = load_table(spark, SF, "documents").select("source", "lang").collect()
+    assert sum(r.n_docs for r in rows.values()) == len(docs)
+    langs = defaultdict(Counter)
+    for d in docs:
+        langs[d.source][d.lang] += 1
+    for src, r in rows.items():
+        assert 0.0 <= r.top_lang_share <= 1.0
+        assert 0.0 <= r.exact_dup_frac <= 1.0
+        assert 0.0 <= r.mean_quality <= 1.0
+        best = max(langs[src].values())
+        assert langs[src][r.top_lang] == best
