@@ -235,14 +235,19 @@ def stub_resize(payload: bytes, w: int, h: int) -> bytes:
 
 def resize_batch(
     df: DataFrame,
-    w: int = 32,
-    h: int = 32,
+    w: int = 8,
+    h: int = 8,
     id_col: str = "doc_id",
     payload_col: str = "payload",
 ) -> DataFrame:
     """Arrow-batched resize stage (mapInPandas): same schema and batch
     shape as the production version; the per-row transform is
-    ``stub_resize`` (swap point: ``resize_image``)."""
+    ``stub_resize`` (swap point: ``resize_image``).  The 8x8 default is
+    fixture-sized ON PURPOSE: stride = n // 64 exceeds 1 for 86% of
+    fixture docs, so the stride/ceil-division arithmetic the oracle
+    exists to prove is actually exercised (at 32x32 every fixture
+    payload was below one stride and the oracle was vacuous — r8 second
+    code review)."""
     out_schema = StructType(
         [
             StructField(id_col, LongType(), True),
@@ -253,20 +258,17 @@ def resize_batch(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # column-wise, not iterrows: no per-row Series materialization in
+        # the Arrow hot path (the extract_features convention)
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                payload = r[payload_col]
-                rows.append(
-                    {
-                        id_col: r[id_col],
-                        "orig_len": len(payload),
-                        "resized": stub_resize(payload, w, h),
-                        "method": "stub",
-                    }
-                )
+            payloads = list(pdf[payload_col])
             yield pd.DataFrame(
-                rows, columns=[id_col, "orig_len", "resized", "method"]
+                {
+                    id_col: pdf[id_col].values,
+                    "orig_len": [len(p) for p in payloads],
+                    "resized": [stub_resize(p, w, h) for p in payloads],
+                    "method": ["stub"] * len(payloads),
+                }
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)

@@ -115,3 +115,65 @@ def word_frequencies(df: DataFrame, text_col: str) -> DataFrame:
         F.explode(whitespace_words(F.lower(F.col(text_col)))).alias("word")
     )
     return words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+
+
+def dataset_datasheet(docs: DataFrame) -> DataFrame:
+    """Per-source release datasheet over a (doc_id, source, lang, text)
+    frame: volume, mean composite quality, language mode + share, and
+    exact-duplicate fraction (whitespace-normalized md5 — the
+    fingerprint_md5 twin, so 'a  b' and 'a b' count as duplicates in
+    BOTH engines).  See plans/traindata.py::dataset_datasheet for the
+    oracle-paired catalog entry; the fixture corpus has zero exact dups,
+    so the dup arm is pinned by the planted-corpus test, not the
+    oracle."""
+    from ..functions.text import fingerprint_md5, portable_round, token_count
+
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        token_count("text").alias("tokens"),
+        quality_features("text")["quality_score"].alias("q"),
+        fingerprint_md5(F.col("text")).alias("fp"),
+    )
+    base = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("tokens").cast("long").alias("total_tokens"),
+        portable_round(F.avg("q"), 4).alias("mean_quality"),
+    )
+    lang_counts = per_doc.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("lc")
+    )
+    lang_mode = lang_counts.groupBy("source").agg(
+        F.min_by(
+            "lang", F.struct((-F.col("lc")).alias("neg"), F.col("lang"))
+        ).alias("top_lang"),
+        F.max("lc").alias("_top_lc"),
+    )
+    dup_docs = (
+        per_doc.groupBy("source", "fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
+                "n_dup_docs"
+            )
+        )
+    )
+    return (
+        base.join(lang_mode, "source")
+        .join(dup_docs, "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "mean_quality",
+            "top_lang",
+            portable_round(F.col("_top_lc") / F.col("n_docs"), 4).alias(
+                "top_lang_share"
+            ),
+            portable_round(F.col("n_dup_docs") / F.col("n_docs"), 4).alias(
+                "exact_dup_frac"
+            ),
+        )
+    )

@@ -128,12 +128,13 @@ def _multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# stub_resize keeps every stride-th byte (stride = max(1, n // (32*32))),
+# stub_resize keeps every stride-th byte (stride = max(1, n // (8*8))),
 # so resized_len = ceil(n / stride) — pure integer arithmetic over the
-# payload length, SQL-replayable while the bytes stay opaque.
+# payload length, SQL-replayable while the bytes stay opaque.  8x8 keeps
+# the stride arm LIVE on the fixture (86% of docs exceed 64 bytes).
 _MULTIMODAL_RESIZE_SQL = """
 WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
-s AS (SELECT doc_id, n, greatest(n // 1024, 1) AS stride FROM d)
+s AS (SELECT doc_id, n, greatest(n // 64, 1) AS stride FROM d)
 SELECT doc_id,
        CAST(n AS INTEGER) AS orig_len,
        CAST((n + stride - 1) // stride AS INTEGER) AS resized_len,

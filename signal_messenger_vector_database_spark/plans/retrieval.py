@@ -129,13 +129,11 @@ def _hybrid_query_vec() -> list[float]:
     return [float(x) for x in HashEmbedder(64).embed_batch([_QUERY])[0]]
 
 
-def _hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reciprocal-rank fusion of the BM25 top-k and the cosine top-k:
-    score(d) = sum over branches of 1/(RRF_K + rank_branch(d))."""
-    docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
-
-    lex = (
+def _lex_ranked(docs: DataFrame) -> DataFrame:
+    """BM25 arm: top-k + rank — ONE definition shared by hybrid_rrf and
+    hybrid_rrf3 (second r8 code review: a rounding/tie-break tweak in a
+    copy-pasted arm would silently desync the fusion twins)."""
+    return (
         _bm25_scores(docs, _QUERY.split())
         .select("doc_id", portable_round(F.col("score"), 4).alias("s"))
         .orderBy(F.desc("s"), "doc_id")
@@ -145,8 +143,12 @@ def _hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(Window.orderBy(F.desc("s"), "doc_id")),
         )
     )
+
+
+def _sem_ranked(emb: DataFrame) -> DataFrame:
+    """Embedding-cosine arm: top-k + rank, shared by both fusions."""
     qv = F.array(*[F.lit(x) for x in _hybrid_query_vec()]).cast("array<double>")
-    sem = (
+    return (
         emb.select(
             F.col("vec_id").alias("doc_id"),
             F.round(cosine_similarity(F.col("embedding"), qv), 4).alias("sim"),
@@ -158,6 +160,16 @@ def _hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(Window.orderBy(F.desc("sim"), "doc_id")),
         )
     )
+
+
+def _hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the BM25 top-k and the cosine top-k:
+    score(d) = sum over branches of 1/(RRF_K + rank_branch(d))."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    lex = _lex_ranked(docs)
+    sem = _sem_ranked(emb)
     fused = (
         lex.select("doc_id", "lex_rank")
         .join(sem.select("doc_id", "sem_rank"), "doc_id", "full_outer")
@@ -173,18 +185,20 @@ def _hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.desc("rrf"), "doc_id").limit(_TOPK)
 
 
-def _hybrid_rrf_sql() -> str:
-    qv = "[" + ", ".join(repr(x) for x in _hybrid_query_vec()) + "]::DOUBLE[]"
-    return f"""
-WITH {_bm25_sql()},
-lex AS (
+def _lex_cte() -> str:
+    """SQL twin of _lex_ranked — shared by both fusion oracles."""
+    return f"""lex AS (
   SELECT doc_id, ROW_NUMBER() OVER (ORDER BY FLOOR(score * 10000 + 0.5) / 10000 DESC, doc_id) AS lex_rank
   FROM bm25
   ORDER BY FLOOR(score * 10000 + 0.5) / 10000 DESC, doc_id
   LIMIT {_TOPK}
-),
-q AS (SELECT {qv} AS qv),
-sem AS (
+)"""
+
+
+def _sem_cte() -> str:
+    """SQL twin of _sem_ranked (expects the q CTE), shared by both
+    fusion oracles."""
+    return f"""sem AS (
   SELECT vec_id AS doc_id,
          ROW_NUMBER() OVER (ORDER BY ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv) /
                (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
@@ -194,7 +208,16 @@ sem AS (
                (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
                 sqrt(list_dot_product(q.qv, q.qv))), 4) DESC, vec_id
   LIMIT {_TOPK}
-)
+)"""
+
+
+def _hybrid_rrf_sql() -> str:
+    qv = "[" + ", ".join(repr(x) for x in _hybrid_query_vec()) + "]::DOUBLE[]"
+    return f"""
+WITH {_bm25_sql()},
+{_lex_cte()},
+q AS (SELECT {qv} AS qv),
+{_sem_cte()}
 SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
        FLOOR((COALESCE(1.0 / ({_RRF_K} + lex_rank), 0.0)
             + COALESCE(1.0 / ({_RRF_K} + sem_rank), 0.0)) * 1000000 + 0.5) / 1000000 AS rrf
@@ -522,16 +545,7 @@ def _hybrid_rrf3(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
 
-    lex = (
-        _bm25_scores(docs, _QUERY.split())
-        .select("doc_id", portable_round(F.col("score"), 4).alias("s"))
-        .orderBy(F.desc("s"), "doc_id")
-        .limit(_TOPK)
-        .withColumn(
-            "lex_rank",
-            F.row_number().over(Window.orderBy(F.desc("s"), "doc_id")),
-        )
-    )
+    lex = _lex_ranked(docs)
     vs = (
         _tfidf_cosine_topk(spark, sf_dir)
         .withColumn(
@@ -541,19 +555,7 @@ def _hybrid_rrf3(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    qv = F.array(*[F.lit(x) for x in _hybrid_query_vec()]).cast("array<double>")
-    sem = (
-        emb.select(
-            F.col("vec_id").alias("doc_id"),
-            F.round(cosine_similarity(F.col("embedding"), qv), 4).alias("sim"),
-        )
-        .orderBy(F.desc("sim"), "doc_id")
-        .limit(_TOPK)
-        .withColumn(
-            "sem_rank",
-            F.row_number().over(Window.orderBy(F.desc("sim"), "doc_id")),
-        )
-    )
+    sem = _sem_ranked(emb)
     fused = (
         lex.select("doc_id", "lex_rank")
         .join(vs.select("doc_id", "vs_rank"), "doc_id", "full_outer")
@@ -575,28 +577,13 @@ def _hybrid_rrf3_sql() -> str:
     qv = "[" + ", ".join(repr(x) for x in _hybrid_query_vec()) + "]::DOUBLE[]"
     return f"""
 WITH {_bm25_sql()},
-lex AS (
-  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY FLOOR(score * 10000 + 0.5) / 10000 DESC, doc_id) AS lex_rank
-  FROM bm25
-  ORDER BY FLOOR(score * 10000 + 0.5) / 10000 DESC, doc_id
-  LIMIT {_TOPK}
-),
+{_lex_cte()},
 vs AS (
   SELECT doc_id, ROW_NUMBER() OVER (ORDER BY tfidf_cos DESC, doc_id) AS vs_rank
   FROM ({_tfidf_cosine_sql()})
 ),
 q AS (SELECT {qv} AS qv),
-sem AS (
-  SELECT vec_id AS doc_id,
-         ROW_NUMBER() OVER (ORDER BY ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv) /
-               (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
-                sqrt(list_dot_product(q.qv, q.qv))), 4) DESC, vec_id) AS sem_rank
-  FROM embeddings e, q
-  ORDER BY ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv) /
-               (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
-                sqrt(list_dot_product(q.qv, q.qv))), 4) DESC, vec_id
-  LIMIT {_TOPK}
-)
+{_sem_cte()}
 SELECT doc_id,
        FLOOR((COALESCE(1.0 / ({_RRF_K} + lex_rank), 0.0)
             + COALESCE(1.0 / ({_RRF_K} + vs_rank), 0.0)

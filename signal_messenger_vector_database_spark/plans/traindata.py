@@ -2392,58 +2392,9 @@ SPECS["curriculum_order"] = QuerySpec(
 
 
 def _dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.textanalysis import quality_features
+    from ..operators.textanalysis import dataset_datasheet
 
-    docs = load_table(spark, sf_dir, "documents")
-    per_doc = docs.select(
-        "doc_id",
-        "source",
-        "lang",
-        token_count("text").alias("tokens"),
-        quality_features("text")["quality_score"].alias("q"),
-        fingerprint_md5(F.col("text")).alias("fp"),
-    )
-    base = per_doc.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("tokens").cast("long").alias("total_tokens"),
-        portable_round(F.avg("q"), 4).alias("mean_quality"),
-    )
-    lang_counts = per_doc.groupBy("source", "lang").agg(
-        F.count(F.lit(1)).alias("lc")
-    )
-    lang_mode = lang_counts.groupBy("source").agg(
-        F.min_by(
-            "lang", F.struct((-F.col("lc")).alias("neg"), F.col("lang"))
-        ).alias("top_lang"),
-        F.max(F.struct("lc", F.lit(1)))["lc"].alias("_top_lc"),
-    )
-    dup_docs = (
-        per_doc.groupBy("source", "fp")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("source")
-        .agg(
-            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
-                "n_dup_docs"
-            )
-        )
-    )
-    return (
-        base.join(lang_mode, "source")
-        .join(dup_docs, "source")
-        .select(
-            "source",
-            "n_docs",
-            "total_tokens",
-            "mean_quality",
-            "top_lang",
-            portable_round(
-                F.col("_top_lc") / F.col("n_docs"), 4
-            ).alias("top_lang_share"),
-            portable_round(
-                F.col("n_dup_docs") / F.col("n_docs"), 4
-            ).alias("exact_dup_frac"),
-        )
-    )
+    return dataset_datasheet(load_table(spark, sf_dir, "documents"))
 
 
 def _dataset_datasheet_sql() -> str:
@@ -2453,7 +2404,8 @@ def _dataset_datasheet_sql() -> str:
 WITH qf AS ({_quality_sql()}),
 per_doc AS (
   SELECT d.doc_id, d.source, d.lang, {_SQL_TOKENS} AS tokens,
-         qf.quality_score AS q, md5(COALESCE(d.text, '')) AS fp
+         qf.quality_score AS q,
+         md5(regexp_replace(trim(COALESCE(d.text, '')), '\\s+', ' ', 'g')) AS fp
   FROM documents d JOIN qf ON d.doc_id = qf.doc_id
 ),
 base AS (

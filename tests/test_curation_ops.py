@@ -153,7 +153,7 @@ def test_sketch_quantiles_histograms_merge_exactly(spark):
     shard."""
     from signal_messenger_vector_database_spark.io.sources import load_table
     from signal_messenger_vector_database_spark.plans.analytics import (
-        _QSK_BINS,
+        _qsk_bin_expr,
     )
 
     ev = (
@@ -167,19 +167,7 @@ def test_sketch_quantiles_histograms_merge_exactly(spark):
 
     def hist(df):
         binned = df.join(F.broadcast(rng), "event_type").select(
-            "event_type",
-            F.when(F.col("mx") == F.col("mn"), F.lit(0))
-            .otherwise(
-                F.least(
-                    F.lit(_QSK_BINS - 1),
-                    F.floor(
-                        (F.col("value") - F.col("mn"))
-                        / (F.col("mx") - F.col("mn"))
-                        * _QSK_BINS
-                    ).cast("int"),
-                )
-            )
-            .alias("bin"),
+            "event_type", _qsk_bin_expr().alias("bin")
         )
         return {
             (r.event_type, r.bin): r.c
@@ -359,7 +347,6 @@ def test_curriculum_order_is_phased_permutation(spark):
         by_phase[r.phase].append(r)
         assert r.shard == (r.seq - 1) % 8
     assert sorted(by_phase) == [1, 2, 3]
-    assert max(by_phase[1][0].seq for _ in [0]) is not None
     assert max(r.seq for r in by_phase[1]) < min(r.seq for r in by_phase[2])
     assert max(r.seq for r in by_phase[2]) < min(r.seq for r in by_phase[3])
     sizes = [len(by_phase[p]) for p in (1, 2, 3)]
@@ -402,3 +389,33 @@ def test_dataset_datasheet_reconciles_with_corpus(spark):
         assert 0.0 <= r.mean_quality <= 1.0
         best = max(langs[src].values())
         assert langs[src][r.top_lang] == best
+
+
+def test_dataset_datasheet_planted_duplicates(spark):
+    """The dup arm on a corpus that actually HAS duplicates (the fixture
+    has none — second r8 code review): whitespace variants count as the
+    SAME doc (normalized fingerprint), dup counting is fenced per
+    source, and the fraction counts ALL members of a dup group."""
+    from signal_messenger_vector_database_spark.operators.textanalysis import (
+        dataset_datasheet,
+    )
+
+    rows = [
+        # source A: 3 docs, 2 are whitespace variants of each other
+        (1, "A", "en", "hello   world again"),
+        (2, "A", "en", "hello world  again"),
+        (3, "A", "en", "something entirely different"),
+        # source B: the same text as A's dup group — must NOT join A's
+        # count (per-source fence), and B alone has no dup
+        (4, "B", "fr", "hello world again"),
+        (5, "B", "fr", "autre chose"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string"
+    )
+    out = {r.source: r for r in dataset_datasheet(docs).collect()}
+    assert out["A"].n_docs == 3
+    assert abs(out["A"].exact_dup_frac - 2 / 3) < 1e-4
+    assert out["B"].exact_dup_frac == 0.0
+    assert out["A"].top_lang == "en" and out["B"].top_lang == "fr"
+    assert out["A"].top_lang_share == 1.0
