@@ -207,6 +207,11 @@ PROBES_WAVE12 = [
     "tfidf_cosine_topk",
     "hybrid_rrf3",
     "multimodal_resize",
+    # curriculum_order: two two-pass global rankings (value/prefix
+    # buckets) — expected linear; dataset_datasheet: three doc-keyed
+    # partial-aggregated projections to |sources| rows — expected linear
+    "curriculum_order",
+    "dataset_datasheet",
 ]
 
 # sixth wave: stateful Structured Streaming drains (AvailableNow over
