@@ -99,6 +99,7 @@ _WINDOW = [
     "hybrid_rrf3",
     "curriculum_order",
     "dataset_datasheet",
+    "embedding_drift",
     # -- staleness rotation (oldest driver-green first: r1 era ...) --
     "lang_id",
     "multimodal_metadata",
@@ -113,7 +114,6 @@ _WINDOW = [
     "brp_lsh_neighbors",
     "correlated_subquery",
     "cube_agg",
-    "date_spine_fill",
 ]
 
 

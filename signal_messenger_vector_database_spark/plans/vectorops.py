@@ -1325,3 +1325,115 @@ SPECS["ivf_maintenance"] = QuerySpec(
     _IVF_MAINT_SQL,
     "IVF index maintenance: delta assignment + tombstone accounting, split/compact flags (exact-integer rules)",
 )
+
+
+# --- embedding drift monitor ----------------------------------------------
+# The vector-store ML-ops query: has the embedding distribution MOVED
+# between the established corpus and the newest ingest?  Per label,
+# cosine between the base-half and delta-half centroids (1.0 = no
+# drift); a monitoring job alerts when it dips.  The halves split on
+# vec_id < n/2 here purely so both engines see identical deterministic
+# sets — in production they are the indexed corpus vs the ingest
+# window.  Scale shape: two (label, pos) partial-aggregated centroid
+# shuffles + a |labels|-row cosine; centroids are quantized to the
+# proven 1e-4 grain BEFORE the cosine (the centroid_outlier_prune
+# discipline) so both engines score bit-identical vectors.
+
+
+def _embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import cosine_similarity
+    from ..io.sources import parquet_row_count
+
+    n = parquet_row_count(sf_dir, "embeddings")
+    half = n // 2
+    expl = _exploded(spark, sf_dir)
+
+    def centroid(side, pred):
+        return (
+            expl.filter(pred)
+            .groupBy("label", "pos")
+            .agg(portable_round(F.avg("val"), 4).alias("cval"))
+            .groupBy("label")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias(
+                    "pv"
+                ),
+                F.count(F.lit(1)).alias("_dims"),
+            )
+            .select(
+                "label",
+                F.col("pv.cval").alias(f"cv_{side}"),
+            )
+        )
+
+    base = centroid("base", F.col("vec_id") < half)
+    delta = centroid("delta", F.col("vec_id") >= half)
+    counts = (
+        load_table(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .agg(
+            F.sum(F.when(F.col("vec_id") < half, 1).otherwise(0))
+            .cast("long")
+            .alias("n_base"),
+            F.sum(F.when(F.col("vec_id") >= half, 1).otherwise(0))
+            .cast("long")
+            .alias("n_delta"),
+        )
+    )
+    return (
+        base.join(delta, "label")
+        .join(counts, "label")
+        .select(
+            F.col("label").cast("long").alias("label"),
+            "n_base",
+            "n_delta",
+            portable_round(
+                cosine_similarity("cv_base", "cv_delta"), 4
+            ).alias("centroid_cos"),
+        )
+    )
+
+
+_EMBEDDING_DRIFT_SQL = """
+WITH h AS (SELECT COUNT(*) // 2 AS half FROM embeddings),
+expl AS (
+  SELECT vec_id, label,
+         unnest(list_transform(embedding,
+                (x, i) -> struct_pack(pos := i, val := x))) AS u
+  FROM embeddings
+),
+cb AS (
+  SELECT label, list(cval ORDER BY pos) AS cv_base FROM (
+    SELECT label, u.pos AS pos,
+           FLOOR(AVG(u.val) * 10000 + 0.5) / 10000 AS cval
+    FROM expl, h WHERE vec_id < h.half GROUP BY 1, 2
+  ) GROUP BY label
+),
+cd AS (
+  SELECT label, list(cval ORDER BY pos) AS cv_delta FROM (
+    SELECT label, u.pos AS pos,
+           FLOOR(AVG(u.val) * 10000 + 0.5) / 10000 AS cval
+    FROM expl, h WHERE vec_id >= h.half GROUP BY 1, 2
+  ) GROUP BY label
+),
+counts AS (
+  SELECT label,
+         CAST(SUM(CASE WHEN vec_id < h.half THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+         CAST(SUM(CASE WHEN vec_id >= h.half THEN 1 ELSE 0 END) AS BIGINT) AS n_delta
+  FROM embeddings, h GROUP BY label
+)
+SELECT CAST(cb.label AS BIGINT) AS label, counts.n_base, counts.n_delta,
+       FLOOR(list_dot_product(cb.cv_base, cd.cv_delta) /
+             (sqrt(list_dot_product(cb.cv_base, cb.cv_base))
+              * sqrt(list_dot_product(cd.cv_delta, cd.cv_delta)))
+             * 10000 + 0.5) / 10000 AS centroid_cos
+FROM cb JOIN cd ON cb.label = cd.label
+JOIN counts ON cb.label = counts.label
+"""
+
+
+SPECS["embedding_drift"] = QuerySpec(
+    _embedding_drift,
+    _EMBEDDING_DRIFT_SQL,
+    "embedding drift monitor: per-label cosine between base-half and delta-half centroids",
+)

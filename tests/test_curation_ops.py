@@ -419,3 +419,53 @@ def test_dataset_datasheet_planted_duplicates(spark):
     assert out["B"].exact_dup_frac == 0.0
     assert out["A"].top_lang == "en" and out["B"].top_lang == "fr"
     assert out["A"].top_lang_share == 1.0
+
+
+def test_embedding_drift_self_consistency(spark):
+    """Counts partition the corpus; an UNDRIFTED comparison (the same
+    half against itself) scores exactly 1.0 through the identical
+    quantize-then-cosine path, so any sub-1 value in the real query is
+    distributional, not numerical."""
+    from signal_messenger_vector_database_spark.functions.vector import (
+        cosine_similarity,
+    )
+    from signal_messenger_vector_database_spark.io.sources import (
+        parquet_row_count,
+    )
+    from signal_messenger_vector_database_spark.plans.vectorops import (
+        _embedding_drift,
+        _exploded,
+    )
+    from signal_messenger_vector_database_spark.functions.text import (
+        portable_round,
+    )
+
+    rows = _embedding_drift(spark, SF).collect()
+    n = parquet_row_count(SF, "embeddings")
+    assert sum(r.n_base + r.n_delta for r in rows) == n
+    for r in rows:
+        assert -1.0 <= r.centroid_cos <= 1.0
+
+    half = n // 2
+    cb = (
+        _exploded(spark, SF)
+        .filter(F.col("vec_id") < half)
+        .groupBy("label", "pos")
+        .agg(portable_round(F.avg("val"), 4).alias("cval"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pv")
+        )
+        .select("label", F.col("pv.cval").alias("cv"))
+    )
+    self_cos = (
+        cb.alias("a")
+        .join(cb.alias("b"), "label")
+        .select(
+            portable_round(
+                cosine_similarity(F.col("a.cv"), F.col("b.cv")), 4
+            ).alias("c")
+        )
+        .collect()
+    )
+    assert all(r.c == 1.0 for r in self_cos)
