@@ -212,6 +212,9 @@ PROBES_WAVE12 = [
     # partial-aggregated projections to |sources| rows — expected linear
     "curriculum_order",
     "dataset_datasheet",
+    # embedding_drift: two (label,pos) partial-aggregated centroid
+    # shuffles + a |labels|-row cosine — expected linear
+    "embedding_drift",
 ]
 
 # sixth wave: stateful Structured Streaming drains (AvailableNow over
