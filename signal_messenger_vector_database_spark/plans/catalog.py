@@ -100,6 +100,7 @@ _WINDOW = [
     "curriculum_order",
     "dataset_datasheet",
     "embedding_drift",
+    "pq_recall_at_k",
     # -- staleness rotation (oldest driver-green first: r1 era ...) --
     "lang_id",
     "multimodal_metadata",
@@ -113,7 +114,6 @@ _WINDOW = [
     "binaryfile_scan",
     "brp_lsh_neighbors",
     "correlated_subquery",
-    "cube_agg",
 ]
 
 

@@ -469,3 +469,18 @@ def test_embedding_drift_self_consistency(spark):
         .collect()
     )
     assert all(r.c == 1.0 for r in self_cos)
+
+
+def test_pq_recall_consistency(spark):
+    """The top-10 ADC ranking is a prefix of the shortlist-100, so
+    shortlist recall can never be below direct recall; both live in
+    [0, 1]; counts and ratios agree."""
+    from signal_messenger_vector_database_spark.plans.vectorops import (
+        _pq_recall_at_k,
+    )
+
+    r = _pq_recall_at_k(spark, SF).collect()[0]
+    assert 0 <= r.n_hits <= 10 and 0 <= r.n_short_hits <= 10
+    assert r.n_short_hits >= r.n_hits
+    assert r.recall == r.n_hits / 10.0
+    assert r.shortlist_recall == r.n_short_hits / 10.0
