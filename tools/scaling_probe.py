@@ -215,6 +215,11 @@ PROBES_WAVE12 = [
     # embedding_drift: two (label,pos) partial-aggregated centroid
     # shuffles + a |labels|-row cosine — expected linear
     "embedding_drift",
+    # pq_recall_at_k / pq_recall_trained: ADC scans + a fixed-size exact
+    # arm; the trained variant adds the one-Lloyd-round build (n x 128
+    # subvector-codeword pairs, broadcast codebooks) — expected linear
+    "pq_recall_at_k",
+    "pq_recall_trained",
 ]
 
 # sixth wave: stateful Structured Streaming drains (AvailableNow over
