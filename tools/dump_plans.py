@@ -81,6 +81,8 @@ COMMENTARY = {
     "tfidf_cosine_topk": "Vector-space retrieval (r8): the doc-norm pass is the inverted_index shape (one vocabulary-keyed df join + one doc-keyed aggregate, both partial-aggregated); the numerator joins only the |q|=3 query terms' postings (broadcast qdf); top-k is TakeOrderedAndProject. The query norm derives IN the plan from the same df table — no driver-side constants.",
     "hybrid_rrf3": "3-way rank fusion (r8): each arm (BM25, tf-idf cosine, embedding cosine) is its own LIMITed top-k, so every row_number window runs over <= 10 rows; the fusion is two full-outer joins over <= 3k rows. The corpus-side cost is the arms' shared scans — fusion itself is scale-free.",
     "multimodal_resize": "Arrow-batched resize stage (r8): binary payloads cross the Python boundary once (mapInPandas, the embed-stage shape); the stub transform's output length is pure integer arithmetic over the payload size, which is what makes the oracle engine-portable while the bytes stay opaque. Swap point: operators/multimodal.py::resize_image (Pillow).",
+    "embedding_drift": "Drift monitor (r8): two (label,pos) partial-aggregated centroid builds (base half / delta half), centroids quantized to the 1e-4 grain BEFORE the |labels|-row cosine so both engines compare bit-identical vectors. The whole monitoring query moves |labels| rows after the two aggregate shuffles.",
+    "pq_recall_trained": "Trained-PQ recall (r8): the one-Lloyd-round training build (shared with pq_encode_trained), then ADC via exact-integer LUT entries — FLOOR(d2*1e4) as BIGINT per (sub_j, code), integer sums per vector, integer ranking keys — so the only cross-engine seam is one FLOOR per 128 LUT values. Measures the training lift the seeded floor numbers point at (shortlist-100 recall 0.6 -> 0.8 at sf0.001).",
 }
 
 
