@@ -213,6 +213,18 @@ def scaled_cluster_count(n: int, target: int = 125, floor: int = 8) -> int:
     return max(floor, n // target)
 
 
+def hier_super_count(k: int) -> int:
+    """Super-cell count for the two-level quantizer, n_super = max(2,
+    floor(sqrt(k))) — the cost-minimizing choice for ivf_assign_hier
+    (n*(n_super + nprobe*k/n_super) cosines is minimized at sqrt(k)).
+    ONE rule shared by every hier consumer and its SQL oracle
+    (plans/ivf_sql.py derives the identical GREATEST(2, FLOOR(SQRT(k)))
+    in the shared CTE chain)."""
+    import math
+
+    return max(2, math.isqrt(k))
+
+
 def ivf_seed_centroids(
     emb: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -1,0 +1,76 @@
+"""Shared DuckDB-oracle SQL for the IVF coarse-quantizer family.
+
+ONE definition per engine side (the r8 shared-definition rule): the
+Spark side of the two-level quantizer is ``operators/ann.py::
+ivf_assign_hier`` + ``hier_super_count``; THIS module is its SQL twin,
+imported by every oracle that replays the assignment (ann_ivf_hier,
+ivf_hier_quality, knn_graph_ivf, semdedup, ivf_maintenance, the
+retrieval-eval pieces).  Geometry/nprobe drift between a query and a
+sibling's oracle is structurally impossible because there is exactly
+one CTE chain to drift from.
+
+Why hier is the default assignment for every scaled-k consumer (r9):
+with the corpus-scaled k ~ n/125 (cluster SIZE bounded so fenced pair
+joins stay linear), FLAT assignment costs n*k = n^2/125 cosines — the
+next quadratic after the pair joins it fences (wave-11 probe:
+ivf_maintenance 0.75/0.74/3.13 s at 1x/4x/16x, the n*k term
+surfacing).  Two-level assignment is n*(n_super + nprobe*k/n_super),
+minimized at n_super ~ sqrt(k) -> n*(1+nprobe)*sqrt(k); agreement with
+flat is measured, not asserted (ivf_hier_quality: 1.0/1.0/0.85 at the
+three fixture scales — the sf0.1 point is the only one where
+nprobe=3 < n_super, i.e. where the approximation is live).
+"""
+
+from __future__ import annotations
+
+# The canonical DuckDB cosine (also aliased as similarity._SQL_COS for
+# its historical consumers).  ::DOUBLE[] because the parquet embeddings
+# are float32 — both engines must widen BEFORE the fold.
+SQL_COS = (
+    "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+    "(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+    "sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+)
+
+_COS_ES = SQL_COS.format(a="e.embedding", b="s.sv")
+_COS_CS = SQL_COS.format(a="c.cv", b="s.sv")
+_COS_VC = SQL_COS.format(a="v.v", b="c2.cv")
+
+# ONE hier-assignment CTE chain shared by every consumer.  Yields
+# ``hier`` (vec_id, cid_hier) plus the intermediate p/c/s/c2s/v2s
+# tables; consumers append their own CTEs after it.  `p` derives the
+# corpus-scaled k (GREATEST(8, n // 125) — operators/ann.py::
+# scaled_cluster_count) and the super-cell count ns = GREATEST(2,
+# floor(sqrt(k))) (hier_super_count); nprobe=3 is the measured default
+# (nprobe 1/2/3/4 -> 0.49/0.68/0.85/1.0 agreement at sf0.1).
+HIER_ASSIGN_CTES = f"""p AS (
+  SELECT GREATEST(8, COUNT(*) // 125) AS k,
+         GREATEST(2, CAST(FLOOR(SQRT(GREATEST(8, COUNT(*) // 125))) AS INTEGER)) AS ns
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings, p WHERE vec_id < p.k),
+s AS (SELECT cid AS sid, cv AS sv FROM c, p WHERE cid < p.ns),
+c2s AS (
+  SELECT cid, cv, sid FROM (
+    SELECT c.cid, c.cv, s.sid,
+           ROW_NUMBER() OVER (PARTITION BY c.cid
+                              ORDER BY ({_COS_CS}) DESC, s.sid) AS rk
+    FROM c, s
+  ) WHERE rk = 1
+),
+v2s AS (
+  SELECT vec_id, v, sid FROM (
+    SELECT e.vec_id, e.embedding AS v, s.sid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY ({_COS_ES}) DESC, s.sid) AS rk
+    FROM embeddings e, s
+  ) WHERE rk <= 3  -- nprobe=3, the measured default
+),
+hier AS (
+  SELECT vec_id, cid AS cid_hier FROM (
+    SELECT v.vec_id, c2.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY ({_COS_VC}) DESC, c2.cid) AS rk
+    FROM v2s v JOIN c2s c2 ON v.sid = c2.sid
+  ) WHERE rk = 1
+)"""

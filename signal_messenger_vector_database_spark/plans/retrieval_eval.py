@@ -44,7 +44,8 @@ from pyspark.sql import functions as F
 
 from ..functions.text import portable_round
 from ..io.sources import load_table, parquet_row_count
-from ..operators.ann import ivf_assign
+from ..operators.ann import hier_super_count, ivf_assign_hier
+from .ivf_sql import HIER_ASSIGN_CTES as _HIER_ASSIGN_CTES
 from .registry import QuerySpec
 from .similarity import _SQL_COS
 
@@ -68,14 +69,22 @@ def _ivf_pieces(spark: SparkSession, sf_dir: str):
     Norms are hoisted out of the pair loops (the exact_cosine_pairs
     trick): sim = dot/(nv*nq) with each norm computed once per vector —
     bit-identical to the per-pair cosine (same fold/sqrt/divide), a
-    third of the flops in both the fenced and the exact arm."""
+    third of the flops in both the fenced and the exact arm.
+
+    Assignment is the TWO-LEVEL quantizer (r9): flat assignment at the
+    corpus-scaled k is n*k = n^2/125 cosines — the named next quadratic
+    (VERDICT r8) — vs n*(1+nprobe)*sqrt(k) for hier.  The recall this
+    module measures is therefore the recall of the arm a 100 TB
+    deployment actually runs; ivf_hier_quality separately measures the
+    assignment's agreement with flat."""
     from ..functions.vector import dot_product, l2_norm
     from ..operators.ann import ivf_seed_centroids, scaled_cluster_count
 
     n = parquet_row_count(sf_dir, "embeddings")
+    k = scaled_cluster_count(n)
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = ivf_seed_centroids(emb, scaled_cluster_count(n))
-    assign = ivf_assign(emb, centroids)
+    centroids = ivf_seed_centroids(emb, k)
+    assign = ivf_assign_hier(emb, centroids, hier_super_count(k))
     embn = emb.select(
         "vec_id", "embedding", l2_norm("embedding").alias("nv")
     )
@@ -160,22 +169,13 @@ def _ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COS_EA = _SQL_COS.format(a="e.embedding", b="a.qv")
 _COS_EC = _SQL_COS.format(a="e.embedding", b="c.cv")
 
-# Shared oracle CTE prefix: corpus-scaled centroids, assignment, anchors,
-# anchor-cluster candidates with rounded cosine — the DuckDB twin of
-# _ivf_pieces (same k rule as knn_graph_ivf's oracle).
+# Shared oracle CTE prefix: the shared two-level assignment chain
+# (plans/ivf_sql.py — the DuckDB twin of ivf_assign_hier), an `assign`
+# adapter over it, anchors, and anchor-cluster candidates with rounded
+# cosine — the oracle twin of _ivf_pieces.
 _IVF_PIECES_CTE = f"""
-c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
-      WHERE vec_id < (SELECT GREATEST(8, COUNT(*) // 125) FROM embeddings)),
-sims0 AS (
-  SELECT e.vec_id, c.cid, {_COS_EC} AS csim FROM embeddings e, c
-),
-assign AS (
-  SELECT vec_id, cid FROM (
-    SELECT vec_id, cid,
-           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rk
-    FROM sims0
-  ) WHERE rk = 1
-),
+{_HIER_ASSIGN_CTES},
+assign AS (SELECT vec_id, cid_hier AS cid FROM hier),
 anchors AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
             WHERE {_ANCHOR_PRED}),
 qa AS (SELECT a.qid, s.cid AS qcid, a.qv
@@ -271,18 +271,15 @@ SPECS: dict[str, QuerySpec] = {
 
 
 def _ivf_hier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
-
     from ..operators.ann import (
         ivf_assign,
-        ivf_assign_hier,
         ivf_seed_centroids,
         scaled_cluster_count,
     )
 
     n = parquet_row_count(sf_dir, "embeddings")
     k = scaled_cluster_count(n)
-    ns = max(2, math.isqrt(k))
+    ns = hier_super_count(k)
     emb = load_table(spark, sf_dir, "embeddings")
     cent = ivf_seed_centroids(emb, k)
     flat = ivf_assign(emb, cent).withColumnRenamed("cid", "cid_flat")
@@ -306,45 +303,10 @@ def _ivf_hier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _COS_EC2 = _SQL_COS.format(a="e.embedding", b="c.cv")
-_COS_ES = _SQL_COS.format(a="e.embedding", b="s.sv")
-_COS_CS = _SQL_COS.format(a="c.cv", b="s.sv")
-_COS_VC = _SQL_COS.format(a="v.v", b="c2.cv")
 
-# ONE hier-assignment CTE chain shared by every consumer (the
-# span-window-sharing lesson: geometry/nprobe drift between a query and
-# a sibling's oracle must be structurally impossible).  Yields `hier`
-# (vec_id, cid_hier) plus the intermediate p/c/s/c2s/v2s tables.
-_HIER_ASSIGN_CTES = f"""p AS (
-  SELECT GREATEST(8, COUNT(*) // 125) AS k,
-         GREATEST(2, CAST(FLOOR(SQRT(GREATEST(8, COUNT(*) // 125))) AS INTEGER)) AS ns
-  FROM embeddings
-),
-c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings, p WHERE vec_id < p.k),
-s AS (SELECT cid AS sid, cv AS sv FROM c, p WHERE cid < p.ns),
-c2s AS (
-  SELECT cid, cv, sid FROM (
-    SELECT c.cid, c.cv, s.sid,
-           ROW_NUMBER() OVER (PARTITION BY c.cid
-                              ORDER BY ({_COS_CS}) DESC, s.sid) AS rk
-    FROM c, s
-  ) WHERE rk = 1
-),
-v2s AS (
-  SELECT vec_id, v, sid FROM (
-    SELECT e.vec_id, e.embedding AS v, s.sid,
-           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                              ORDER BY ({_COS_ES}) DESC, s.sid) AS rk
-    FROM embeddings e, s
-  ) WHERE rk <= 3  -- nprobe=3, the measured default
-),
-hier AS (
-  SELECT vec_id, cid AS cid_hier FROM (
-    SELECT v.vec_id, c2.cid,
-           ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                              ORDER BY ({_COS_VC}) DESC, c2.cid) AS rk
-    FROM v2s v JOIN c2s c2 ON v.sid = c2.sid
-  ) WHERE rk = 1
-)"""
+# The hier-assignment CTE chain itself lives in plans/ivf_sql.py (ONE
+# definition, shared with knn_graph_ivf / semdedup / ivf_maintenance /
+# the pieces above), imported as _HIER_ASSIGN_CTES.
 
 _IVF_HIER_QUALITY_SQL = f"""
 WITH {_HIER_ASSIGN_CTES},
@@ -379,18 +341,15 @@ SPECS["ivf_hier_quality"] = QuerySpec(
 
 
 def _ann_ivf_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
-
     from ..functions.vector import cosine_similarity
     from ..operators.ann import (
-        ivf_assign_hier,
         ivf_seed_centroids,
         scaled_cluster_count,
     )
 
     n = parquet_row_count(sf_dir, "embeddings")
     k = scaled_cluster_count(n)
-    ns = max(2, math.isqrt(k))
+    ns = hier_super_count(k)
     emb = load_table(spark, sf_dir, "embeddings")
     hier = ivf_assign_hier(emb, ivf_seed_centroids(emb, k), ns)
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))

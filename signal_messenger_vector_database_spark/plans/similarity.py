@@ -226,11 +226,9 @@ WHERE ROUND(CAST(common AS DOUBLE) / (na.n + nb.n - common), 4) >= {_NGRAM_THRES
 
 _NEARDUP_THRESHOLD = 0.35
 
-_SQL_COS = (
-    "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
-    "(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
-    "sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
-)
+# Canonical definition lives in ivf_sql (ONE per engine side); aliased
+# here for this module's historical consumers.
+from .ivf_sql import SQL_COS as _SQL_COS
 
 
 def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1008,17 +1006,30 @@ def _knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     COUNT(*) as a scalar subquery.  Seeded Voronoi cells (vec_id < k)
     are unbalanced vs trained kmeans — mean size is pinned at ~125 but
     the tail cell can run a small multiple of that; at production scale
-    use the trained codebook (semdedup's kmeans_fit) when cell-size
-    variance matters."""
+    use the trained codebook (semdedup_trained's kmeans_fit) when
+    cell-size variance matters.
+
+    Assignment is the TWO-LEVEL quantizer (r9): with k ~ n/125, flat
+    assignment is itself n*k = n^2/125 cosines — the named next
+    quadratic (VERDICT r8) — vs n*(1+nprobe)*sqrt(k) for
+    ivf_assign_hier; the oracle replays the shared CTE chain
+    (plans/ivf_sql.py), so the approximation is deterministic and
+    hash-checked, and ivf_hier_quality measures its agreement with
+    flat."""
     from ..io.sources import parquet_row_count
 
-    from ..operators.ann import ivf_seed_centroids, scaled_cluster_count
+    from ..operators.ann import (
+        hier_super_count,
+        ivf_assign_hier,
+        ivf_seed_centroids,
+        scaled_cluster_count,
+    )
 
     n = parquet_row_count(sf_dir, "embeddings")
     k = scaled_cluster_count(n)
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = ivf_seed_centroids(emb, k)
-    assign = ivf_assign(emb, centroids)
+    assign = ivf_assign_hier(emb, centroids, hier_super_count(k))
     # norms hoisted out of the |c|^2 loop (bit-identical, 3x fewer flops
     # per pair — the exact_cosine_pairs trick)
     from ..functions.vector import dot_product, l2_norm
@@ -1060,20 +1071,14 @@ def _knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _knn_cos_ab = _SQL_COS.format(a="a.embedding", b="b.embedding")
-_KNN_GRAPH_IVF_SQL = f"""
-WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
-           WHERE vec_id < (SELECT GREATEST(8, COUNT(*) // 125) FROM embeddings)),
-sims0 AS (
-  SELECT e.vec_id, c.cid, {_SQL_COS.format(a="e.embedding", b="c.cv")} AS csim
-  FROM embeddings e, c
-),
-assign AS (
-  SELECT vec_id, cid FROM (
-    SELECT vec_id, cid,
-           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rk
-    FROM sims0
-  ) WHERE rk = 1
-),
+
+
+def _knn_graph_ivf_sql() -> str:
+    from .ivf_sql import HIER_ASSIGN_CTES
+
+    return f"""
+WITH {HIER_ASSIGN_CTES},
+assign AS (SELECT vec_id, cid_hier AS cid FROM hier),
 v AS (SELECT e.vec_id, e.embedding, s.cid FROM embeddings e JOIN assign s USING (vec_id)),
 cand AS (
   SELECT a.vec_id AS src, b.vec_id AS nbr, ROUND({_knn_cos_ab}, 4) AS sim
@@ -1089,6 +1094,6 @@ SELECT src, CAST(rk AS INTEGER) AS rk, nbr, sim FROM (
 
 SPECS["knn_graph_ivf"] = QuerySpec(
     _knn_graph_ivf,
-    _KNN_GRAPH_IVF_SQL,
+    _knn_graph_ivf_sql(),
     "IVF-fenced k-NN graph (top-3 neighbors per vector, cluster-bounded candidates)",
 )

@@ -694,25 +694,37 @@ _SEMDEDUP_THRESHOLD = 0.35  # aligned with embedding_neardup's corpus scale
 
 
 def _semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup, production scale shape (r9): seeded centroids +
+    TWO-LEVEL coarse assignment fence the cosine pair join.
+
+    Cluster count scales with the corpus so cluster SIZE stays bounded
+    (~125): the pair join is quadratic in cluster size, so a fixed k
+    would quietly re-grow the all-pairs blow-up at 100 TB.  Under that
+    scaled-k rule the ASSIGNMENT becomes the next quadratic — 3 Lloyd
+    rounds at k ~ n/125 are 3*n*k = n^2/42 cosines — so the default
+    path drops trained centroids entirely: seeded Voronoi cells
+    (vec_id < k) + ivf_assign_hier (n*(1+nprobe)*sqrt(k)), the same
+    assignment every scaled-k consumer shares, oracle-replayed via the
+    shared CTE chain (plans/ivf_sql.py).  ``semdedup_trained`` keeps
+    the kmeans_fit arm for corpora where seeded cell-size variance
+    matters (the wave-13 skew probe records the decision evidence)."""
     from ..functions.vector import dot_product, l2_norm
-    from ..operators.clustering import kmeans_fit
+    from ..io.sources import parquet_row_count
+    from ..operators.ann import (
+        hier_super_count,
+        ivf_assign_hier,
+        ivf_seed_centroids,
+        scaled_cluster_count,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    # Cluster count scales with the corpus so cluster SIZE stays bounded
-    # (~125): the pair join is quadratic in cluster size, so a fixed k
-    # would quietly re-grow the all-pairs blow-up at 100 TB.  The floor
-    # of 8 matches the static k the sf0.01 oracle replays.  n comes from
-    # parquet footer metadata — no count() scan job in the plan
-    # (VERDICT r7 task 7: one fewer job in the semdedup plan).
-    from ..io.sources import parquet_row_count
-    from ..operators.ann import scaled_cluster_count
-
     n = parquet_row_count(sf_dir, "embeddings")
-    assigned, _ = kmeans_fit(
-        spark, emb, k=scaled_cluster_count(n), max_iter=3, tol=-1.0
-    )
+    k = scaled_cluster_count(n)
+    assigned = ivf_assign_hier(
+        emb, ivf_seed_centroids(emb, k), hier_super_count(k)
+    ).withColumnRenamed("cid", "cluster")
     # Lineage cut + per-vector norms computed ONCE (n fold passes, not
     # 2*pairs): the assignment feeds three plan branches (both pair-join
     # sides and the final keep projection) — without the checkpoint each
@@ -793,10 +805,94 @@ def _semdedup_sql_multiscale(iters: int = 3) -> str:
     return " UNION ALL ".join(branches)
 
 
+def _semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kmeans-trained-centroid arm of SemDeDup: tighter, balanced
+    cells (3 Lloyd rounds) at 3*n*k assignment cost — the quality
+    option when seeded Voronoi cell-size variance matters (skewed
+    corpora; wave-13 probe).  The default ``semdedup`` uses the
+    seeded + two-level assignment every scaled-k consumer shares."""
+    from ..functions.vector import dot_product, l2_norm
+    from ..io.sources import parquet_row_count
+    from ..operators.ann import scaled_cluster_count
+    from ..operators.clustering import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    n = parquet_row_count(sf_dir, "embeddings")
+    assigned, _ = kmeans_fit(
+        spark, emb, k=scaled_cluster_count(n), max_iter=3, tol=-1.0
+    )
+    vecs = (
+        assigned.join(emb, "vec_id")
+        .select(
+            "vec_id", "cluster", "embedding", l2_norm("embedding").alias("nrm")
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = vecs.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("cluster").alias("cl_a"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("cluster").alias("cl_b"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    sim = dot_product("va", "vb") / (F.col("na") * F.col("nb"))
+    dropped = (
+        a.join(b, (F.col("cl_a") == F.col("cl_b")) & (F.col("id_a") < F.col("id_b")))
+        .filter(F.round(sim, 4) >= _SEMDEDUP_THRESHOLD)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return vecs.join(dropped.withColumn("_drop", F.lit(1)), "vec_id", "left").select(
+        "vec_id",
+        F.col("cluster").cast("long").alias("cluster"),
+        F.col("_drop").isNull().alias("keep"),
+    )
+
+
+def _semdedup_sql_hier() -> str:
+    """Oracle for the default (seeded + hier) SemDeDup: the shared
+    two-level assignment chain + the fenced pair join.  k and ns derive
+    from COUNT(*) inside the chain, so — unlike the trained arm, whose
+    Lloyd unrolling needs literal k — ONE SQL body follows the corpus
+    across every fixture scale (no multiscale branch union)."""
+    from .ivf_sql import HIER_ASSIGN_CTES
+
+    cos = _SQL_COS_E.format(a="a.embedding::DOUBLE[]", b="b.embedding::DOUBLE[]")
+    return f"""
+WITH {HIER_ASSIGN_CTES},
+assign AS (
+  SELECT e.vec_id, e.embedding, h.cid_hier AS cluster
+  FROM embeddings e JOIN hier h USING (vec_id)
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a JOIN assign b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE ROUND({cos}, 4) >= {_SEMDEDUP_THRESHOLD}
+)
+SELECT s.vec_id, CAST(s.cluster AS BIGINT) AS cluster,
+       (d.vec_id IS NULL) AS keep
+FROM assign s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+"""
+
+
 SPECS["semdedup"] = QuerySpec(
     _semdedup,
+    _semdedup_sql_hier(),
+    "SemDeDup: two-level-assignment-fenced cosine near-dup drop (semantic dedup scale path)",
+)
+
+SPECS["semdedup_trained"] = QuerySpec(
+    _semdedup_trained,
     _semdedup_sql_multiscale(),
-    "SemDeDup: within-kmeans-cluster cosine near-dup drop (semantic dedup scale path)",
+    "SemDeDup, kmeans-trained-centroid arm: balanced cells via 3 Lloyd rounds (quality option)",
 )
 
 
@@ -1266,7 +1362,8 @@ SPECS["centroid_outlier_prune"] = QuerySpec(
 def _ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..io.sources import parquet_row_count
     from ..operators.ann import (
-        ivf_assign,
+        hier_super_count,
+        ivf_assign_hier,
         ivf_seed_centroids,
         scaled_cluster_count,
     )
@@ -1275,7 +1372,13 @@ def _ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = scaled_cluster_count(n)
     cut = n - max(50, n // 10)
     emb = load_table(spark, sf_dir, "embeddings")
-    assign = ivf_assign(emb, ivf_seed_centroids(emb, k))
+    # Two-level assignment (r9): with k ~ n/125, flat assignment is the
+    # n*k = n^2/125 quadratic the wave-11 probe surfaced (16x point
+    # 4.0x); hier is n*(1+nprobe)*sqrt(k), oracle-replayed via the
+    # shared CTE chain (plans/ivf_sql.py).
+    assign = ivf_assign_hier(
+        emb, ivf_seed_centroids(emb, k), hier_super_count(k)
+    )
     tagged = assign.select(
         "cid",
         F.when(F.col("vec_id") >= cut, "new")
@@ -1307,32 +1410,19 @@ def _ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_MAINT_SQL = f"""
-WITH p AS (
-  SELECT COUNT(*) AS n,
-         GREATEST(8, COUNT(*) // 125) AS k,
-         COUNT(*) - GREATEST(50, COUNT(*) // 10) AS cut
-  FROM embeddings
-),
-c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings, p
-      WHERE vec_id < p.k),
-sims0 AS (
-  SELECT e.vec_id, c.cid, {_SQL_COS_E.format(a="e.embedding::DOUBLE[]", b="c.cv::DOUBLE[]")} AS csim
-  FROM embeddings e, c
-),
-assign AS (
-  SELECT vec_id, cid FROM (
-    SELECT vec_id, cid,
-           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rk
-    FROM sims0
-  ) WHERE rk = 1
-),
+def _ivf_maint_sql() -> str:
+    from .ivf_sql import HIER_ASSIGN_CTES
+
+    return f"""
+WITH {HIER_ASSIGN_CTES},
+pm AS (SELECT COUNT(*) - GREATEST(50, COUNT(*) // 10) AS cut FROM embeddings),
+assign AS (SELECT vec_id, cid_hier AS cid FROM hier),
 tagged AS (
   SELECT a.cid,
-         CASE WHEN a.vec_id >= p.cut THEN 'new'
+         CASE WHEN a.vec_id >= pm.cut THEN 'new'
               WHEN a.vec_id % 37 = 5 THEN 'tomb'
               ELSE 'live' END AS st
-  FROM assign a, p
+  FROM assign a, pm
 ),
 agg AS (
   SELECT cid,
@@ -1354,7 +1444,7 @@ FROM agg a, tot t
 
 SPECS["ivf_maintenance"] = QuerySpec(
     _ivf_maintenance,
-    _IVF_MAINT_SQL,
+    _ivf_maint_sql(),
     "IVF index maintenance: delta assignment + tombstone accounting, split/compact flags (exact-integer rules)",
 )
 
