@@ -36,6 +36,7 @@ _MODULES = (
     "formats",
     "retrieval",
     "retrieval_eval",
+    "pq_trained",
     "stats",
     "graph",
 )

@@ -1,0 +1,502 @@
+"""Trained-PQ operating point: the measured >=0.9-recall configuration.
+
+``pq_recall_at_k`` / ``pq_recall_trained`` (plans/vectorops.py) measure
+the SEEDED 8-byte codebooks and their one-Lloyd-round lift — honest
+floor numbers (shortlist-100 recall 0.3-0.8) that reject single-stage
+PQ ranking on this corpus.  This module composes the levers those
+floors point at into the configuration a production deployment would
+actually serve, and MEASURES it:
+
+  geometry   M=16 subspaces x D=4 dims (16-byte codes, 16x compression
+             vs the 64-dim float vectors) instead of 8x8 — finer
+             subspaces cost nothing at scan time and dominate the
+             recall budget on isotropic data;
+  codebooks  K=64 codewords/subspace, seeded from the data itself
+             (codeword k of subspace j = subvector j of embedding k)
+             and trained with THREE Lloyd rounds — the
+             ``pq_encode_trained`` recipe generalized to R rounds;
+  serving    ADC shortlist-100 (integer LUT sums) -> exact cosine
+             re-rank, the ``topk_pq_rerank`` two-stage shape.
+
+Measured on the fixtures over FIVE literal query vectors
+(``pq_operating_point``): shortlist-100 recall mean/min
+1.00/1.0 (sf0.001), 1.00/1.0 (sf0.01), 0.96/0.9 (sf0.1) — the >=0.9
+operating point, vs 0.3-0.6 for the seeded 8-byte floor.  Since exact
+re-rank restores true ranking within the shortlist, the two-stage
+top-10 inherits that recall.
+
+Scale shape (100 TB): training state is M*K = 1024 tiny vectors
+(broadcast); each Lloyd round is one linear scan of the exploded
+subvector table with a broadcast join + map-side-partial min_by, and
+one (sub_j, code, pos) aggregate — no pair join, nothing quadratic.
+The serving scan reads 16 bytes/vector against a 1024-entry literal
+LUT; the shortlist is a two-phase (partition-local then global) top-k,
+so no global sort of n rows ever happens.  The re-rank fetches
+|shortlist| full vectors by key.
+
+Cross-engine FP discipline (plans/registry.py rules): trained centroid
+elements are quantized to the 1e-4 grid (floor-round) after EVERY
+averaging round — the ``embedding_centroids`` grain — so the only seam
+per value is one FLOOR over an AVG both engines compute in the same
+order-free group; LUT entries are exact BIGINTs
+(FLOOR(d2*1e4+0.5)); per-vector ADC distances are exact integer sums
+of 16 such entries; every ranking key is (integer, vec_id).  The five
+query vectors are driver-computed literals inlined into BOTH engines
+(HashEmbedder is deterministic), never recomputed per-engine.
+
+Reference parity note: the reference declares pgvector similarity
+search and never implements any ANN (src/rag/sqlx.rs:22-29 installs
+pgvectorscale and never uses it) — this module is north-star capability
+for the 100 TB training-data pipeline, not parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import portable_round
+from ..io.sources import load_table
+from .registry import QuerySpec
+
+SPECS: dict[str, QuerySpec] = {}
+
+# The measured operating-point geometry (module docstring): 16 x 4-dim
+# subspaces, 64 data-seeded codewords each, 3 Lloyd rounds, 100-deep
+# ADC shortlist.  Changing any of these invalidates the measured recall
+# numbers — re-run the five-query measurement before shipping a change.
+_OPM, _OPD = 16, 4
+_OPK = 64
+_OPROUNDS = 3
+_OPSHORT = 100
+_OPTOPK = 10
+
+# Five evaluation queries in the fixture corpus's embedding space; the
+# first is the flagship _PQ_QUESTION (plans/vectorops.py) so the
+# operating point is measured on the same query the ANN-ladder queries
+# serve.  All are driver-side HashEmbedder literals (shared-literal
+# rule).
+_OP_QUESTIONS = [
+    "Which archived conversations mention the delivery receipt?",
+    "Who acknowledged the group invitation yesterday?",
+    "Find messages about the expiring attachment link.",
+    "Which thread discussed the profile key rotation?",
+    "What did the support contact say about registration?",
+]
+
+
+def _op_query_vecs() -> list[list[float]]:
+    from ..operators.embed import HashEmbedder
+
+    emb = HashEmbedder(_OPM * _OPD)
+    return [[float(x) for x in v] for v in emb.embed_batch(_OP_QUESTIONS)]
+
+
+# --- Spark side: generalized trained-PQ build ------------------------------
+
+
+def _op_sub_rows(emb: DataFrame) -> DataFrame:
+    sub = F.expr(
+        f"transform(sequence(0, {_OPM - 1}), "
+        f"j -> slice(embedding, j * {_OPD} + 1, {_OPD}))"
+    )
+    return emb.select("vec_id", F.posexplode(sub).alias("sub_j", "sv"))
+
+
+def _op_d2(sv_col: str, cw_col: str):
+    return F.aggregate(
+        F.zip_with(sv_col, cw_col, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _op_trained_parts(spark: SparkSession, sf_dir: str):
+    """(final assignment (vec_id, sub_j, code), trained codebooks
+    (sub_j, code, cw)) after ``_OPROUNDS`` Lloyd rounds.
+
+    Codebooks are data-seeded (codeword k = subvector of embedding k,
+    the ivf_seed_centroids pattern) so K scales without literal tables;
+    each round's centroids are floor-rounded to the 1e-4 grid and
+    localCheckpoint'ed (1024 rows) — the checkpoint both cuts the
+    3-round lineage and freezes the grid values so every downstream
+    consumer scores against bit-identical centroids."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    subs = _op_sub_rows(emb).localCheckpoint(eager=False)
+    cb = subs.filter(F.col("vec_id") < _OPK).select(
+        "sub_j", F.col("vec_id").cast("int").alias("code"), F.col("sv").alias("cw")
+    )
+
+    def assign(cb_df: DataFrame) -> DataFrame:
+        scored = subs.join(F.broadcast(cb_df), "sub_j").select(
+            "vec_id", "sub_j", "sv", "code", _op_d2("sv", "cw").alias("d2")
+        )
+        return (
+            scored.groupBy("vec_id", "sub_j")
+            .agg(F.min_by(F.struct("code", "sv"), F.struct("d2", "code")).alias("_w"))
+            .select(
+                "vec_id",
+                "sub_j",
+                F.col("_w.code").alias("code"),
+                F.col("_w.sv").alias("sv"),
+            )
+        )
+
+    for _ in range(_OPROUNDS):
+        a = assign(cb)
+        cb = (
+            a.select("sub_j", "code", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("sub_j", "code", "pos")
+            .agg(portable_round(F.avg("val"), 4).alias("m"))
+            .groupBy("sub_j", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pv"))
+            .select("sub_j", "code", F.col("pv.m").alias("cw"))
+            .localCheckpoint(eager=False)
+        )
+    final = assign(cb).select("vec_id", "sub_j", "code").localCheckpoint(eager=False)
+    return final, cb
+
+
+# --- DuckDB side: the same chain, unrolled ---------------------------------
+
+
+def _op_trained_cte_body() -> str:
+    """subs -> cb0 -> (a_r, t_r) x rounds -> af (final assignment);
+    trained codebooks land in ``t{_OPROUNDS}``.  Shared verbatim by
+    every oracle in this module (shared-definition rule)."""
+    d2 = (
+        "list_sum(list_transform(range(1, {n}), "
+        "i -> (s.sv[i] - c.cw[i]) * (s.sv[i] - c.cw[i])))"
+    ).format(n=_OPD + 1)
+    assign = """
+{out} AS (
+  SELECT vec_id, sub_j, sv, code FROM (
+    SELECT s.vec_id, s.sub_j, s.sv, c.code, {d2} AS d2,
+           row_number() OVER (PARTITION BY s.vec_id, s.sub_j ORDER BY {d2}, c.code) AS rn
+    FROM subs s JOIN {cb} c ON s.sub_j = c.sub_j
+  ) WHERE rn = 1
+)"""
+    update = """
+{out} AS (
+  SELECT sub_j, code, list(m ORDER BY pos) AS cw FROM (
+    SELECT sub_j, code, u.pos AS pos,
+           FLOOR(AVG(u.val) * 10000 + 0.5) / 10000 AS m
+    FROM (
+      SELECT sub_j, code,
+             unnest(list_transform(sv, (x, i) -> struct_pack(pos := i, val := x))) AS u
+      FROM {a}
+    )
+    GROUP BY 1, 2, 3
+  )
+  GROUP BY sub_j, code
+)"""
+    parts = [
+        f"""d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+subs AS (
+  SELECT vec_id, j AS sub_j, e[j * {_OPD} + 1 : j * {_OPD} + {_OPD}] AS sv
+  FROM d, generate_series(0, {_OPM - 1}) g(j)
+),
+cb0 AS (SELECT sub_j, CAST(vec_id AS INTEGER) AS code, sv AS cw
+        FROM subs WHERE vec_id < {_OPK})"""
+    ]
+    prev_cb = "cb0"
+    for r in range(1, _OPROUNDS + 1):
+        parts.append(assign.format(out=f"a{r}", cb=prev_cb, d2=d2))
+        parts.append(update.format(out=f"t{r}", a=f"a{r}"))
+        prev_cb = f"t{r}"
+    parts.append(assign.format(out="af", cb=prev_cb, d2=d2))
+    return ",".join(parts)
+
+
+_OP_TRAINED_FINAL_CB = f"t{_OPROUNDS}"
+
+
+# --- pq_operating_point: the five-query recall measurement -----------------
+
+
+def _op_lut(trained: DataFrame, spark: SparkSession) -> DataFrame:
+    """Integer ADC lookup table (qid, sub_j, code, ld): one exact
+    BIGINT per (query, codeword) — the only FLOOR between the grid
+    centroids and the final integer ranking key."""
+    qs = _op_query_vecs()
+    qdf = spark.createDataFrame(
+        [
+            (qid, j, q[j * _OPD : (j + 1) * _OPD])
+            for qid, q in enumerate(qs)
+            for j in range(_OPM)
+        ],
+        "qid int, sub_j int, qv array<double>",
+    )
+    return trained.join(F.broadcast(qdf), "sub_j").select(
+        "qid",
+        "sub_j",
+        "code",
+        F.floor(_op_d2("qv", "cw") * 10000 + F.lit(0.5)).cast("long").alias("ld"),
+    )
+
+
+def _two_phase_topk(df: DataFrame, key: str, order, k: int) -> DataFrame:
+    """Partition-local then global top-k per `key` — the
+    ann_recall_at_k pattern: no global per-key sort of n rows; the
+    global window only ever sees <= parallelism * k survivors."""
+    w1 = Window.partitionBy(key, "pid").orderBy(*order)
+    w2 = Window.partitionBy(key).orderBy(*order)
+    local = (
+        df.withColumn("pid", F.spark_partition_id())
+        .withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") <= k)
+        .drop("pid", "rk")
+    )
+    return local.withColumn("rk", F.row_number().over(w2)).filter(F.col("rk") <= k)
+
+
+def _pq_operating_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    af, trained = _op_trained_parts(spark, sf_dir)
+    lut = _op_lut(trained, spark)
+    dists = (
+        af.join(F.broadcast(lut), ["sub_j", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("ld").alias("adc"))
+    )
+    short = _two_phase_topk(
+        dists, "qid", [F.asc("adc"), F.asc("vec_id")], _OPSHORT
+    ).select("qid", "vec_id")
+
+    # exact squared-L2 ground truth, same literals, two-phase top-10
+    emb = load_table(spark, sf_dir, "embeddings")
+    qfull = spark.createDataFrame(
+        [(qid, q) for qid, q in enumerate(_op_query_vecs())],
+        "qid int, qv array<double>",
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.col("qv"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = emb.crossJoin(F.broadcast(qfull)).select(
+        "qid", "vec_id", portable_round(d2, 4).alias("d2")
+    )
+    exact = _two_phase_topk(
+        scored, "qid", [F.asc("d2"), F.asc("vec_id")], _OPTOPK
+    ).select("qid", "vec_id")
+
+    hits = (
+        short.join(exact, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        qfull.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_short_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.lit(float(_OPTOPK))
+            ).alias("shortlist_recall"),
+        )
+        .orderBy("qid")
+    )
+
+
+def _op_query_values_sql() -> str:
+    rows = []
+    for qid, q in enumerate(_op_query_vecs()):
+        rows.append(f"({qid}, [" + ", ".join(repr(x) for x in q) + "]::DOUBLE[])")
+    return ", ".join(rows)
+
+
+def _pq_operating_point_sql() -> str:
+    qd2 = (
+        "list_sum(list_transform(range(1, {n}), "
+        "i -> (qs.qv[i] - t.cw[i]) * (qs.qv[i] - t.cw[i])))"
+    ).format(n=_OPD + 1)
+    ed2 = (
+        "list_sum(list_transform(range(1, len(e.embedding) + 1), "
+        "i -> (e.embedding[i] - q.qv[i]) * (e.embedding[i] - q.qv[i])))"
+    )
+    return f"""
+WITH {_op_trained_cte_body()},
+q(qid, qv) AS (VALUES {_op_query_values_sql()}),
+qs AS (
+  SELECT qid, j AS sub_j, q.qv[j * {_OPD} + 1 : j * {_OPD} + {_OPD}] AS qv
+  FROM q, generate_series(0, {_OPM - 1}) g(j)
+),
+lut AS (
+  SELECT qs.qid, t.sub_j, t.code,
+         CAST(FLOOR({qd2} * 10000 + 0.5) AS BIGINT) AS ld
+  FROM {_OP_TRAINED_FINAL_CB} t JOIN qs ON t.sub_j = qs.sub_j
+),
+dists AS (
+  SELECT l.qid, af.vec_id, SUM(l.ld) AS adc
+  FROM af JOIN lut l ON af.sub_j = l.sub_j AND af.code = l.code
+  GROUP BY 1, 2
+),
+short AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rk
+    FROM dists
+  ) WHERE rk <= {_OPSHORT}
+),
+exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.qid
+             ORDER BY FLOOR({ed2} * 10000 + 0.5) / 10000, e.vec_id
+           ) AS rk
+    FROM embeddings e, q
+  ) WHERE rk <= {_OPTOPK}
+),
+hits AS (
+  SELECT qid, COUNT(*) AS n_hits
+  FROM short JOIN exact USING (qid, vec_id) GROUP BY qid
+)
+SELECT q.qid,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_short_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {float(_OPTOPK)} AS shortlist_recall
+FROM q LEFT JOIN hits h ON q.qid = h.qid
+ORDER BY q.qid
+"""
+
+
+SPECS["pq_operating_point"] = QuerySpec(
+    _pq_operating_point,
+    _pq_operating_point_sql(),
+    "trained 16x4 PQ shortlist-100 recall over 5 queries: the measured >=0.9 operating point",
+)
+
+
+# --- topk_ivf_pq_trained: the composed index-serving query -----------------
+# IVF coarse pruning (the shared two-level assignment) + trained-PQ ADC
+# shortlist + exact re-rank, for the flagship query.  The HONEST number
+# first: on this isotropic corpus, IVF pruning CAPS recall well below
+# the flat-scan operating point — measured composed shortlist recall
+# for the flagship query is 0.7/0.6/0.5 at sf0.001/0.01/0.1 (candidate
+# fraction 0.40/0.37/0.20) vs 1.0/1.0/1.0 unfenced — because a random
+# query's true neighbors are barely closer than random points and
+# scatter across cells.  The query exists because the SHAPE is what a
+# 100 TB deployment serves when the corpus is clustered (real text
+# embeddings, not hash noise) and the scan budget rules out flat ADC;
+# pq_operating_point is the default serving path for this corpus.
+
+
+_QPROBE = 3
+
+
+def _topk_ivf_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import cosine_similarity
+    from ..io.sources import parquet_row_count
+    from ..operators.ann import (
+        hier_super_count,
+        ivf_assign_hier,
+        ivf_seed_centroids,
+        scaled_cluster_count,
+    )
+    from .vectorops import _pq_query_vec
+
+    n = parquet_row_count(sf_dir, "embeddings")
+    k = scaled_cluster_count(n)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_seed_centroids(emb, k)
+    assign = ivf_assign_hier(emb, cents, hier_super_count(k))
+
+    q = F.array(*[F.lit(x) for x in _pq_query_vec()]).cast("array<double>")
+    probed = (
+        cents.select(
+            "cid", portable_round(cosine_similarity("cv", q), 4).alias("qsim")
+        )
+        .orderBy(F.desc("qsim"), "cid")
+        .limit(_QPROBE)
+        .select("cid")
+    )
+    af, trained = _op_trained_parts(spark, sf_dir)
+    # flagship query = qid 0 of the operating-point LUT (same literals)
+    lut = _op_lut(trained, spark).filter(F.col("qid") == 0)
+    cand = assign.join(F.broadcast(probed), "cid").select("vec_id")
+    dists = (
+        af.join(cand, "vec_id")
+        .join(F.broadcast(lut), ["sub_j", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("ld").alias("adc"))
+    )
+    short = dists.orderBy("adc", "vec_id").limit(_OPSHORT).select("vec_id")
+    embd = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    return (
+        embd.join(F.broadcast(short), "vec_id")
+        .select(
+            "vec_id",
+            portable_round(cosine_similarity(F.col("e"), q), 4).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(_OPTOPK)
+    )
+
+
+def _topk_ivf_pq_trained_sql() -> str:
+    from .ivf_sql import HIER_ASSIGN_CTES, SQL_COS
+    from .vectorops import _pq_query_vec
+
+    qlit = "[" + ", ".join(repr(x) for x in _pq_query_vec()) + "]::DOUBLE[]"
+    cos_cq = SQL_COS.format(a="c.cv", b="fq.qv")
+    cos_eq = SQL_COS.format(a="e.embedding", b="fq.qv")
+    qd2 = (
+        "list_sum(list_transform(range(1, {n}), "
+        "i -> (qs.qv[i] - t.cw[i]) * (qs.qv[i] - t.cw[i])))"
+    ).format(n=_OPD + 1)
+    return f"""
+WITH {HIER_ASSIGN_CTES},
+{_op_trained_cte_body()},
+fq AS (SELECT {qlit} AS qv),
+probed AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+           ROW_NUMBER() OVER (
+             ORDER BY FLOOR(({cos_cq}) * 10000 + 0.5) / 10000 DESC, c.cid
+           ) AS rk
+    FROM c, fq
+  ) WHERE rk <= {_QPROBE}
+),
+qs AS (
+  SELECT j AS sub_j, fq.qv[j * {_OPD} + 1 : j * {_OPD} + {_OPD}] AS qv
+  FROM fq, generate_series(0, {_OPM - 1}) g(j)
+),
+lut AS (
+  SELECT t.sub_j, t.code,
+         CAST(FLOOR({qd2} * 10000 + 0.5) AS BIGINT) AS ld
+  FROM {_OP_TRAINED_FINAL_CB} t JOIN qs ON t.sub_j = qs.sub_j
+),
+cand AS (
+  SELECT h.vec_id FROM hier h JOIN probed p ON h.cid_hier = p.cid
+),
+dists AS (
+  SELECT af.vec_id, SUM(l.ld) AS adc
+  FROM af JOIN cand ON af.vec_id = cand.vec_id
+  JOIN lut l ON af.sub_j = l.sub_j AND af.code = l.code
+  GROUP BY 1
+),
+short AS (SELECT vec_id FROM dists ORDER BY adc, vec_id LIMIT {_OPSHORT})
+SELECT e.vec_id,
+       FLOOR(({cos_eq}) * 10000 + 0.5) / 10000 AS sim
+FROM embeddings e JOIN short ON e.vec_id = short.vec_id, fq
+ORDER BY sim DESC, e.vec_id
+LIMIT {_OPTOPK}
+"""
+
+
+SPECS["topk_ivf_pq_trained"] = QuerySpec(
+    _topk_ivf_pq_trained,
+    _topk_ivf_pq_trained_sql(),
+    "IVF(nprobe=3) + trained 16x4 PQ shortlist + exact re-rank: the clustered-corpus serving shape",
+)
