@@ -222,6 +222,164 @@ def _hex4_to_int(h: Column) -> Column:
     return _hex_to_int(h, 4)
 
 
+def _hex_slice_to_int(h: Column, start: int, n_chars: int) -> Column:
+    """Hex chars [start, start+n_chars) of an md5 (1-indexed) -> long.
+    The offset twin of _hex_to_int, for fingerprints wider than one
+    long: each half reads its own md5 slice."""
+    val = F.lit(0).cast("long")
+    for i in range(n_chars):
+        weight = 16 ** (n_chars - 1 - i)
+        val = val + (
+            F.instr(F.lit(_HEX), F.substring(h, start + i, 1)) - 1
+        ).cast("long") * F.lit(weight).cast("long")
+    return val
+
+
+def simhash_geometry(
+    n: int, n_bands: int = 4, target_bucket: int = 8
+) -> int:
+    """Corpus-derived fingerprint width — the production default rule
+    (the ``lsh_geometry`` pattern, closing SCALING.md wave 9's prose):
+    the banded candidate join is quadratic in bucket population
+    ~ n / 2^(bits/n_bands), so band width must satisfy
+    2^(bits/n_bands) >= n / target_bucket.  Width is rounded up to an
+    EVEN number (each half-fingerprint must cover whole hex chars),
+    floored at 4 (the 16-bit fixture geometry) and capped at 16
+    (64-bit total — two longs, the classic crawl-dedup width; beyond
+    it you shard the corpus, not the fingerprint).
+
+    Rungs: n=500 -> 24 bits; n=5e4 -> 56; n>=2e5 -> 64."""
+    import math
+
+    need = max(2, -(-n // target_bucket))  # ceil
+    width = max(4, math.ceil(math.log2(need)))
+    width += width % 2  # whole hex chars per half at any n_bands=4 split
+    width = min(width, 16)
+    return n_bands * width
+
+
+def simhash_wide(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+) -> DataFrame:
+    """SimHash at widths beyond one signed long: the fingerprint is
+    carried as TWO halves (``fp_hi``, ``fp_lo``), each bits/2 wide,
+    votes drawn from disjoint md5 hex slices (hi = chars 1..bits/8,
+    lo = the next bits/8 chars).  At the 64-bit default this is the
+    classic crawl-dedup fingerprint: hi/lo are the two 32-bit halves
+    of the word hash's first 16 hex chars.  Same vote construction as
+    ``simhash`` (distinct words of the normalized text, +/-1 per bit,
+    sign of the sum); pure JVM expressions, no UDF.  bits must be a
+    multiple of 8 (whole hex chars per half) and <= 64."""
+    if bits % 8 or not 0 < bits <= 64:
+        raise ValueError(f"bits must be a multiple of 8 in (0, 64], got {bits}")
+    half = bits // 2
+    n_chars = half // 4
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(normalized_text(text_col), " "))
+        ).alias("w"),
+    )
+    h = F.md5(F.col("w"))
+    halves = {
+        "hi": _hex_slice_to_int(h, 1, n_chars),
+        "lo": _hex_slice_to_int(h, 1 + n_chars, n_chars),
+    }
+    sums = words.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when((F.floor(hv / F.lit(2**b)) % 2) == 1, 1).otherwise(-1)
+            ).alias(f"s_{name}_{b}")
+            for name, hv in halves.items()
+            for b in range(half)
+        ]
+    )
+    outs = []
+    for name in ("hi", "lo"):
+        fp = None
+        for b in range(half):
+            term = F.when(F.col(f"s_{name}_{b}") > 0, F.lit(2**b)).otherwise(
+                F.lit(0)
+            )
+            fp = term if fp is None else fp + term
+        outs.append(fp.cast("long").alias(f"fp_{name}"))
+    return sums.select(F.col(id_col), *outs)
+
+
+def simhash_hamming_pairs_wide(
+    fp_df: DataFrame,
+    id_col: str = "doc_id",
+    hi_col: str = "fp_hi",
+    lo_col: str = "fp_lo",
+    ham_max: int = 3,
+    n_bands: int = 4,
+    fp_bits: int = 64,
+) -> DataFrame:
+    """``simhash_hamming_pairs`` for two-half fingerprints: the same
+    pigeonhole band join (n_bands >= ham_max+1 => complete recall),
+    bands split evenly across the halves, verify =
+    bit_count(hi_a XOR hi_b) + bit_count(lo_a XOR lo_b) — integer-only.
+    At the 64-bit 4-band default each band key has 2^16 = 65,536
+    values, so bucket population (the quadratic term) is n/65,536 —
+    the production geometry simhash_geometry derives."""
+    if n_bands < ham_max + 1:
+        raise ValueError(
+            f"pigeonhole completeness needs n_bands >= ham_max+1 "
+            f"(got n_bands={n_bands}, ham_max={ham_max})"
+        )
+    if n_bands % 2 or fp_bits % n_bands:
+        raise ValueError(
+            f"need an even n_bands dividing fp_bits (got {n_bands}, {fp_bits})"
+        )
+    half_bands = n_bands // 2
+    width = fp_bits // n_bands
+    mask = (1 << width) - 1
+    keys = []
+    for half, col in (("hi", hi_col), ("lo", lo_col)):
+        for b in range(half_bands):
+            keys.append(
+                F.struct(
+                    F.lit(f"{half}{b}").alias("band"),
+                    F.shiftright(F.col(col), b * width)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("val"),
+                )
+            )
+    bands = fp_df.select(
+        F.col(id_col).alias("id"),
+        F.col(hi_col).alias("hi"),
+        F.col(lo_col).alias("lo"),
+        F.explode(F.array(*keys)).alias("bk"),
+    ).select(
+        "id", "hi", "lo", F.col("bk.band").alias("band"), F.col("bk.val").alias("val")
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.hi").alias("hi_a"),
+            F.col("a.lo").alias("lo_a"),
+            F.col("b.hi").alias("hi_b"),
+            F.col("b.lo").alias("lo_b"),
+        )
+        .distinct()
+    )
+    hamming = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    ).cast("int")
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= ham_max
+    )
+
+
 def simhash(
     df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS
 ) -> DataFrame:

@@ -976,6 +976,100 @@ SPECS["simhash_hamming_pairs_w32"] = QuerySpec(
 )
 
 
+# The top rung: 64-bit two-half fingerprint (simhash_wide), 4 bands of
+# 16 bits => 65,536 bucket values per band — the classic crawl-dedup
+# geometry, with the classic threshold d<=3 (95.3% bit agreement at 64
+# bits, the same bar d<=1 sets at 16 bits).  The production default
+# width now DERIVES from corpus size (operators/dedup.py::
+# simhash_geometry — the lsh_geometry pattern; this query pins its cap
+# rung, n >= 2e5 -> 64).  The verify join is integer-only:
+# bit_count(hi XOR hi) + bit_count(lo XOR lo).
+_SIMHASH_W64_HAM_MAX = 3
+
+
+def _simhash_hamming_pairs_w64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_hamming_pairs_wide, simhash_wide
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = simhash_wide(docs, id_col="doc_id", text_col="text", bits=64)
+    return simhash_hamming_pairs_wide(
+        fp, id_col="doc_id", ham_max=_SIMHASH_W64_HAM_MAX, n_bands=4, fp_bits=64
+    )
+
+
+def _simhash_wide_sql(bits: int = 64) -> str:
+    """Twin of operators/dedup.py::simhash_wide: two bits/2-wide halves
+    from disjoint md5 hex slices (hi = chars 1..bits/8, lo = next)."""
+    norm = _SQL_NORM.format(c="text")
+    half = bits // 2
+    n_chars = half // 4
+
+    def hexn_off(expr: str, start: int) -> str:
+        terms = [
+            f"(instr('0123456789abcdef', substr({expr}, {start + i}, 1)) - 1) "
+            f"* {16 ** (n_chars - 1 - i)}"
+            for i in range(n_chars)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    sums = ", ".join(
+        f"SUM(CASE WHEN CAST(floor(hv_{name} / {2**b}) AS BIGINT) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS s_{name}_{b}"
+        for name in ("hi", "lo")
+        for b in range(half)
+    )
+    fps = ", ".join(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN s_{name}_{b} > 0 THEN {2**b} ELSE 0 END)"
+            for b in range(half)
+        )
+        + f" AS BIGINT) AS fp_{name}"
+        for name in ("hi", "lo")
+    )
+    return f"""
+WITH ww AS (
+  SELECT doc_id, unnest(list_distinct(string_split({norm}, ' '))) AS w FROM documents
+),
+hh AS (SELECT doc_id, {hexn_off('md5(w)', 1)} AS hv_hi,
+              {hexn_off('md5(w)', 1 + n_chars)} AS hv_lo FROM ww),
+ss AS (SELECT doc_id, {sums} FROM hh GROUP BY doc_id)
+SELECT doc_id, {fps} FROM ss
+"""
+
+
+def _simhash_hamming_pairs_w64_sql() -> str:
+    width = 16
+    mask = (1 << width) - 1
+    return f"""
+WITH fp AS ({_simhash_wide_sql(64)}),
+bands AS (
+  SELECT doc_id, fp_hi, fp_lo, h.half || CAST(bb.band AS VARCHAR) AS band,
+         ((CASE WHEN h.half = 'hi' THEN fp_hi ELSE fp_lo END) >> (bb.band * {width})) & {mask} AS val
+  FROM fp, (SELECT unnest(['hi', 'lo']) AS half) h,
+       (SELECT unnest([0, 1]) AS band) bb
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.fp_hi AS hi_a, a.fp_lo AS lo_a,
+                  b.fp_hi AS hi_b, b.fp_lo AS lo_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= {_SIMHASH_W64_HAM_MAX}
+"""
+
+
+SPECS["simhash_hamming_pairs_w64"] = QuerySpec(
+    _simhash_hamming_pairs_w64,
+    _simhash_hamming_pairs_w64_sql(),
+    "64-bit two-half SimHash, Hamming<=3 pairs: the classic crawl-dedup geometry (65,536 buckets/band)",
+)
+
+
 # ---------------------------------------------------------------------------
 # k-NN graph, IVF-fenced (the SemDeDup/graph-dedup/hard-negative primitive)
 

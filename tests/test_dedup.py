@@ -559,3 +559,70 @@ def test_dup_span_removal_semantics(spark):
     # consistency with the measuring twin: doc 1's dup windows became spans
     spans = {r.doc_id: r for r in _dup_substring_spans(spark, d).collect()}
     assert spans[1].n_dup > 0
+
+
+def test_simhash_wide_halves_and_exact_dups(spark):
+    from signal_messenger_vector_database_spark.operators.dedup import (
+        simhash_wide,
+    )
+
+    fps = {
+        r.doc_id: (r.fp_hi, r.fp_lo)
+        for r in simhash_wide(_docs_df(spark), "doc_id", "text", 64).collect()
+    }
+    assert fps[0] == fps[3]  # exact dup -> identical fingerprint
+    for hi, lo in fps.values():  # each half fits 32 unsigned bits
+        assert 0 <= hi < 2**32 and 0 <= lo < 2**32
+    near = bin(fps[0][0] ^ fps[1][0]).count("1") + bin(
+        fps[0][1] ^ fps[1][1]
+    ).count("1")
+    far = bin(fps[0][0] ^ fps[2][0]).count("1") + bin(
+        fps[0][1] ^ fps[2][1]
+    ).count("1")
+    assert near < far
+
+
+def test_simhash_wide_pigeonhole_completeness_third_geometry(spark):
+    """Banded recall must equal brute force at the w64 rung (the third
+    geometry after the oracle-pinned 16- and 32-bit entries): every
+    Hamming<=3 pair the cross join finds, the band join finds too."""
+    from signal_messenger_vector_database_spark.io.sources import load_table
+    from signal_messenger_vector_database_spark.operators.dedup import (
+        simhash_hamming_pairs_wide,
+        simhash_wide,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    fp = simhash_wide(docs, "doc_id", "text", 64)
+    banded = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_hamming_pairs_wide(
+            fp, ham_max=3, n_bands=4, fp_bits=64
+        ).collect()
+    }
+    rows = fp.collect()
+    brute = set()
+    for i, a in enumerate(rows):
+        for b in rows[i + 1 :]:
+            ia, ib = (a, b) if a.doc_id < b.doc_id else (b, a)
+            d = bin(ia.fp_hi ^ ib.fp_hi).count("1") + bin(
+                ia.fp_lo ^ ib.fp_lo
+            ).count("1")
+            if d <= 3:
+                brute.add((ia.doc_id, ib.doc_id, d))
+    assert banded == brute
+
+
+def test_simhash_geometry_rule():
+    from signal_messenger_vector_database_spark.operators.dedup import (
+        simhash_geometry,
+    )
+
+    assert simhash_geometry(500) == 24  # fixture scale
+    assert simhash_geometry(50_000) == 56
+    assert simhash_geometry(200_000) == 64  # the cap rung
+    assert simhash_geometry(10**9) == 64  # shard the corpus, not the fp
+    assert simhash_geometry(1) == 16  # floor = the fixture geometry
+    for n in (500, 5_000, 50_000, 200_000):
+        bits = simhash_geometry(n)
+        assert bits % 8 == 0  # whole hex chars per half
