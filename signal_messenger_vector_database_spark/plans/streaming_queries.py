@@ -333,3 +333,283 @@ SPECS["stream_sketch_quantiles"] = QuerySpec(
     _stream_sketch_quantiles_sql(),
     "streaming quantile sketch: bounded bin-count state across micro-batches == the batch sketch",
 )
+
+
+# ---------------------------------------------------------------------------
+# stream_ingest_index: the reference's raison d'etre, end to end at scale.
+#
+# One streaming query composing the WHOLE ingest path the reference runs
+# per message (src/signal/receive.rs -> process_incoming_message.rs ->
+# rag/dataframes.rs -> rag/sqlx.rs): stream of raw texts -> control-message
+# suppression (F1) -> chunk explode (T3) -> embed -> foreachBatch DELTA
+# index maintenance (each micro-batch's chunks are assigned to their
+# nearest IVF centroid and appended to the index — the ivf_maintenance
+# delta shape, arriving incrementally instead of by vec_id cutoff).
+#
+# Oracle pairing (unlike ingest_pipeline, which is rows-only because of
+# the Python embedder): the embed stage here is the md5 FEATURIZER —
+# dim i of a chunk = hex4(md5(chunk_text || ':' || i)) / 2^16, pure JVM
+# expressions with an exact DuckDB twin.  Every value is a dyadic
+# rational (16-bit integer / 2^16), the literal centroids are dyadic on
+# the same grid, so squared-L2 distances are EXACT in doubles (every
+# intermediate < 2^53) and the argmin has no rounding seam at all.
+# The suppression and multi-chunk arms are made fixture-LIVE by planted
+# rows (the r8 degenerate-arm rule): 3 control messages that must
+# vanish and one 60-word text that must explode into 3 chunks, shared
+# as literals with the oracle's UNION ALL.
+#
+# Scale shape: suppression and chunking are stream-side JVM expressions
+# (Catalyst keeps the cheap filter before everything); the featurizer is
+# per-row expressions; the foreachBatch assignment joins each batch
+# against a BROADCAST 8-row centroid table and appends — state is the
+# index itself, not the stream (no unbounded streaming state).  At
+# 100 TB the sink append is a partitioned table write keyed by cid; the
+# per-batch work is O(batch).
+
+_INGEST_IDX_DIM = 8
+_INGEST_IDX_K = 8
+_INGEST_CHUNK_TOKENS = 32
+_INGEST_CHUNK_WORDS = 24
+
+# planted rows: (doc_id, text) — negative ids so they can never collide
+# with fixture doc_ids.  Two exact control strings + one prefix form
+# (suppressed: the F1 arm is live), one 60-word text (3 chunks at
+# chunk_words=24: the T3 arm is live).
+_INGEST_PLANTED: list[tuple[int, str]] = [
+    (-1, "is typing..."),
+    (-2, "Empty data message"),
+    (-3, "got Read receipt for message 12345"),
+    (
+        -4,
+        " ".join(f"planted word{i} stream ingest index token" for i in range(10)),
+    ),
+]
+
+
+def _ingest_centroids() -> list[tuple[int, list[float]]]:
+    """8 literal centroids on the same 1/2^16 dyadic grid as the
+    featurizer output — deterministic seeded draw, inlined as IDENTICAL
+    literals into both engines (registry shared-literal rule)."""
+    import random
+
+    rng = random.Random(20240915)
+    return [
+        (
+            cid,
+            [rng.randrange(65536) / 65536.0 for _ in range(_INGEST_IDX_DIM)],
+        )
+        for cid in range(_INGEST_IDX_K)
+    ]
+
+
+def _md5_featurize(col):
+    """array<double> of ``_INGEST_IDX_DIM`` dyadic features: dim i =
+    hex4(md5(text || ':' || i)) / 2^16.  Pure JVM expressions (the
+    simhash hex-arithmetic trick); DuckDB twin in the oracle below."""
+    from ..operators.dedup import _hex_to_int
+
+    dims = [
+        (
+            _hex_to_int(F.md5(F.concat(col, F.lit(f":{i}"))), 4)
+            / F.lit(65536.0)
+        ).alias(f"d{i}")
+        for i in range(_INGEST_IDX_DIM)
+    ]
+    return F.array(*dims)
+
+
+def _stream_ingest_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See the block comment above.  Returns per-cluster index accounting
+    after the drain: (cid, n_chunks, n_docs, sum_tokens)."""
+    import tempfile
+    import uuid
+
+    from ..operators.chunking import chunk_text
+    from ..operators.suppression import filter_control_messages
+
+    spark = streaming_session(spark)
+
+    # Stage fixture documents + planted rows as FOUR parquet files and
+    # stream them with maxFilesPerTrigger=1: four real micro-batches, so
+    # the delta-index path crosses trigger boundaries even in the driver
+    # run (the multibatch-test pattern promoted into the query itself).
+    stage = tempfile.mkdtemp(prefix="smvd-ingest-idx-") + "/src"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+    spark.createDataFrame(
+        _INGEST_PLANTED, "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(stage)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    kept = filter_control_messages(stream, body_col="text")  # F1
+    chunked = chunk_text(
+        kept,
+        text_col="text",
+        ideal_token_size=_INGEST_CHUNK_TOKENS,
+        chunk_words=_INGEST_CHUNK_WORDS,
+    ).select("doc_id", "chunk_id", "chunk_text", "chunk_tokens")
+    embedded = chunked.withColumn("emb", _md5_featurize(F.col("chunk_text")))
+
+    cents = spark.createDataFrame(
+        _ingest_centroids(), "cid int, cv array<double>"
+    )
+    index_dir = tempfile.mkdtemp(prefix="smvd-ingest-idx-") + "/index"
+
+    def _delta_assign(batch_df, batch_id: int) -> None:
+        # delta IVF maintenance: assign THIS batch's chunks, append to
+        # the index.  Squared L2 directly (NOT l2_distance squared — a
+        # sqrt would forfeit the exact dyadic arithmetic the argmin
+        # tie-break relies on): every term is a dyadic rational < 2^53,
+        # so d2 is exact and the (d2, cid) ordering has no FP seam.
+        d2 = F.aggregate(
+            F.zip_with("emb", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        assigned = (
+            batch_df.join(F.broadcast(cents))
+            .select(
+                "doc_id",
+                "chunk_id",
+                "chunk_tokens",
+                "cid",
+                d2.alias("d2"),
+            )
+            .groupBy("doc_id", "chunk_id", "chunk_tokens")
+            .agg(F.min_by(F.col("cid"), F.struct("d2", "cid")).alias("cid"))
+        )
+        assigned.write.mode("append").parquet(index_dir)
+
+    q = (
+        embedded.writeStream.foreachBatch(_delta_assign)
+        .queryName(f"ingest_index_{uuid.uuid4().hex[:8]}")
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="smvd-ckpt-idx-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_drained(q)
+
+    index = spark.read.parquet(index_dir)
+    per_cid = index.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.sum("chunk_tokens").cast("long").alias("sum_tokens"),
+    )
+    return (
+        cents.select("cid")
+        .join(per_cid, "cid", "left")
+        .select(
+            "cid",
+            F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce("sum_tokens", F.lit(0)).cast("long").alias("sum_tokens"),
+        )
+        .orderBy("cid")
+    )
+
+
+def _stream_ingest_index_sql() -> str:
+    from ..operators.suppression import SUPPRESSED_EXACT, SUPPRESSED_PREFIXES
+    from .pipeline import _SQL_TOKEN_COUNT
+
+    planted = ", ".join(
+        f"({i}, '" + t.replace("'", "''") + "')" for i, t in _INGEST_PLANTED
+    )
+    exacts = ", ".join("'" + s.replace("'", "''") + "'" for s in SUPPRESSED_EXACT)
+    prefixes = " OR ".join(
+        "starts_with(COALESCE(text, ''), '" + p.replace("'", "''") + "')"
+        for p in SUPPRESSED_PREFIXES
+    )
+    cent_rows = ", ".join(
+        f"({cid}, [" + ", ".join(repr(x) for x in cv) + "]::DOUBLE[])"
+        for cid, cv in _ingest_centroids()
+    )
+    hex4 = (
+        "("
+        + " + ".join(
+            f"(instr('0123456789abcdef', substr(md5(chunk_text || ':{{i}}'), {pos}, 1)) - 1) * {16 ** (4 - pos)}"
+            for pos in range(1, 5)
+        )
+        + ")"
+    )
+    dims = ", ".join(
+        hex4.replace("{i}", str(i)) + f" / 65536.0" for i in range(_INGEST_IDX_DIM)
+    )
+    tok = _SQL_TOKEN_COUNT.format(c="text")
+    ctok = _SQL_TOKEN_COUNT.format(c="chunk_text")
+    return f"""
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES {planted}) pl(doc_id, text)
+),
+kept AS (
+  SELECT doc_id, text FROM src
+  WHERE NOT (COALESCE(text, '') IN ({exacts}) OR {prefixes})
+),
+t AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(COALESCE(text, '')) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS words,
+         {tok} AS tokens
+  FROM kept
+),
+long_chunks AS (
+  SELECT doc_id, tokens,
+         CAST(unnest(generate_series(0,
+              CAST(ceil(len(words) / {_INGEST_CHUNK_WORDS}.0) AS INTEGER) - 1)) AS INTEGER) AS chunk_id,
+         words
+  FROM t WHERE tokens > {_INGEST_CHUNK_TOKENS}
+),
+chunked AS (
+  SELECT doc_id, tokens, 0 AS chunk_id, text AS chunk_text
+  FROM t WHERE tokens <= {_INGEST_CHUNK_TOKENS}
+  UNION ALL
+  SELECT doc_id, tokens, chunk_id,
+         array_to_string(words[(chunk_id * {_INGEST_CHUNK_WORDS} + 1):((chunk_id + 1) * {_INGEST_CHUNK_WORDS})], ' ') AS chunk_text
+  FROM long_chunks
+),
+chunks AS (
+  SELECT doc_id, chunk_id, chunk_text, {ctok} AS chunk_tokens
+  FROM chunked
+  WHERE tokens <= {_INGEST_CHUNK_TOKENS} OR {ctok} > 0
+),
+emb AS (
+  SELECT doc_id, chunk_id, chunk_tokens, [{dims}]::DOUBLE[] AS emb
+  FROM chunks
+),
+cents(cid, cv) AS (VALUES {cent_rows}),
+assigned AS (
+  SELECT doc_id, chunk_id, chunk_tokens, cid FROM (
+    SELECT e.doc_id, e.chunk_id, e.chunk_tokens, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.doc_id, e.chunk_id
+             ORDER BY list_sum(list_transform(range(1, {_INGEST_IDX_DIM + 1}),
+                       i -> (e.emb[i] - c.cv[i]) * (e.emb[i] - c.cv[i]))), c.cid
+           ) AS rk
+    FROM emb e, cents c
+  ) WHERE rk = 1
+)
+SELECT c.cid,
+       CAST(COALESCE(COUNT(a.cid), 0) AS BIGINT) AS n_chunks,
+       CAST(COALESCE(COUNT(DISTINCT a.doc_id), 0) AS BIGINT) AS n_docs,
+       CAST(COALESCE(SUM(a.chunk_tokens), 0) AS BIGINT) AS sum_tokens
+FROM cents c LEFT JOIN assigned a ON c.cid = a.cid
+GROUP BY c.cid
+ORDER BY c.cid
+"""
+
+
+SPECS["stream_ingest_index"] = QuerySpec(
+    _stream_ingest_index,
+    _stream_ingest_index_sql(),
+    "streaming ingest->suppress->chunk->embed->foreachBatch delta IVF index, 4 real micro-batches",
+)

@@ -162,3 +162,81 @@ def test_sketch_histogram_accumulates_across_micro_batches(spark):
     }
     batch = {tuple(r) for r in _sketch_quantiles(spark, SF).collect()}
     assert streamed == batch and len(batch) >= 9
+
+
+def test_stream_ingest_index_multibatch_equals_batch_twin(spark):
+    """stream_ingest_index drains FOUR real micro-batches
+    (maxFilesPerTrigger=1 over 4 staged files); its per-cluster index
+    accounting must equal the same pipeline run as ONE batch DataFrame —
+    the delta-append index is trigger-boundary-invariant.  Also pins the
+    planted arms: the 3 control rows vanish, the 60-word planted doc
+    contributes exactly 3 chunks."""
+    from pyspark.sql import functions as F
+
+    from signal_messenger_vector_database_spark.operators.chunking import (
+        chunk_text,
+    )
+    from signal_messenger_vector_database_spark.operators.suppression import (
+        filter_control_messages,
+    )
+    from signal_messenger_vector_database_spark.plans.streaming_queries import (
+        _INGEST_CHUNK_TOKENS,
+        _INGEST_CHUNK_WORDS,
+        _INGEST_PLANTED,
+        _ingest_centroids,
+        _md5_featurize,
+        _stream_ingest_index,
+    )
+
+    streamed = {tuple(r) for r in _stream_ingest_index(spark, SF).collect()}
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    planted = spark.createDataFrame(_INGEST_PLANTED, "doc_id long, text string")
+    src = docs.unionByName(planted)
+    kept = filter_control_messages(src, body_col="text")
+    chunked = chunk_text(
+        kept,
+        text_col="text",
+        ideal_token_size=_INGEST_CHUNK_TOKENS,
+        chunk_words=_INGEST_CHUNK_WORDS,
+    ).select("doc_id", "chunk_id", "chunk_text", "chunk_tokens")
+    emb = chunked.withColumn("emb", _md5_featurize(F.col("chunk_text")))
+    cents = spark.createDataFrame(_ingest_centroids(), "cid int, cv array<double>")
+    d2 = F.aggregate(
+        F.zip_with("emb", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        emb.join(F.broadcast(cents))
+        .select("doc_id", "chunk_id", "chunk_tokens", "cid", d2.alias("d2"))
+        .groupBy("doc_id", "chunk_id", "chunk_tokens")
+        .agg(F.min_by(F.col("cid"), F.struct("d2", "cid")).alias("cid"))
+    )
+    batch = {
+        tuple(r)
+        for r in cents.select("cid")
+        .join(
+            assigned.groupBy("cid").agg(
+                F.count(F.lit(1)).cast("long").alias("n_chunks"),
+                F.countDistinct("doc_id").cast("long").alias("n_docs"),
+                F.sum("chunk_tokens").cast("long").alias("sum_tokens"),
+            ),
+            "cid",
+            "left",
+        )
+        .select(
+            "cid",
+            F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce("sum_tokens", F.lit(0)).cast("long").alias("sum_tokens"),
+        )
+        .collect()
+    }
+    assert streamed == batch
+
+    # planted-arm liveness: control rows suppressed, long doc -> 3 chunks
+    kept_ids = {r.doc_id for r in kept.select("doc_id").distinct().collect()}
+    assert {-1, -2, -3}.isdisjoint(kept_ids) and -4 in kept_ids
+    n_chunks_planted = chunked.filter(F.col("doc_id") == -4).count()
+    assert n_chunks_planted == 3
