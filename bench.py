@@ -4,12 +4,21 @@ sf0.1) on local[$SPARK_GRAFT_CPUS].
 Prints ONE JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <float>,
-   "canary": {"query": "tokenize", "sec": <median of 3>, "runs": [...]}}
+   "canary": {"query": "tokenize", "sec": <median of 3>, "runs": [...]},
+   "canary_shuffle": {"query": "region_rollup", "sec": ..., "runs": [...]}}
 
-The canary is a fixed pure-JVM query (tokenize: parquet scan + codegen'd
-expressions, stable code since r4) re-measured 3x; round-over-round BENCH
-ratios divide by it to cancel the sandbox-speed-of-the-day (r5 ran ~2x
-slow, r6 ~1.5x, uniformly across untouched queries — r6 VERDICT task 6).
+TWO canaries (fixed queries, stable code, re-measured 3x each;
+round-over-round BENCH ratios divide by the matching one to cancel the
+sandbox-speed-of-the-day — r5 ran ~2x slow, r6 ~1.5x, uniformly):
+  - `canary` (tokenize): COMPUTE-bound — parquet scan + codegen'd
+    expressions, no exchange.  Normalizes queries whose cost is CPU.
+  - `canary_shuffle` (region_rollup): SHUFFLE/JOB-bound — a broadcast
+    join + groupBy exchange whose runtime is dominated by fixed job/
+    stage overhead at sf0.1.  Normalizes sub-second overhead-dominated
+    queries, which the compute canary OVER-corrects (r8's shared-subset
+    read 0.86x raw vs 1.06x compute-normalized purely on such entries).
+Per-query rule: compare compute-heavy queries via `canary`,
+sub-second/overhead-dominated ones via `canary_shuffle`.
 
 Each query is forced through full evaluation with the noop sink (count()
 would let Catalyst prune the projections we mean to measure).
@@ -65,6 +74,10 @@ HEADLINE = [
     "boilerplate_strip",
     "sketch_quantiles",
     "ivf_maintenance",
+    # added r9 (same caveat)
+    "pq_operating_point",
+    "topk_ivf_pq_trained",
+    "simhash_hamming_pairs_w64",
 ]
 
 
@@ -98,13 +111,15 @@ def main() -> None:
         specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
-    canary_runs = []
-    for _ in range(3):
-        t0 = time.time()
-        specs["tokenize"].fn(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        canary_runs.append(round(time.time() - t0, 3))
+    def canary(name: str) -> dict:
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            specs[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs.append(round(time.time() - t0, 3))
+        return {"query": name, "sec": sorted(runs)[1], "runs": runs}
 
     out = {
         "metric": "headline_queries_total",
@@ -112,11 +127,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "canary": {
-            "query": "tokenize",
-            "sec": sorted(canary_runs)[1],
-            "runs": canary_runs,
-        },
+        "canary": canary("tokenize"),
+        "canary_shuffle": canary("region_rollup"),
     }
     print(json.dumps(out))
 

@@ -222,6 +222,34 @@ PROBES_WAVE12 = [
     "pq_recall_trained",
 ]
 
+# thirteenth wave (r9): the two-level-assignment rewiring + the r9
+# additions.  semdedup / knn_graph_ivf / ivf_maintenance /
+# ann_recall_at_k / hard_negative_mining now run ivf_assign_hier
+# (n*(1+nprobe)*sqrt(k)) instead of flat n*k — ivf_maintenance's r8
+# wave-11 16x point (4.0x, the n*k term surfacing) is the number this
+# wave must pull back toward flat.  semdedup_trained is the retained
+# kmeans arm (3*n*k by design — its super-linear growth is the
+# DOCUMENTED cost of trained centroids, not a regression).
+# pq_operating_point / topk_ivf_pq_trained: Lloyd rounds are linear
+# scans against broadcast codebooks — expected linear.
+# simhash_hamming_pairs_w64: 65,536 bucket values per band, so bucket
+# population is n/65k — the verify join should be FLAT at 16x (the
+# geometry rule's payoff; contrast the 16-bit wave-9 quadratic).
+# stream_ingest_index: per-batch work is O(batch) with a broadcast
+# 8-row centroid join — expected linear in the drained volume.
+PROBES_WAVE13 = [
+    "semdedup",
+    "semdedup_trained",
+    "knn_graph_ivf",
+    "ivf_maintenance",
+    "ann_recall_at_k",
+    "hard_negative_mining",
+    "pq_operating_point",
+    "topk_ivf_pq_trained",
+    "simhash_hamming_pairs_w64",
+    "stream_ingest_index",
+]
+
 # sixth wave: stateful Structured Streaming drains (AvailableNow over
 # the replicated events directory; slower — each query builds a
 # checkpoint).  First run of this wave caught the glob-arm silent empty
@@ -420,6 +448,7 @@ def main() -> None:
         "10": PROBES_WAVE10,
         "11": PROBES_WAVE11,
         "12": PROBES_WAVE12,
+        "13": PROBES_WAVE13,
     }
     probes = PROBES
     for a in sys.argv[1:]:
