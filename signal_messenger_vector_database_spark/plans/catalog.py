@@ -41,80 +41,76 @@ _MODULES = (
     "graph",
 )
 
-# Round-8 verification window (VERDICT r7 tasks 1/3/4/8), sized to the
+# Round-9 verification window (VERDICT r8 tasks 1-5), sized to the
 # driver's exact 50-query budget:
-#   1. the two r7 red cells, now CAST(... AS DOUBLE) so Spark's
-#      decimal(21,6) rendering can no longer diverge from DuckDB's DOUBLE
-#      ('1.293600' vs '1.2936' — identical values, different canonical
-#      strings; verified locally with the now-strict oracle_check);
-#   2. the four oracle-paired queries that have NEVER had a driver row
-#      (added late in r7, after that window was pinned);
-#   3. user_trend, whose oracle is re-pinned this round at the arithmetic
-#      level (explicit cov/var formula; the 1-in-1500 sf0.1 boundary);
-#   4. staleness rotation: the oracle-paired entries whose latest
-#      driver-green row is oldest (r1–r3 era), so no green row keeps
-#      aging silently while plans around it evolve.  (The rotation tail
-#      shrank through the round as each new operator batch claimed a
-#      slot — new/changed plans outrank stale-green rotation; the
-#      displaced r2/r3-era entries stay green in the local three-scale
-#      sweeps and queue for r9.)
+#   1. NEW queries, never driver-checked: the trained-PQ operating
+#      point pair, the 64-bit SimHash rung, the streaming ingest->index
+#      composition, and the retained kmeans SemDeDup arm;
+#   2. CHANGED plans/oracles: every scaled-k consumer rewired onto the
+#      shared two-level-assignment CTE chain this round (semdedup,
+#      knn_graph_ivf, ivf_maintenance, ann_recall_at_k,
+#      hard_negative_mining) plus the two hier queries whose oracle
+#      moved into plans/ivf_sql.py (ivf_hier_quality, ann_ivf_hier);
+#   3. staleness rotation, oldest-first: the r2-era block (TPC-H
+#      q-series, OLAP shapes, window/fill ops, sampling) — 88 entries'
+#      latest driver row predates r5; the 38 slots left take the oldest
+#      38, the 4 r2 leftovers (tfidf_top_terms, embedding_centroids,
+#      kmeans_assign, minhash_lsh_mllib) and the r4 block queue for
+#      r10.  All stay green in the local three-scale sweeps meanwhile.
 _WINDOW = [
-    # -- r7 red cells: DOUBLE-cast fix, must go driver-green --
-    "topk_pq_adc",
-    "topk_ivf_pq",
-    # -- never driver-checked: first rows --
-    "bloom_prefiltered_join",
-    "q12_priority_classes",
-    "q20_part_promotion",
-    "q21_waiting_supplier",
-    # -- oracle re-pinned this round --
-    "user_trend",
-    # -- NEW this round (changed/added plans outrank stale-green rotation) --
-    "dup_substring_spans",
-    "topk_pq_rerank",
-    "bpe_train",
-    "dedup_quality_keep",
-    "token_budget_waterfill",
-    "incremental_span_novelty",
-    "dup_span_removal",
-    "simhash_hamming_pairs",
-    "simhash_hamming_pairs_w32",
+    # -- never driver-checked (new this round) --
+    "pq_operating_point",
+    "topk_ivf_pq_trained",
+    "simhash_hamming_pairs_w64",
+    "stream_ingest_index",
+    "semdedup_trained",
+    # -- changed plans/oracles (two-level assignment rewiring) --
+    "semdedup",
     "knn_graph_ivf",
-    "rollup_incremental",
-    "mixture_temperature",
-    "epoch_repeat_plan",
+    "ivf_maintenance",
     "ann_recall_at_k",
     "hard_negative_mining",
-    "vocab_coverage",
-    "ndcg_eval",
-    "centroid_outlier_prune",
-    "boilerplate_strip",
-    "sketch_quantiles",
-    "classifier_calibration",
-    "ivf_maintenance",
     "ivf_hier_quality",
     "ann_ivf_hier",
-    "stream_sketch_quantiles",
-    "tfidf_cosine_topk",
-    "multimodal_resize",
-    "hybrid_rrf3",
-    "curriculum_order",
-    "dataset_datasheet",
-    "embedding_drift",
-    "pq_recall_at_k",
-    "pq_recall_trained",
-    # -- staleness rotation (oldest driver-green first: r1 era ...) --
-    "lang_id",
-    "multimodal_metadata",
-    "nested_explode",
-    "quality_score",
-    "rolling_fingerprint",
-    "source_stats",
-    "word_freq",
-    # -- ... then r2/r3 era --
-    "ann_point_query",
-    "binaryfile_scan",
-    "brp_lsh_neighbors",
+    # -- staleness rotation: r2-era, oldest driver rows in the catalog --
+    "q2_min_price",
+    "q3_shipping_priority",
+    "q4_priority_exists",
+    "q5_local_supplier",
+    "q6_revenue_delta",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_nation_profit",
+    "q10_returned_items",
+    "q11_value_share",
+    "q13_order_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_bracket_revenue",
+    "q22_dormant_customers",
+    "rollup_agg",
+    "cube_agg",
+    "grouping_sets_agg",
+    "pivot_counts",
+    "unpivot_metrics",
+    "running_window",
+    "window_range_frame",
+    "percentile_summary",
+    "event_funnel",
+    "retention_cohorts",
+    "date_spine_fill",
+    "locf_fill",
+    "semi_anti_join",
+    "correlated_subquery",
+    "nullsafe_join",
+    "stratified_sample",
+    "pii_redact",
+    "dedup_keep_first",
+    "train_test_split",
+    "repetition_score",
 ]
 
 

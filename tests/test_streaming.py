@@ -60,10 +60,20 @@ def test_streaming_session_isolation(spark):
 
 def test_tws_user_totals_if_protobuf_available(spark):
     """transformWithStateInPandas (Spark 4 stateful API). Its state
-    server needs a working protobuf runtime — skip where absent."""
+    server needs a working protobuf runtime — skip where absent, the
+    way the live-embedder test gates on $SMVD_EMBED_URL.
+
+    On a real cluster, force the arm with ``SMVD_RUN_TWS=1 pytest
+    tests/test_streaming.py -k tws``: the flag bypasses the import
+    probe so a half-broken protobuf FAILS loudly instead of skipping —
+    the difference between "not runnable here" and "silently never
+    exercised"."""
+    import os
+
     import pytest
 
-    pytest.importorskip("google.protobuf.descriptor")
+    if not os.environ.get("SMVD_RUN_TWS"):
+        pytest.importorskip("google.protobuf.descriptor")
     from signal_messenger_vector_database_spark.streaming.stateful import (
         tws_user_totals,
     )
