@@ -287,14 +287,18 @@ def _pq_operating_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored, "qid", [F.asc("d2"), F.asc("vec_id")], _OPTOPK
     ).select("qid", "vec_id")
 
+    # exact is <= 5*10 rows and hits <= 5 — explicit broadcasts: both are
+    # derived aggregates whose stats Catalyst can't see, and the default
+    # plan was a SortMergeJoin on a 5-row side (caught in the EXPLAIN
+    # audit).
     hits = (
-        short.join(exact, ["qid", "vec_id"])
+        short.join(F.broadcast(exact), ["qid", "vec_id"])
         .groupBy("qid")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     return (
         qfull.select("qid")
-        .join(hits, "qid", "left")
+        .join(F.broadcast(hits), "qid", "left")
         .select(
             "qid",
             F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_short_hits"),

@@ -57,7 +57,8 @@ COMMENTARY = {
     "sorted_neighborhood": "Sorted-neighborhood blocking: rank windows run PER PREFIX BLOCK (parallel, never one global-ordered task); the candidate join carries (block, rank-bin) in the EQUI key — r7, after the scaling probe measured the block-only join quadratic (319 s at 16x; the rank-delta residual filtered block_size^2 physical comparisons) — so per-block work is O(block_size * w) and levenshtein runs on w*n candidates.",
     "rank_family": "Global ranking without the single-task global window: the bucket id is a pure function of the key VALUE (sampled quantile boundaries as literals — r7, replacing spark_partition_id() whose branch-stability depended on exchange reuse), local row_number per bucket runs in parallel, and the only single-partition stage is the ~32-row offset prefix sum.",
     "rank_family_ties": "The tie-aware variant over the non-unique o_orderdate key: value bucketing guarantees a tie group never spans buckets, so per-bucket rank/dense_rank are exact and global ranks are local + prefix-summed (row, distinct-key) offsets. rank != dense_rank != row_number is actually exercised here.",
-    "semdedup": "SemDeDup: k-means assignment is the in-place argmin over one broadcast codebook row (r7 — zero pair rows, zero shuffle per Lloyd round); the quadratic cosine pair join is fenced INSIDE clusters (n/k per side), never across the corpus; keep rule is a left-anti against the dropped-id set — deterministic lowest-id-wins. 8.0 s -> 3.6 s in-bench at sf0.1.",
+    "semdedup": "SemDeDup, default path (r9): coarse assignment is the shared TWO-LEVEL quantizer (ivf_assign_hier — n*(1+nprobe)*sqrt(k) cosines; the r7/r8 3-Lloyd flat arm was 3*n*k = n^2/42 under the scaled-k rule and moved to semdedup_trained); the cosine pair join stays fenced INSIDE clusters with per-vector norms hoisted; keep rule is a left-anti against the dropped-id set. Probe wave 13: 2.2x at 16x (was the flat-assignment growth).",
+    "semdedup_trained": "The kmeans-trained-centroid arm of SemDeDup (r9): 3 relational Lloyd rounds (broadcast codebook row, in-place argmin) buy balanced cells at 3*n*k assignment cost — the quality option when seeded Voronoi cell-size variance matters (skew probe, SCALING.md wave 14); the pair join and keep rule are identical to the default.",
     "gopher_quality_filter": "Gopher keep/drop composite, single-pass (r7): all four rule features are moments of the per-doc (word, count) table — total words, character mass, stopword hits, top-word count — one explode + two doc-keyed partial-aggregated groupBys, no array folds, no re-join (3.2 s -> 0.8 s at sf0.1).",
     "q21_waiting_supplier": "TPC-H Q21 shape: the EXISTS and NOT EXISTS lineitem self-correlations decorrelate into one left-semi and one left-anti hash join on l_orderkey (asserted by test_scale) — no per-row subquery execution; nation/supplier broadcast.",
     "dsir_weights": "DSIR importance weights: hashed uni+bigram features (md5 mod 128, no vocabulary); the (doc, lang, bucket) aggregate is PERSISTED because Catalyst cannot reuse the exchange across its three consumers (the target branch's lang filter pushes below the aggregation, making the subtrees physically distinct — measured 5 parquet scans without the pin); the 128-row log-ratio table broadcasts into the per-doc scoring join.",
@@ -70,12 +71,12 @@ COMMENTARY = {
     "dedup_quality_keep": "Quality-aware dedup completion (r8): minhash-LSH pairs -> iterative connected components -> per-cluster argmax via min_by over the (-quality, doc_id) struct — a partial-aggregated groupBy on cluster, never a corpus window; singletons coalesce to their own cluster through the left join. Probe: 3.9x at 16x, inherited from the probed pair/component stages.",
     "token_budget_waterfill": "UniMax water-filling in closed form (r8): the corpus collapses to D domain rows FIRST (partial-aggregated token sum), then saturation is an exact-integer inequality over a running window and the water level one expression over two D-row windows — single-partition window state is the domain vocabulary, the kmeans-codebook scale pattern. Probe: 2.6x at 16x.",
     "simhash_hamming_pairs": "Hamming-ball dedup completion (r8 second batch): candidates from the (band, band_value) equi-join — pigeonhole-complete for d<=ham_max when bands > ham_max — then an integer-only bit_count(XOR) verify; no floating point exists in this plan at all. The scan->explode->join chain shuffles on the band key; bucket population is n/2^band_width, so the production geometry widens the fingerprint with the corpus (4x16 bands at 64-bit = 65k buckets/band) — geometry is a caller knob, exactly like lsh_geometry.",
-    "knn_graph_ivf": "k-NN GRAPH (r8 second batch): one broadcast centroid argmin assigns every vector (min_by partial aggregation — no window), the pair join is fenced on the cluster id, and top-3 per source is a bounded window over ~cluster-sized groups. Candidate volume is sum(|c|^2) — bounded at scale by growing k ~ n/target (the semdedup rule); within the fence the graph is EXACT (tested against brute force). r8: per-vector L2 norms hoisted out of the pair loop (sim = dot/(na*nb), bit-identical) — a third of the flops, 4.5 -> 2.9 s at sf0.1.",
-    "ann_recall_at_k": "Measured ANN recall (r8 third batch): the exact ground-truth arm scores n x |Q| rows with |Q| FIXED (<= 20 anchors by predicate), then finds each anchor's top-10 via the TWO-PHASE top-k — per-(qid, partition) local top-10s first, global merge over 10*partitions rows — so no single-qid window ever receives all n rows (the classic top-k skew funnel; partition-invariance is tested). The approx arm touches only the anchor's IVF cluster. Recall itself is a k-row join + count.",
+    "knn_graph_ivf": "k-NN GRAPH (r8 second batch; assignment rewired r9 to the shared two-level quantizer — wave 13: 2.9x at 16x), the pair join is fenced on the cluster id, and top-3 per source is a bounded window over ~cluster-sized groups. Candidate volume is sum(|c|^2) — bounded at scale by growing k ~ n/target (the semdedup rule); within the fence the graph is EXACT (tested against brute force). r8: per-vector L2 norms hoisted out of the pair loop (sim = dot/(na*nb), bit-identical) — a third of the flops, 4.5 -> 2.9 s at sf0.1.",
+    "ann_recall_at_k": "Measured ANN recall (r8 third batch): the exact ground-truth arm scores n x |Q| rows with |Q| FIXED (<= 20 anchors by predicate), then finds each anchor's top-10 via the TWO-PHASE top-k — per-(qid, partition) local top-10s first, global merge over 10*partitions rows — so no single-qid window ever receives all n rows (the classic top-k skew funnel; partition-invariance is tested). The approx arm touches only the anchor's IVF cluster (assignment rewired r9 to the shared two-level quantizer). Recall itself is a k-row join + count.",
     "centroid_outlier_prune": "Semantic-outlier prune (r8 third batch): centroid build is the embedding_centroids partial-aggregated (label,pos) shuffle; scoring is ONE linear scan against broadcast centroids (persisted — three consumers must see identical rounded csims); the per-label decile is a VALUE threshold read off the (label, rounded-csim) histogram whose cardinality is bounded at 20001 rows/label — a per-label row-rank window would funnel n rows into |labels| tasks.",
     "boilerplate_strip": "Boilerplate removal (r8 third batch): line_dedup's disjoint-segment explode, a distinct-doc frequency on the segment hash (corpus-growing key), one anti/semi join pair, and a per-doc ORDERED string_agg splice — zero floating point, no pair join; the surviving tail words append via pure slice arithmetic shared with the oracle.",
     "sketch_quantiles": "Mergeable quantile sketch (r8): the bin index is one multiply+divide+floor in codegen; the histogram partial-aggregates map-side so each map task emits <= 256 bins per group across the exchange (hll_distinct's register shape); the quantile pick is a window over <= 256 rows/group. No portable_round anywhere — min/max have no float-sum seam, so parity is exact by construction.",
-    "ivf_maintenance": "IVF index ops (r8): one broadcast-argmin assignment pass (min_by partial agg, no window), integer-only status tagging, and a k-row decision table with the mean-occupancy total kept IN the plan as a broadcast 1-row aggregate. All flags are exact-integer comparisons — the oracle compare has no seam outside the proven assignment cosine.",
+    "ivf_maintenance": "IVF index ops (r8; assignment rewired r9): the two-level hier assignment replaces flat argmin (the n*k term the wave-11 probe caught at 4.0x — wave 13 measures 2.5x after the rewire), then integer-only status tagging and a k-row decision table with the mean-occupancy total kept IN the plan as a broadcast 1-row aggregate. All flags are exact-integer comparisons.",
     "ann_ivf_hier": "Search through the two-level quantizer (r8): level-1 routes each vector to its top-3 super-cells (collect/sort/slice aggregate — the exchange carries n rows, not n*n_super), level-2 argmins only over the routed cells' centroids; the probed-cluster top-5 is TakeOrderedAndProject. Composes the corpus-scaled-k rule (bounded probe cost) with the sqrt(k)-super routing (n*2sqrt(k) index build) — the shape where BOTH n and k are large.",
     "classifier_calibration": "Classifier QA (r8): two document-keyed partial-aggregated passes (hashed-BoW score, Gopher label) joined on doc_id, then a 10-row reliability rollup — the decile bin is an integer floor of the already-rounded score, so the only float sum is the per-bin mean (portable_rounded).",
     "tfidf_cosine_topk": "Vector-space retrieval (r8): the doc-norm pass is the inverted_index shape (one vocabulary-keyed df join + one doc-keyed aggregate, both partial-aggregated); the numerator joins only the |q|=3 query terms' postings (broadcast qdf); top-k is TakeOrderedAndProject. The query norm derives IN the plan from the same df table — no driver-side constants.",
@@ -83,6 +84,10 @@ COMMENTARY = {
     "multimodal_resize": "Arrow-batched resize stage (r8): binary payloads cross the Python boundary once (mapInPandas, the embed-stage shape); the stub transform's output length is pure integer arithmetic over the payload size, which is what makes the oracle engine-portable while the bytes stay opaque. Swap point: operators/multimodal.py::resize_image (Pillow).",
     "embedding_drift": "Drift monitor (r8): two (label,pos) partial-aggregated centroid builds (base half / delta half), centroids quantized to the 1e-4 grain BEFORE the |labels|-row cosine so both engines compare bit-identical vectors. The whole monitoring query moves |labels| rows after the two aggregate shuffles.",
     "pq_recall_trained": "Trained-PQ recall (r8): the one-Lloyd-round training build (shared with pq_encode_trained), then ADC via exact-integer LUT entries — FLOOR(d2*1e4) as BIGINT per (sub_j, code), integer sums per vector, integer ranking keys — so the only cross-engine seam is one FLOOR per 128 LUT values. Measures the training lift the seeded floor numbers point at (shortlist-100 recall 0.6 -> 0.8 at sf0.001).",
+    "pq_operating_point": "The measured >=0.9 serving configuration (r9): 3 Lloyd rounds at M=16/D=4/K=64 — each round one linear scan joined to a BROADCAST 1024-row codebook with map-side min_by, update as a (sub_j,code,pos) partial aggregate quantized to the 1e-4 grid and localCheckpoint'ed (1024 rows). Serving: per-query integer LUT sums over the 16-byte codes, shortlist-100 via the TWO-PHASE top-k (per-partition local top-100s, then a merge window over <= 100*partitions rows — never a global sort), exact arm shares the shape. Measured: shortlist recall mean 0.96 / min 0.9 at sf0.1 over 5 queries; probe 3.3x at 16x.",
+    "topk_ivf_pq_trained": "The clustered-corpus serving composition (r9): shared hier coarse assignment fences candidates to the query's nprobe=3 probed cells, trained 16x4 ADC scores 16 bytes/candidate against a broadcast integer LUT, exact cosine re-ranks the 100-row shortlist (broadcast semi-join against the full-precision table). Honest number: composed shortlist recall 0.7/0.6/0.5 on this ISOTROPIC corpus vs 1.0 unfenced — the shape serves clustered real-text embeddings; pq_operating_point is this corpus's default.",
+    "simhash_hamming_pairs_w64": "The 64-bit geometry rung (r9): two-half fingerprints (fp_hi/fp_lo longs from disjoint md5 hex slices) built by 64 partial-aggregated bit-votes; the pigeonhole band join meets on 4 bands x 16 bits = 65,536 bucket values per band, so bucket population is n/65k and the integer bit_count verify is ~exact-dup-only at any fixture scale (wave-13 probe: 4.6x at 16x vs the 16-bit rung's 67x — the residual growth is the LINEAR fingerprint build). Width derives from corpus size via simhash_geometry().",
+    "stream_ingest_index": "The reference's raison d'etre as ONE streaming query (r9): suppression and chunk-explode run stream-side as JVM expressions, the embed stage is the md5 featurizer (dyadic-exact, no Python), and foreachBatch performs delta index maintenance — each micro-batch broadcast-joins the 8-row centroid table, argmins via min_by partial agg, and APPENDS to the index (state is the index, not the stream). The plan shown is the post-drain accounting aggregate; 4 real micro-batches via maxFilesPerTrigger=1. Probe: 2.2x at 16x.",
 }
 
 
