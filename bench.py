@@ -75,6 +75,7 @@ HEADLINE = [
     "sketch_quantiles",
     "ivf_maintenance",
     # added r9 (same caveat)
+    "semdedup_capped",
     "pq_operating_point",
     "topk_ivf_pq_trained",
     "simhash_hamming_pairs_w64",

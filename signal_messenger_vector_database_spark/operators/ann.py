@@ -409,3 +409,54 @@ def ivf_assign_hier(
             ).alias("cid")
         )
     )
+
+
+def capped_cell_split(
+    vecs: DataFrame,
+    cap: int,
+    id_col: str = "vec_id",
+    cell_col: str = "cluster",
+) -> DataFrame:
+    """Bound cell size BY CONSTRUCTION: every cell larger than ``cap``
+    is split into ceil(|c| / (cap/2)) HASH-BALANCED sub-cells; returns
+    (id, cell, sub) with sub = 0 for cells at or under the cap.
+    Fencing pair joins on (cell, sub) then caps candidate volume
+    regardless of the data distribution.
+
+    Why hash, not geometry (SCALING.md wave 14): a mass blob — half the
+    corpus pulled near one point, the boilerplate/template regime —
+    defeats every GEOMETRIC split identically.  Lloyd-trained centroids
+    leave the blob in one cell (measured: max cell 15,001 trained vs
+    15,150 seeded at 16x, 113M vs 115M fenced pairs, a >50 min
+    single-task straggler), and a within-cell seeded sub-quantizer
+    re-collapses too: every blob member's nearest sub-centroid is the
+    blob center itself (measured: 3,141-member cell -> 2,959-member
+    sub-cell).  Nearest-by-cosine always prefers the center; recursing
+    just peels non-blob members.  A hash split is balanced by
+    construction (md5 of the id — the engine-portable hash the dedup
+    family already uses), costs zero cosines, and its recall trade is
+    benign exactly where it binds: a cell only exceeds the cap when the
+    corpus is blob-skewed, blob members are MUTUAL near-dups, so every
+    sub-cell still drops all-but-one and only cross-sub REPRESENTATIVE
+    pairs (~k_sub extra keeps out of |c| members) survive.  For diverse
+    oversized cells the lost cross-sub candidates are the documented
+    LSH-style approximation.
+    """
+    sub_target = max(2, cap // 2)
+    sizes = vecs.groupBy(cell_col).agg(F.count(F.lit(1)).alias("_csz"))
+    big = sizes.filter(F.col("_csz") > cap)
+    tagged = vecs.select(id_col, cell_col).join(F.broadcast(big), cell_col, "left")
+    k_sub = F.ceil(F.col("_csz") / F.lit(float(sub_target))).cast("long")
+    # md5-derived bucket: first 4 hex chars -> [0, 65536), mod k_sub.
+    # Engine-portable (the simhash hex-arithmetic trick) and uniform.
+    from .dedup import _hex_to_int
+
+    hv = _hex_to_int(F.md5(F.col(id_col).cast("string")), 4)
+    return tagged.select(
+        F.col(id_col),
+        F.col(cell_col),
+        F.when(F.col("_csz").isNull(), F.lit(0))
+        .otherwise(hv % k_sub)
+        .cast("int")
+        .alias("sub"),
+    )

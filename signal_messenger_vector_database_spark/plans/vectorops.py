@@ -896,6 +896,134 @@ SPECS["semdedup_trained"] = QuerySpec(
 )
 
 
+# --- semdedup_capped: the structural skew escape ---------------------------
+# SCALING.md wave 14 measured a mass blob (half the corpus near one
+# point) defeating every GEOMETRIC remedy: Lloyd-trained centroids
+# leave the blob in one cell (max cell ~47% of corpus, 113M fenced
+# pairs, >50 min single-task straggler), and a within-cell seeded
+# sub-quantizer re-collapses (nearest-by-cosine always prefers the blob
+# center: 3,141-member cell -> 2,959-member sub-cell, measured).  The
+# escape is capped_cell_split (operators/ann.py): HASH-balanced
+# sub-cells for any cell over the cap — bounded by construction, zero
+# cosines.  Keep-quality trade (documented, LSH-style): near-dup pairs
+# crossing sub-cells are not candidates; where the cap binds (blob
+# cells) members are mutual near-dups, so each sub-cell still drops
+# all-but-one and only the ~k_sub representatives survive.  Cap pinned
+# at 64 so the split arm is FIXTURE-LIVE at all three scales (cells
+# run 48-176; production rule: cap ~ 4x the 125-target).
+
+_SEMDEDUP_CAP = 64
+
+
+def _semdedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import dot_product, l2_norm
+    from ..io.sources import parquet_row_count
+    from ..operators.ann import (
+        capped_cell_split,
+        hier_super_count,
+        ivf_assign_hier,
+        ivf_seed_centroids,
+        scaled_cluster_count,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    n = parquet_row_count(sf_dir, "embeddings")
+    k = scaled_cluster_count(n)
+    assigned = ivf_assign_hier(
+        emb, ivf_seed_centroids(emb, k), hier_super_count(k)
+    ).withColumnRenamed("cid", "cluster")
+    split = capped_cell_split(assigned, cap=_SEMDEDUP_CAP)
+    vecs = (
+        split.join(emb, "vec_id")
+        .select(
+            "vec_id",
+            "cluster",
+            "sub",
+            "embedding",
+            l2_norm("embedding").alias("nrm"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = vecs.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("cluster").alias("cl_a"),
+        F.col("sub").alias("sb_a"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("cluster").alias("cl_b"),
+        F.col("sub").alias("sb_b"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    sim = dot_product("va", "vb") / (F.col("na") * F.col("nb"))
+    dropped = (
+        a.join(
+            b,
+            (F.col("cl_a") == F.col("cl_b"))
+            & (F.col("sb_a") == F.col("sb_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(F.round(sim, 4) >= _SEMDEDUP_THRESHOLD)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return vecs.join(
+        dropped.withColumn("_drop", F.lit(1)), "vec_id", "left"
+    ).select(
+        "vec_id",
+        F.col("cluster").cast("long").alias("cluster"),
+        F.col("sub").cast("int").alias("sub"),
+        F.col("_drop").isNull().alias("keep"),
+    )
+
+
+def _semdedup_capped_sql() -> str:
+    """Shared hier chain + the hash-split CTEs (the SQL twin of
+    capped_cell_split) + the (cluster, sub)-fenced pair join."""
+    from .ivf_sql import HIER_ASSIGN_CTES, SQL_COS
+    from .similarity import _sql_hexn
+
+    sub_target = max(2, _SEMDEDUP_CAP // 2)
+    cos_ab = SQL_COS.format(a="a.embedding", b="b.embedding")
+    hv = _sql_hexn("md5(CAST(v.vec_id AS VARCHAR))", 4)
+    return f"""
+WITH {HIER_ASSIGN_CTES},
+v AS (
+  SELECT e.vec_id, e.embedding, h.cid_hier AS cluster
+  FROM embeddings e JOIN hier h USING (vec_id)
+),
+sz AS (SELECT cluster, COUNT(*) AS csz FROM v GROUP BY cluster),
+sv2 AS (
+  SELECT v.vec_id, v.embedding, v.cluster,
+         CAST(CASE WHEN sz.csz > {_SEMDEDUP_CAP}
+              THEN {hv} % CAST(CEIL(sz.csz / {float(sub_target)}) AS BIGINT)
+              ELSE 0 END AS INTEGER) AS sub
+  FROM v JOIN sz USING (cluster)
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM sv2 a JOIN sv2 b
+    ON a.cluster = b.cluster AND a.sub = b.sub AND a.vec_id < b.vec_id
+  WHERE ROUND({cos_ab}, 4) >= {_SEMDEDUP_THRESHOLD}
+)
+SELECT s.vec_id, CAST(s.cluster AS BIGINT) AS cluster, s.sub,
+       (d.vec_id IS NULL) AS keep
+FROM sv2 s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+"""
+
+
+SPECS["semdedup_capped"] = QuerySpec(
+    _semdedup_capped,
+    _semdedup_capped_sql(),
+    "SemDeDup with cap-triggered cell splitting: cell size bounded by construction (the wave-14 skew escape)",
+)
+
+
 # --- trained product quantization (1 Lloyd round, all subspaces in ONE plan)
 # Realizes the claim in the literal-codebook PQ docstring: the data-trained
 # variant has the identical plan shape.  All 8 subspace k-means problems

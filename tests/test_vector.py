@@ -202,3 +202,64 @@ def test_ivf_pq_prunes_to_probed_cluster(spark):
 
     again = [(r["vec_id"], r["adc_dist"]) for r in _topk_ivf_pq(spark, SF).collect()]
     assert again == [(r["vec_id"], r["adc_dist"]) for r in rows]
+
+
+def test_capped_cell_split_bounds_and_keep_superset(spark):
+    """capped_cell_split invariants (SCALING.md wave 14): (a) sub = 0
+    exactly for cells at/under the cap; (b) every (cell, sub) group in
+    the split is at most ~cap/2 * overshoot (hash-balanced — we assert
+    the hard structural bound: no group exceeds the ORIGINAL cell and
+    oversized cells are genuinely split); (c) semdedup_capped keeps a
+    SUPERSET of semdedup's keepers — splitting can only remove candidate
+    pairs, never add drops."""
+    from pyspark.sql import functions as F
+
+    from signal_messenger_vector_database_spark.io.sources import (
+        load_table,
+        parquet_row_count,
+    )
+    from signal_messenger_vector_database_spark.operators.ann import (
+        capped_cell_split,
+        hier_super_count,
+        ivf_assign_hier,
+        ivf_seed_centroids,
+        scaled_cluster_count,
+    )
+    from signal_messenger_vector_database_spark.plans.vectorops import (
+        _SEMDEDUP_CAP,
+        _semdedup,
+        _semdedup_capped,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    n = parquet_row_count(sf, "embeddings")
+    k = scaled_cluster_count(n)
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    assigned = ivf_assign_hier(
+        emb, ivf_seed_centroids(emb, k), hier_super_count(k)
+    ).withColumnRenamed("cid", "cluster")
+    sizes = {r.cluster: r["count"] for r in assigned.groupBy("cluster").count().collect()}
+    split = capped_cell_split(assigned, cap=_SEMDEDUP_CAP)
+    rows = split.collect()
+    assert len(rows) == n
+    subs_by_cell = {}
+    for r in rows:
+        subs_by_cell.setdefault(r.cluster, []).append(r.sub)
+    split_live = False
+    for cell, subs in subs_by_cell.items():
+        if sizes[cell] <= _SEMDEDUP_CAP:
+            assert set(subs) == {0}
+        else:
+            split_live = True
+            assert len(set(subs)) > 1  # genuinely split
+            from collections import Counter
+
+            worst = max(Counter(subs).values())
+            assert worst < sizes[cell]  # no sub-cell re-absorbs the cell
+    assert split_live  # the fixture must exercise the split arm
+
+    keep_plain = {r.vec_id for r in _semdedup(spark, sf).collect() if r.keep}
+    keep_capped = {r.vec_id for r in _semdedup_capped(spark, sf).collect() if r.keep}
+    assert keep_capped >= keep_plain
