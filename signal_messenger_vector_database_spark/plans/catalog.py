@@ -55,7 +55,7 @@ _MODULES = (
 #      q-series, OLAP shapes, window/fill ops, sampling) — 88 entries'
 #      latest driver row predates r5; the 38 slots left take the oldest
 #      38, the 4 r2 leftovers (tfidf_top_terms, embedding_centroids,
-#      kmeans_assign, minhash_lsh_mllib, repetition_score) and the r4 block queue for
+#      kmeans_assign, minhash_lsh_mllib, repetition_score, train_test_split) and the r4 block queue for
 #      r10.  All stay green in the local three-scale sweeps meanwhile.
 _WINDOW = [
     # -- never driver-checked (new this round) --
@@ -67,6 +67,7 @@ _WINDOW = [
     # -- changed plans/oracles (two-level assignment rewiring) --
     "semdedup",
     "semdedup_capped",
+    "knn_graph_capped",
     "knn_graph_ivf",
     "ivf_maintenance",
     "ann_recall_at_k",
@@ -110,7 +111,6 @@ _WINDOW = [
     "stratified_sample",
     "pii_redact",
     "dedup_keep_first",
-    "train_test_split",
 ]
 
 

@@ -74,3 +74,30 @@ hier AS (
     FROM v2s v JOIN c2s c2 ON v.sid = c2.sid
   ) WHERE rk = 1
 )"""
+
+
+def capped_split_ctes(cap: int) -> str:
+    """CTE suffix for the hash-balanced cell split (the DuckDB twin of
+    ``operators/ann.py::capped_cell_split`` applied to the shared hier
+    assignment): appends after ``HIER_ASSIGN_CTES`` and yields ``sv2``
+    (vec_id, embedding, cluster, sub) with sub = 0 for cells at/under
+    ``cap`` and an md5-balanced sub in [0, ceil(csz/(cap/2))) above it.
+    ONE definition consumed by every capped-fence oracle
+    (semdedup_capped, knn_graph_capped) — the shared-definition rule."""
+    sub_target = max(2, cap // 2)
+    hv = " + ".join(
+        f"(instr('0123456789abcdef', substr(md5(CAST(v.vec_id AS VARCHAR)), {pos}, 1)) - 1) * {16 ** (4 - pos)}"
+        for pos in range(1, 5)
+    )
+    return f"""v AS (
+  SELECT e.vec_id, e.embedding, h.cid_hier AS cluster
+  FROM embeddings e JOIN hier h USING (vec_id)
+),
+sz AS (SELECT cluster, COUNT(*) AS csz FROM v GROUP BY cluster),
+sv2 AS (
+  SELECT v.vec_id, v.embedding, v.cluster,
+         CAST(CASE WHEN sz.csz > {cap}
+              THEN ({hv}) % CAST(CEIL(sz.csz / {float(sub_target)}) AS BIGINT)
+              ELSE 0 END AS INTEGER) AS sub
+  FROM v JOIN sz USING (cluster)
+)"""

@@ -1191,3 +1191,106 @@ SPECS["knn_graph_ivf"] = QuerySpec(
     _knn_graph_ivf_sql(),
     "IVF-fenced k-NN graph (top-3 neighbors per vector, cluster-bounded candidates)",
 )
+
+
+# --- knn_graph_capped: the k-NN graph behind the capped fence ---------------
+# The k-NN graph inherits semdedup's blob weakness 1:1 (wave 14: a mass
+# blob makes one cell ~47% of the corpus and the fenced pair join a
+# >50-minute single task, and neither Lloyd training nor a geometric
+# sub-quantizer splits it).  This entry fences the graph on
+# (cluster, sub) from the same hash-balanced capped_cell_split.  Recall
+# semantics where the cap binds: blob members are mutual near-dups, so
+# each member's true top-k is (near-)interchangeable within the blob —
+# restricting candidates to the member's own sub-cell still yields
+# neighbors at essentially the same similarity.  For diverse oversized
+# cells the lost cross-sub candidates are the documented trade.
+
+_KNN_CAP = 64
+
+
+def _knn_graph_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions.text import portable_round
+    from ..functions.vector import dot_product, l2_norm
+    from ..io.sources import parquet_row_count
+    from ..operators.ann import (
+        capped_cell_split,
+        hier_super_count,
+        ivf_assign_hier,
+        ivf_seed_centroids,
+        scaled_cluster_count,
+    )
+
+    n = parquet_row_count(sf_dir, "embeddings")
+    k = scaled_cluster_count(n)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    assign = ivf_assign_hier(
+        emb, ivf_seed_centroids(emb, k), hier_super_count(k)
+    ).withColumnRenamed("cid", "cluster")
+    split = capped_cell_split(assign, cap=_KNN_CAP)
+    vecs = (
+        split.join(emb, "vec_id")
+        .select(
+            "vec_id", "cluster", "sub", "embedding",
+            l2_norm("embedding").alias("nrm"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = vecs.select(
+        F.col("vec_id").alias("src"),
+        F.col("cluster").alias("cl_a"),
+        F.col("sub").alias("sb_a"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("nbr"),
+        F.col("cluster").alias("cl_b"),
+        F.col("sub").alias("sb_b"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    sim = portable_round(
+        dot_product("va", "vb") / (F.col("na") * F.col("nb")), 4
+    )
+    cand = a.join(
+        b,
+        (F.col("cl_a") == F.col("cl_b"))
+        & (F.col("sb_a") == F.col("sb_b"))
+        & (F.col("src") != F.col("nbr")),
+    ).select("src", "nbr", sim.alias("sim"))
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), "nbr")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KNN_K)
+        .select("src", F.col("rk").cast("int").alias("rk"), "nbr", "sim")
+    )
+
+
+def _knn_graph_capped_sql() -> str:
+    from .ivf_sql import HIER_ASSIGN_CTES, capped_split_ctes
+
+    return f"""
+WITH {HIER_ASSIGN_CTES},
+{capped_split_ctes(_KNN_CAP)},
+cand AS (
+  SELECT a.vec_id AS src, b.vec_id AS nbr, ROUND({_knn_cos_ab}, 4) AS sim
+  FROM sv2 a JOIN sv2 b
+    ON a.cluster = b.cluster AND a.sub = b.sub AND a.vec_id <> b.vec_id
+)
+SELECT src, CAST(rk AS INTEGER) AS rk, nbr, sim FROM (
+  SELECT src, nbr, sim,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, nbr) AS rk
+  FROM cand
+) WHERE rk <= {_KNN_K}
+"""
+
+
+SPECS["knn_graph_capped"] = QuerySpec(
+    _knn_graph_capped,
+    _knn_graph_capped_sql(),
+    "k-NN graph behind the capped (cluster, sub) fence — bounded candidates on any distribution",
+)

@@ -983,28 +983,15 @@ def _semdedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semdedup_capped_sql() -> str:
-    """Shared hier chain + the hash-split CTEs (the SQL twin of
-    capped_cell_split) + the (cluster, sub)-fenced pair join."""
-    from .ivf_sql import HIER_ASSIGN_CTES, SQL_COS
-    from .similarity import _sql_hexn
+    """Shared hier chain + the SHARED hash-split CTEs (plans/ivf_sql.py
+    — the SQL twin of capped_cell_split) + the (cluster, sub)-fenced
+    pair join."""
+    from .ivf_sql import HIER_ASSIGN_CTES, SQL_COS, capped_split_ctes
 
-    sub_target = max(2, _SEMDEDUP_CAP // 2)
     cos_ab = SQL_COS.format(a="a.embedding", b="b.embedding")
-    hv = _sql_hexn("md5(CAST(v.vec_id AS VARCHAR))", 4)
     return f"""
 WITH {HIER_ASSIGN_CTES},
-v AS (
-  SELECT e.vec_id, e.embedding, h.cid_hier AS cluster
-  FROM embeddings e JOIN hier h USING (vec_id)
-),
-sz AS (SELECT cluster, COUNT(*) AS csz FROM v GROUP BY cluster),
-sv2 AS (
-  SELECT v.vec_id, v.embedding, v.cluster,
-         CAST(CASE WHEN sz.csz > {_SEMDEDUP_CAP}
-              THEN {hv} % CAST(CEIL(sz.csz / {float(sub_target)}) AS BIGINT)
-              ELSE 0 END AS INTEGER) AS sub
-  FROM v JOIN sz USING (cluster)
-),
+{capped_split_ctes(_SEMDEDUP_CAP)},
 dropped AS (
   SELECT DISTINCT b.vec_id
   FROM sv2 a JOIN sv2 b
