@@ -87,6 +87,8 @@ COMMENTARY = {
     "pq_operating_point": "The measured >=0.9 serving configuration (r9): 3 Lloyd rounds at M=16/D=4/K=64 — each round one linear scan joined to a BROADCAST 1024-row codebook with map-side min_by, update as a (sub_j,code,pos) partial aggregate quantized to the 1e-4 grid and localCheckpoint'ed (1024 rows). Serving: per-query integer LUT sums over the 16-byte codes, shortlist-100 via the TWO-PHASE top-k (per-partition local top-100s, then a merge window over <= 100*partitions rows — never a global sort), exact arm shares the shape. Measured: shortlist recall mean 0.96 / min 0.9 at sf0.1 over 5 queries; probe 3.3x at 16x.",
     "topk_ivf_pq_trained": "The clustered-corpus serving composition (r9): shared hier coarse assignment fences candidates to the query's nprobe=3 probed cells, trained 16x4 ADC scores 16 bytes/candidate against a broadcast integer LUT, exact cosine re-ranks the 100-row shortlist (broadcast semi-join against the full-precision table). Honest number: composed shortlist recall 0.7/0.6/0.5 on this ISOTROPIC corpus vs 1.0 unfenced — the shape serves clustered real-text embeddings; pq_operating_point is this corpus's default.",
     "simhash_hamming_pairs_w64": "The 64-bit geometry rung (r9): two-half fingerprints (fp_hi/fp_lo longs from disjoint md5 hex slices) built by 64 partial-aggregated bit-votes; the pigeonhole band join meets on 4 bands x 16 bits = 65,536 bucket values per band, so bucket population is n/65k and the integer bit_count verify is ~exact-dup-only at any fixture scale (wave-13 probe: 4.6x at 16x vs the 16-bit rung's 67x — the residual growth is the LINEAR fingerprint build). Width derives from corpus size via simhash_geometry().",
+    "semdedup_capped": "The wave-14 skew escape: the shared hier assignment, then capped_cell_split — an md5-derived sub id (pure codegen arithmetic, zero cosines) for any cell over the cap, broadcast cell-size join — and the pair join fenced on (cluster, sub). Candidate volume is bounded by construction on ANY distribution: the skewed x16 corpus went 115.4M fenced pairs / >50 min (uncapped) to 592k pairs / 6.3 s. Keep-superset invariant (splitting only removes candidates) pinned by test.",
+    "knn_graph_capped": "The k-NN graph behind the same capped (cluster, sub) fence — same split, same bound; skewed x16 in 15.2 s where the uncapped fence shares the mega-cell straggler. Where the cap binds (blob cells) members are mutual near-dups, so per-member top-k from the member's own sub-cell is (near-)interchangeable with the unfenced answer.",
     "stream_ingest_index": "The reference's raison d'etre as ONE streaming query (r9): suppression and chunk-explode run stream-side as JVM expressions, the embed stage is the md5 featurizer (dyadic-exact, no Python), and foreachBatch performs delta index maintenance — each micro-batch broadcast-joins the 8-row centroid table, argmins via min_by partial agg, and APPENDS to the index (state is the index, not the stream). The plan shown is the post-drain accounting aggregate; 4 real micro-batches via maxFilesPerTrigger=1. Probe: 2.2x at 16x.",
 }
 
