@@ -121,7 +121,19 @@ def _op_trained_parts(spark: SparkSession, sf_dir: str):
     each round's centroids are floor-rounded to the 1e-4 grid and
     localCheckpoint'ed (1024 rows) — the checkpoint both cuts the
     3-round lineage and freezes the grid values so every downstream
-    consumer scores against bit-identical centroids."""
+    consumer scores against bit-identical centroids.
+
+    Assignment is IN PLACE (the kmeans_lloyd3 pattern): per subspace the
+    64 codewords collapse to one array-of-structs row, broadcast-joined
+    on sub_j, and each subvector row folds its argmin with higher-order
+    functions — the subvector table is scanned, never shuffled.  The
+    first cut shuffled n*M rows per round through a
+    groupBy(vec_id, sub_j) min_by; at 100 TB that was FOUR full-corpus
+    shuffles for a training loop whose state is 1024 tiny arrays.
+    ``array_min`` on a (d2, code) struct replays min_by's tie-break
+    (smallest d2, then smallest code) bit-identically, so the DuckDB
+    oracle is unchanged.  Per-round shuffle traffic is now only the
+    (sub_j, code, pos) centroid update — 4096 partial-aggregated keys."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -131,18 +143,23 @@ def _op_trained_parts(spark: SparkSession, sf_dir: str):
     )
 
     def assign(cb_df: DataFrame) -> DataFrame:
-        scored = subs.join(F.broadcast(cb_df), "sub_j").select(
-            "vec_id", "sub_j", "sv", "code", _op_d2("sv", "cw").alias("d2")
+        packed = cb_df.groupBy("sub_j").agg(
+            F.array_sort(F.collect_list(F.struct("code", "cw"))).alias("_cbk")
         )
-        return (
-            scored.groupBy("vec_id", "sub_j")
-            .agg(F.min_by(F.struct("code", "sv"), F.struct("d2", "code")).alias("_w"))
-            .select(
-                "vec_id",
-                "sub_j",
-                F.col("_w.code").alias("code"),
-                F.col("_w.sv").alias("sv"),
+
+        def _score(e):
+            d2 = F.aggregate(
+                F.zip_with(F.col("sv"), e["cw"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
             )
+            return F.struct(d2.alias("d2"), e["code"].alias("code"))
+
+        best = F.array_min(F.transform(F.col("_cbk"), _score))
+        return subs.join(F.broadcast(packed), "sub_j").select(
+            "vec_id", "sub_j", F.col("sv"), F.col("_cbk"), best.alias("_b")
+        ).select(
+            "vec_id", "sub_j", F.col("_b.code").alias("code"), "sv"
         )
 
     for _ in range(_OPROUNDS):
