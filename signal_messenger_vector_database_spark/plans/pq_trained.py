@@ -148,11 +148,19 @@ def _op_trained_parts(spark: SparkSession, sf_dir: str):
         )
 
         def _score(e):
-            d2 = F.aggregate(
-                F.zip_with(F.col("sv"), e["cw"], lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
+            # UNROLLED d2 (D=4): plain getItem arithmetic instead of a
+            # zip_with fold — no intermediate 4-element array per
+            # (row, codeword).  Bit-identical: the fold computes
+            # (((0+x1)+x2)+x3)+x4 and 0+x1 == x1 exactly for the
+            # non-negative squares, so this is the same double sequence.
+            terms = [
+                (F.col("sv").getItem(i) - e["cw"].getItem(i))
+                * (F.col("sv").getItem(i) - e["cw"].getItem(i))
+                for i in range(_OPD)
+            ]
+            d2 = terms[0]
+            for t in terms[1:]:
+                d2 = d2 + t
             return F.struct(d2.alias("d2"), e["code"].alias("code"))
 
         best = F.array_min(F.transform(F.col("_cbk"), _score))
