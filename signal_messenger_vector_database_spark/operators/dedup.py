@@ -205,17 +205,9 @@ _HEX = "0123456789abcdef"
 
 def _hex_to_int(h: Column, n_chars: int = 4) -> Column:
     """First ``n_chars`` hex chars of an md5 -> int in [0, 16^n_chars).
-    Pure arithmetic (instr on a hex alphabet) so Spark and DuckDB
-    evaluate identically.  n_chars <= 15 keeps the value in a long."""
-    val = F.lit(0).cast("long")
-    for pos in range(1, n_chars + 1):
-        weight = 16 ** (n_chars - pos)
-        # long arithmetic: at n_chars=8 the top weight is 16^7 ≈ 2.7e8 and
-        # digit*weight tops 4e9 — an int32 ANSI overflow (hit at first run)
-        val = val + (F.instr(F.lit(_HEX), F.substring(h, pos, 1)) - 1).cast(
-            "long"
-        ) * F.lit(weight).cast("long")
-    return val
+    Delegates to _hex_slice_to_int (ONE copy of the
+    engine-portability-critical arithmetic)."""
+    return _hex_slice_to_int(h, 1, n_chars)
 
 
 def _hex4_to_int(h: Column) -> Column:
@@ -224,8 +216,10 @@ def _hex4_to_int(h: Column) -> Column:
 
 def _hex_slice_to_int(h: Column, start: int, n_chars: int) -> Column:
     """Hex chars [start, start+n_chars) of an md5 (1-indexed) -> long.
-    The offset twin of _hex_to_int, for fingerprints wider than one
-    long: each half reads its own md5 slice."""
+    THE hex-to-long arithmetic (single copy; _hex_to_int delegates
+    here).  Long arithmetic throughout: at n_chars=8 the top weight is
+    16^7 ~ 2.7e8 and digit*weight tops 4e9 — an int32 ANSI overflow
+    (hit at first run)."""
     val = F.lit(0).cast("long")
     for i in range(n_chars):
         weight = 16 ** (n_chars - 1 - i)

@@ -82,3 +82,25 @@ def global_rank_family(
             quartile.cast("long").alias("quartile"),
         )
     )
+
+
+def two_phase_topk(df: DataFrame, key: str, order: list[Column], k: int) -> DataFrame:
+    """Partition-local then global top-k per ``key`` — the skew-safe
+    top-k-per-group shape: local top-k inside each physical partition
+    first (``spark_partition_id`` in the window key), so the global
+    per-key window only ever sees <= parallelism * k survivors instead
+    of every row of a hot key.  Result is independent of physical
+    layout because the local pass only PRUNES rows that cannot be in
+    the global top-k (partition-invariance is pinned by tests in both
+    consumers).  ONE copy (shared-definition rule): consumed by
+    ann_recall_at_k's exact arm and the PQ operating point's shortlist/
+    exact arms.  Output keeps the input columns plus ``rk``."""
+    w1 = Window.partitionBy(key, "pid").orderBy(*order)
+    w2 = Window.partitionBy(key).orderBy(*order)
+    local = (
+        df.withColumn("pid", F.spark_partition_id())
+        .withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") <= k)
+        .drop("pid", "rk")
+    )
+    return local.withColumn("rk", F.row_number().over(w2)).filter(F.col("rk") <= k)

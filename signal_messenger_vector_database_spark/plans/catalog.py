@@ -53,10 +53,12 @@ _MODULES = (
 #      moved into plans/ivf_sql.py (ivf_hier_quality, ann_ivf_hier);
 #   3. staleness rotation, oldest-first: the r2-era block (TPC-H
 #      q-series, OLAP shapes, window/fill ops, sampling) — 88 entries'
-#      latest driver row predates r5; the 38 slots left take the oldest
-#      38, the 4 r2 leftovers (tfidf_top_terms, embedding_centroids,
-#      kmeans_assign, minhash_lsh_mllib, repetition_score, train_test_split) and the r4 block queue for
-#      r10.  All stay green in the local three-scale sweeps meanwhile.
+#      latest driver row predates r5; the 36 slots left (50 - 5 new -
+#      9 changed) take the oldest 36, and the 6 r2 leftovers
+#      (tfidf_top_terms, embedding_centroids, kmeans_assign,
+#      minhash_lsh_mllib, repetition_score, train_test_split) plus the
+#      r4 block (46 entries) queue for r10.  All stay green in the
+#      local three-scale sweeps meanwhile.
 _WINDOW = [
     # -- never driver-checked (new this round) --
     "pq_operating_point",

@@ -263,19 +263,7 @@ def _op_lut(trained: DataFrame, spark: SparkSession) -> DataFrame:
     )
 
 
-def _two_phase_topk(df: DataFrame, key: str, order, k: int) -> DataFrame:
-    """Partition-local then global top-k per `key` — the
-    ann_recall_at_k pattern: no global per-key sort of n rows; the
-    global window only ever sees <= parallelism * k survivors."""
-    w1 = Window.partitionBy(key, "pid").orderBy(*order)
-    w2 = Window.partitionBy(key).orderBy(*order)
-    local = (
-        df.withColumn("pid", F.spark_partition_id())
-        .withColumn("rk", F.row_number().over(w1))
-        .filter(F.col("rk") <= k)
-        .drop("pid", "rk")
-    )
-    return local.withColumn("rk", F.row_number().over(w2)).filter(F.col("rk") <= k)
+from ..operators.ranking import two_phase_topk as _two_phase_topk
 
 
 def _pq_operating_point(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -115,7 +115,10 @@ def _ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     embn, anchors, cand = _ivf_pieces(spark, sf_dir)
 
-    # exact ground truth: two-phase top-10 per anchor (see module doc)
+    # exact ground truth: two-phase top-10 per anchor (see module doc;
+    # ONE shared implementation — operators/ranking.py::two_phase_topk)
+    from ..operators.ranking import two_phase_topk
+
     scored = (
         embn.crossJoin(F.broadcast(anchors))
         .filter(F.col("vec_id") != F.col("qid"))
@@ -127,20 +130,10 @@ def _ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("sim"),
         )
-        .withColumn("pid", F.spark_partition_id())
     )
-    w1 = Window.partitionBy("qid", "pid").orderBy(F.desc("sim"), "vec_id")
-    local = (
-        scored.withColumn("rk", F.row_number().over(w1))
-        .filter(F.col("rk") <= _RECALL_K)
-        .drop("pid", "rk")
-    )
-    w2 = Window.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
-    exact = (
-        local.withColumn("rk", F.row_number().over(w2))
-        .filter(F.col("rk") <= _RECALL_K)
-        .select("qid", "vec_id")
-    )
+    exact = two_phase_topk(
+        scored, "qid", [F.desc("sim"), F.asc("vec_id")], _RECALL_K
+    ).select("qid", "vec_id")
 
     wa = Window.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
     approx = (
@@ -167,7 +160,6 @@ def _ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _COS_EA = _SQL_COS.format(a="e.embedding", b="a.qv")
-_COS_EC = _SQL_COS.format(a="e.embedding", b="c.cv")
 
 # Shared oracle CTE prefix: the shared two-level assignment chain
 # (plans/ivf_sql.py — the DuckDB twin of ivf_assign_hier), an `assign`

@@ -1271,13 +1271,18 @@ def _knn_graph_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _knn_graph_capped_sql() -> str:
+    # FLOOR-form rounding on BOTH sides (portable_round's documented SQL
+    # twin): the Spark side uses portable_round, and pairing it with
+    # ROUND() would be a cross-engine seam for negative cosines at a
+    # .00005 boundary (adversarial review, r9 — latent, no fixture hit).
     from .ivf_sql import HIER_ASSIGN_CTES, capped_split_ctes
 
     return f"""
 WITH {HIER_ASSIGN_CTES},
 {capped_split_ctes(_KNN_CAP)},
 cand AS (
-  SELECT a.vec_id AS src, b.vec_id AS nbr, ROUND({_knn_cos_ab}, 4) AS sim
+  SELECT a.vec_id AS src, b.vec_id AS nbr,
+         FLOOR(({_knn_cos_ab}) * 10000 + 0.5) / 10000 AS sim
   FROM sv2 a JOIN sv2 b
     ON a.cluster = b.cluster AND a.sub = b.sub AND a.vec_id <> b.vec_id
 )
