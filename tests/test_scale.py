@@ -595,3 +595,36 @@ def test_sketch_histogram_partial_aggregates_map_side(spark):
         if "HashAggregate" in l and "bin" in l and "event_type" in l
     ]
     assert len(agg_idx) >= 2, plan  # partial + final
+
+
+def test_semdedup_capped_split_is_window_free(spark):
+    """The hash-balanced capped_cell_split adds NO window and no new
+    pair shape: sub ids come from codegen md5 arithmetic, so the capped
+    query's plan must contain exactly the windows/joins the uncapped
+    one has — in particular zero Window nodes (the geometric split it
+    replaced needed a per-cell rank window) and no cartesian shapes."""
+    from signal_messenger_vector_database_spark.plans.vectorops import (
+        _semdedup_capped,
+    )
+
+    plan = _plan(_semdedup_capped(spark, SF))
+    assert "Window" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+
+
+def test_pq_operating_point_recall_joins_are_broadcast(spark):
+    """The 5-row and 50-row recall-side joins must be broadcast (they
+    are derived aggregates with no stats — the default plan was a
+    SortMergeJoin on a 5-row side, caught by the r9 EXPLAIN audit), and
+    the Lloyd rounds must be shuffle-free on the corpus side: the only
+    aggregate exchanges allowed are the tiny (sub_j, code, pos)
+    centroid updates and the serving-side (qid, vec_id) ADC sum."""
+    from signal_messenger_vector_database_spark.plans.pq_trained import (
+        _pq_operating_point,
+    )
+
+    plan = _plan(_pq_operating_point(spark, SF))
+    assert "CartesianProduct" not in plan
+    # the final qid joins: broadcast, not sort-merge on 5 rows
+    assert "SortMergeJoin LeftOuter" not in plan, plan[:3000]
