@@ -349,65 +349,79 @@ def ivf_assign_hier(
         .select("cid", F.col("s.sid").alias("sid"), F.col("s.cv").alias("cv"),
                 F.col("s._nc").alias("_nc"))
     )
+    # Pack BOTH tiny tables into one broadcast row (r9, the
+    # kmeans-lloyd3 pattern applied to the whole two-level assignment):
+    #   _sups : sorted array of (sid, sv, ns)            [n_super entries]
+    #   _cmap : map sid -> array of (cid, cv, nc)        [k entries total]
+    # Every vector row then routes AND argmins IN PLACE — the first cut
+    # shuffled n rows TWICE (a collect_list routing groupBy + a min_by
+    # level-2 groupBy); at 100 TB those were two full-corpus exchanges
+    # for an assignment whose state is k tiny arrays.  Comparators are
+    # unchanged: routing sorts (negsim, sid) structs ascending and
+    # slices nprobe (identical to the collect/sort/slice aggregate),
+    # level-2 takes array_min over (negsim, cid) structs (identical to
+    # min_by) — both replay the same doubles, so every downstream
+    # oracle is bit-unchanged.
+    packed = (
+        c2s.groupBy("sid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("cid", "cv", "_nc"))
+            ).alias("_members")
+        )
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("sid", "_members"))
+            ).alias("_cmap")
+        )
+        .crossJoin(
+            supers.agg(
+                F.array_sort(
+                    F.collect_list(F.struct("sid", "sv", "_ns"))
+                ).alias("_sups")
+            )
+        )
+    )
     ev = emb.select(
         F.col(id_col), F.col(vec_col), l2_norm(vec_col).alias("_nv")
     )
-    # level-1: route each vector to its top-nprobe super-cells
-    # (n * n_super cosines).  Multi-probe is what buys back fidelity at
-    # the super-cell boundary (nprobe=1 measured 0.49-0.68 agreement
-    # with flat on the fixture; see ivf_hier_quality) — the level-2 cost
-    # only doubles, to n * nprobe * k/n_super.  Top-nprobe is an
-    # aggregate (collect the n_super-element (negsim, sid) list, sort,
-    # slice), NOT a window — the exchange still carries n rows, with the
-    # list partial-built map-side.
-    routed = (
-        ev.crossJoin(F.broadcast(supers))
-        .select(
-            F.col(id_col),
-            F.col(vec_col),
-            "_nv",
-            "sid",
-            (
-                dot_product(vec_col, "sv") / (F.col("_nv") * F.col("_ns"))
-            ).alias("ssim"),
-        )
-        .groupBy(id_col)
-        .agg(
-            F.slice(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct((-F.col("ssim")).alias("negsim"), F.col("sid"))
-                    )
+
+    def _ssim(s):
+        return dot_product(F.col(vec_col), s["sv"]) / (F.col("_nv") * s["_ns"])
+
+    def _csim(c):
+        return dot_product(F.col(vec_col), c["cv"]) / (F.col("_nv") * c["_nc"])
+
+    top = F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("_sups"),
+                lambda s: F.struct((-_ssim(s)).alias("negsim"), s["sid"].alias("sid")),
+            )
+        ),
+        1,
+        nprobe,
+    )
+    cands = F.flatten(
+        F.transform(
+            top,
+            lambda t: F.transform(
+                F.coalesce(
+                    F.element_at(F.col("_cmap"), t["sid"]),
+                    F.array().cast(
+                        "array<struct<cid:bigint,cv:array<double>,_nc:double>>"
+                    ),
                 ),
-                1,
-                nprobe,
-            ).alias("_top"),
-            F.first(F.col(vec_col)).alias("_v"),
-            F.first("_nv").alias("_nv"),
+                lambda c: F.struct(
+                    (-_csim(c)).alias("negsim"), c["cid"].alias("cid")
+                ),
+            ),
         )
     )
-    v2s = routed.select(
-        F.col(id_col),
-        F.explode(F.col("_top.sid")).alias("sid"),
-        "_v",
-        "_nv",
-    )
-    # level-2: argmin over the routed super-cell's centroids only
+    best = F.array_min(cands)
     return (
-        v2s.join(F.broadcast(c2s), "sid")
-        .select(
-            F.col(id_col),
-            "cid",
-            (
-                dot_product("_v", "cv") / (F.col("_nv") * F.col("_nc"))
-            ).alias("csim"),
-        )
-        .groupBy(id_col)
-        .agg(
-            F.min_by(
-                "cid", F.struct((-F.col("csim")).alias("negsim"), F.col("cid"))
-            ).alias("cid")
-        )
+        ev.crossJoin(F.broadcast(packed))
+        .select(F.col(id_col), best["cid"].alias("cid"))
     )
 
 
