@@ -517,3 +517,147 @@ SPECS["topk_ivf_pq_trained"] = QuerySpec(
     _topk_ivf_pq_trained_sql(),
     "IVF(nprobe=3) + trained 16x4 PQ shortlist + exact re-rank: the clustered-corpus serving shape",
 )
+
+
+# --- dim_ablation_recall: the dimension-truncation eval --------------------
+# The third axis of approximate retrieval, next to IVF pruning
+# (ann_recall_at_k) and code quantization (pq_recall_*): DIMENSION
+# truncation — serve cosine over only the first d dims (the
+# Matryoshka-representation pattern: a prefix of the embedding is
+# itself an embedding) and measure recall@10 vs the full-width exact
+# ranking, per evaluation query, at d = 8/16/32/64.  At 100 TB the
+# payoff mirrors PQ's: a 16-dim prefix scan reads 4x fewer bytes and
+# the measured recall says what that costs THIS embedding space.  On
+# the fixture's HashEmbedder vectors (isotropic — no Matryoshka
+# training, so this is the pessimistic floor) measured mean recall at
+# sf0.1 is 0.04/0.08/0.24/1.0 at d=8/16/32/64: untrained prefixes are
+# poor retrievers, exactly the evidence a pipeline needs before buying
+# the truncation.
+#
+# Scale shape: one corpus scan per d (4 total, or one scan computing
+# all four sims), two-phase top-k per (d, qid) — never a global sort;
+# the eval set is 5 broadcast literal queries.  FP discipline: sliced
+# cosine via the same hoisted-norm dot/norm folds both engines already
+# replay; sims rounded on the 1e-4 grid before ranking.
+
+_ABLATION_DIMS = (8, 16, 32, 64)
+
+
+def _dim_ablation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import dot_product, l2_norm
+    from ..operators.ranking import two_phase_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    qfull = spark.createDataFrame(
+        [(qid, q) for qid, q in enumerate(_op_query_vecs())],
+        "qid int, qv array<double>",
+    )
+    scored = emb.crossJoin(F.broadcast(qfull))
+
+    def topk_ids(d: int):
+        ed = F.slice(F.col("e"), 1, d)
+        qd = F.slice(F.col("qv"), 1, d)
+        sim = portable_round(
+            F.aggregate(
+                F.zip_with(ed, qd, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / (
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with(ed, ed, lambda a, b: a * b),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                )
+                * F.sqrt(
+                    F.aggregate(
+                        F.zip_with(qd, qd, lambda a, b: a * b),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                )
+            ),
+            4,
+        )
+        return two_phase_topk(
+            scored.select("qid", "vec_id", sim.alias("sim")),
+            "qid",
+            [F.desc("sim"), F.asc("vec_id")],
+            _OPTOPK,
+        ).select("qid", "vec_id")
+
+    exact = topk_ids(64)
+    out = None
+    for d in _ABLATION_DIMS:
+        hits = (
+            topk_ids(d)
+            .join(exact, ["qid", "vec_id"])
+            .groupBy("qid")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        row = (
+            qfull.select("qid")
+            .join(F.broadcast(hits), "qid", "left")
+            .select(
+                F.lit(d).cast("int").alias("dim"),
+                "qid",
+                (
+                    F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                    / F.lit(float(_OPTOPK))
+                ).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("dim", "qid")
+
+
+def _dim_ablation_recall_sql() -> str:
+    def cos_d(d: int, e: str, q: str) -> str:
+        ed, qd = f"{e}[1:{d}]", f"{q}[1:{d}]"
+        dot = f"list_dot_product({ed}::DOUBLE[], {qd}::DOUBLE[])"
+        ne = f"sqrt(list_dot_product({ed}::DOUBLE[], {ed}::DOUBLE[]))"
+        nq = f"sqrt(list_dot_product({qd}::DOUBLE[], {qd}::DOUBLE[]))"
+        return f"FLOOR(({dot} / ({ne} * {nq})) * 10000 + 0.5) / 10000"
+
+    def topk_cte(name: str, d: int) -> str:
+        return f"""{name} AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.qid
+             ORDER BY {cos_d(d, "e.embedding", "q.qv")} DESC, e.vec_id
+           ) AS rk
+    FROM embeddings e, q
+  ) WHERE rk <= {_OPTOPK}
+)"""
+
+    arms = []
+    for d in _ABLATION_DIMS:
+        arms.append(
+            f"""SELECT CAST({d} AS INTEGER) AS dim, q.qid,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {float(_OPTOPK)} AS recall
+FROM q LEFT JOIN (
+  SELECT qid, COUNT(*) AS n_hits
+  FROM top{d} JOIN exact USING (qid, vec_id) GROUP BY qid
+) h ON q.qid = h.qid"""
+        )
+    ctes = ",\n".join(topk_cte(f"top{d}", d) for d in _ABLATION_DIMS)
+    body = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH q(qid, qv) AS (VALUES {_op_query_values_sql()}),
+{ctes},
+exact AS (SELECT qid, vec_id FROM top64)
+{body}
+ORDER BY dim, qid
+"""
+
+
+SPECS["dim_ablation_recall"] = QuerySpec(
+    _dim_ablation_recall,
+    _dim_ablation_recall_sql(),
+    "recall@10 of prefix-dimension cosine (d=8/16/32/64) vs full width: the truncation eval",
+)
