@@ -1299,3 +1299,58 @@ SPECS["knn_graph_capped"] = QuerySpec(
     _knn_graph_capped_sql(),
     "k-NN graph behind the capped (cluster, sub) fence — bounded candidates on any distribution",
 )
+
+
+# --- simhash_hamming_pairs_auto: the geometry rule, live --------------------
+# The three pinned rungs (16/32/64-bit) demonstrate the width knob; THIS
+# entry makes `simhash_geometry` the actual default: fingerprint width
+# derives from the corpus size in BOTH engines (the multiscale-gate
+# pattern — each SQL branch replays the full query at one literal width,
+# gated by the same formula over the corpus it reads), so the query
+# follows the rule across every fixture scale: 24 bits at n=500,
+# 40 bits at sf0.1's n=5000.  Beyond 60 bits the rule routes to the
+# two-half representation (the w64 query pins that rung fixture-live;
+# no fixture reaches it through the rule — n >= 2e5).
+
+
+def _simhash_hamming_pairs_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.sources import parquet_row_count
+    from ..operators.dedup import (
+        simhash_geometry,
+        simhash_hamming_pairs_wide,
+        simhash_wide,
+    )
+
+    n = parquet_row_count(sf_dir, "documents")
+    bits = simhash_geometry(n)
+    if bits > 60:  # the two-long representation rung (n >= ~2e5)
+        docs = load_table(spark, sf_dir, "documents")
+        fp = simhash_wide(docs, id_col="doc_id", text_col="text", bits=bits)
+        return simhash_hamming_pairs_wide(
+            fp, id_col="doc_id", ham_max=_SIMHASH_HAM_MAX,
+            n_bands=_SIMHASH_N_BANDS, fp_bits=bits,
+        )
+    return _simhash_hamming_pairs_with(spark, sf_dir, bits, _SIMHASH_HAM_MAX)
+
+
+def _simhash_auto_sql() -> str:
+    # the SQL replica of simhash_geometry(n, n_bands=4, target_bucket=8):
+    # width = min(16, even-rounded max(4, ceil(log2(max(2, ceil(n/8))))))
+    w = (
+        "GREATEST(4, CAST(CEIL(LOG2(GREATEST(2.0, "
+        "CEIL((SELECT COUNT(*) FROM documents) / 8.0)))) AS INTEGER))"
+    )
+    bits_expr = f"4 * LEAST(16, {w} + ({w} % 2))"
+    branches = [
+        f"SELECT * FROM ({_simhash_hamming_pairs_sql(b)}) ab{b} "
+        f"WHERE ({bits_expr}) = {b}"
+        for b in (24, 40)
+    ]
+    return " UNION ALL ".join(branches)
+
+
+SPECS["simhash_hamming_pairs_auto"] = QuerySpec(
+    _simhash_hamming_pairs_auto,
+    _simhash_auto_sql(),
+    "SimHash pairs at the corpus-DERIVED width (simhash_geometry as the live default, 24->40 bits across fixtures)",
+)

@@ -626,3 +626,32 @@ def test_simhash_geometry_rule():
     for n in (500, 5_000, 50_000, 200_000):
         bits = simhash_geometry(n)
         assert bits % 8 == 0  # whole hex chars per half
+
+
+def test_simhash_auto_follows_geometry_rule(spark):
+    """simhash_hamming_pairs_auto must produce exactly the pinned-width
+    query's rows at the width simhash_geometry derives for the corpus —
+    the rule is live, not prose."""
+    from signal_messenger_vector_database_spark.io.sources import (
+        parquet_row_count,
+    )
+    from signal_messenger_vector_database_spark.operators.dedup import (
+        simhash_geometry,
+    )
+    from signal_messenger_vector_database_spark.plans.similarity import (
+        _SIMHASH_HAM_MAX,
+        _simhash_hamming_pairs_auto,
+        _simhash_hamming_pairs_with,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    bits = simhash_geometry(parquet_row_count(sf, "documents"))
+    assert bits == 24
+    auto = {tuple(r) for r in _simhash_hamming_pairs_auto(spark, sf).collect()}
+    pinned = {
+        tuple(r)
+        for r in _simhash_hamming_pairs_with(
+            spark, sf, bits, _SIMHASH_HAM_MAX
+        ).collect()
+    }
+    assert auto == pinned and len(auto) > 0
