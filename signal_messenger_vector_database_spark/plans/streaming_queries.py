@@ -613,3 +613,173 @@ SPECS["stream_ingest_index"] = QuerySpec(
     _stream_ingest_index_sql(),
     "streaming ingest->suppress->chunk->embed->foreachBatch delta IVF index, 4 real micro-batches",
 )
+
+
+# ---------------------------------------------------------------------------
+# stream_lsh_dedup: incremental near-dup detection AT INGEST.
+#
+# The batch dedup family answers "which pairs exist in the corpus"; a
+# 100 TB ingest needs the incremental question — "is this NEW document a
+# near-dup of anything seen so far" — without rescanning the lake.  Each
+# micro-batch computes MinHash signatures + shingle sets for its docs
+# (the minhash_with_shingles operator, unchanged), then inside
+# foreachBatch:
+#   1. within-batch LSH pairs (band equi-join, exact-Jaccard verify);
+#   2. cross-batch pairs: new-batch signatures band-joined against the
+#      ACCUMULATED signature index (parquet, appended per batch) — the
+#      index stores (doc_id, bands, shingles), so history is never
+#      re-shingled, only re-joined on the band key;
+#   3. the batch's signatures append to the index.
+# Completeness is structural: batches partition the corpus, and a pair
+# (i, j) is emitted exactly once — in j's batch, with i either in the
+# same batch (arm 1) or already in the index (arm 2).  The drained
+# pair set therefore EQUALS the batch minhash_lsh_pairs result, which
+# is the oracle — verbatim the same SQL.
+#
+# Scale shape: per-batch work is O(batch) shingling + a band equi-join
+# whose right side is the index's band table (bucket-keyed; at 100 TB
+# the index is bucketed/partitioned BY band key so each batch probes
+# only matching buckets).  Planted near-dups (the _augmented_docs rule)
+# are split across staged files by the doc_id modulus, so CROSS-batch
+# pairs are fixture-live, not just within-batch ones.
+
+def _stream_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from ..operators.dedup import (
+        band_key_cols,
+        jaccard_verify,
+        minhash_with_shingles,
+    )
+    from .similarity import _JACCARD_THRESHOLD, _augmented_docs
+
+    spark = streaming_session(spark)
+
+    stage = tempfile.mkdtemp(prefix="smvd-lsh-stream-") + "/src"
+    docs = _augmented_docs(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    for i in range(4):
+        docs.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+
+    index_dir = tempfile.mkdtemp(prefix="smvd-lsh-stream-") + "/index"
+    pairs_dir = tempfile.mkdtemp(prefix="smvd-lsh-stream-") + "/pairs"
+
+    def _dedup_batch(batch_df, batch_id: int) -> None:
+        combined = minhash_with_shingles(
+            batch_df, id_col="doc_id", text_col="text"
+        ).persist()
+        banded = combined.select(
+            "doc_id", "shingles", *band_key_cols()
+        ).persist()
+        bands = [c for c in banded.columns if c.startswith("band_")]
+
+        def explode_bands(df):
+            return df.select(
+                "doc_id",
+                "shingles",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(b).alias("band"),
+                                F.col(f"band_{b}").alias("key"),
+                            )
+                            for b in range(len(bands))
+                        ]
+                    )
+                ).alias("bk"),
+            ).select("doc_id", "shingles", "bk.band", "bk.key")
+        new_b = explode_bands(banded)
+
+        # arm 1: within-batch candidates (lower id < higher id)
+        a, b = new_b.alias("a"), new_b.alias("b")
+        within = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+            )
+            .distinct()
+        )
+        # arm 2: new docs vs the accumulated index (history id on the
+        # correct side of the (lower, higher) pair order)
+        import os
+
+        cand = within
+        if os.path.isdir(index_dir):
+            hist = spark.read.parquet(index_dir)
+            h, n2 = hist.alias("h"), new_b.alias("n")
+            cross = (
+                h.join(
+                    n2,
+                    (F.col("h.band") == F.col("n.band"))
+                    & (F.col("h.key") == F.col("n.key")),
+                )
+                .select(
+                    F.least("h.doc_id", "n.doc_id").alias("id_a"),
+                    F.greatest("h.doc_id", "n.doc_id").alias("id_b"),
+                )
+                .filter(F.col("id_a") < F.col("id_b"))
+                .distinct()
+            )
+            cand = within.unionByName(cross).distinct()
+
+        # exact-Jaccard verify against the union of batch + index sets
+        sets = banded.select("doc_id", "shingles")
+        if os.path.isdir(index_dir):
+            sets = sets.unionByName(
+                spark.read.parquet(index_dir)
+                .select("doc_id", "shingles")
+                .distinct()
+            )
+        verified = jaccard_verify(
+            cand, sets, id_col="doc_id", threshold=_JACCARD_THRESHOLD
+        )
+        verified.write.mode("append").parquet(pairs_dir)
+        new_b.write.mode("append").parquet(index_dir)
+        combined.unpersist()
+        banded.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(_dedup_batch)
+        .queryName(f"lsh_dedup_{uuid.uuid4().hex[:8]}")
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="smvd-ckpt-lsh-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_drained(q)
+    return (
+        spark.read.parquet(pairs_dir)
+        .select("id_a", "id_b", "jaccard")
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _stream_lsh_dedup_sql() -> str:
+    from .similarity import _MINHASH_LSH_PAIRS_SQL
+
+    return _MINHASH_LSH_PAIRS_SQL
+
+
+SPECS["stream_lsh_dedup"] = QuerySpec(
+    _stream_lsh_dedup,
+    _stream_lsh_dedup_sql(),
+    "incremental near-dup at ingest: per-batch LSH vs the accumulated signature index == batch pairs",
+)

@@ -240,3 +240,24 @@ def test_stream_ingest_index_multibatch_equals_batch_twin(spark):
     assert {-1, -2, -3}.isdisjoint(kept_ids) and -4 in kept_ids
     n_chunks_planted = chunked.filter(F.col("doc_id") == -4).count()
     assert n_chunks_planted == 3
+
+
+def test_stream_lsh_dedup_exercises_both_arms_and_matches_batch(spark):
+    """stream_lsh_dedup must (a) equal the batch LSH pair set exactly —
+    completeness of the within-batch + cross-index decomposition — and
+    (b) exercise BOTH arms on the fixture: the staging modulus is
+    doc_id % 4, so a pair with equal residues is within-batch and one
+    with differing residues crossed the accumulated index."""
+    from signal_messenger_vector_database_spark.plans.similarity import (
+        _minhash_lsh_pairs,
+    )
+    from signal_messenger_vector_database_spark.plans.streaming_queries import (
+        _stream_lsh_dedup,
+    )
+
+    streamed = {tuple(r) for r in _stream_lsh_dedup(spark, SF).collect()}
+    batch = {tuple(r) for r in _minhash_lsh_pairs(spark, SF).collect()}
+    assert streamed == batch and len(streamed) > 0
+    within = [(a, b) for a, b, _ in streamed if a % 4 == b % 4]
+    cross = [(a, b) for a, b, _ in streamed if a % 4 != b % 4]
+    assert within and cross, (len(within), len(cross))
