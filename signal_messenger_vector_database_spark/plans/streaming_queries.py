@@ -655,6 +655,12 @@ def _stream_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import _JACCARD_THRESHOLD, _augmented_docs
 
     spark = streaming_session(spark)
+    # The accumulated index GROWS with the drained volume: Catalyst's
+    # size estimate for its array columns undershoots and auto-broadcast
+    # then OOMs the driver (hit at the 16x probe).  At 100 TB you never
+    # broadcast the index side — force shuffle joins inside the batch
+    # function (session is a clone; the caller's conf is untouched).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
     stage = tempfile.mkdtemp(prefix="smvd-lsh-stream-") + "/src"
     docs = _augmented_docs(
