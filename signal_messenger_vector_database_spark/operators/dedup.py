@@ -132,15 +132,12 @@ def band_key_cols() -> list[Column]:
     ]
 
 
-def lsh_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
-    """Docs sharing any band key.  The self-join is an equi-join on
-    (band_id, band_key) — i.e. a shuffle on the bucket, never a cross
-    join.  The signature table is persisted: both join sides read it, and
-    at scale the signature build (a full pass over the corpus) must not
-    run twice."""
-    signatures = signatures.persist()
-    banded = signatures.select(F.col(id_col), *band_key_cols())
-    exploded = banded.select(
+def explode_band_keys(banded: DataFrame, id_col: str) -> DataFrame:
+    """(id, band, key) rows from a table carrying ``band_{b}`` columns —
+    THE band-explode shape (single copy; consumed by lsh_candidate_pairs
+    and the streaming ingest-dedup batch function, which must stay
+    bit-aligned with the batch oracle)."""
+    return banded.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -151,6 +148,17 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.key")
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
+    """Docs sharing any band key.  The self-join is an equi-join on
+    (band_id, band_key) — i.e. a shuffle on the bucket, never a cross
+    join.  The signature table is persisted: both join sides read it, and
+    at scale the signature build (a full pass over the corpus) must not
+    run twice."""
+    signatures = signatures.persist()
+    banded = signatures.select(F.col(id_col), *band_key_cols())
+    exploded = explode_band_keys(banded, id_col)
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -173,11 +181,16 @@ def jaccard_verify(
     id_col: str,
     threshold: float,
     round_digits: int = 4,
+    persist_sets: bool = True,
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs (the verify stage after LSH).
     The shingle-set table feeds both sides of the pair join — persist it
-    so the set build runs once."""
-    shingle_sets = shingle_sets.persist()
+    so the set build runs once.  Callers that manage their own caching
+    (the streaming batch function, which would otherwise LEAK one cached
+    copy per micro-batch — the internal persist is unreachable from
+    outside) pass ``persist_sets=False``."""
+    if persist_sets:
+        shingle_sets = shingle_sets.persist()
     sa = shingle_sets.select(
         F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
     )
@@ -250,6 +263,16 @@ def simhash_geometry(
     width += width % 2  # whole hex chars per half at any n_bands=4 split
     width = min(width, 16)
     return n_bands * width
+
+
+def simhash_ham_max(bits: int) -> int:
+    """Width-equivalent Hamming threshold: ~95% bit agreement at any
+    width — max(1, bits // 20).  Reproduces both pinned rungs (16-bit
+    -> d<=1, the fixture geometry; 64-bit -> d<=3, the classic crawl
+    setting) and scales the bar with the fingerprint instead of
+    silently loosening (d<=3 at 16 bits is 81% agreement — a saturated
+    threshold, measured in plans/similarity.py's header)."""
+    return max(1, bits // 20)
 
 
 def simhash_wide(

@@ -544,7 +544,7 @@ _ABLATION_DIMS = (8, 16, 32, 64)
 
 
 def _dim_ablation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.vector import dot_product, l2_norm
+    from ..functions.vector import cosine_similarity
     from ..operators.ranking import two_phase_topk
 
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -557,29 +557,11 @@ def _dim_ablation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = emb.crossJoin(F.broadcast(qfull))
 
     def topk_ids(d: int):
-        ed = F.slice(F.col("e"), 1, d)
-        qd = F.slice(F.col("qv"), 1, d)
+        # the SHARED cosine (functions/vector.py) over the d-prefix —
+        # the same fold/sqrt/divide sequence both engines replay
         sim = portable_round(
-            F.aggregate(
-                F.zip_with(ed, qd, lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            / (
-                F.sqrt(
-                    F.aggregate(
-                        F.zip_with(ed, ed, lambda a, b: a * b),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                )
-                * F.sqrt(
-                    F.aggregate(
-                        F.zip_with(qd, qd, lambda a, b: a * b),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                )
+            cosine_similarity(
+                F.slice(F.col("e"), 1, d), F.slice(F.col("qv"), 1, d)
             ),
             4,
         )
@@ -590,11 +572,14 @@ def _dim_ablation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             _OPTOPK,
         ).select("qid", "vec_id")
 
-    exact = topk_ids(64)
+    exact = topk_ids(64).localCheckpoint(eager=False)
     out = None
     for d in _ABLATION_DIMS:
+        # the d=64 arm IS the ground truth — recall 1.0 by construction;
+        # reuse `exact` instead of re-scanning the corpus
+        approx = exact if d == 64 else topk_ids(d)
         hits = (
-            topk_ids(d)
+            approx
             .join(exact, ["qid", "vec_id"])
             .groupBy("qid")
             .agg(F.count(F.lit(1)).alias("n_hits"))

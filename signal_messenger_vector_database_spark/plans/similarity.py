@@ -1304,36 +1304,50 @@ SPECS["knn_graph_capped"] = QuerySpec(
 # --- simhash_hamming_pairs_auto: the geometry rule, live --------------------
 # The three pinned rungs (16/32/64-bit) demonstrate the width knob; THIS
 # entry makes `simhash_geometry` the actual default: fingerprint width
-# derives from the corpus size in BOTH engines (the multiscale-gate
-# pattern — each SQL branch replays the full query at one literal width,
-# gated by the same formula over the corpus it reads), so the query
-# follows the rule across every fixture scale: 24 bits at n=500,
-# 40 bits at sf0.1's n=5000.  Beyond 60 bits the rule routes to the
-# two-half representation (the w64 query pins that rung fixture-live;
-# no fixture reaches it through the rule — n >= 2e5).
+# AND Hamming threshold derive from the corpus size in BOTH engines (the
+# multiscale-gate pattern — each SQL branch replays the full query at
+# one literal (width, ham_max), gated by the same formula over the
+# corpus it reads).  The oracle is TOTAL over the rule's range: one
+# branch per derivable width (16/24/32/40/48/56 single-long + the
+# 64-bit two-half twin), so the gate can never fall through to an empty
+# result off the fixture scales (r9 second review).  ham_max follows
+# simhash_ham_max (width-equivalent ~95% agreement: d<=1 at 16-24 bits,
+# d<=2 at 40-56, d<=3 at 64).
 
 
 def _simhash_hamming_pairs_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..io.sources import parquet_row_count
     from ..operators.dedup import (
         simhash_geometry,
+        simhash_ham_max,
         simhash_hamming_pairs_wide,
         simhash_wide,
     )
 
     n = parquet_row_count(sf_dir, "documents")
     bits = simhash_geometry(n)
+    d = simhash_ham_max(bits)
     if bits > 60:  # the two-long representation rung (n >= ~2e5)
         docs = load_table(spark, sf_dir, "documents")
         fp = simhash_wide(docs, id_col="doc_id", text_col="text", bits=bits)
         return simhash_hamming_pairs_wide(
-            fp, id_col="doc_id", ham_max=_SIMHASH_HAM_MAX,
+            fp, id_col="doc_id", ham_max=d,
             n_bands=_SIMHASH_N_BANDS, fp_bits=bits,
         )
-    return _simhash_hamming_pairs_with(spark, sf_dir, bits, _SIMHASH_HAM_MAX)
+    return _simhash_hamming_pairs_with(spark, sf_dir, bits, d)
+
+
+def _simhash_hamming_pairs_sql_d(bits: int, ham_max: int) -> str:
+    """_simhash_hamming_pairs_sql at an explicit threshold (the pinned
+    queries bake _SIMHASH_HAM_MAX; the auto branches carry the derived
+    one)."""
+    base = _simhash_hamming_pairs_sql(bits)
+    return base.replace(f"<= {_SIMHASH_HAM_MAX}", f"<= {ham_max}")
 
 
 def _simhash_auto_sql() -> str:
+    from ..operators.dedup import simhash_ham_max
+
     # the SQL replica of simhash_geometry(n, n_bands=4, target_bucket=8):
     # width = min(16, even-rounded max(4, ceil(log2(max(2, ceil(n/8))))))
     w = (
@@ -1342,10 +1356,15 @@ def _simhash_auto_sql() -> str:
     )
     bits_expr = f"4 * LEAST(16, {w} + ({w} % 2))"
     branches = [
-        f"SELECT * FROM ({_simhash_hamming_pairs_sql(b)}) ab{b} "
+        f"SELECT * FROM ({_simhash_hamming_pairs_sql_d(b, simhash_ham_max(b))}) ab{b} "
         f"WHERE ({bits_expr}) = {b}"
-        for b in (24, 40)
+        for b in (16, 24, 32, 40, 48, 56)
     ]
+    # the 64-bit rung: the two-half twin, same derived threshold (=3)
+    branches.append(
+        f"SELECT * FROM ({_simhash_hamming_pairs_w64_sql()}) ab64 "
+        f"WHERE ({bits_expr}) = 64"
+    )
     return " UNION ALL ".join(branches)
 
 

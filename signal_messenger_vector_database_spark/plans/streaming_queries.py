@@ -625,49 +625,58 @@ SPECS["stream_ingest_index"] = QuerySpec(
 # (the minhash_with_shingles operator, unchanged), then inside
 # foreachBatch:
 #   1. within-batch LSH pairs (band equi-join, exact-Jaccard verify);
-#   2. cross-batch pairs: new-batch signatures band-joined against the
-#      ACCUMULATED signature index (parquet, appended per batch) — the
-#      index stores (doc_id, bands, shingles), so history is never
-#      re-shingled, only re-joined on the band key;
-#   3. the batch's signatures append to the index.
+#   2. cross-batch pairs: new-batch band keys joined against the
+#      ACCUMULATED signature index (parquet, one row per doc with its
+#      band-key columns AND shingle set — appended per batch, so history
+#      is never re-shingled);
+#   3. the batch's rows append to the index.
 # Completeness is structural: batches partition the corpus, and a pair
 # (i, j) is emitted exactly once — in j's batch, with i either in the
 # same batch (arm 1) or already in the index (arm 2).  The drained
 # pair set therefore EQUALS the batch minhash_lsh_pairs result, which
 # is the oracle — verbatim the same SQL.
 #
-# Scale shape: per-batch work is O(batch) shingling + a band equi-join
-# whose right side is the index's band table (bucket-keyed; at 100 TB
-# the index is bucketed/partitioned BY band key so each batch probes
-# only matching buckets).  Planted near-dups (the _augmented_docs rule)
-# are split across staged files by the doc_id modulus, so CROSS-batch
-# pairs are fixture-live, not just within-batch ones.
+# Scale discipline (r9 second review):
+#   - the verify side reads the index SEMI-JOINED to the candidate ids,
+#     so per-batch shuffle work is O(batch + candidates), not
+#     O(history) — the full index is only ever scanned by the band join
+#     (bucket-keyed; at 100 TB the index is bucketed BY band key so a
+#     batch probes matching buckets only);
+#   - the index stores ONE row per doc (shingles + band-key columns);
+#     band keys explode on read via the SHARED explode_band_keys (the
+#     same code path lsh_candidate_pairs uses, so the streamed arm
+#     cannot drift from the batch oracle it must equal);
+#   - auto-broadcast is disabled on the cloned session: Catalyst's size
+#     estimate for the growing index's array columns undershoots and
+#     the broadcast OOM'd the driver at the 16x probe;
+#   - staging splits on doc_id % 3 — 1,000,000 % 3 = 1, so every
+#     PLANTED near-dup pair (base, base+1e6) is guaranteed to span two
+#     different micro-batches: the cross-index arm is structurally
+#     fixture-live, not reliant on organic near-dups (a % 4 split kept
+#     planted pairs in one batch because 1e6 % 4 = 0).
 
 def _stream_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
     import tempfile
     import uuid
 
     from ..operators.dedup import (
         band_key_cols,
+        explode_band_keys,
         jaccard_verify,
         minhash_with_shingles,
     )
     from .similarity import _JACCARD_THRESHOLD, _augmented_docs
 
     spark = streaming_session(spark)
-    # The accumulated index GROWS with the drained volume: Catalyst's
-    # size estimate for its array columns undershoots and auto-broadcast
-    # then OOMs the driver (hit at the 16x probe).  At 100 TB you never
-    # broadcast the index side — force shuffle joins inside the batch
-    # function (session is a clone; the caller's conf is untouched).
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
     stage = tempfile.mkdtemp(prefix="smvd-lsh-stream-") + "/src"
     docs = _augmented_docs(
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
-    for i in range(4):
-        docs.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
             "append"
         ).parquet(stage)
 
@@ -681,31 +690,12 @@ def _stream_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs_dir = tempfile.mkdtemp(prefix="smvd-lsh-stream-") + "/pairs"
 
     def _dedup_batch(batch_df, batch_id: int) -> None:
-        combined = minhash_with_shingles(
-            batch_df, id_col="doc_id", text_col="text"
-        ).persist()
-        banded = combined.select(
-            "doc_id", "shingles", *band_key_cols()
-        ).persist()
-        bands = [c for c in banded.columns if c.startswith("band_")]
-
-        def explode_bands(df):
-            return df.select(
-                "doc_id",
-                "shingles",
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(b).alias("band"),
-                                F.col(f"band_{b}").alias("key"),
-                            )
-                            for b in range(len(bands))
-                        ]
-                    )
-                ).alias("bk"),
-            ).select("doc_id", "shingles", "bk.band", "bk.key")
-        new_b = explode_bands(banded)
+        banded = (
+            minhash_with_shingles(batch_df, id_col="doc_id", text_col="text")
+            .select("doc_id", "shingles", *band_key_cols())
+            .persist()
+        )
+        new_b = explode_band_keys(banded, "doc_id")
 
         # arm 1: within-batch candidates (lower id < higher id)
         a, b = new_b.alias("a"), new_b.alias("b")
@@ -722,14 +712,13 @@ def _stream_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .distinct()
         )
-        # arm 2: new docs vs the accumulated index (history id on the
-        # correct side of the (lower, higher) pair order)
-        import os
-
+        # arm 2: new docs vs the accumulated index
         cand = within
+        hist = None
         if os.path.isdir(index_dir):
-            hist = spark.read.parquet(index_dir)
-            h, n2 = hist.alias("h"), new_b.alias("n")
+            hist = spark.read.parquet(index_dir).persist()
+            h = explode_band_keys(hist, "doc_id").alias("h")
+            n2 = new_b.alias("n")
             cross = (
                 h.join(
                     n2,
@@ -744,22 +733,34 @@ def _stream_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .distinct()
             )
             cand = within.unionByName(cross).distinct()
+        cand = cand.persist()
 
-        # exact-Jaccard verify against the union of batch + index sets
+        # verify side: batch sets + ONLY the history sets the candidates
+        # touch (semi-join on the pair ids — per-batch work stays
+        # O(batch + candidates), never O(history))
         sets = banded.select("doc_id", "shingles")
-        if os.path.isdir(index_dir):
-            sets = sets.unionByName(
-                spark.read.parquet(index_dir)
-                .select("doc_id", "shingles")
+        if hist is not None:
+            touched = (
+                cand.select(F.col("id_a").alias("doc_id"))
+                .unionByName(cand.select(F.col("id_b").alias("doc_id")))
                 .distinct()
             )
+            sets = sets.unionByName(
+                hist.select("doc_id", "shingles").join(
+                    touched, "doc_id", "semi"
+                )
+            )
+        sets = sets.persist()
         verified = jaccard_verify(
-            cand, sets, id_col="doc_id", threshold=_JACCARD_THRESHOLD
+            cand, sets, id_col="doc_id",
+            threshold=_JACCARD_THRESHOLD, persist_sets=False,
         )
         verified.write.mode("append").parquet(pairs_dir)
-        new_b.write.mode("append").parquet(index_dir)
-        combined.unpersist()
-        banded.unpersist()
+        banded.select("doc_id", "shingles", *[
+            F.col(c) for c in banded.columns if c.startswith("band_")
+        ]).write.mode("append").parquet(index_dir)
+        for df in (banded, cand, sets) + ((hist,) if hist is not None else ()):
+            df.unpersist()
 
     q = (
         stream.writeStream.foreachBatch(_dedup_batch)

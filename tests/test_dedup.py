@@ -637,21 +637,21 @@ def test_simhash_auto_follows_geometry_rule(spark):
     )
     from signal_messenger_vector_database_spark.operators.dedup import (
         simhash_geometry,
+        simhash_ham_max,
     )
     from signal_messenger_vector_database_spark.plans.similarity import (
-        _SIMHASH_HAM_MAX,
         _simhash_hamming_pairs_auto,
         _simhash_hamming_pairs_with,
     )
 
     sf = "/root/testdata/sf0.001"
     bits = simhash_geometry(parquet_row_count(sf, "documents"))
-    assert bits == 24
+    assert bits == 24 and simhash_ham_max(bits) == 1
     auto = {tuple(r) for r in _simhash_hamming_pairs_auto(spark, sf).collect()}
     pinned = {
         tuple(r)
         for r in _simhash_hamming_pairs_with(
-            spark, sf, bits, _SIMHASH_HAM_MAX
+            spark, sf, bits, simhash_ham_max(bits)
         ).collect()
     }
     assert auto == pinned and len(auto) > 0

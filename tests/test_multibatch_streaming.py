@@ -245,9 +245,10 @@ def test_stream_ingest_index_multibatch_equals_batch_twin(spark):
 def test_stream_lsh_dedup_exercises_both_arms_and_matches_batch(spark):
     """stream_lsh_dedup must (a) equal the batch LSH pair set exactly —
     completeness of the within-batch + cross-index decomposition — and
-    (b) exercise BOTH arms on the fixture: the staging modulus is
-    doc_id % 4, so a pair with equal residues is within-batch and one
-    with differing residues crossed the accumulated index."""
+    (b) exercise BOTH arms STRUCTURALLY: staging splits on doc_id % 3
+    and 1e6 % 3 = 1, so every planted pair (d, d+1e6) spans two batches
+    by construction (the cross-index arm), while organic same-residue
+    pairs cover the within-batch arm."""
     from signal_messenger_vector_database_spark.plans.similarity import (
         _minhash_lsh_pairs,
     )
@@ -258,6 +259,7 @@ def test_stream_lsh_dedup_exercises_both_arms_and_matches_batch(spark):
     streamed = {tuple(r) for r in _stream_lsh_dedup(spark, SF).collect()}
     batch = {tuple(r) for r in _minhash_lsh_pairs(spark, SF).collect()}
     assert streamed == batch and len(streamed) > 0
-    within = [(a, b) for a, b, _ in streamed if a % 4 == b % 4]
-    cross = [(a, b) for a, b, _ in streamed if a % 4 != b % 4]
-    assert within and cross, (len(within), len(cross))
+    planted = [(a, b) for a, b, _ in streamed if b == a + 1_000_000]
+    assert planted and all(a % 3 != b % 3 for a, b in planted)  # cross-batch
+    within = [(a, b) for a, b, _ in streamed if a % 3 == b % 3]
+    assert within  # the within-batch arm is live too

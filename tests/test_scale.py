@@ -626,5 +626,9 @@ def test_pq_operating_point_recall_joins_are_broadcast(spark):
 
     plan = _plan(_pq_operating_point(spark, SF))
     assert "CartesianProduct" not in plan
-    # the final qid joins: broadcast, not sort-merge on 5 rows
-    assert "SortMergeJoin LeftOuter" not in plan, plan[:3000]
+    # the final qid joins: broadcast, not sort-merge on 5 rows.  Spark
+    # prints join keys BETWEEN the node name and the join type
+    # ("SortMergeJoin [qid#4L], [qid#6L], LeftOuter"), so the adjacent
+    # substring would never match anything (r9 second review — the
+    # first cut of this assertion was vacuous); match the node name.
+    assert "SortMergeJoin" not in plan, plan[:3000]
