@@ -53,12 +53,13 @@ _MODULES = (
 #      moved into plans/ivf_sql.py (ivf_hier_quality, ann_ivf_hier);
 #   3. staleness rotation, oldest-first: the r2-era block (TPC-H
 #      q-series, OLAP shapes, window/fill ops, sampling) — 88 entries'
-#      latest driver row predates r5; the 36 slots left (50 - 5 new -
-#      9 changed) take the oldest 36, and the 6 r2 leftovers
+#      latest driver row predates r5; the 33 slots left (50 - 8 new -
+#      9 changed) take the oldest 33, and the 9 r2 leftovers
 #      (tfidf_top_terms, embedding_centroids, kmeans_assign,
-#      minhash_lsh_mllib, repetition_score, train_test_split) plus the
-#      r4 block (46 entries) queue for r10.  All stay green in the
-#      local three-scale sweeps meanwhile.
+#      minhash_lsh_mllib, repetition_score, train_test_split,
+#      stratified_sample, pii_redact, dedup_keep_first) plus the r4
+#      block (46 entries) queue for r10.  All stay green in the local
+#      three-scale sweeps meanwhile.
 _WINDOW = [
     # -- never driver-checked (new this round) --
     "pq_operating_point",
@@ -66,6 +67,9 @@ _WINDOW = [
     "simhash_hamming_pairs_w64",
     "stream_ingest_index",
     "semdedup_trained",
+    "dim_ablation_recall",
+    "simhash_hamming_pairs_auto",
+    "stream_lsh_dedup",
     # -- changed plans/oracles (two-level assignment rewiring) --
     "semdedup",
     "semdedup_capped",
@@ -110,9 +114,6 @@ _WINDOW = [
     "semi_anti_join",
     "correlated_subquery",
     "nullsafe_join",
-    "stratified_sample",
-    "pii_redact",
-    "dedup_keep_first",
 ]
 
 
