@@ -73,7 +73,7 @@ _WINDOW = [
     # -- changed plans/oracles (two-level assignment rewiring) --
     "semdedup",
     "semdedup_capped",
-    "knn_graph_capped",
+    "knn_graph_uncapped",
     "knn_graph_ivf",
     "ivf_maintenance",
     "ann_recall_at_k",

@@ -1077,138 +1077,39 @@ SPECS["simhash_hamming_pairs_w64"] = QuerySpec(
 _KNN_K = 3
 
 
-def _knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-vector top-k neighbor list (a k-NN GRAPH, not a single-query
-    search): the substrate for SemDeDup-style pruning, graph-based dedup,
-    label propagation, and hard-negative mining.  Same coarse quantizer as
-    ann_ivf (8 seed centroids, oracle-replayable assignment); the pair
-    join is fenced INSIDE each cluster, so — as with semdedup — candidate
-    cost is sum over clusters of |c|^2 and stays bounded when the cluster
-    count k scales ~n/target_cluster_size with the corpus.  Top-k per
-    source is the standard rounded-sim window (ties broken by neighbor
-    id), the topk_per_group shape.  At 100 TB the within-cluster exact
-    cosine becomes the topk_pq_rerank composition (ADC shortlist, exact
-    re-rank); the graph shape — fenced candidates, per-source top-k — is
-    identical.
-
-    The cluster count scales with the corpus, k = max(8, n/125) — the
-    semdedup rule: the pair join is quadratic in CLUSTER SIZE, so a
-    fixed k re-grows the all-pairs blow-up (wave-9 probe, fixed k=8:
-    7.6 / 74 / 650 s at 1x/4x/16x — quadratic; scaled k re-measured in
-    SCALING.md).  n comes from parquet footer metadata (plan
-    construction stays job-free); the oracle derives the same k from
-    COUNT(*) as a scalar subquery.  Seeded Voronoi cells (vec_id < k)
-    are unbalanced vs trained kmeans — mean size is pinned at ~125 but
-    the tail cell can run a small multiple of that; at production scale
-    use the trained codebook (semdedup_trained's kmeans_fit) when
-    cell-size variance matters.
-
-    Assignment is the TWO-LEVEL quantizer (r9): with k ~ n/125, flat
-    assignment is itself n*k = n^2/125 cosines — the named next
-    quadratic (VERDICT r8) — vs n*(1+nprobe)*sqrt(k) for
-    ivf_assign_hier; the oracle replays the shared CTE chain
-    (plans/ivf_sql.py), so the approximation is deterministic and
-    hash-checked, and ivf_hier_quality measures its agreement with
-    flat."""
-    from ..io.sources import parquet_row_count
-
-    from ..operators.ann import (
-        hier_super_count,
-        ivf_assign_hier,
-        ivf_seed_centroids,
-        scaled_cluster_count,
-    )
-
-    n = parquet_row_count(sf_dir, "embeddings")
-    k = scaled_cluster_count(n)
-    emb = load_table(spark, sf_dir, "embeddings")
-    centroids = ivf_seed_centroids(emb, k)
-    assign = ivf_assign_hier(emb, centroids, hier_super_count(k))
-    # norms hoisted out of the |c|^2 loop (bit-identical, 3x fewer flops
-    # per pair — the exact_cosine_pairs trick)
-    from ..functions.vector import dot_product, l2_norm
-
-    v = emb.select(
-        "vec_id", "embedding", l2_norm("embedding").alias("nv")
-    ).join(assign, "vec_id")
-    a = v.select(
-        F.col("vec_id").alias("src"),
-        F.col("embedding").alias("va"),
-        F.col("nv").alias("na"),
-        "cid",
-    )
-    b = v.select(
-        F.col("vec_id").alias("nbr"),
-        F.col("embedding").alias("vb"),
-        F.col("nv").alias("nb"),
-        "cid",
-    )
-    sims = (
-        a.join(b, "cid")
-        .filter(F.col("src") != F.col("nbr"))
-        .select(
-            "src",
-            "nbr",
-            F.round(
-                dot_product("va", "vb") / (F.col("na") * F.col("nb")), 4
-            ).alias("sim"),
-        )
-    )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("src").orderBy(F.desc("sim"), F.col("nbr"))
-    return (
-        sims.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _KNN_K)
-        .select("src", F.col("rk").cast("int").alias("rk"), "nbr", "sim")
-    )
-
-
-_knn_cos_ab = _SQL_COS.format(a="a.embedding", b="b.embedding")
-
-
-def _knn_graph_ivf_sql() -> str:
-    from .ivf_sql import HIER_ASSIGN_CTES
-
-    return f"""
-WITH {HIER_ASSIGN_CTES},
-assign AS (SELECT vec_id, cid_hier AS cid FROM hier),
-v AS (SELECT e.vec_id, e.embedding, s.cid FROM embeddings e JOIN assign s USING (vec_id)),
-cand AS (
-  SELECT a.vec_id AS src, b.vec_id AS nbr, ROUND({_knn_cos_ab}, 4) AS sim
-  FROM v a JOIN v b ON a.cid = b.cid AND a.vec_id <> b.vec_id
-)
-SELECT src, CAST(rk AS INTEGER) AS rk, nbr, sim FROM (
-  SELECT src, nbr, sim,
-         ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, nbr) AS rk
-  FROM cand
-) WHERE rk <= {_KNN_K}
-"""
-
-
-SPECS["knn_graph_ivf"] = QuerySpec(
-    _knn_graph_ivf,
-    _knn_graph_ivf_sql(),
-    "IVF-fenced k-NN graph (top-3 neighbors per vector, cluster-bounded candidates)",
-)
-
-
-# --- knn_graph_capped: the k-NN graph behind the capped fence ---------------
 # The k-NN graph inherits semdedup's blob weakness 1:1 (wave 14: a mass
 # blob makes one cell ~47% of the corpus and the fenced pair join a
 # >50-minute single task, and neither Lloyd training nor a geometric
-# sub-quantizer splits it).  This entry fences the graph on
-# (cluster, sub) from the same hash-balanced capped_cell_split.  Recall
-# semantics where the cap binds: blob members are mutual near-dups, so
-# each member's true top-k is (near-)interchangeable within the blob —
-# restricting candidates to the member's own sub-cell still yields
-# neighbors at essentially the same similarity.  For diverse oversized
-# cells the lost cross-sub candidates are the documented trade.
+# sub-quantizer splits it), so as of r10 the DEFAULT fences on
+# (cluster, sub) from the same hash-balanced capped_cell_split the
+# semdedup default uses.  Recall semantics where the cap binds: blob
+# members are mutual near-dups, so each member's true top-k is
+# (near-)interchangeable within the blob — restricting candidates to
+# the member's own sub-cell still yields neighbors at essentially the
+# same similarity.  For diverse oversized cells the lost cross-sub
+# candidates are the documented trade; ``knn_graph_uncapped`` keeps the
+# r9-era uncapped fence as the measured baseline.
 
 _KNN_CAP = 64
 
 
-def _knn_graph_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _knn_graph_fenced(
+    spark: SparkSession, sf_dir: str, cap: int | None
+) -> DataFrame:
+    """ONE k-NN-graph builder behind both fence variants: per-vector
+    top-k neighbor list (a k-NN GRAPH, not a single-query search) — the
+    substrate for SemDeDup-style pruning, graph-based dedup, label
+    propagation, and hard-negative mining.  Candidates are fenced
+    INSIDE each cell of the shared two-level coarse quantizer
+    (ivf_assign_hier — flat assignment at the scaled k ~ n/125 is
+    itself n^2/125 cosines, the named next quadratic), optionally split
+    by ``capped_cell_split`` so candidate cost is bounded on ANY
+    distribution; top-k per source is the standard rounded-sim window
+    (ties broken by neighbor id).  At 100 TB the within-cell exact
+    cosine becomes the topk_pq_rerank composition (ADC shortlist, exact
+    re-rank); the graph shape — fenced candidates, per-source top-k —
+    is identical.  Per-vector L2 norms hoisted out of the |c|^2 loop
+    (bit-identical, 3x fewer flops — the exact_cosine_pairs trick)."""
     from pyspark.sql.window import Window
 
     from ..functions.text import portable_round
@@ -1230,38 +1131,36 @@ def _knn_graph_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = ivf_assign_hier(
         emb, ivf_seed_centroids(emb, k), hier_super_count(k)
     ).withColumnRenamed("cid", "cluster")
-    split = capped_cell_split(assign, cap=_KNN_CAP)
+    if cap is not None:
+        assign = capped_cell_split(assign, cap=cap)
+    fence_cols = ["cluster"] + (["sub"] if cap is not None else [])
     vecs = (
-        split.join(emb, "vec_id")
+        assign.join(emb, "vec_id")
         .select(
-            "vec_id", "cluster", "sub", "embedding",
+            "vec_id", *fence_cols, "embedding",
             l2_norm("embedding").alias("nrm"),
         )
         .localCheckpoint(eager=False)
     )
     a = vecs.select(
         F.col("vec_id").alias("src"),
-        F.col("cluster").alias("cl_a"),
-        F.col("sub").alias("sb_a"),
+        *[F.col(c).alias(f"{c}_a") for c in fence_cols],
         F.col("embedding").alias("va"),
         F.col("nrm").alias("na"),
     )
     b = vecs.select(
         F.col("vec_id").alias("nbr"),
-        F.col("cluster").alias("cl_b"),
-        F.col("sub").alias("sb_b"),
+        *[F.col(c).alias(f"{c}_b") for c in fence_cols],
         F.col("embedding").alias("vb"),
         F.col("nrm").alias("nb"),
     )
     sim = portable_round(
         dot_product("va", "vb") / (F.col("na") * F.col("nb")), 4
     )
-    cand = a.join(
-        b,
-        (F.col("cl_a") == F.col("cl_b"))
-        & (F.col("sb_a") == F.col("sb_b"))
-        & (F.col("src") != F.col("nbr")),
-    ).select("src", "nbr", sim.alias("sim"))
+    fence = F.col("src") != F.col("nbr")
+    for c in fence_cols:
+        fence = (F.col(f"{c}_a") == F.col(f"{c}_b")) & fence
+    cand = a.join(b, fence).select("src", "nbr", sim.alias("sim"))
     w = Window.partitionBy("src").orderBy(F.desc("sim"), "nbr")
     return (
         cand.withColumn("rk", F.row_number().over(w))
@@ -1270,21 +1169,47 @@ def _knn_graph_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _knn_graph_capped_sql() -> str:
+def _knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph, production default (r10): capped (cluster, sub)
+    fence — candidate volume bounded on any distribution (skewed x16:
+    15.2 s where the uncapped fence shares semdedup's >50-minute
+    mega-cell straggler).  See _knn_graph_fenced."""
+    return _knn_graph_fenced(spark, sf_dir, cap=_KNN_CAP)
+
+
+def _knn_graph_uncapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r9-era uncapped fence, kept as the measured baseline (exact
+    within-cell candidates, blob-skew straggler risk — wave 14)."""
+    return _knn_graph_fenced(spark, sf_dir, cap=None)
+
+
+_knn_cos_ab = _SQL_COS.format(a="a.embedding", b="b.embedding")
+
+
+def _knn_graph_fenced_sql(cap: int | None) -> str:
     # FLOOR-form rounding on BOTH sides (portable_round's documented SQL
     # twin): the Spark side uses portable_round, and pairing it with
     # ROUND() would be a cross-engine seam for negative cosines at a
     # .00005 boundary (adversarial review, r9 — latent, no fixture hit).
     from .ivf_sql import HIER_ASSIGN_CTES, capped_split_ctes
 
+    if cap is None:
+        assign = """v2 AS (
+  SELECT e.vec_id, e.embedding, h.cid_hier AS cluster
+  FROM embeddings e JOIN hier h USING (vec_id)
+)"""
+        fence = "a.cluster = b.cluster"
+    else:
+        assign = f"{capped_split_ctes(cap)},\nv2 AS (SELECT * FROM sv2)"
+        fence = "a.cluster = b.cluster AND a.sub = b.sub"
     return f"""
 WITH {HIER_ASSIGN_CTES},
-{capped_split_ctes(_KNN_CAP)},
+{assign},
 cand AS (
   SELECT a.vec_id AS src, b.vec_id AS nbr,
          FLOOR(({_knn_cos_ab}) * 10000 + 0.5) / 10000 AS sim
-  FROM sv2 a JOIN sv2 b
-    ON a.cluster = b.cluster AND a.sub = b.sub AND a.vec_id <> b.vec_id
+  FROM v2 a JOIN v2 b
+    ON {fence} AND a.vec_id <> b.vec_id
 )
 SELECT src, CAST(rk AS INTEGER) AS rk, nbr, sim FROM (
   SELECT src, nbr, sim,
@@ -1294,10 +1219,16 @@ SELECT src, CAST(rk AS INTEGER) AS rk, nbr, sim FROM (
 """
 
 
-SPECS["knn_graph_capped"] = QuerySpec(
-    _knn_graph_capped,
-    _knn_graph_capped_sql(),
-    "k-NN graph behind the capped (cluster, sub) fence — bounded candidates on any distribution",
+SPECS["knn_graph_ivf"] = QuerySpec(
+    _knn_graph_ivf,
+    _knn_graph_fenced_sql(cap=_KNN_CAP),
+    "k-NN graph behind the capped (cluster, sub) fence — bounded candidates on any distribution (r10 default)",
+)
+
+SPECS["knn_graph_uncapped"] = QuerySpec(
+    _knn_graph_uncapped,
+    _knn_graph_fenced_sql(cap=None),
+    "k-NN graph, uncapped-fence baseline (r9 default): exact within-cell candidates, blob-skew straggler risk",
 )
 
 

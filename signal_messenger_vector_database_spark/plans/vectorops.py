@@ -692,10 +692,33 @@ SPECS["topk_pq_adc"] = QuerySpec(
 
 _SEMDEDUP_THRESHOLD = 0.35  # aligned with embedding_neardup's corpus scale
 
+# The capped fence (wave-14 skew escape, the r10 DEFAULT).  SCALING.md
+# wave 14 measured a mass blob (half the corpus near one point)
+# defeating every GEOMETRIC remedy: Lloyd-trained centroids leave the
+# blob in one cell (max cell ~47% of corpus, 113M fenced pairs,
+# >50 min single-task straggler), and a within-cell seeded
+# sub-quantizer re-collapses (nearest-by-cosine always prefers the blob
+# center: 3,141-member cell -> 2,959-member sub-cell, measured).  The
+# escape is capped_cell_split (operators/ann.py): HASH-balanced
+# sub-cells for any cell over the cap — bounded by construction, zero
+# cosines.  Keep-quality trade (documented, LSH-style): near-dup pairs
+# crossing sub-cells are not candidates; where the cap binds (blob
+# cells) members are mutual near-dups, so each sub-cell still drops
+# all-but-one and only the ~k_sub representatives survive.  Cap pinned
+# at 64 so the split arm is FIXTURE-LIVE at all three scales (cells
+# run 48-176; production rule: cap ~ 4x the 125-target).  Wave 14 also
+# measured the capped arm at PARITY on i.i.d. replicas, which is why
+# the cap costs nothing when skew is absent and is safe as the default.
+_SEMDEDUP_CAP = 64
 
-def _semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup, production scale shape (r9): seeded centroids +
-    TWO-LEVEL coarse assignment fence the cosine pair join.
+
+def _semdedup_fenced(
+    spark: SparkSession, sf_dir: str, cap: int | None, expose_sub: bool
+) -> DataFrame:
+    """ONE SemDeDup builder behind every fenced variant (the r8
+    shared-definition rule): seeded centroids + the shared TWO-LEVEL
+    coarse assignment, optionally split by ``capped_cell_split``, then
+    the cosine pair join fenced on the (cluster[, sub]) key.
 
     Cluster count scales with the corpus so cluster SIZE stays bounded
     (~125): the pair join is quadratic in cluster size, so a fixed k
@@ -705,12 +728,19 @@ def _semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     path drops trained centroids entirely: seeded Voronoi cells
     (vec_id < k) + ivf_assign_hier (n*(1+nprobe)*sqrt(k)), the same
     assignment every scaled-k consumer shares, oracle-replayed via the
-    shared CTE chain (plans/ivf_sql.py).  ``semdedup_trained`` keeps
-    the kmeans_fit arm for corpora where seeded cell-size variance
-    matters (the wave-13 skew probe records the decision evidence)."""
+    shared CTE chain (plans/ivf_sql.py).
+
+    ``cap`` bounds cell size BY CONSTRUCTION (capped_cell_split, the
+    wave-14 skew escape) and is the DEFAULT as of r10: on i.i.d.
+    corpora the split never triggers beyond fixture liveness and the
+    capped arm measured at parity (wave 14), while on blob-skewed
+    corpora it is the difference between 592k pairs / seconds and
+    115.4M pairs / a >50-minute straggler.  ``cap=None`` keeps the
+    uncapped fence as the measured baseline (``semdedup_uncapped``)."""
     from ..functions.vector import dot_product, l2_norm
     from ..io.sources import parquet_row_count
     from ..operators.ann import (
+        capped_cell_split,
         hier_super_count,
         ivf_assign_hier,
         ivf_seed_centroids,
@@ -725,42 +755,67 @@ def _semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = ivf_assign_hier(
         emb, ivf_seed_centroids(emb, k), hier_super_count(k)
     ).withColumnRenamed("cid", "cluster")
+    if cap is not None:
+        assigned = capped_cell_split(assigned, cap=cap)
+    fence_cols = ["cluster"] + (["sub"] if cap is not None else [])
     # Lineage cut + per-vector norms computed ONCE (n fold passes, not
     # 2*pairs): the assignment feeds three plan branches (both pair-join
     # sides and the final keep projection) — without the checkpoint each
-    # branch re-runs the Lloyd lineage, and without the precomputed norms
-    # the higher-order cosine folds run three times per PAIR.
+    # branch re-runs the assignment lineage, and without the precomputed
+    # norms the higher-order cosine folds run three times per PAIR.
     vecs = (
         assigned.join(emb, "vec_id")
         .select(
-            "vec_id", "cluster", "embedding", l2_norm("embedding").alias("nrm")
+            "vec_id", *fence_cols, "embedding", l2_norm("embedding").alias("nrm")
         )
         .localCheckpoint(eager=False)
     )
     a = vecs.select(
         F.col("vec_id").alias("id_a"),
-        F.col("cluster").alias("cl_a"),
+        *[F.col(c).alias(f"{c}_a") for c in fence_cols],
         F.col("embedding").alias("va"),
         F.col("nrm").alias("na"),
     )
     b = vecs.select(
         F.col("vec_id").alias("id_b"),
-        F.col("cluster").alias("cl_b"),
+        *[F.col(c).alias(f"{c}_b") for c in fence_cols],
         F.col("embedding").alias("vb"),
         F.col("nrm").alias("nb"),
     )
     sim = dot_product("va", "vb") / (F.col("na") * F.col("nb"))
+    fence = F.col("id_a") < F.col("id_b")
+    for c in fence_cols:
+        fence = (F.col(f"{c}_a") == F.col(f"{c}_b")) & fence
     dropped = (
-        a.join(b, (F.col("cl_a") == F.col("cl_b")) & (F.col("id_a") < F.col("id_b")))
+        a.join(b, fence)
         .filter(F.round(sim, 4) >= _SEMDEDUP_THRESHOLD)
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
     )
-    return vecs.join(dropped.withColumn("_drop", F.lit(1)), "vec_id", "left").select(
+    out_cols = [
         "vec_id",
         F.col("cluster").cast("long").alias("cluster"),
+    ]
+    if expose_sub:
+        out_cols.append(F.col("sub").cast("int").alias("sub"))
+    return vecs.join(dropped.withColumn("_drop", F.lit(1)), "vec_id", "left").select(
+        *out_cols,
         F.col("_drop").isNull().alias("keep"),
     )
+
+
+def _semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup, production default (r10): capped (cluster, sub) fence —
+    candidate volume bounded on ANY distribution.  See _semdedup_fenced."""
+    return _semdedup_fenced(spark, sf_dir, cap=_SEMDEDUP_CAP, expose_sub=False)
+
+
+def _semdedup_uncapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r9-era uncapped fence, kept as the measured baseline: exact
+    within-cell candidates, but a blob-skewed corpus re-grows a
+    single-cell quadratic (wave 14: 115.4M pairs, >3,000 s at skewed
+    x16 where the capped default is 592k pairs / 6.3 s)."""
+    return _semdedup_fenced(spark, sf_dir, cap=None, expose_sub=False)
 
 
 def _semdedup_sql(k: int = 8, iters: int = 3) -> str:
@@ -856,28 +911,37 @@ def _semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semdedup_sql_hier() -> str:
-    """Oracle for the default (seeded + hier) SemDeDup: the shared
-    two-level assignment chain + the fenced pair join.  k and ns derive
+def _semdedup_fenced_sql(cap: int | None, expose_sub: bool) -> str:
+    """Oracle twin of ``_semdedup_fenced``: the shared two-level
+    assignment chain, optionally the SHARED hash-split CTEs
+    (plans/ivf_sql.py::capped_split_ctes — the SQL twin of
+    capped_cell_split), then the fenced pair join.  k and ns derive
     from COUNT(*) inside the chain, so — unlike the trained arm, whose
     Lloyd unrolling needs literal k — ONE SQL body follows the corpus
     across every fixture scale (no multiscale branch union)."""
-    from .ivf_sql import HIER_ASSIGN_CTES
+    from .ivf_sql import HIER_ASSIGN_CTES, capped_split_ctes
 
     cos = _SQL_COS_E.format(a="a.embedding::DOUBLE[]", b="b.embedding::DOUBLE[]")
-    return f"""
-WITH {HIER_ASSIGN_CTES},
-assign AS (
+    if cap is None:
+        assign = """assign AS (
   SELECT e.vec_id, e.embedding, h.cid_hier AS cluster
   FROM embeddings e JOIN hier h USING (vec_id)
-),
+)"""
+        fence = "a.cluster = b.cluster"
+    else:
+        assign = f"{capped_split_ctes(cap)},\nassign AS (SELECT * FROM sv2)"
+        fence = "a.cluster = b.cluster AND a.sub = b.sub"
+    sub_out = "s.sub, " if expose_sub else ""
+    return f"""
+WITH {HIER_ASSIGN_CTES},
+{assign},
 dropped AS (
   SELECT DISTINCT b.vec_id
   FROM assign a JOIN assign b
-    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    ON {fence} AND a.vec_id < b.vec_id
   WHERE ROUND({cos}, 4) >= {_SEMDEDUP_THRESHOLD}
 )
-SELECT s.vec_id, CAST(s.cluster AS BIGINT) AS cluster,
+SELECT s.vec_id, CAST(s.cluster AS BIGINT) AS cluster, {sub_out}
        (d.vec_id IS NULL) AS keep
 FROM assign s LEFT JOIN dropped d ON s.vec_id = d.vec_id
 """
@@ -885,8 +949,14 @@ FROM assign s LEFT JOIN dropped d ON s.vec_id = d.vec_id
 
 SPECS["semdedup"] = QuerySpec(
     _semdedup,
-    _semdedup_sql_hier(),
-    "SemDeDup: two-level-assignment-fenced cosine near-dup drop (semantic dedup scale path)",
+    _semdedup_fenced_sql(cap=_SEMDEDUP_CAP, expose_sub=False),
+    "SemDeDup: capped (cluster, sub)-fenced cosine near-dup drop — bounded candidates on any distribution (r10 default)",
+)
+
+SPECS["semdedup_uncapped"] = QuerySpec(
+    _semdedup_uncapped,
+    _semdedup_fenced_sql(cap=None, expose_sub=False),
+    "SemDeDup, uncapped-fence baseline (r9 default): exact within-cell candidates, blob-skew straggler risk",
 )
 
 SPECS["semdedup_trained"] = QuerySpec(
@@ -896,118 +966,21 @@ SPECS["semdedup_trained"] = QuerySpec(
 )
 
 
-# --- semdedup_capped: the structural skew escape ---------------------------
-# SCALING.md wave 14 measured a mass blob (half the corpus near one
-# point) defeating every GEOMETRIC remedy: Lloyd-trained centroids
-# leave the blob in one cell (max cell ~47% of corpus, 113M fenced
-# pairs, >50 min single-task straggler), and a within-cell seeded
-# sub-quantizer re-collapses (nearest-by-cosine always prefers the blob
-# center: 3,141-member cell -> 2,959-member sub-cell, measured).  The
-# escape is capped_cell_split (operators/ann.py): HASH-balanced
-# sub-cells for any cell over the cap — bounded by construction, zero
-# cosines.  Keep-quality trade (documented, LSH-style): near-dup pairs
-# crossing sub-cells are not candidates; where the cap binds (blob
-# cells) members are mutual near-dups, so each sub-cell still drops
-# all-but-one and only the ~k_sub representatives survive.  Cap pinned
-# at 64 so the split arm is FIXTURE-LIVE at all three scales (cells
-# run 48-176; production rule: cap ~ 4x the 125-target).
-
-_SEMDEDUP_CAP = 64
+# --- semdedup_capped: the default's diagnostic twin -------------------------
+# Same plan as the default (ONE builder), with the sub-cell id EXPOSED
+# so the split geometry itself is oracle-checked per vector.
 
 
 def _semdedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.vector import dot_product, l2_norm
-    from ..io.sources import parquet_row_count
-    from ..operators.ann import (
-        capped_cell_split,
-        hier_super_count,
-        ivf_assign_hier,
-        ivf_seed_centroids,
-        scaled_cluster_count,
+    return _semdedup_fenced(
+        spark, sf_dir, cap=_SEMDEDUP_CAP, expose_sub=True
     )
-
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    )
-    n = parquet_row_count(sf_dir, "embeddings")
-    k = scaled_cluster_count(n)
-    assigned = ivf_assign_hier(
-        emb, ivf_seed_centroids(emb, k), hier_super_count(k)
-    ).withColumnRenamed("cid", "cluster")
-    split = capped_cell_split(assigned, cap=_SEMDEDUP_CAP)
-    vecs = (
-        split.join(emb, "vec_id")
-        .select(
-            "vec_id",
-            "cluster",
-            "sub",
-            "embedding",
-            l2_norm("embedding").alias("nrm"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    a = vecs.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("cluster").alias("cl_a"),
-        F.col("sub").alias("sb_a"),
-        F.col("embedding").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    b = vecs.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("cluster").alias("cl_b"),
-        F.col("sub").alias("sb_b"),
-        F.col("embedding").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    sim = dot_product("va", "vb") / (F.col("na") * F.col("nb"))
-    dropped = (
-        a.join(
-            b,
-            (F.col("cl_a") == F.col("cl_b"))
-            & (F.col("sb_a") == F.col("sb_b"))
-            & (F.col("id_a") < F.col("id_b")),
-        )
-        .filter(F.round(sim, 4) >= _SEMDEDUP_THRESHOLD)
-        .select(F.col("id_b").alias("vec_id"))
-        .distinct()
-    )
-    return vecs.join(
-        dropped.withColumn("_drop", F.lit(1)), "vec_id", "left"
-    ).select(
-        "vec_id",
-        F.col("cluster").cast("long").alias("cluster"),
-        F.col("sub").cast("int").alias("sub"),
-        F.col("_drop").isNull().alias("keep"),
-    )
-
-
-def _semdedup_capped_sql() -> str:
-    """Shared hier chain + the SHARED hash-split CTEs (plans/ivf_sql.py
-    — the SQL twin of capped_cell_split) + the (cluster, sub)-fenced
-    pair join."""
-    from .ivf_sql import HIER_ASSIGN_CTES, SQL_COS, capped_split_ctes
-
-    cos_ab = SQL_COS.format(a="a.embedding", b="b.embedding")
-    return f"""
-WITH {HIER_ASSIGN_CTES},
-{capped_split_ctes(_SEMDEDUP_CAP)},
-dropped AS (
-  SELECT DISTINCT b.vec_id
-  FROM sv2 a JOIN sv2 b
-    ON a.cluster = b.cluster AND a.sub = b.sub AND a.vec_id < b.vec_id
-  WHERE ROUND({cos_ab}, 4) >= {_SEMDEDUP_THRESHOLD}
-)
-SELECT s.vec_id, CAST(s.cluster AS BIGINT) AS cluster, s.sub,
-       (d.vec_id IS NULL) AS keep
-FROM sv2 s LEFT JOIN dropped d ON s.vec_id = d.vec_id
-"""
 
 
 SPECS["semdedup_capped"] = QuerySpec(
     _semdedup_capped,
-    _semdedup_capped_sql(),
-    "SemDeDup with cap-triggered cell splitting: cell size bounded by construction (the wave-14 skew escape)",
+    _semdedup_fenced_sql(cap=_SEMDEDUP_CAP, expose_sub=True),
+    "SemDeDup capped fence with the sub-cell id exposed (split-geometry diagnostic twin of the default)",
 )
 
 

@@ -90,37 +90,87 @@ def test_simhash_pairs_has_no_cross_join(spark):
 # knn_graph_ivf
 
 
-def test_knn_graph_matches_within_cluster_bruteforce(spark):
-    """Fence-exactness: for every source, the emitted top-3 must equal the
-    brute-force rounded-cosine top-3 over its OWN cluster's members (the
-    fence is the approximation; inside it the graph is exact)."""
+def test_knn_graph_matches_within_fence_bruteforce(spark):
+    """Fence-exactness for BOTH variants: for every source, the emitted
+    top-3 must equal the brute-force rounded-cosine top-3 over its OWN
+    fence group's members (the fence is the approximation; inside it
+    the graph is exact).  The capped default's fence is the
+    (cluster, sub) group from hier assignment + capped_cell_split; the
+    uncapped baseline's is the bare hier cluster."""
+    from signal_messenger_vector_database_spark.functions.text import (
+        portable_round,
+    )
     from signal_messenger_vector_database_spark.functions.vector import (
         cosine_similarity,
     )
-    from signal_messenger_vector_database_spark.operators.ann import ivf_assign
+    from signal_messenger_vector_database_spark.io.sources import (
+        parquet_row_count,
+    )
+    from signal_messenger_vector_database_spark.operators.ann import (
+        capped_cell_split,
+        hier_super_count,
+        ivf_assign_hier,
+        ivf_seed_centroids,
+        scaled_cluster_count,
+    )
     from signal_messenger_vector_database_spark.plans.similarity import (
+        _KNN_CAP,
         _knn_graph_ivf,
+        _knn_graph_uncapped,
     )
     from pyspark.sql.window import Window
 
-    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
-    centroids = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    v = emb.join(ivf_assign(emb, centroids), "vec_id")
-    a = v.select(F.col("vec_id").alias("src"), F.col("embedding").alias("va"), "cid")
-    b = v.select(F.col("vec_id").alias("nbr"), F.col("embedding").alias("vb"), "cid")
-    w = Window.partitionBy("src").orderBy(F.desc("sim"), F.col("nbr"))
-    brute = (
-        a.join(b, "cid")
-        .filter(F.col("src") != F.col("nbr"))
-        .select("src", "nbr", F.round(cosine_similarity("va", "vb"), 4).alias("sim"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
-    )
+    k = scaled_cluster_count(parquet_row_count(SF, "embeddings"))
+    assign = ivf_assign_hier(
+        emb, ivf_seed_centroids(emb, k), hier_super_count(k)
+    ).withColumnRenamed("cid", "cluster")
+
+    def brute(fenced, fence_cols):
+        v = fenced.join(emb, "vec_id")
+        a = v.select(
+            F.col("vec_id").alias("src"),
+            F.col("embedding").alias("va"),
+            *fence_cols,
+        )
+        b = v.select(
+            F.col("vec_id").alias("nbr"),
+            F.col("embedding").alias("vb"),
+            *fence_cols,
+        )
+        w = Window.partitionBy("src").orderBy(F.desc("sim"), F.col("nbr"))
+        return (
+            a.join(b, fence_cols)
+            .filter(F.col("src") != F.col("nbr"))
+            .select(
+                "src",
+                "nbr",
+                portable_round(cosine_similarity("va", "vb"), 4).alias("sim"),
+            )
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+        )
+
     got = {(r.src, r.rk, r.nbr) for r in _knn_graph_ivf(spark, SF).collect()}
-    want = {(r.src, r.rk, r.nbr) for r in brute.collect()}
+    want = {
+        (r.src, r.rk, r.nbr)
+        for r in brute(
+            capped_cell_split(assign, cap=_KNN_CAP), ["cluster", "sub"]
+        ).collect()
+    }
     assert got == want
+
+    got_u = {
+        (r.src, r.rk, r.nbr) for r in _knn_graph_uncapped(spark, SF).collect()
+    }
+    want_u = {
+        (r.src, r.rk, r.nbr) for r in brute(assign, ["cluster"]).collect()
+    }
+    assert got_u == want_u
+    # the split is fixture-live, so the two fences must actually differ
+    assert got != got_u
 
 
 def test_knn_graph_shape_invariants(spark):

@@ -209,9 +209,9 @@ def test_capped_cell_split_bounds_and_keep_superset(spark):
     exactly for cells at/under the cap; (b) every (cell, sub) group in
     the split is at most ~cap/2 * overshoot (hash-balanced — we assert
     the hard structural bound: no group exceeds the ORIGINAL cell and
-    oversized cells are genuinely split); (c) semdedup_capped keeps a
-    SUPERSET of semdedup's keepers — splitting can only remove candidate
-    pairs, never add drops."""
+    oversized cells are genuinely split); (c) the capped default keeps a
+    SUPERSET of the uncapped baseline's keepers — splitting can only
+    remove candidate pairs, never add drops."""
     from pyspark.sql import functions as F
 
     from signal_messenger_vector_database_spark.io.sources import (
@@ -228,7 +228,7 @@ def test_capped_cell_split_bounds_and_keep_superset(spark):
     from signal_messenger_vector_database_spark.plans.vectorops import (
         _SEMDEDUP_CAP,
         _semdedup,
-        _semdedup_capped,
+        _semdedup_uncapped,
     )
 
     sf = "/root/testdata/sf0.001"
@@ -260,6 +260,6 @@ def test_capped_cell_split_bounds_and_keep_superset(spark):
             assert worst < sizes[cell]  # no sub-cell re-absorbs the cell
     assert split_live  # the fixture must exercise the split arm
 
-    keep_plain = {r.vec_id for r in _semdedup(spark, sf).collect() if r.keep}
-    keep_capped = {r.vec_id for r in _semdedup_capped(spark, sf).collect() if r.keep}
+    keep_plain = {r.vec_id for r in _semdedup_uncapped(spark, sf).collect() if r.keep}
+    keep_capped = {r.vec_id for r in _semdedup(spark, sf).collect() if r.keep}
     assert keep_capped >= keep_plain

@@ -57,7 +57,7 @@ COMMENTARY = {
     "sorted_neighborhood": "Sorted-neighborhood blocking: rank windows run PER PREFIX BLOCK (parallel, never one global-ordered task); the candidate join carries (block, rank-bin) in the EQUI key — r7, after the scaling probe measured the block-only join quadratic (319 s at 16x; the rank-delta residual filtered block_size^2 physical comparisons) — so per-block work is O(block_size * w) and levenshtein runs on w*n candidates.",
     "rank_family": "Global ranking without the single-task global window: the bucket id is a pure function of the key VALUE (sampled quantile boundaries as literals — r7, replacing spark_partition_id() whose branch-stability depended on exchange reuse), local row_number per bucket runs in parallel, and the only single-partition stage is the ~32-row offset prefix sum.",
     "rank_family_ties": "The tie-aware variant over the non-unique o_orderdate key: value bucketing guarantees a tie group never spans buckets, so per-bucket rank/dense_rank are exact and global ranks are local + prefix-summed (row, distinct-key) offsets. rank != dense_rank != row_number is actually exercised here.",
-    "semdedup": "SemDeDup, default path (r9): coarse assignment is the shared TWO-LEVEL quantizer (ivf_assign_hier — n*(1+nprobe)*sqrt(k) cosines; the r7/r8 3-Lloyd flat arm was 3*n*k = n^2/42 under the scaled-k rule and moved to semdedup_trained); the cosine pair join stays fenced INSIDE clusters with per-vector norms hoisted; keep rule is a left-anti against the dropped-id set. Probe wave 13: 2.2x at 16x (was the flat-assignment growth).",
+    "semdedup": "SemDeDup, default path (r10): coarse assignment is the shared TWO-LEVEL quantizer (ivf_assign_hier — n*(1+nprobe)*sqrt(k) cosines), then capped_cell_split — an md5-derived sub id (pure codegen arithmetic, zero cosines) for any cell over the cap — and the cosine pair join fenced on (cluster, sub) with per-vector norms hoisted; keep rule is a left-anti against the dropped-id set. Candidate volume bounded by construction on ANY distribution (wave 14/16: skewed x16 went 115.4M fenced pairs / >50 min uncapped to ~592k pairs / seconds; parity on i.i.d. replicas). semdedup_uncapped keeps the r9 fence as the baseline.",
     "semdedup_trained": "The kmeans-trained-centroid arm of SemDeDup (r9): 3 relational Lloyd rounds (broadcast codebook row, in-place argmin) buy balanced cells at 3*n*k assignment cost — the quality option when seeded Voronoi cell-size variance matters (skew probe, SCALING.md wave 14); the pair join and keep rule are identical to the default.",
     "gopher_quality_filter": "Gopher keep/drop composite, single-pass (r7): all four rule features are moments of the per-doc (word, count) table — total words, character mass, stopword hits, top-word count — one explode + two doc-keyed partial-aggregated groupBys, no array folds, no re-join (3.2 s -> 0.8 s at sf0.1).",
     "q21_waiting_supplier": "TPC-H Q21 shape: the EXISTS and NOT EXISTS lineitem self-correlations decorrelate into one left-semi and one left-anti hash join on l_orderkey (asserted by test_scale) — no per-row subquery execution; nation/supplier broadcast.",
@@ -71,7 +71,7 @@ COMMENTARY = {
     "dedup_quality_keep": "Quality-aware dedup completion (r8): minhash-LSH pairs -> iterative connected components -> per-cluster argmax via min_by over the (-quality, doc_id) struct — a partial-aggregated groupBy on cluster, never a corpus window; singletons coalesce to their own cluster through the left join. Probe: 3.9x at 16x, inherited from the probed pair/component stages.",
     "token_budget_waterfill": "UniMax water-filling in closed form (r8): the corpus collapses to D domain rows FIRST (partial-aggregated token sum), then saturation is an exact-integer inequality over a running window and the water level one expression over two D-row windows — single-partition window state is the domain vocabulary, the kmeans-codebook scale pattern. Probe: 2.6x at 16x.",
     "simhash_hamming_pairs": "Hamming-ball dedup completion (r8 second batch): candidates from the (band, band_value) equi-join — pigeonhole-complete for d<=ham_max when bands > ham_max — then an integer-only bit_count(XOR) verify; no floating point exists in this plan at all. The scan->explode->join chain shuffles on the band key; bucket population is n/2^band_width, so the production geometry widens the fingerprint with the corpus (4x16 bands at 64-bit = 65k buckets/band) — geometry is a caller knob, exactly like lsh_geometry.",
-    "knn_graph_ivf": "k-NN GRAPH (r8 second batch; assignment rewired r9 to the shared two-level quantizer — wave 13: 2.9x at 16x), the pair join is fenced on the cluster id, and top-3 per source is a bounded window over ~cluster-sized groups. Candidate volume is sum(|c|^2) — bounded at scale by growing k ~ n/target (the semdedup rule); within the fence the graph is EXACT (tested against brute force). r8: per-vector L2 norms hoisted out of the pair loop (sim = dot/(na*nb), bit-identical) — a third of the flops, 4.5 -> 2.9 s at sf0.1.",
+    "knn_graph_ivf": "k-NN GRAPH (r10: fenced on the capped (cluster, sub) key — the same hash-balanced split as the semdedup default, bounded candidates on any distribution; skewed x16 in ~15 s where the uncapped fence shares the mega-cell straggler), top-3 per source is a bounded window over ~sub-cell-sized groups. Candidate volume is sum(|c|^2) over sub-cells — bounded at scale by k ~ n/target plus the cap; within the fence the graph is EXACT (tested against brute force). Per-vector L2 norms hoisted out of the pair loop (bit-identical, a third of the flops). knn_graph_uncapped keeps the r9 fence as the baseline.",
     "ann_recall_at_k": "Measured ANN recall (r8 third batch): the exact ground-truth arm scores n x |Q| rows with |Q| FIXED (<= 20 anchors by predicate), then finds each anchor's top-10 via the TWO-PHASE top-k — per-(qid, partition) local top-10s first, global merge over 10*partitions rows — so no single-qid window ever receives all n rows (the classic top-k skew funnel; partition-invariance is tested). The approx arm touches only the anchor's IVF cluster (assignment rewired r9 to the shared two-level quantizer). Recall itself is a k-row join + count.",
     "centroid_outlier_prune": "Semantic-outlier prune (r8 third batch): centroid build is the embedding_centroids partial-aggregated (label,pos) shuffle; scoring is ONE linear scan against broadcast centroids (persisted — three consumers must see identical rounded csims); the per-label decile is a VALUE threshold read off the (label, rounded-csim) histogram whose cardinality is bounded at 20001 rows/label — a per-label row-rank window would funnel n rows into |labels| tasks.",
     "boilerplate_strip": "Boilerplate removal (r8 third batch): line_dedup's disjoint-segment explode, a distinct-doc frequency on the segment hash (corpus-growing key), one anti/semi join pair, and a per-doc ORDERED string_agg splice — zero floating point, no pair join; the surviving tail words append via pure slice arithmetic shared with the oracle.",
@@ -87,8 +87,7 @@ COMMENTARY = {
     "pq_operating_point": "The measured >=0.9 serving configuration (r9): 3 Lloyd rounds at M=16/D=4/K=64 — each round one linear scan joined to a BROADCAST 1024-row codebook with map-side min_by, update as a (sub_j,code,pos) partial aggregate quantized to the 1e-4 grid and localCheckpoint'ed (1024 rows). Serving: per-query integer LUT sums over the 16-byte codes, shortlist-100 via the TWO-PHASE top-k (per-partition local top-100s, then a merge window over <= 100*partitions rows — never a global sort), exact arm shares the shape. Measured: shortlist recall mean 0.96 / min 0.9 at sf0.1 over 5 queries; probe 3.3x at 16x.",
     "topk_ivf_pq_trained": "The clustered-corpus serving composition (r9): shared hier coarse assignment fences candidates to the query's nprobe=3 probed cells, trained 16x4 ADC scores 16 bytes/candidate against a broadcast integer LUT, exact cosine re-ranks the 100-row shortlist (broadcast semi-join against the full-precision table). Honest number: composed shortlist recall 0.7/0.6/0.5 on this ISOTROPIC corpus vs 1.0 unfenced — the shape serves clustered real-text embeddings; pq_operating_point is this corpus's default.",
     "simhash_hamming_pairs_w64": "The 64-bit geometry rung (r9): two-half fingerprints (fp_hi/fp_lo longs from disjoint md5 hex slices) built by 64 partial-aggregated bit-votes; the pigeonhole band join meets on 4 bands x 16 bits = 65,536 bucket values per band, so bucket population is n/65k and the integer bit_count verify is ~exact-dup-only at any fixture scale (wave-13 probe: 4.6x at 16x vs the 16-bit rung's 67x — the residual growth is the LINEAR fingerprint build). Width derives from corpus size via simhash_geometry().",
-    "semdedup_capped": "The wave-14 skew escape: the shared hier assignment, then capped_cell_split — an md5-derived sub id (pure codegen arithmetic, zero cosines) for any cell over the cap, broadcast cell-size join — and the pair join fenced on (cluster, sub). Candidate volume is bounded by construction on ANY distribution: the skewed x16 corpus went 115.4M fenced pairs / >50 min (uncapped) to 592k pairs / 6.3 s. Keep-superset invariant (splitting only removes candidates) pinned by test.",
-    "knn_graph_capped": "The k-NN graph behind the same capped (cluster, sub) fence — same split, same bound; skewed x16 in 15.2 s where the uncapped fence shares the mega-cell straggler. Where the cap binds (blob cells) members are mutual near-dups, so per-member top-k from the member's own sub-cell is (near-)interchangeable with the unfenced answer.",
+    "semdedup_capped": "The default's diagnostic twin (ONE shared builder): same capped (cluster, sub) fence with the sub-cell id EXPOSED so the split geometry is oracle-checked per vector. Keep-superset invariant (splitting only removes candidates) pinned by test.",
     "stream_ingest_index": "The reference's raison d'etre as ONE streaming query (r9): suppression and chunk-explode run stream-side as JVM expressions, the embed stage is the md5 featurizer (dyadic-exact, no Python), and foreachBatch performs delta index maintenance — each micro-batch broadcast-joins the 8-row centroid table, argmins via min_by partial agg, and APPENDS to the index (state is the index, not the stream). The plan shown is the post-drain accounting aggregate; 4 real micro-batches via maxFilesPerTrigger=1. Probe: 2.2x at 16x.",
 }
 

@@ -120,9 +120,14 @@ def main() -> None:
     from signal_messenger_vector_database_spark.operators.clustering import (
         kmeans_fit,
     )
+    from signal_messenger_vector_database_spark.plans.similarity import (
+        _knn_graph_ivf,
+    )
     from signal_messenger_vector_database_spark.plans.vectorops import (
+        _SEMDEDUP_CAP,
         _semdedup,
         _semdedup_trained,
+        _semdedup_uncapped,
     )
     from signal_messenger_vector_database_spark.session import get_spark
 
@@ -141,13 +146,39 @@ def main() -> None:
             emb, ivf_seed_centroids(emb, kk), hier_super_count(kk)
         )
         top_s, ratio_s, pairs_s = cell_stats(seeded, "cid")
+        # the capped fence's pair budget on the SAME assignment (wave 16:
+        # the r10 default) — the (cluster, sub) key bounds it by
+        # construction
+        from signal_messenger_vector_database_spark.operators.ann import (
+            capped_cell_split,
+        )
+
+        split = capped_cell_split(
+            seeded.withColumnRenamed("cid", "cluster"), cap=_SEMDEDUP_CAP
+        ).withColumn(
+            "cellsub",
+            F.concat_ws("#", F.col("cluster"), F.col("sub")),
+        )
+        top_c, ratio_c, pairs_c = cell_stats(split, "cellsub")
         trained, _ = kmeans_fit(spark, emb, k=kk, max_iter=3, tol=-1.0)
         top_t, ratio_t, pairs_t = cell_stats(trained, "cluster")
 
+        # the r10 DEFAULTS are capped — bounded on any distribution, so
+        # they get timed at EVERY scale including the skewed x16 the
+        # uncapped fence could not finish (>50 min straggler, wave 14)
+        t0 = time.time()
+        _semdedup(spark, d).write.format("noop").mode("overwrite").save()
+        t_capped = round(time.time() - t0, 2)
+        t0 = time.time()
+        _knn_graph_ivf(spark, d).write.format("noop").mode("overwrite").save()
+        t_knn = round(time.time() - t0, 2)
+
         t_seed = t_train = None
-        if k <= 4:  # x16 seeded measured once: >50 min (straggler); see doc
+        if k <= 4:  # x16 uncapped measured once: >50 min (straggler); see doc
             t0 = time.time()
-            _semdedup(spark, d).write.format("noop").mode("overwrite").save()
+            _semdedup_uncapped(spark, d).write.format("noop").mode(
+                "overwrite"
+            ).save()
             t_seed = round(time.time() - t0, 2)
             t0 = time.time()
             _semdedup_trained(spark, d).write.format("noop").mode(
@@ -161,10 +192,15 @@ def main() -> None:
             "seeded_top3": top_s,
             "seeded_max_over_mean": round(ratio_s, 1),
             "seeded_pair_budget": pairs_s,
+            "capped_top3": top_c,
+            "capped_max_over_mean": round(ratio_c, 1),
+            "capped_pair_budget": pairs_c,
             "trained_top3": top_t,
             "trained_max_over_mean": round(ratio_t, 1),
             "trained_pair_budget": pairs_t,
-            "semdedup_sec": t_seed,
+            "semdedup_default_sec": t_capped,
+            "knn_graph_default_sec": t_knn,
+            "semdedup_uncapped_sec": t_seed,
             "semdedup_trained_sec": t_train,
         }
         print(f"x{k}: {results[k]}", flush=True)
