@@ -60,6 +60,35 @@ class HashEmbedder:
         return (v / norms).astype(np.float32)
 
 
+class DyadicEmbedder:
+    """Deterministic md5 featurizer on the 1/2^16 dyadic grid — the
+    ORACLE-PAIRABLE Python embedder (r10; the stream_ingest_index trick
+    generalized to the batch path): dim i of a text is
+    ``int(md5(scrub(text) + ':' + str(i)).hexdigest()[:4], 16) / 2**16``.
+
+    Every feature is a 16-bit integer / 2^16: exact in float32 (16 <= 24
+    mantissa bits), exact in the doubles downstream arithmetic widens
+    to, and sums of squares of up to 2^21 such values stay under 2^53 —
+    so a DuckDB twin replays any polynomial of the features
+    bit-identically and the mapInPandas crossing itself becomes
+    hash-checkable (HashEmbedder's float32 normalize has no such twin;
+    it remains the golden-test embedder).  Runs ~64 md5 calls per row —
+    the point is parity, not throughput; the Arrow-batch plumbing it
+    exercises is identical to the production embedder's."""
+
+    def __init__(self, dim: int = 64):
+        self.dim = dim
+
+    def embed_batch(self, texts: list[str]) -> np.ndarray:
+        out = np.empty((len(texts), self.dim), dtype=np.float32)
+        for r, t in enumerate(texts):
+            s = _scrub(t)
+            for i in range(self.dim):
+                h = hashlib.md5(f"{s}:{i}".encode("utf-8")).hexdigest()
+                out[r, i] = int(h[:4], 16) / 65536.0
+        return out
+
+
 class HttpEmbedder:
     """Ollama-compatible HTTP embedder (reference endpoint shape:
     POST {url} with {"model": ..., "prompt": ...} per prompt, response

@@ -350,8 +350,18 @@ FROM documents GROUP BY fp
 """
 
 
-# --- E1: deterministic mock embed (rows-only check; not SQL-expressible) -
+# --- E1: deterministic mock embed (mapInPandas, ORACLE-PAIRED as of r10) -
+# The embedder is DyadicEmbedder — the md5 featurizer on the 1/2^16
+# dyadic grid the streaming ingest query introduced (every feature a
+# 16-bit integer / 2^16, exact in float32/double) — so the Arrow
+# crossing's OUTPUT is hash-checkable against a DuckDB twin that
+# replays the same md5 arithmetic in SQL.  The r1-era HashEmbedder
+# variant was rows-only by construction (float32 normalize has no SQL
+# twin); it remains the golden-test embedder in operators/embed.py.
 def _mock_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import portable_round
+    from ..operators.embed import DyadicEmbedder
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # The fixture parquet is a single row-group => one partition; spread the
     # Python-side embed stage (SURVEY §4: repartition before the embed
@@ -359,11 +369,20 @@ def _mock_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # worker cold-start (~0.5 s/worker when 32 fork at once in this
     # container), which dwarfs the compute at fixture scale.  At cluster
     # scale workers are reused and this knob comes from the caller.
-    out = with_embeddings(docs.repartition(8), text_col="text", out_col="embedding", dim=64)
+    out = with_embeddings(
+        docs.repartition(8),
+        text_col="text",
+        out_col="embedding",
+        dim=64,
+        embedder_factory=lambda: DyadicEmbedder(64),
+    )
+    # sq_norm = sum of squares: each term is m^2/2^32 (m < 2^16), the sum
+    # of 64 such terms is exact in doubles — portable_round is the only
+    # (shared) rounding step.
     return out.select(
         "doc_id",
         F.size("embedding").alias("dim"),
-        F.round(
+        portable_round(
             F.aggregate(
                 F.col("embedding").cast("array<double>"),
                 F.lit(0.0),
@@ -374,9 +393,41 @@ def _mock_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_dyadic_sq_norm(text_expr: str, dim: int = 64) -> str:
+    """DuckDB twin of DyadicEmbedder + squared-norm: FLOOR-rounded sum
+    over dims of (hex4(md5(scrub(text) || ':i')) / 2^16)^2.  ONE
+    definition shared by the mock_embed and ingest_pipeline oracles.
+    Squares are spelled v*v (NOT the ^ operator, which is libm pow and
+    not guaranteed exact); every partial sum's numerator stays under
+    2^53, so the fold is exact in either evaluation order."""
+    scrub = f"replace(COALESCE({text_expr}, ''), chr(10), ' ')"
+    hex4 = " + ".join(
+        f"(instr('0123456789abcdef', substr(md5({scrub} || ':' || CAST(i AS VARCHAR)), {pos}, 1)) - 1) * {16 ** (4 - pos)}"
+        for pos in range(1, 5)
+    )
+    feats = f"list_transform(range(0, {dim}), i -> ({hex4}) / 65536.0)"
+    return (
+        f"FLOOR(list_sum(list_transform({feats}, v -> v * v)) * 1000 + 0.5) / 1000"
+    )
+
+
+def _mock_embed_sql() -> str:
+    return f"""
+SELECT doc_id, CAST(64 AS INTEGER) AS dim,
+       {_sql_dyadic_sq_norm("text")} AS sq_norm
+FROM documents
+"""
+
+
 def _ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full §3.1 pipeline over documents dressed as a message log:
-    suppress -> chunk -> tokenize -> embed -> embeddings-table rows."""
+    suppress -> chunk -> tokenize -> embed -> embeddings-table rows.
+    Oracle-paired as of r10: the embed stage is DyadicEmbedder (the
+    dyadic-grid md5 featurizer — see _mock_embed), so the projected
+    sq_norm hash-checks the Python crossing's actual output instead of
+    the r1-era rows-only count."""
+    from ..functions.text import portable_round
+    from ..operators.embed import DyadicEmbedder
     from ..operators.ingest_pipeline import ingest_pipeline
 
     docs = load_table(spark, sf_dir, "documents")
@@ -388,17 +439,78 @@ def _ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("array<string>").alias("attachments"),
     )
     out = ingest_pipeline(
-        messages, embedding_dim=64, ideal_token_size=_CHUNK_TOKENS, embed_partitions=8
+        messages,
+        embedding_dim=64,
+        ideal_token_size=_CHUNK_TOKENS,
+        embed_partitions=8,
+        embedder_factory=lambda: DyadicEmbedder(64),
     )
     # project deterministic columns only (id/created_at are run-dependent)
     return out.select(
-        "body", "direction", "contact", "tokens", F.size("embedding").alias("dim")
+        "body",
+        "direction",
+        "contact",
+        "tokens",
+        F.size("embedding").alias("dim"),
+        portable_round(
+            F.aggregate(
+                F.col("embedding").cast("array<double>"),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            ),
+            3,
+        ).alias("sq_norm"),
     )
+
+
+def _ingest_pipeline_sql() -> str:
+    """Replays suppress -> chunk -> tokenize over documents-as-messages
+    (the _CHUNK_EXPLODE_SQL chunk arithmetic at the 32/24 fixture
+    thresholds) + the shared dyadic sq_norm over each chunk's text."""
+    exacts = ", ".join("'" + s.replace("'", "''") + "'" for s in SUPPRESSED_EXACT)
+    prefixes = " OR ".join(
+        "starts_with(COALESCE(text, ''), '" + p.replace("'", "''") + "')"
+        for p in SUPPRESSED_PREFIXES
+    )
+    return f"""
+WITH kept AS (
+  SELECT text, source FROM documents
+  WHERE NOT (COALESCE(text, '') IN ({exacts}) OR {prefixes})
+),
+t AS (
+  SELECT text, source,
+         CASE WHEN trim(COALESCE(text, '')) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS words,
+         {_SQL_TOKEN_COUNT.format(c="text")} AS tokens
+  FROM kept
+),
+long_chunks AS (
+  SELECT source, tokens,
+         CAST(unnest(generate_series(0,
+              CAST(ceil(len(words) / {_CHUNK_WORDS}.0) AS INTEGER) - 1)) AS INTEGER) AS chunk_id,
+         words
+  FROM t WHERE tokens > {_CHUNK_TOKENS}
+),
+chunked AS (
+  SELECT source, tokens, 0 AS chunk_id, text AS chunk_text
+  FROM t WHERE tokens <= {_CHUNK_TOKENS}
+  UNION ALL
+  SELECT source, tokens, chunk_id,
+         array_to_string(words[(chunk_id * {_CHUNK_WORDS} + 1):((chunk_id + 1) * {_CHUNK_WORDS})], ' ') AS chunk_text
+  FROM long_chunks
+)
+SELECT chunk_text AS body, 'from' AS direction, source AS contact,
+       {_SQL_TOKEN_COUNT.format(c="chunk_text")} AS tokens,
+       CAST(64 AS INTEGER) AS dim,
+       {_sql_dyadic_sq_norm("chunk_text")} AS sq_norm
+FROM chunked
+WHERE tokens <= {_CHUNK_TOKENS} OR {_SQL_TOKEN_COUNT.format(c="chunk_text")} > 0
+"""
 
 
 SPECS: dict[str, QuerySpec] = {
     "topk_cosine": QuerySpec(_topk_cosine, _TOPK_COSINE_SQL, "E3 exact cosine top-k (flagship)"),
-    "ingest_pipeline": QuerySpec(_ingest_pipeline, None, "full §3.1 ingest pipeline (suppress->chunk->tokenize->embed), rows-only"),
+    "ingest_pipeline": QuerySpec(_ingest_pipeline, _ingest_pipeline_sql(), "full §3.1 ingest pipeline (suppress->chunk->tokenize->embed), dyadic-embedder oracle-paired"),
     "topk_l2": QuerySpec(_topk_l2, _TOPK_L2_SQL, "E3 exact L2 top-k"),
     "suppression_filter": QuerySpec(_suppression_filter, _SUPPRESSION_FILTER_SQL, "F1 control-message suppression (14 patterns)"),
     "tokenize": QuerySpec(_tokenize, _TOKENIZE_SQL, "T1 token count (JVM regex tokenizer)"),
@@ -411,5 +523,5 @@ SPECS: dict[str, QuerySpec] = {
     ),
     "dispatch_render": QuerySpec(_dispatch_render, _DISPATCH_RENDER_SQL, "P1/P2 type dispatch + render + F1 compose"),
     "exact_dedup": QuerySpec(_exact_dedup, _EXACT_DEDUP_SQL, "exact dedup via md5 fingerprint"),
-    "mock_embed": QuerySpec(_mock_embed, None, "E1 deterministic mapInPandas embedder (rows-only)"),
+    "mock_embed": QuerySpec(_mock_embed, _mock_embed_sql(), "E1 deterministic mapInPandas embedder (dyadic grid, oracle-paired)"),
 }
