@@ -275,6 +275,61 @@ def simhash_ham_max(bits: int) -> int:
     return max(1, bits // 20)
 
 
+def _bit_vote(hv: Column, b: int) -> Column:
+    """Vote for bit ``b`` of hash value ``hv``: EXACT integer
+    extraction (shiftright + mask).  The r9 form
+    ``floor(hv / 2**b) % 2`` went through IEEE double division, which
+    silently rounds away the low 1-3 bits once hv >= 2^53 (ADVICE r9:
+    the 56-bit single-long rung was ~53-bit effective); shiftright is
+    exact at any long width.  ONE copy, shared by every fingerprint
+    width; the DuckDB twin is ``(hv >> b) & 1``
+    (plans/similarity.py::_sql_vote)."""
+    return F.shiftright(hv, b).bitwiseAND(F.lit(1)) == 1
+
+
+def _simhash_fp_parts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    parts: list[tuple[str, int, int]],
+) -> DataFrame:
+    """THE SimHash fingerprint core (single copy; ``simhash`` and
+    ``simhash_wide`` are thin wrappers): distinct words of the
+    normalized text vote +/-1 per bit, fingerprint bit b is set iff
+    the sum is positive.  ``parts`` is a list of
+    (name, md5_start_char, bits): each part's bit votes come from its
+    own md5 hex slice, and one ``fp_{name}`` long column is emitted
+    per part — a single part IS the classic SimHash; two disjoint
+    parts are the two-half wide fingerprint."""
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(normalized_text(text_col), " "))
+        ).alias("w"),
+    )
+    h = F.md5(F.col("w"))
+    aggs = []
+    for name, start, bits in parts:
+        hv = _hex_slice_to_int(h, start, bits // 4)
+        for b in range(bits):
+            aggs.append(
+                F.sum(F.when(_bit_vote(hv, b), 1).otherwise(-1)).alias(
+                    f"s_{name}_{b}"
+                )
+            )
+    sums = words.groupBy(id_col).agg(*aggs)
+    outs = []
+    for name, _start, bits in parts:
+        fp = None
+        for b in range(bits):
+            term = F.when(
+                F.col(f"s_{name}_{b}") > 0, F.lit(2**b)
+            ).otherwise(F.lit(0))
+            fp = term if fp is None else fp + term
+        outs.append(fp.cast("long").alias(f"fp_{name}"))
+    return sums.select(F.col(id_col), *outs)
+
+
 def simhash_wide(
     df: DataFrame, id_col: str, text_col: str, bits: int = 64
 ) -> DataFrame:
@@ -284,43 +339,76 @@ def simhash_wide(
     lo = the next bits/8 chars).  At the 64-bit default this is the
     classic crawl-dedup fingerprint: hi/lo are the two 32-bit halves
     of the word hash's first 16 hex chars.  Same vote construction as
-    ``simhash`` (distinct words of the normalized text, +/-1 per bit,
-    sign of the sum); pure JVM expressions, no UDF.  bits must be a
-    multiple of 8 (whole hex chars per half) and <= 64."""
+    ``simhash`` (both are ``_simhash_fp_parts`` wrappers); pure JVM
+    expressions, no UDF.  bits must be a multiple of 8 (whole hex
+    chars per half) and <= 64."""
     if bits % 8 or not 0 < bits <= 64:
         raise ValueError(f"bits must be a multiple of 8 in (0, 64], got {bits}")
     half = bits // 2
     n_chars = half // 4
-    words = df.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(F.split(normalized_text(text_col), " "))
-        ).alias("w"),
+    return _simhash_fp_parts(
+        df,
+        id_col,
+        text_col,
+        [("hi", 1, half), ("lo", 1 + n_chars, half)],
     )
-    h = F.md5(F.col("w"))
-    halves = {
-        "hi": _hex_slice_to_int(h, 1, n_chars),
-        "lo": _hex_slice_to_int(h, 1 + n_chars, n_chars),
-    }
-    sums = words.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when((F.floor(hv / F.lit(2**b)) % 2) == 1, 1).otherwise(-1)
-            ).alias(f"s_{name}_{b}")
-            for name, hv in halves.items()
-            for b in range(half)
-        ]
-    )
-    outs = []
-    for name in ("hi", "lo"):
-        fp = None
-        for b in range(half):
-            term = F.when(F.col(f"s_{name}_{b}") > 0, F.lit(2**b)).otherwise(
-                F.lit(0)
+
+
+def _simhash_band_join(
+    fp_df: DataFrame,
+    id_col: str,
+    specs: list[tuple[str, str, int, int]],
+    ham_max: int,
+) -> DataFrame:
+    """THE pigeonhole band join (single copy; both pair operators are
+    wrappers): ``specs`` is a list of
+    (fp_col, band_label_prefix, n_bands_for_col, band_width).  Every
+    (part, band) slice becomes an equi-join key; candidates sharing any
+    key are deduped then verified with pure integer arithmetic —
+    hamming = sum over parts of bit_count(fp_a XOR fp_b)."""
+    keys = []
+    for col, prefix, nb, width in specs:
+        mask = (1 << width) - 1
+        for b in range(nb):
+            keys.append(
+                F.struct(
+                    F.lit(f"{prefix}{b}").alias("band"),
+                    F.shiftright(F.col(col), b * width)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("val"),
+                )
             )
-            fp = term if fp is None else fp + term
-        outs.append(fp.cast("long").alias(f"fp_{name}"))
-    return sums.select(F.col(id_col), *outs)
+    carry = [F.col(c).alias(f"_fp{i}") for i, (c, _, _, _) in enumerate(specs)]
+    fp_names = [f"_fp{i}" for i in range(len(specs))]
+    bands = fp_df.select(
+        F.col(id_col).alias("id"), *carry, F.explode(F.array(*keys)).alias("bk")
+    ).select(
+        "id", *fp_names, F.col("bk.band").alias("band"), F.col("bk.val").alias("val")
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            *[F.col(f"a.{n}").alias(f"{n}_a") for n in fp_names],
+            *[F.col(f"b.{n}").alias(f"{n}_b") for n in fp_names],
+        )
+        # a pair sharing k bands appears k times; dedup BEFORE the verify
+        .distinct()
+    )
+    hamming = None
+    for n in fp_names:
+        t = F.bit_count(F.col(f"{n}_a").bitwiseXOR(F.col(f"{n}_b")))
+        hamming = t if hamming is None else hamming + t
+    return cand.select(
+        "id_a", "id_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= ham_max)
 
 
 def simhash_hamming_pairs_wide(
@@ -350,50 +438,11 @@ def simhash_hamming_pairs_wide(
         )
     half_bands = n_bands // 2
     width = fp_bits // n_bands
-    mask = (1 << width) - 1
-    keys = []
-    for half, col in (("hi", hi_col), ("lo", lo_col)):
-        for b in range(half_bands):
-            keys.append(
-                F.struct(
-                    F.lit(f"{half}{b}").alias("band"),
-                    F.shiftright(F.col(col), b * width)
-                    .bitwiseAND(F.lit(mask))
-                    .alias("val"),
-                )
-            )
-    bands = fp_df.select(
-        F.col(id_col).alias("id"),
-        F.col(hi_col).alias("hi"),
-        F.col(lo_col).alias("lo"),
-        F.explode(F.array(*keys)).alias("bk"),
-    ).select(
-        "id", "hi", "lo", F.col("bk.band").alias("band"), F.col("bk.val").alias("val")
-    )
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.hi").alias("hi_a"),
-            F.col("a.lo").alias("lo_a"),
-            F.col("b.hi").alias("hi_b"),
-            F.col("b.lo").alias("lo_b"),
-        )
-        .distinct()
-    )
-    hamming = (
-        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
-        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
-    ).cast("int")
-    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
-        F.col("hamming") <= ham_max
+    return _simhash_band_join(
+        fp_df,
+        id_col,
+        [(hi_col, "hi", half_bands, width), (lo_col, "lo", half_bands, width)],
+        ham_max,
     )
 
 
@@ -410,26 +459,11 @@ def simhash(
     multiple of 4 (whole hex chars) and <= 60 (long-safe)."""
     if bits % 4 or not 0 < bits <= 60:
         raise ValueError(f"bits must be a multiple of 4 in (0, 60], got {bits}")
-    words = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(F.split(normalized_text(text_col), " "))).alias("w"),
-    )
-    hv = _hex_to_int(F.md5(F.col("w")), bits // 4)
-    bit_sums = [
-        F.sum(
-            F.when((F.floor(hv / F.lit(2**b)) % 2) == 1, 1).otherwise(-1)
-        ).alias(f"s{b}")
-        for b in range(bits)
-    ]
-    sums = words.groupBy(id_col).agg(*bit_sums)
-    fp = None
-    for b in range(bits):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
-        fp = term if fp is None else fp + term
+    fp = _simhash_fp_parts(df, id_col, text_col, [("fp", 1, bits)])
     # int for the classic 16-bit geometry (oracle-pinned schema); wider
     # fingerprints don't fit int32 and carry long
     out_type = "int" if bits <= 31 else "long"
-    return sums.select(F.col(id_col), fp.cast(out_type).alias("simhash"))
+    return fp.select(F.col(id_col), F.col("fp_fp").cast(out_type).alias("simhash"))
 
 
 def simhash_hamming_pairs(
@@ -471,45 +505,8 @@ def simhash_hamming_pairs(
     if fp_bits % n_bands:
         raise ValueError(f"fp_bits={fp_bits} not divisible by n_bands={n_bands}")
     width = fp_bits // n_bands
-    mask = (1 << width) - 1
-    bands = fp_df.select(
-        F.col(id_col).alias("id"),
-        F.col(fp_col).alias("fp"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col(fp_col), b * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("val"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "fp", F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.fp").alias("fp_a"),
-            F.col("b.fp").alias("fp_b"),
-        )
-        # a pair sharing k bands appears k times; dedup BEFORE the verify
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int")
-    return (
-        cand.select("id_a", "id_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= ham_max)
+    return _simhash_band_join(
+        fp_df, id_col, [(fp_col, "b", n_bands, width)], ham_max
     )
 
 

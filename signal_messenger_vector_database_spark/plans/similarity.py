@@ -147,10 +147,14 @@ def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs, id_col="doc_id", text_col="text")
 
 
-def _sql_hexn(expr: str, n_chars: int = 4) -> str:
+def _sql_hexn(expr: str, n_chars: int = 4, start: int = 1) -> str:
+    """Hex chars [start, start+n_chars) of an md5 expression -> integer
+    (1-indexed) — THE hex-to-int SQL arithmetic (single copy, the twin
+    of operators/dedup.py::_hex_slice_to_int; the two-half fingerprint
+    builder used to carry its own offset variant)."""
     terms = [
-        f"(instr('0123456789abcdef', substr({expr}, {pos}, 1)) - 1) * {16 ** (n_chars - pos)}"
-        for pos in range(1, n_chars + 1)
+        f"(instr('0123456789abcdef', substr({expr}, {start + i}, 1)) - 1) * {16 ** (n_chars - 1 - i)}"
+        for i in range(n_chars)
     ]
     return "(" + " + ".join(terms) + ")"
 
@@ -159,27 +163,56 @@ def _sql_hex4(expr: str) -> str:
     return _sql_hexn(expr, 4)
 
 
-def _simhash_sql(bits: int = SIMHASH_BITS) -> str:
-    """Twin of operators/dedup.py::simhash at any fingerprint width
-    (INTEGER output at the classic 16-bit geometry, BIGINT when wider —
-    matching the Spark side's int/long switch)."""
+def _sql_vote(hv: str, b: int) -> str:
+    """DuckDB twin of operators/dedup.py::_bit_vote — EXACT integer bit
+    extraction.  The r9 floor-divide form went through IEEE double
+    division and rounded away bits 0-2 once hv >= 2^53 (ADVICE r9: the
+    56-bit rung was silently ~53-bit effective on BOTH engines)."""
+    return f"(({hv} >> {b}) & 1) = 1"
+
+
+def _simhash_fp_sql(
+    parts: list[tuple[str, int, int]], out_cols: dict[str, tuple[str, str]]
+) -> str:
+    """Twin of operators/dedup.py::_simhash_fp_parts (ONE fingerprint
+    chain for every width/representation): ``parts`` =
+    (name, md5_start_char, bits) per emitted fingerprint; ``out_cols``
+    maps part name -> (output alias, SQL type)."""
     norm = _SQL_NORM.format(c="text")
-    bit_sums = ", ".join(
-        f"SUM(CASE WHEN CAST(floor(hv / {2**b}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
+    hvs = ", ".join(
+        f"{_sql_hexn('md5(w)', bits // 4, start)} AS hv_{name}"
+        for name, start, bits in parts
+    )
+    sums = ", ".join(
+        f"SUM(CASE WHEN {_sql_vote(f'hv_{name}', b)} THEN 1 ELSE -1 END) AS s_{name}_{b}"
+        for name, _start, bits in parts
         for b in range(bits)
     )
-    fp = " + ".join(
-        f"(CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(bits)
+    fps = ", ".join(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN s_{name}_{b} > 0 THEN {2**b} ELSE 0 END)"
+            for b in range(bits)
+        )
+        + f" AS {out_cols[name][1]}) AS {out_cols[name][0]}"
+        for name, _start, bits in parts
     )
-    out_type = "INTEGER" if bits <= 31 else "BIGINT"
     return f"""
 WITH w AS (
   SELECT doc_id, unnest(list_distinct(string_split({norm}, ' '))) AS w FROM documents
 ),
-h AS (SELECT doc_id, {_sql_hexn("md5(w)", bits // 4)} AS hv FROM w),
-s AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
-SELECT doc_id, CAST({fp} AS {out_type}) AS simhash FROM s
+h AS (SELECT doc_id, {hvs} FROM w),
+s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+SELECT doc_id, {fps} FROM s
 """
+
+
+def _simhash_sql(bits: int = SIMHASH_BITS) -> str:
+    """Twin of operators/dedup.py::simhash at any fingerprint width
+    (INTEGER output at the classic 16-bit geometry, BIGINT when wider —
+    matching the Spark side's int/long switch)."""
+    out_type = "INTEGER" if bits <= 31 else "BIGINT"
+    return _simhash_fp_sql([("fp", 1, bits)], {"fp": ("simhash", out_type)})
 
 
 # ---------------------------------------------------------------------------
@@ -940,7 +973,16 @@ def _simhash_hamming_pairs_w32(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _simhash_hamming_pairs_with(spark, sf_dir, 32, _SIMHASH_HAM_MAX)
 
 
-def _simhash_hamming_pairs_sql(bits: int = SIMHASH_BITS) -> str:
+def _simhash_hamming_pairs_sql(
+    bits: int = SIMHASH_BITS, ham_max: int | None = None
+) -> str:
+    """``ham_max`` is an EXPLICIT parameter (ADVICE r9: the auto
+    query's threshold used to be spliced in with a content-blind
+    string replace over the rendered SQL — correct only while exactly
+    one '<= 1' substring existed); None means the pinned fixture
+    threshold."""
+    if ham_max is None:
+        ham_max = _SIMHASH_HAM_MAX
     width = bits // _SIMHASH_N_BANDS
     mask = (1 << width) - 1
     band_ids = ", ".join(str(b) for b in range(_SIMHASH_N_BANDS))
@@ -959,7 +1001,7 @@ cand AS (
 )
 SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS INTEGER) AS hamming
 FROM cand
-WHERE bit_count(xor(fp_a, fp_b)) <= {_SIMHASH_HAM_MAX}
+WHERE bit_count(xor(fp_a, fp_b)) <= {ham_max}
 """
 
 
@@ -999,43 +1041,14 @@ def _simhash_hamming_pairs_w64(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_wide_sql(bits: int = 64) -> str:
     """Twin of operators/dedup.py::simhash_wide: two bits/2-wide halves
-    from disjoint md5 hex slices (hi = chars 1..bits/8, lo = next)."""
-    norm = _SQL_NORM.format(c="text")
+    from disjoint md5 hex slices (hi = chars 1..bits/8, lo = next) —
+    the same _simhash_fp_sql chain as the single-long widths."""
     half = bits // 2
     n_chars = half // 4
-
-    def hexn_off(expr: str, start: int) -> str:
-        terms = [
-            f"(instr('0123456789abcdef', substr({expr}, {start + i}, 1)) - 1) "
-            f"* {16 ** (n_chars - 1 - i)}"
-            for i in range(n_chars)
-        ]
-        return "(" + " + ".join(terms) + ")"
-
-    sums = ", ".join(
-        f"SUM(CASE WHEN CAST(floor(hv_{name} / {2**b}) AS BIGINT) % 2 = 1 "
-        f"THEN 1 ELSE -1 END) AS s_{name}_{b}"
-        for name in ("hi", "lo")
-        for b in range(half)
+    return _simhash_fp_sql(
+        [("hi", 1, half), ("lo", 1 + n_chars, half)],
+        {"hi": ("fp_hi", "BIGINT"), "lo": ("fp_lo", "BIGINT")},
     )
-    fps = ", ".join(
-        "CAST("
-        + " + ".join(
-            f"(CASE WHEN s_{name}_{b} > 0 THEN {2**b} ELSE 0 END)"
-            for b in range(half)
-        )
-        + f" AS BIGINT) AS fp_{name}"
-        for name in ("hi", "lo")
-    )
-    return f"""
-WITH ww AS (
-  SELECT doc_id, unnest(list_distinct(string_split({norm}, ' '))) AS w FROM documents
-),
-hh AS (SELECT doc_id, {hexn_off('md5(w)', 1)} AS hv_hi,
-              {hexn_off('md5(w)', 1 + n_chars)} AS hv_lo FROM ww),
-ss AS (SELECT doc_id, {sums} FROM hh GROUP BY doc_id)
-SELECT doc_id, {fps} FROM ss
-"""
 
 
 def _simhash_hamming_pairs_w64_sql() -> str:
@@ -1268,14 +1281,6 @@ def _simhash_hamming_pairs_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _simhash_hamming_pairs_with(spark, sf_dir, bits, d)
 
 
-def _simhash_hamming_pairs_sql_d(bits: int, ham_max: int) -> str:
-    """_simhash_hamming_pairs_sql at an explicit threshold (the pinned
-    queries bake _SIMHASH_HAM_MAX; the auto branches carry the derived
-    one)."""
-    base = _simhash_hamming_pairs_sql(bits)
-    return base.replace(f"<= {_SIMHASH_HAM_MAX}", f"<= {ham_max}")
-
-
 def _simhash_auto_sql() -> str:
     from ..operators.dedup import simhash_ham_max
 
@@ -1287,7 +1292,7 @@ def _simhash_auto_sql() -> str:
     )
     bits_expr = f"4 * LEAST(16, {w} + ({w} % 2))"
     branches = [
-        f"SELECT * FROM ({_simhash_hamming_pairs_sql_d(b, simhash_ham_max(b))}) ab{b} "
+        f"SELECT * FROM ({_simhash_hamming_pairs_sql(b, simhash_ham_max(b))}) ab{b} "
         f"WHERE ({bits_expr}) = {b}"
         for b in (16, 24, 32, 40, 48, 56)
     ]
