@@ -287,6 +287,8 @@ def ivf_assign_hier(
     nprobe: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_centroids: int | None = None,
+    shard_threshold: int = 4096,
 ) -> DataFrame:
     """Two-level (hierarchical) coarse assignment — the scale path past
     flat ``ivf_assign``.
@@ -319,7 +321,25 @@ def ivf_assign_hier(
     vs flat is (n_super + nprobe*k/n_super)/k — ~1 at the fixture's
     k=16 but 4% at k=10^4 (n_super=100): the knob exists for the
     corpus sizes where flat assignment is the quadratic, and the
-    fixture measures its fidelity floor, not its savings."""
+    fixture measures its fidelity floor, not its savings.
+
+    State representation (ADVICE r9): the default packs the whole
+    codebook (all k centroids + the sid->members map) into ONE
+    broadcast row — built by a global collect_list aggregate, i.e. a
+    single-task reduce, and bounded by Spark's 2 GB single-row limit.
+    Under the scaled-k rule that row grows linearly with the corpus
+    (~600 B/centroid: ~2.5 MB at k=4096, ~600 MB at k=10^6), so when
+    ``n_centroids`` (pass it when known — every catalog consumer does)
+    exceeds ``shard_threshold`` the SHARDED formulation is used
+    instead: one member row per super-cell, built by a PARALLEL
+    groupBy(sid) aggregate, broadcast-joined once per probe rank on
+    the routed sid — rows of ~sqrt(k)*600 B each, no global reduce,
+    no monolithic row, and still ZERO data-row exchanges (each vector
+    routes via the tiny packed supers row, then argmins in place over
+    its nprobe joined member arrays).  Comparators are identical —
+    array_min over the union of the same (negsim, cid) structs — so
+    both representations return bit-identical assignments (pinned by
+    test_ivf_hier_sharded_matches_packed)."""
     from ..functions.vector import l2_norm
 
     supers = centroids.filter(F.col("cid") < n_super).select(
@@ -349,8 +369,73 @@ def ivf_assign_hier(
         .select("cid", F.col("s.sid").alias("sid"), F.col("s.cv").alias("cv"),
                 F.col("s._nc").alias("_nc"))
     )
-    # Pack BOTH tiny tables into one broadcast row (r9, the
-    # kmeans-lloyd3 pattern applied to the whole two-level assignment):
+    ev = emb.select(
+        F.col(id_col), F.col(vec_col), l2_norm(vec_col).alias("_nv")
+    )
+
+    def _ssim(s):
+        return dot_product(F.col(vec_col), s["sv"]) / (F.col("_nv") * s["_ns"])
+
+    def _csim(c):
+        return dot_product(F.col(vec_col), c["cv"]) / (F.col("_nv") * c["_nc"])
+
+    _member_type = "array<struct<cid:bigint,cv:array<double>,_nc:double>>"
+    sups_packed = supers.agg(
+        F.array_sort(F.collect_list(F.struct("sid", "sv", "_ns"))).alias(
+            "_sups"
+        )
+    )
+    top = F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("_sups"),
+                lambda s: F.struct((-_ssim(s)).alias("negsim"), s["sid"].alias("sid")),
+            )
+        ),
+        1,
+        nprobe,
+    )
+
+    if n_centroids is not None and n_centroids > shard_threshold:
+        # SHARDED state (see docstring): per-sid member rows from a
+        # parallel aggregate; one broadcast hash join per probe rank on
+        # the routed sid.  try_element_at: when n_super < nprobe the
+        # top list is short and the missing ranks LEFT-join to null ->
+        # empty candidate arrays (ANSI-safe).
+        members = c2s.groupBy("sid").agg(
+            F.array_sort(F.collect_list(F.struct("cid", "cv", "_nc"))).alias(
+                "_members"
+            )
+        )
+        routed = ev.crossJoin(F.broadcast(sups_packed)).select(
+            F.col(id_col), F.col(vec_col), F.col("_nv"), top.alias("_top")
+        )
+        for j in range(nprobe):
+            mj = members.select(
+                F.col("sid").alias(f"_sid{j}"), F.col("_members").alias(f"_m{j}")
+            )
+            routed = routed.join(
+                F.broadcast(mj),
+                F.try_element_at(F.col("_top"), F.lit(j + 1))["sid"]
+                == F.col(f"_sid{j}"),
+                "left",
+            )
+        cands = F.concat(
+            *[
+                F.transform(
+                    F.coalesce(F.col(f"_m{j}"), F.array().cast(_member_type)),
+                    lambda c: F.struct(
+                        (-_csim(c)).alias("negsim"), c["cid"].alias("cid")
+                    ),
+                )
+                for j in range(nprobe)
+            ]
+        )
+        best = F.array_min(cands)
+        return routed.select(F.col(id_col), best["cid"].alias("cid"))
+
+    # PACKED state (r9, the kmeans-lloyd3 pattern applied to the whole
+    # two-level assignment):
     #   _sups : sorted array of (sid, sv, ns)            [n_super entries]
     #   _cmap : map sid -> array of (cid, cv, nc)        [k entries total]
     # Every vector row then routes AND argmins IN PLACE — the first cut
@@ -374,33 +459,7 @@ def ivf_assign_hier(
                 F.collect_list(F.struct("sid", "_members"))
             ).alias("_cmap")
         )
-        .crossJoin(
-            supers.agg(
-                F.array_sort(
-                    F.collect_list(F.struct("sid", "sv", "_ns"))
-                ).alias("_sups")
-            )
-        )
-    )
-    ev = emb.select(
-        F.col(id_col), F.col(vec_col), l2_norm(vec_col).alias("_nv")
-    )
-
-    def _ssim(s):
-        return dot_product(F.col(vec_col), s["sv"]) / (F.col("_nv") * s["_ns"])
-
-    def _csim(c):
-        return dot_product(F.col(vec_col), c["cv"]) / (F.col("_nv") * c["_nc"])
-
-    top = F.slice(
-        F.array_sort(
-            F.transform(
-                F.col("_sups"),
-                lambda s: F.struct((-_ssim(s)).alias("negsim"), s["sid"].alias("sid")),
-            )
-        ),
-        1,
-        nprobe,
+        .crossJoin(sups_packed)
     )
     cands = F.flatten(
         F.transform(
@@ -408,9 +467,7 @@ def ivf_assign_hier(
             lambda t: F.transform(
                 F.coalesce(
                     F.element_at(F.col("_cmap"), t["sid"]),
-                    F.array().cast(
-                        "array<struct<cid:bigint,cv:array<double>,_nc:double>>"
-                    ),
+                    F.array().cast(_member_type),
                 ),
                 lambda c: F.struct(
                     (-_csim(c)).alias("negsim"), c["cid"].alias("cid")

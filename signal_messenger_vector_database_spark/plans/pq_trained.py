@@ -440,7 +440,7 @@ def _topk_ivf_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = scaled_cluster_count(n)
     emb = load_table(spark, sf_dir, "embeddings")
     cents = ivf_seed_centroids(emb, k)
-    assign = ivf_assign_hier(emb, cents, hier_super_count(k))
+    assign = ivf_assign_hier(emb, cents, hier_super_count(k), n_centroids=k)
 
     q = F.array(*[F.lit(x) for x in _pq_query_vec()]).cast("array<double>")
     probed = (
@@ -710,7 +710,7 @@ def _ivf_pq_operating_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = scaled_cluster_count(n)
     emb = load_table(spark, sf_dir, "embeddings")
     cents = ivf_seed_centroids(emb, k)
-    assign = ivf_assign_hier(emb, cents, hier_super_count(k))
+    assign = ivf_assign_hier(emb, cents, hier_super_count(k), n_centroids=k)
 
     qfull = spark.createDataFrame(
         [(qid, q) for qid, q in enumerate(_op_query_vecs())],

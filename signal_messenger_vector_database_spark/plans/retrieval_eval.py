@@ -84,7 +84,7 @@ def _ivf_pieces(spark: SparkSession, sf_dir: str):
     k = scaled_cluster_count(n)
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = ivf_seed_centroids(emb, k)
-    assign = ivf_assign_hier(emb, centroids, hier_super_count(k))
+    assign = ivf_assign_hier(emb, centroids, hier_super_count(k), n_centroids=k)
     embn = emb.select(
         "vec_id", "embedding", l2_norm("embedding").alias("nv")
     )
@@ -275,7 +275,9 @@ def _ivf_hier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cent = ivf_seed_centroids(emb, k)
     flat = ivf_assign(emb, cent).withColumnRenamed("cid", "cid_flat")
-    hier = ivf_assign_hier(emb, cent, ns).withColumnRenamed("cid", "cid_hier")
+    hier = ivf_assign_hier(emb, cent, ns, n_centroids=k).withColumnRenamed(
+        "cid", "cid_hier"
+    )
     return (
         flat.join(hier, "vec_id")
         .agg(
@@ -343,7 +345,7 @@ def _ann_ivf_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = scaled_cluster_count(n)
     ns = hier_super_count(k)
     emb = load_table(spark, sf_dir, "embeddings")
-    hier = ivf_assign_hier(emb, ivf_seed_centroids(emb, k), ns)
+    hier = ivf_assign_hier(emb, ivf_seed_centroids(emb, k), ns, n_centroids=k)
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     qcid = hier.filter(F.col("vec_id") == 0).select(
         F.col("cid").alias("qcid")

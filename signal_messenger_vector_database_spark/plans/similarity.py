@@ -1142,7 +1142,7 @@ def _knn_graph_fenced(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     assign = ivf_assign_hier(
-        emb, ivf_seed_centroids(emb, k), hier_super_count(k)
+        emb, ivf_seed_centroids(emb, k), hier_super_count(k), n_centroids=k
     ).withColumnRenamed("cid", "cluster")
     if cap is not None:
         assign = capped_cell_split(assign, cap=cap)

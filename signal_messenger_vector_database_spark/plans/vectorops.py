@@ -753,7 +753,7 @@ def _semdedup_fenced(
     n = parquet_row_count(sf_dir, "embeddings")
     k = scaled_cluster_count(n)
     assigned = ivf_assign_hier(
-        emb, ivf_seed_centroids(emb, k), hier_super_count(k)
+        emb, ivf_seed_centroids(emb, k), hier_super_count(k), n_centroids=k
     ).withColumnRenamed("cid", "cluster")
     if cap is not None:
         assigned = capped_cell_split(assigned, cap=cap)
@@ -1465,7 +1465,7 @@ def _ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4.0x); hier is n*(1+nprobe)*sqrt(k), oracle-replayed via the
     # shared CTE chain (plans/ivf_sql.py).
     assign = ivf_assign_hier(
-        emb, ivf_seed_centroids(emb, k), hier_super_count(k)
+        emb, ivf_seed_centroids(emb, k), hier_super_count(k), n_centroids=k
     )
     tagged = assign.select(
         "cid",

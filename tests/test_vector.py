@@ -263,3 +263,49 @@ def test_capped_cell_split_bounds_and_keep_superset(spark):
     keep_plain = {r.vec_id for r in _semdedup_uncapped(spark, sf).collect() if r.keep}
     keep_capped = {r.vec_id for r in _semdedup(spark, sf).collect() if r.keep}
     assert keep_capped >= keep_plain
+
+
+def test_ivf_hier_sharded_matches_packed(spark):
+    """ADVICE r9: the packed single-row hier state grows O(k) and hits
+    Spark's single-row/broadcast limits under the scaled-k rule; the
+    sharded formulation (per-sid member rows, one broadcast join per
+    probe rank) must return BIT-IDENTICAL assignments — same routing
+    comparator, same (negsim, cid) argmin over the same candidate set.
+    Forced here via shard_threshold=0 on the fixture; also exercises
+    the short-top-list arm (n_super=2 < nprobe=3 at sf0.001's k=8)."""
+    from pyspark.sql import functions as F
+
+    from signal_messenger_vector_database_spark.io.sources import (
+        load_table,
+        parquet_row_count,
+    )
+    from signal_messenger_vector_database_spark.operators.ann import (
+        hier_super_count,
+        ivf_assign_hier,
+        ivf_seed_centroids,
+        scaled_cluster_count,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    n = parquet_row_count(sf, "embeddings")
+    k = scaled_cluster_count(n)
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = ivf_seed_centroids(emb, k)
+    packed = {
+        (r.vec_id, r.cid)
+        for r in ivf_assign_hier(emb, cents, hier_super_count(k)).collect()
+    }
+    sharded = {
+        (r.vec_id, r.cid)
+        for r in ivf_assign_hier(
+            emb,
+            cents,
+            hier_super_count(k),
+            n_centroids=k,
+            shard_threshold=0,
+        ).collect()
+    }
+    assert sharded == packed
+    assert len(packed) == n
