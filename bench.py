@@ -20,6 +20,16 @@ sandbox-speed-of-the-day — r5 ran ~2x slow, r6 ~1.5x, uniformly):
 Per-query rule: compare compute-heavy queries via `canary`,
 sub-second/overhead-dominated ones via `canary_shuffle`.
 
+As of r10 the JSON also carries `shared_subset_normalized` — the
+round-over-round comparison computed IN the bench instead of by the
+judge: over the queries shared with the newest `BENCH_r*.json` on
+disk, each current timing is divided by its class's canary ratio
+(class = shuffle-bound if the PREVIOUS round recorded the query under
+1.0 s, else compute-bound — the previous number so this round's noise
+cannot flip the class), and the field reports
+sum(normalized current) / sum(previous).  < 1.0 means faster than
+last round after cancelling sandbox speed.
+
 Each query is forced through full evaluation with the noop sink (count()
 would let Catalyst prune the projections we mean to measure).
 """
@@ -131,7 +141,65 @@ def main() -> None:
         "canary": canary("tokenize"),
         "canary_shuffle": canary("region_rollup"),
     }
+    norm = _shared_subset_normalized(
+        os.path.dirname(os.path.abspath(__file__)), timings, out
+    )
+    if norm is not None:
+        out["shared_subset_normalized"] = norm
     print(json.dumps(out))
+
+
+def _shared_subset_normalized(
+    repo_dir: str, timings: dict[str, float], out: dict
+) -> dict | None:
+    """See the module docstring.  Returns None when no prior BENCH file
+    (or its canaries) exist — first round, or a stripped checkout."""
+    import glob
+
+    prior = sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json")))
+    if not prior:
+        return None
+    prev_path = prior[-1]
+    try:
+        with open(prev_path) as f:
+            raw = f.read()
+        try:
+            prev = json.loads(raw)
+        except ValueError:
+            prev = json.loads(raw.strip().splitlines()[-1])
+        # the driver wraps the bench line as {"n", "rc", ..., "parsed"}
+        if isinstance(prev, dict) and isinstance(prev.get("parsed"), dict):
+            prev = prev["parsed"]
+        prev_q = prev["queries"]
+        ratio_compute = out["canary"]["sec"] / prev["canary"]["sec"]
+        ratio_shuffle = (
+            out["canary_shuffle"]["sec"] / prev["canary_shuffle"]["sec"]
+            if "canary_shuffle" in prev
+            else ratio_compute
+        )
+    except (KeyError, ValueError, ZeroDivisionError, OSError):
+        return None
+    shared = sorted(set(timings) & set(prev_q))
+    if not shared:
+        return None
+    classes = {
+        n: ("shuffle" if prev_q[n] < 1.0 else "compute") for n in shared
+    }
+    norm_cur = sum(
+        timings[n]
+        / (ratio_shuffle if classes[n] == "shuffle" else ratio_compute)
+        for n in shared
+    )
+    prev_total = sum(prev_q[n] for n in shared)
+    return {
+        "vs": os.path.basename(prev_path),
+        "n_shared": len(shared),
+        "raw_ratio": round(sum(timings[n] for n in shared) / prev_total, 3),
+        "normalized_ratio": round(norm_cur / prev_total, 3),
+        "canary_ratio_compute": round(ratio_compute, 3),
+        "canary_ratio_shuffle": round(ratio_shuffle, 3),
+        "classes": classes,
+    }
 
 
 if __name__ == "__main__":
