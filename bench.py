@@ -89,6 +89,8 @@ HEADLINE = [
     "pq_operating_point",
     "topk_ivf_pq_trained",
     "simhash_hamming_pairs_w64",
+    # added r10 (same caveat — compare via shared_subset_normalized)
+    "ivf_pq_operating_curve",
 ]
 
 

@@ -759,8 +759,11 @@ def _ivf_pq_operating_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("arm", "qid")
         .agg(F.count(F.lit(1)).alias("nh"))
     )
-    grid = arms.crossJoin(qfull.select("qid"))
-    perq = grid.join(hits, ["arm", "qid"], "left").select(
+    # 25-row grid left-joining a <=25-row derived aggregate: both sides
+    # are stats-free aggregates, so without hints Catalyst planned a
+    # SortMergeJoin + CartesianProduct here (the r9 EXPLAIN-audit class)
+    grid = arms.crossJoin(F.broadcast(qfull.select("qid")))
+    perq = grid.join(F.broadcast(hits), ["arm", "qid"], "left").select(
         "arm", "np", "qid", F.coalesce("nh", F.lit(0)).alias("nh")
     )
     candn = cand.groupBy("arm").agg(F.count(F.lit(1)).alias("sum_cand"))
