@@ -158,10 +158,17 @@ def _shared_subset_normalized(
     (or its canaries) exist — first round, or a stripped checkout."""
     import glob
 
-    prior = sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json")))
+    # newest by ROUND NUMBER, not lexicographic filename order — an
+    # unpadded BENCH_r9.json would sort after BENCH_r10.json forever,
+    # and r99/r100 breaks the same way (r10 adversarial review)
+    prior = []
+    for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", os.path.basename(p))
+        if m:
+            prior.append((int(m.group(1)), p))
     if not prior:
         return None
-    prev_path = prior[-1]
+    prev_path = max(prior)[1]
     try:
         with open(prev_path) as f:
             raw = f.read()
@@ -187,20 +194,29 @@ def _shared_subset_normalized(
     classes = {
         n: ("shuffle" if prev_q[n] < 1.0 else "compute") for n in shared
     }
-    norm_cur = sum(
-        timings[n]
+    norm_cur = {
+        n: timings[n]
         / (ratio_shuffle if classes[n] == "shuffle" else ratio_compute)
         for n in shared
-    )
+    }
     prev_total = sum(prev_q[n] for n in shared)
     return {
         "vs": os.path.basename(prev_path),
         "n_shared": len(shared),
         "raw_ratio": round(sum(timings[n] for n in shared) / prev_total, 3),
-        "normalized_ratio": round(norm_cur / prev_total, 3),
+        "normalized_ratio": round(sum(norm_cur.values()) / prev_total, 3),
         "canary_ratio_compute": round(ratio_compute, 3),
         "canary_ratio_shuffle": round(ratio_shuffle, 3),
         "classes": classes,
+        # per-query normalized ratios: the summed normalized_ratio
+        # conflates sandbox drift with INTENTIONAL plan changes (e.g. a
+        # query that swapped embedders for oracle-pairability) — the
+        # per-query map lets a reader attribute the total instead of
+        # misreading a deliberate cost as a regression
+        "per_query_ratio": {
+            n: round(norm_cur[n] / prev_q[n], 2) if prev_q[n] > 0 else None
+            for n in shared
+        },
     }
 
 

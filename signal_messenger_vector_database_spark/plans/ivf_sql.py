@@ -83,7 +83,8 @@ def capped_split_ctes(cap: int) -> str:
     (vec_id, embedding, cluster, sub) with sub = 0 for cells at/under
     ``cap`` and an md5-balanced sub in [0, ceil(csz/(cap/2))) above it.
     ONE definition consumed by every capped-fence oracle
-    (semdedup_capped, knn_graph_capped) — the shared-definition rule."""
+    (the semdedup/knn_graph_ivf defaults, semdedup_capped,
+    semdedup_uncapped's siblings) — the shared-definition rule."""
     sub_target = max(2, cap // 2)
     hv = " + ".join(
         f"(instr('0123456789abcdef', substr(md5(CAST(v.vec_id AS VARCHAR)), {pos}, 1)) - 1) * {16 ** (4 - pos)}"

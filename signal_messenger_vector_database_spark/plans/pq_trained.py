@@ -736,8 +736,14 @@ def _ivf_pq_operating_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed_arm = probed.join(
         F.broadcast(arms), F.col("rk") <= F.col("np")
     ).select("arm", "np", "qid", "cid")
-    cand = assign.join(F.broadcast(probed_arm), "cid").select(
-        "arm", "qid", "vec_id"
+    # lineage cut: cand feeds BOTH the ADC branch and the candidate-count
+    # aggregate — without the checkpoint each branch re-runs the full
+    # two-level assignment (the _semdedup_fenced lesson; caught by the
+    # r10 adversarial review)
+    cand = (
+        assign.join(F.broadcast(probed_arm), "cid")
+        .select("arm", "qid", "vec_id")
+        .localCheckpoint(eager=False)
     )
 
     af, trained = _op_trained_parts(spark, sf_dir)

@@ -145,5 +145,7 @@ def test_with_embeddings_http_path_from_executors(spark, embed_server):
         np.testing.assert_allclose(
             rows[i], _vec_for(f"doc number {i}"), rtol=1e-6
         )
-    # every prompt hit the real server exactly once
+    # every prompt hit the real server exactly once — counts too, so a
+    # double-POST regression cannot hide behind a key-set compare
     assert sorted(_Handler.seen) == sorted(f"doc number {i}" for i in range(12))
+    assert all(v == 1 for v in _Handler.seen.values()), _Handler.seen

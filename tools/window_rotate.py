@@ -63,6 +63,13 @@ def compute_window(
         raise SystemExit(
             f"--changed names are rows-only (no window slot): {unpaired_changed}"
         )
+    if len(set(changed)) > size:
+        # a negative remaining-slot count would turn the [:remaining]
+        # slices below into near-full negative-bound slices AND silently
+        # drop the overflow changed names (r10 adversarial review)
+        raise SystemExit(
+            f"{len(set(changed))} changed names exceed the {size}-slot window"
+        )
 
     window = list(dict.fromkeys(changed))
     never = [n for n in paired if n not in hist and n not in window]
