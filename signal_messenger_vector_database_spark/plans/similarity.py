@@ -1145,7 +1145,11 @@ def _knn_graph_fenced(
         emb, ivf_seed_centroids(emb, k), hier_super_count(k), n_centroids=k
     ).withColumnRenamed("cid", "cluster")
     if cap is not None:
-        assign = capped_cell_split(assign, cap=cap)
+        # capped_cell_split consumes the assignment TWICE (cell-size agg
+        # + tagged join) — cut the lineage so the assignment runs once
+        assign = capped_cell_split(
+            assign.localCheckpoint(eager=False), cap=cap
+        )
     fence_cols = ["cluster"] + (["sub"] if cap is not None else [])
     vecs = (
         assign.join(emb, "vec_id")

@@ -756,7 +756,12 @@ def _semdedup_fenced(
         emb, ivf_seed_centroids(emb, k), hier_super_count(k), n_centroids=k
     ).withColumnRenamed("cid", "cluster")
     if cap is not None:
-        assigned = capped_cell_split(assigned, cap=cap)
+        # capped_cell_split consumes the assignment TWICE (the cell-size
+        # aggregate and the tagged join) — cut the lineage so the
+        # n*(1+nprobe)*sqrt(k) assignment runs once, not per branch
+        assigned = capped_cell_split(
+            assigned.localCheckpoint(eager=False), cap=cap
+        )
     fence_cols = ["cluster"] + (["sub"] if cap is not None else [])
     # Lineage cut + per-vector norms computed ONCE (n fold passes, not
     # 2*pairs): the assignment feeds three plan branches (both pair-join
