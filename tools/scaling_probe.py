@@ -250,6 +250,21 @@ PROBES_WAVE13 = [
     "stream_ingest_index",
 ]
 
+# wave 17 (r10): the new entries under the capped-fence default.
+# ivf_pq_operating_curve: the five-arm nprobe sweep — dominated by the
+# trained-PQ build (probed linear in wave 13) plus the 'all' arm's full
+# ADC scan; expected ~linear.  The capped defaults (semdedup,
+# knn_graph_ivf) re-probe on i.i.d. replicas so the i.i.d. growth of
+# the NEW default is on record next to wave 14's skew numbers; the
+# uncapped baselines ride along for the delta.
+PROBES_WAVE17 = [
+    "ivf_pq_operating_curve",
+    "semdedup",
+    "knn_graph_ivf",
+    "semdedup_uncapped",
+    "knn_graph_uncapped",
+]
+
 # sixth wave: stateful Structured Streaming drains (AvailableNow over
 # the replicated events directory; slower — each query builds a
 # checkpoint).  First run of this wave caught the glob-arm silent empty
@@ -449,6 +464,7 @@ def main() -> None:
         "11": PROBES_WAVE11,
         "12": PROBES_WAVE12,
         "13": PROBES_WAVE13,
+        "17": PROBES_WAVE17,
     }
     probes = PROBES
     for a in sys.argv[1:]:
