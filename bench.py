@@ -91,6 +91,7 @@ HEADLINE = [
     "simhash_hamming_pairs_w64",
     # added r10 (same caveat — compare via shared_subset_normalized)
     "ivf_pq_operating_curve",
+    "ivf_recall_clustered",
 ]
 
 

@@ -684,7 +684,10 @@ SPECS["dim_ablation_recall"] = QuerySpec(
 # neighbors scatter uniformly across cells (the documented reason IVF
 # pruning caps recall here), so the CHOSEN serving point for this
 # corpus is the un-pruned flat-ADC arm; on a clustered corpus the same
-# query measures where >=0.9 becomes affordable below nprobe = k.
+# query measures where >=0.9 becomes affordable below nprobe = k —
+# MEASURED by ``ivf_recall_clustered`` (plans/retrieval_eval.py):
+# recall 0.96 at cand_frac 0.030 on the topic-clustered documents
+# corpus at sf0.1, the regime where IVF pruning earns its keep.
 #
 # Scale shape: cell ranking is 5 broadcast queries x k cells; per arm
 # the candidate set is an equi-join on the routed cell id; ADC sums are

@@ -15,6 +15,10 @@ add the *measurement* a production vector store runs continuously:
   candidates fenced inside the anchor's IVF cluster: the contrastive-
   training data op (mine negatives that are hard enough to teach the
   model but below the near-dup bar so they are true negatives).
+- ``ivf_recall_clustered`` — the nprobe/recall/candidate-fraction curve
+  on a CLUSTERED corpus derived from ``documents`` (see its section
+  comment): the measured counterpart to ``ivf_pq_operating_curve``'s
+  isotropic regime.
 
 Scale design, explicitly:
 
@@ -39,7 +43,7 @@ Scale design, explicitly:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import portable_round
@@ -385,4 +389,334 @@ SPECS["ann_ivf_hier"] = QuerySpec(
     _ann_ivf_hier,
     _ANN_IVF_HIER_SQL,
     "IVF search through the two-level quantizer (corpus-scaled k + sqrt(k)-super routing)",
+)
+
+
+# --- ivf_recall_clustered: the curve's other regime, measured --------------
+# ``ivf_pq_operating_curve`` (plans/pq_trained.py) measures IVF serving
+# on the ISOTROPIC fixture embeddings, where recall tracks the candidate
+# fraction almost linearly and >=0.9 is only affordable un-pruned — and
+# its docstring claims that "on a clustered corpus the same query
+# measures where >=0.9 becomes affordable below nprobe = k".  This query
+# SUBSTANTIATES that claim instead of asserting it: it derives a
+# clusterable corpus deterministically from the ``documents`` table
+# (topic = lang|source — the natural grouping a multilingual crawl has),
+# runs the SAME serving shape (seeded IVF cells, nprobe-routed
+# candidates, exact re-rank within candidates), and reports the
+# (nprobe, recall, candidate-fraction) rows next to the isotropic curve.
+#
+# Corpus construction (both engines, exact in doubles — the dyadic-grid
+# discipline from operators/embed.py::DyadicEmbedder):
+#   center[t][i] = hex4(md5(topic:i))            / 2^16          (16 dims)
+#   v[doc]       = center[topic(doc)] + (hex4(md5(d<doc_id>:i))/2^16
+#                                        - 0.5) / 16
+#   query[qid]   = center[topic(doc qid)] + a fresh 'q<qid>:i'
+#                  perturbation (qid 0..4 — NOT corpus members, so there
+#                  is no self-hit to exclude)
+# Every component is a multiple of 2^-20 bounded by ~1.07, so squared-L2
+# distances are exact 46-bit sums both engines replay bit-identically —
+# no rounding seam anywhere in the ranking keys (registry rule: exactness
+# at the arithmetic level beats rounding at the seam).
+#
+# Scale shape: assignment is n x K cosines with FIXED K=32 (this is a
+# routing-geometry measurement, not a fence — the corpus-scaled-k build
+# path is ``ann_ivf_hier``); candidates per arm are an equi-join on the
+# routed cell; shortlists and the ground-truth arm are two-phase top-k
+# over 5 frozen queries — O(n * |Q|), the frozen-query-sample pattern
+# ann_recall_at_k documents.  Nothing quadratic, nothing collected.
+#
+# Reference parity note: the reference declares pgvector cosine search
+# (src/rag/sqlx.rs:22-42) and never measures recall on any corpus; this
+# is north-star capability for the 100 TB pipeline.
+
+_CL_D = 16  # embedding dims (enough to separate ~100 topics)
+_CL_K = 32  # seeded IVF cells
+_CL_NQ = 5  # evaluation queries: the topics of doc_id 0..4
+_CL_ARMS = (1, 2, 4, 8)
+_CL_TOPK = 10
+
+
+def _cl_vec(topic: Column, tag: Column) -> Column:
+    """center(topic) + perturbation(tag) as an array<double> — 2*_CL_D
+    md5s per row, pure codegen, no shuffle.  ONE definition consumed by
+    the corpus, the seeds, and the query vectors."""
+    from ..operators.dedup import _hex_to_int
+
+    def h4(col):
+        return _hex_to_int(F.md5(col), 4).cast("double")
+
+    return F.array(
+        *[
+            h4(F.concat(topic, F.lit(f":{i}"))) / F.lit(65536.0)
+            + (
+                h4(F.concat(tag, F.lit(f":{i}"))) / F.lit(65536.0)
+                - F.lit(0.5)
+            )
+            / F.lit(16.0)
+            for i in range(_CL_D)
+        ]
+    )
+
+
+def _cl_d2(a: str, b: str) -> Column:
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _ivf_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import two_phase_topk
+
+    n = parquet_row_count(sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.concat_ws("|", "lang", "source").alias("topic")
+    )
+    # Lineage cut on the derived corpus: without it Catalyst INLINES the
+    # 2*_CL_D md5/conv expressions into every join branch — the n x K
+    # assignment cross join then evaluates 32 md5s per JOINED row
+    # (measured: 5.1M md5s, 6.3 s for the assignment alone at sf0.1)
+    # instead of 32 per corpus row.  The checkpoint materializes the
+    # projection once; every consumer reads plain arrays.
+    vecs = docs.select(
+        "doc_id",
+        _cl_vec(
+            F.col("topic"),
+            F.concat(F.lit("d"), F.col("doc_id").cast("string")),
+        ).alias("v"),
+    ).localCheckpoint(eager=False)
+    # Seeds and query vectors are FROZEN index/eval constants (the
+    # kmeans-codebook collect pattern): materialize the 32 + 5 rows ONCE
+    # driver-side and re-inject as local relations — otherwise every
+    # F.broadcast() of these subtrees re-runs the parquet scan + md5
+    # projection as its own job (measured: 23 jobs / 14.6 s warm at
+    # sf0.1 before, 8 jobs / ~3 s after).  The doubles collected are the
+    # doubles Spark computed — bit-identical to the inline form, so the
+    # oracle is unchanged.
+    seed_rows = [
+        (r["doc_id"], r["v"])
+        for r in vecs.filter(F.col("doc_id") < _CL_K).collect()
+    ]
+    q_rows = [
+        (r["qid"], r["qv"])
+        for r in docs.filter(F.col("doc_id") < _CL_NQ)
+        .select(
+            F.col("doc_id").cast("int").alias("qid"),
+            _cl_vec(
+                F.col("topic"),
+                F.concat(F.lit("q"), F.col("doc_id").cast("string")),
+            ).alias("qv"),
+        )
+        .collect()
+    ]
+    seeds = spark.createDataFrame(seed_rows, "cid long, cv array<double>")
+    queries = spark.createDataFrame(q_rows, "qid int, qv array<double>")
+
+    # assignment: n x K exact-d2 argmin (min over (d2, cid) structs ==
+    # the oracle's ROW_NUMBER ORDER BY d2, cid)
+    assign = (
+        vecs.crossJoin(F.broadcast(seeds))
+        .groupBy("doc_id")
+        .agg(F.min(F.struct(_cl_d2("v", "cv").alias("d2"), F.col("cid"))).alias("m"))
+        .select("doc_id", F.col("m.cid").alias("cid"))
+    )
+
+    # query routing: 5 x K ranked cells, one row per (arm, probed cell).
+    # Both operands are the frozen constants above, so the ranking runs
+    # at plan-construction time — every term is a multiple of 2^-40
+    # bounded far below 2^53, so Python's left-to-right IEEE sum replays
+    # the exact doubles the engines compute (the module-comment
+    # exactness argument); the oracle ranks the same values with
+    # ROW_NUMBER.
+    def _d2(a: list, b: list) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    ranked = {
+        qid: sorted((_d2(qv, cv), cid) for cid, cv in seed_rows)
+        for qid, qv in q_rows
+    }
+    arms = spark.createDataFrame([(a,) for a in _CL_ARMS], "np int")
+    probed_arm = spark.createDataFrame(
+        [
+            (np, qid, cid)
+            for np in _CL_ARMS
+            for qid, _ in q_rows
+            for _, cid in ranked[qid][:np]
+        ],
+        "np int, qid int, cid long",
+    )
+
+    # lineage cut: cand feeds the shortlist AND the candidate-count
+    # aggregate — without it the n x K assignment re-runs per branch
+    cand = (
+        assign.join(F.broadcast(probed_arm), "cid")
+        .select("np", "qid", "doc_id")
+        .localCheckpoint(eager=False)
+    )
+
+    scored = (
+        cand.join(vecs, "doc_id")
+        .join(F.broadcast(queries), "qid")
+        .select(
+            "np",
+            "qid",
+            "doc_id",
+            _cl_d2("v", "qv").alias("d2"),
+            F.concat_ws("#", "np", "qid").alias("_g"),
+        )
+    )
+    short = two_phase_topk(
+        scored, "_g", [F.asc("d2"), F.asc("doc_id")], _CL_TOPK
+    ).select("np", "qid", "doc_id")
+
+    exact = two_phase_topk(
+        vecs.crossJoin(F.broadcast(queries)).select(
+            "qid", "doc_id", _cl_d2("v", "qv").alias("d2")
+        ),
+        "qid",
+        [F.asc("d2"), F.asc("doc_id")],
+        _CL_TOPK,
+    ).select("qid", "doc_id")
+
+    hits = (
+        short.join(F.broadcast(exact), ["qid", "doc_id"])
+        .groupBy("np", "qid")
+        .agg(F.count(F.lit(1)).alias("nh"))
+    )
+    # tiny derived aggregates: explicit broadcasts (the EXPLAIN-audit
+    # class — Catalyst has no stats for either side)
+    grid = arms.crossJoin(F.broadcast(queries.select("qid")))
+    perq = grid.join(F.broadcast(hits), ["np", "qid"], "left").select(
+        "np", "qid", F.coalesce("nh", F.lit(0)).alias("nh")
+    )
+    candn = cand.groupBy("np").agg(F.count(F.lit(1)).alias("sum_cand"))
+    denom = float(_CL_NQ * _CL_TOPK)
+    return (
+        perq.groupBy("np")
+        .agg(
+            F.sum("nh").alias("nht"),
+            F.min(F.col("nh").cast("double") / F.lit(float(_CL_TOPK))).alias(
+                "recall_min"
+            ),
+        )
+        .join(F.broadcast(candn), "np")
+        .select(
+            F.col("np").cast("int").alias("nprobe"),
+            F.col("sum_cand").cast("long").alias("sum_cand"),
+            (
+                F.col("sum_cand").cast("double") / F.lit(float(_CL_NQ * n))
+            ).alias("cand_frac"),
+            F.col("nht").cast("long").alias("n_hits"),
+            (F.col("nht").cast("double") / F.lit(denom)).alias("recall_mean"),
+            "recall_min",
+        )
+        .orderBy("nprobe")
+    )
+
+
+def _cl_sql_vec(topic: str, tag: str) -> str:
+    """DuckDB twin of _cl_vec: the list-comprehension form of the same
+    dyadic arithmetic (``_sql_hex4`` is the shared hex-to-int SQL)."""
+    from .similarity import _sql_hex4
+
+    c = _sql_hex4(f"md5({topic} || ':' || CAST(i AS VARCHAR))")
+    d = _sql_hex4(f"md5({tag} || ':' || CAST(i AS VARCHAR))")
+    return (
+        f"list_transform(range(0, {_CL_D}), i -> "
+        f"{c} / 65536.0 + ({d} / 65536.0 - 0.5) / 16.0)"
+    )
+
+
+def _ivf_recall_clustered_sql() -> str:
+    def d2(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {_CL_D + 1}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+        )
+
+    arm_rows = ", ".join(f"({a})" for a in _CL_ARMS)
+    return f"""
+WITH docs AS (
+  SELECT doc_id, lang || '|' || source AS topic FROM documents
+),
+vecs AS (
+  SELECT doc_id,
+         {_cl_sql_vec("topic", "'d' || CAST(doc_id AS VARCHAR)")} AS v
+  FROM docs
+),
+seeds AS (SELECT doc_id AS cid, v AS cv FROM vecs WHERE doc_id < {_CL_K}),
+q AS (
+  SELECT CAST(doc_id AS INTEGER) AS qid,
+         {_cl_sql_vec("topic", "'q' || CAST(doc_id AS VARCHAR)")} AS qv
+  FROM docs WHERE doc_id < {_CL_NQ}
+),
+assign AS (
+  SELECT doc_id, cid FROM (
+    SELECT v.doc_id, s.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.doc_id
+                              ORDER BY {d2("v.v", "s.cv")}, s.cid) AS rk
+    FROM vecs v, seeds s
+  ) WHERE rk = 1
+),
+probed AS (
+  SELECT qid, cid, rk FROM (
+    SELECT q.qid, s.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+                              ORDER BY {d2("q.qv", "s.cv")}, s.cid) AS rk
+    FROM q, seeds s
+  )
+),
+arms(np) AS (VALUES {arm_rows}),
+cand AS (
+  SELECT a.np, p.qid, s2.doc_id
+  FROM arms a JOIN probed p ON p.rk <= a.np
+  JOIN assign s2 ON s2.cid = p.cid
+),
+short AS (
+  SELECT np, qid, doc_id FROM (
+    SELECT c.np, c.qid, c.doc_id,
+           ROW_NUMBER() OVER (PARTITION BY c.np, c.qid
+                              ORDER BY {d2("v.v", "q.qv")}, c.doc_id) AS rk
+    FROM cand c JOIN vecs v ON v.doc_id = c.doc_id JOIN q ON q.qid = c.qid
+  ) WHERE rk <= {_CL_TOPK}
+),
+exact AS (
+  SELECT qid, doc_id FROM (
+    SELECT q.qid, v.doc_id,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+                              ORDER BY {d2("v.v", "q.qv")}, v.doc_id) AS rk
+    FROM vecs v, q
+  ) WHERE rk <= {_CL_TOPK}
+),
+hits AS (
+  SELECT s.np, s.qid, COUNT(*) AS nh
+  FROM short s JOIN exact e USING (qid, doc_id) GROUP BY 1, 2
+),
+grid AS (SELECT a.np, q.qid FROM arms a, q),
+perq AS (
+  SELECT g.np, g.qid, COALESCE(h.nh, 0) AS nh
+  FROM grid g LEFT JOIN hits h ON g.np = h.np AND g.qid = h.qid
+),
+candn AS (SELECT np, COUNT(*) AS sum_cand FROM cand GROUP BY np)
+SELECT CAST(p2.np AS INTEGER) AS nprobe,
+       CAST(c2.sum_cand AS BIGINT) AS sum_cand,
+       CAST(c2.sum_cand AS DOUBLE)
+         / ({float(_CL_NQ)} * (SELECT COUNT(*) FROM documents)) AS cand_frac,
+       CAST(SUM(p2.nh) AS BIGINT) AS n_hits,
+       CAST(SUM(p2.nh) AS DOUBLE) / {float(_CL_NQ * _CL_TOPK)} AS recall_mean,
+       MIN(CAST(p2.nh AS DOUBLE) / {float(_CL_TOPK)}) AS recall_min
+FROM perq p2 JOIN candn c2 USING (np)
+GROUP BY p2.np, c2.sum_cand
+ORDER BY nprobe
+"""
+
+
+SPECS["ivf_recall_clustered"] = QuerySpec(
+    _ivf_recall_clustered,
+    _ivf_recall_clustered_sql(),
+    "recall@10 / candidate-fraction vs nprobe on a CLUSTERED corpus (topic = lang|source): where IVF pruning earns its keep",
 )

@@ -196,3 +196,40 @@ def test_ivf_hier_agreement_floor_and_validity(spark):
     ).collect()
     assert len(hier) == n  # exactly one assignment per vector
     assert all(0 <= r.cid < k for r in hier)
+
+
+def test_ivf_recall_clustered_curve_shape(spark):
+    """The clustered-corpus operating curve must (a) be monotone — recall
+    and candidate fraction both nondecreasing in nprobe, (b) show the
+    clustering SIGNAL the query exists to demonstrate: recall_mean far
+    above the candidate fraction at every nprobe (on the isotropic
+    fixture the curve sits at recall ~ 1.4x cand_frac; here the topic
+    structure must put it at >= 5x), and (c) keep every recall in
+    [0, 1] with sum_cand consistent with cand_frac."""
+    from signal_messenger_vector_database_spark.io.sources import (
+        parquet_row_count,
+    )
+    from signal_messenger_vector_database_spark.plans.retrieval_eval import (
+        _CL_NQ,
+        _ivf_recall_clustered,
+    )
+
+    rows = sorted(
+        _ivf_recall_clustered(spark, SF).collect(), key=lambda r: r.nprobe
+    )
+    assert [r.nprobe for r in rows] == [1, 2, 4, 8]
+    n = parquet_row_count(SF, "documents")
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.recall_mean >= prev.recall_mean
+        assert cur.sum_cand >= prev.sum_cand
+    for r in rows:
+        assert 0.0 <= r.recall_min <= r.recall_mean <= 1.0
+        assert abs(r.cand_frac - r.sum_cand / (_CL_NQ * n)) < 1e-12
+    # the clustered-corpus claim, asserted where pruning is most
+    # aggressive (nprobe=1; at high nprobe recall saturates at 1.0 so
+    # the ratio necessarily collapses toward 1/cand_frac): routing
+    # recovers far more recall per candidate than the isotropic
+    # corpus's ~1.4x — the headline is high recall at a few percent
+    # of the corpus
+    assert rows[0].recall_mean >= 5 * rows[0].cand_frac
+    assert rows[0].recall_mean >= 0.7 and rows[0].cand_frac <= 0.08
