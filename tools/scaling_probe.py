@@ -265,6 +265,15 @@ PROBES_WAVE17 = [
     "knn_graph_uncapped",
 ]
 
+# wave 18 (r10, late): the clustered-corpus serving curve.  Replicas
+# keep lang/source, so the topic count stays ~100 while every topic
+# grows k-fold — the assignment is n x 32 exact d2 (linear), candidates
+# grow linearly per probed cell, shortlists/ground truth are two-phase
+# top-k over 5 frozen queries; expect ~linear.
+PROBES_WAVE18 = [
+    "ivf_recall_clustered",
+]
+
 # sixth wave: stateful Structured Streaming drains (AvailableNow over
 # the replicated events directory; slower — each query builds a
 # checkpoint).  First run of this wave caught the glob-arm silent empty
@@ -465,6 +474,7 @@ def main() -> None:
         "12": PROBES_WAVE12,
         "13": PROBES_WAVE13,
         "17": PROBES_WAVE17,
+        "18": PROBES_WAVE18,
     }
     probes = PROBES
     for a in sys.argv[1:]:
