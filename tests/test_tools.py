@@ -1,0 +1,170 @@
+"""Unit tests for the round-workflow tools the driver evidence depends
+on: ``tools/window_rotate.py`` (generates the 50-slot verification
+window from CORRECTNESS history) and bench.py's canary-normalized
+cross-round comparison.  Both are pure functions — no Spark session —
+so defects here would otherwise only surface as a silently-wrong
+window or a misleading BENCH field a round later."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+sys.path.insert(0, REPO)
+
+
+# --- window_rotate ----------------------------------------------------------
+
+
+def test_window_rotate_matches_pinned_window(monkeypatch):
+    """The committed _WINDOW must be exactly what the tool generates
+    from the r01-r09 CORRECTNESS history (the documented input state in
+    the catalog comment block) and the documented --changed list — the
+    rotation rule is executable, so the pinned list must not drift from
+    it.  History is pinned to <= r9 so the test stays true after the
+    r10 driver row lands."""
+    import window_rotate
+
+    from signal_messenger_vector_database_spark.plans.catalog import _WINDOW
+
+    real = window_rotate.latest_rounds
+
+    def r9_history():
+        import glob
+        import re
+
+        hist = {}
+        for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+            rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+            if rnd > 9:
+                continue
+            for name in json.load(open(f)):
+                hist[name] = max(rnd, hist.get(name, 0))
+        return hist
+
+    monkeypatch.setattr(window_rotate, "latest_rounds", r9_history)
+    assert real is not r9_history  # sanity: we really swapped it
+
+    changed = [
+        "ivf_recall_clustered",
+        "ivf_pq_operating_curve",
+        "semdedup",
+        "semdedup_capped",
+        "semdedup_uncapped",
+        "knn_graph_ivf",
+        "knn_graph_uncapped",
+        "mock_embed",
+        "ingest_pipeline",
+        "simhash",
+        "simhash_hamming_pairs",
+        "simhash_hamming_pairs_w32",
+        "simhash_hamming_pairs_w64",
+        "simhash_hamming_pairs_auto",
+        "pq_operating_point",
+    ]
+    window, prov = window_rotate.compute_window(changed, 50)
+    assert window == _WINDOW
+    assert len(window) == 50 == len(set(window))
+    # changed names lead, in the order given
+    assert window[: len(changed)] == changed
+
+
+def test_window_rotate_ordering_and_validation():
+    import window_rotate
+
+    # stalest-first after the changed block: every non-changed entry's
+    # latest round must be <= the next one's only within the stale
+    # suffix when both have history (ties broken by catalog order)
+    window, prov = window_rotate.compute_window([], 50)
+    hist = window_rotate.latest_rounds()
+    rounds = [hist[n] for n in window if n in hist]
+    assert rounds == sorted(rounds)
+
+    with pytest.raises(SystemExit):
+        window_rotate.compute_window(["no_such_query"], 50)
+    # rows-only entries can never turn hash-green: no window slot
+    with pytest.raises(SystemExit):
+        window_rotate.compute_window(["approx_distinct"], 50)
+    # an over-full changed list must be an explicit error, not a
+    # silent truncation
+    from signal_messenger_vector_database_spark.plans.catalog import (
+        all_specs,
+    )
+
+    paired = [n for n, s in all_specs().items() if s.oracle is not None]
+    with pytest.raises(SystemExit):
+        window_rotate.compute_window(paired[:51], 50)
+
+
+# --- bench shared_subset_normalized ----------------------------------------
+
+
+def _mk_prev(tmp_path, round_no: int, payload: dict) -> None:
+    (tmp_path / f"BENCH_r{round_no}.json").write_text(json.dumps(payload))
+
+
+def test_bench_normalization_classes_and_ratios(tmp_path):
+    import importlib
+
+    bench = importlib.import_module("bench")
+
+    prev = {
+        "queries": {"fast_q": 0.5, "slow_q": 4.0, "gone_q": 1.0},
+        "canary": {"sec": 0.2},
+        "canary_shuffle": {"sec": 1.0},
+    }
+    # the driver wraps the bench line — the reader must unwrap "parsed"
+    _mk_prev(tmp_path, 9, {"n": 1, "rc": 0, "parsed": prev})
+    timings = {"fast_q": 1.0, "slow_q": 4.0, "new_q": 2.0}
+    out = {"canary": {"sec": 0.4}, "canary_shuffle": {"sec": 1.0}}
+
+    norm = bench._shared_subset_normalized(str(tmp_path), timings, out)
+    assert norm["vs"] == "BENCH_r9.json"
+    assert norm["n_shared"] == 2  # gone_q and new_q drop out
+    # prev < 1 s => shuffle-bound (classed by the PREVIOUS round so this
+    # round's noise cannot flip the class)
+    assert norm["classes"] == {"fast_q": "shuffle", "slow_q": "compute"}
+    # compute canary doubled: slow_q normalizes 4.0 -> 2.0; shuffle
+    # canary flat: fast_q stays 1.0 => normalized (2.0+1.0)/4.5
+    assert norm["canary_ratio_compute"] == 2.0
+    assert norm["normalized_ratio"] == round(3.0 / 4.5, 3)
+    assert norm["per_query_ratio"] == {"fast_q": 2.0, "slow_q": 0.5}
+
+
+def test_bench_normalization_picks_newest_round_numerically(tmp_path):
+    """BENCH_r9 vs BENCH_r10: numeric round order, not lexicographic
+    filename order (which would pin r9 as newest forever)."""
+    import importlib
+
+    bench = importlib.import_module("bench")
+
+    base = {
+        "queries": {"q": 1.0},
+        "canary": {"sec": 1.0},
+        "canary_shuffle": {"sec": 1.0},
+    }
+    _mk_prev(tmp_path, 9, dict(base, queries={"q": 9.0}))
+    _mk_prev(tmp_path, 10, dict(base, queries={"q": 10.0}))
+    norm = bench._shared_subset_normalized(
+        str(tmp_path),
+        {"q": 5.0},
+        {"canary": {"sec": 1.0}, "canary_shuffle": {"sec": 1.0}},
+    )
+    assert norm["vs"] == "BENCH_r10.json"
+    assert norm["raw_ratio"] == 0.5
+
+
+def test_bench_normalization_absent_or_broken_prior(tmp_path):
+    import importlib
+
+    bench = importlib.import_module("bench")
+
+    out = {"canary": {"sec": 1.0}, "canary_shuffle": {"sec": 1.0}}
+    assert bench._shared_subset_normalized(str(tmp_path), {"q": 1.0}, out) is None
+    (tmp_path / "BENCH_r3.json").write_text("not json at all")
+    assert bench._shared_subset_normalized(str(tmp_path), {"q": 1.0}, out) is None
