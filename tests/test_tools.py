@@ -27,7 +27,13 @@ def test_window_rotate_matches_pinned_window(monkeypatch):
     the catalog comment block) and the documented --changed list — the
     rotation rule is executable, so the pinned list must not drift from
     it.  History is pinned to <= r9 so the test stays true after the
-    r10 driver row lands."""
+    r10 driver row lands.
+
+    NEXT-ROUND NOTE: when a round re-pins _WINDOW, update this test in
+    the SAME commit — copy the new --changed list from the catalog
+    comment block and raise the history bound to the new round's
+    inputs.  That keeps the window's provenance executable instead of
+    letting the pinned list and the tool drift apart silently."""
     import window_rotate
 
     from signal_messenger_vector_database_spark.plans.catalog import _WINDOW
