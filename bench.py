@@ -92,6 +92,7 @@ HEADLINE = [
     # added r10 (same caveat — compare via shared_subset_normalized)
     "ivf_pq_operating_curve",
     "ivf_recall_clustered",
+    "bitext_margin_pairs",
 ]
 
 

@@ -1249,6 +1249,204 @@ SPECS["knn_graph_uncapped"] = QuerySpec(
 )
 
 
+# --- bitext_margin_pairs: margin-based parallel-corpus mining ---------------
+# The CCMatrix / LASER mining op (Artetxe & Schwenk, "Margin-based
+# Parallel Corpus Mining with Multilingual Sentence Embeddings", ACL
+# 2019 — public method): given two embedding shards (two languages),
+# mine sentence pairs whose cosine stands out from each side's
+# neighborhood,
+#
+#   margin(x, y) = cos(x, y) / ((avgNN_k(x) + avgNN_k(y)) / 2),
+#
+# keeping MUTUAL best matches above a margin threshold.  Plain
+# cosine-threshold mining drifts with each language's density; the
+# ratio margin is scale-free, which is why the billion-pair public
+# mines use it.  Here the two shards are vec_id parity (documented
+# stand-in for two language collections — the testdata has one
+# embedding table), and the candidate neighborhoods are fenced inside
+# the SAME capped (cluster, sub) quantizer cells as the knn/semdedup
+# defaults — at 100 TB each shard is its own corpus and the fence is
+# what makes the k-NN side linear (full CCMatrix mines against an IVF
+# index exactly like this).
+#
+# Cross-engine FP discipline (the groupedmap.py integer-sufficient-
+# statistics rule): per-pair cosines quantize ONCE to exact BIGINTs
+# (ci = FLOOR(cos*1e4 + 0.5)); neighborhood averages stay integer SUMS
+# plus COUNTs (order-free, exact); the margin is computed as ONE
+# division of two exact small integers,
+#
+#   margin = 2*c*kx*ky / (sum_x*ky + sum_y*kx),
+#
+# so both engines divide the same numerator by the same denominator —
+# no averaged-doubles seam, no sum-order seam.  Ranking keys are
+# (integer ci, id).
+#
+# Reference parity note: north-star capability (BASELINE.json's
+# training-data pipeline), not reference parity — the reference has no
+# multilingual surface (src/rag/dataframes.rs embeds one message
+# stream).
+
+_BT_K = 4  # neighborhood size for the margin denominator
+# Margin threshold: production mines calibrate this per corpus (the
+# public LASER mines sit near 1.06 on real multilingual embeddings).
+# On THIS corpus mutuality alone puts every pair above 1.07 (measured:
+# min 1.067/1.096/1.083, median ~1.37 across the three scales), so
+# 1.25 is the fixture-live operating point — it keeps 79/120, 112/130,
+# 391/480 mutual pairs at sf0.001/0.01/0.1, i.e. BOTH filter arms do
+# real work at every scale instead of the threshold being decorative.
+_BT_MARGIN = 1.25
+
+
+def _bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions.text import portable_round
+    from ..functions.vector import dot_product, l2_norm
+    from ..io.sources import parquet_row_count
+    from ..operators.ann import (
+        capped_cell_split,
+        hier_super_count,
+        ivf_assign_hier,
+        ivf_seed_centroids,
+        scaled_cluster_count,
+    )
+
+    n = parquet_row_count(sf_dir, "embeddings")
+    k = scaled_cluster_count(n)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    assign = ivf_assign_hier(
+        emb, ivf_seed_centroids(emb, k), hier_super_count(k), n_centroids=k
+    ).withColumnRenamed("cid", "cluster")
+    assign = capped_cell_split(assign.localCheckpoint(eager=False), cap=_KNN_CAP)
+    vecs = (
+        assign.join(emb, "vec_id")
+        .select(
+            "vec_id",
+            "cluster",
+            "sub",
+            (F.col("vec_id") % 2).alias("side"),
+            "embedding",
+            l2_norm("embedding").alias("nrm"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    x = vecs.filter(F.col("side") == 0).select(
+        F.col("vec_id").alias("src"),
+        F.col("cluster").alias("cl_x"),
+        F.col("sub").alias("sub_x"),
+        F.col("embedding").alias("vx"),
+        F.col("nrm").alias("nx"),
+    )
+    y = vecs.filter(F.col("side") == 1).select(
+        F.col("vec_id").alias("tgt"),
+        F.col("cluster").alias("cl_y"),
+        F.col("sub").alias("sub_y"),
+        F.col("embedding").alias("vy"),
+        F.col("nrm").alias("ny"),
+    )
+    ci = F.floor(
+        dot_product("vx", "vy") / (F.col("nx") * F.col("ny")) * 10000
+        + F.lit(0.5)
+    ).cast("long")
+    cand = x.join(
+        y,
+        (F.col("cl_x") == F.col("cl_y")) & (F.col("sub_x") == F.col("sub_y")),
+    ).select("src", "tgt", ci.alias("ci"))
+    # the pair set feeds four branches (two neighborhood aggregates, the
+    # two mutual-rank windows) — cut the lineage so the fenced cosine
+    # join runs once
+    cand = cand.localCheckpoint(eager=False)
+
+    wx = Window.partitionBy("src").orderBy(F.desc("ci"), "tgt")
+    wy = Window.partitionBy("tgt").orderBy(F.desc("ci"), "src")
+    ranked = cand.withColumn("rk_x", F.row_number().over(wx)).withColumn(
+        "rk_y", F.row_number().over(wy)
+    )
+    hood_x = (
+        ranked.filter(F.col("rk_x") <= _BT_K)
+        .groupBy("src")
+        .agg(F.sum("ci").alias("sum_x"), F.count(F.lit(1)).alias("k_x"))
+    )
+    hood_y = (
+        ranked.filter(F.col("rk_y") <= _BT_K)
+        .groupBy("tgt")
+        .agg(F.sum("ci").alias("sum_y"), F.count(F.lit(1)).alias("k_y"))
+    )
+    mutual = ranked.filter((F.col("rk_x") == 1) & (F.col("rk_y") == 1))
+    num = 2 * F.col("ci") * F.col("k_x") * F.col("k_y")
+    den = F.col("sum_x") * F.col("k_y") + F.col("sum_y") * F.col("k_x")
+    margin = portable_round(
+        num.cast("double") / den.cast("double"), 4
+    )
+    return (
+        mutual.join(hood_x, "src")
+        .join(hood_y, "tgt")
+        .filter(F.col("sum_x") * F.col("k_y") + F.col("sum_y") * F.col("k_x") > 0)
+        .select(
+            "src",
+            "tgt",
+            (F.col("ci").cast("double") / F.lit(10000.0)).alias("cos_sim"),
+            margin.alias("margin"),
+        )
+        .filter(F.col("margin") >= _BT_MARGIN)
+        .orderBy("src")
+    )
+
+
+def _bitext_margin_pairs_sql() -> str:
+    from .ivf_sql import HIER_ASSIGN_CTES, capped_split_ctes
+
+    cos_xy = _SQL_COS.format(a="x.embedding", b="y.embedding")
+    return f"""
+WITH {HIER_ASSIGN_CTES},
+{capped_split_ctes(_KNN_CAP)},
+cand AS (
+  SELECT x.vec_id AS src, y.vec_id AS tgt,
+         CAST(FLOOR(({cos_xy}) * 10000 + 0.5) AS BIGINT) AS ci
+  FROM sv2 x JOIN sv2 y
+    ON x.cluster = y.cluster AND x.sub = y.sub
+   AND x.vec_id % 2 = 0 AND y.vec_id % 2 = 1
+),
+ranked AS (
+  SELECT src, tgt, ci,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY ci DESC, tgt) AS rk_x,
+         ROW_NUMBER() OVER (PARTITION BY tgt ORDER BY ci DESC, src) AS rk_y
+  FROM cand
+),
+hood_x AS (
+  SELECT src, SUM(ci) AS sum_x, COUNT(*) AS k_x
+  FROM ranked WHERE rk_x <= {_BT_K} GROUP BY src
+),
+hood_y AS (
+  SELECT tgt, SUM(ci) AS sum_y, COUNT(*) AS k_y
+  FROM ranked WHERE rk_y <= {_BT_K} GROUP BY tgt
+)
+SELECT m.src, m.tgt,
+       CAST(m.ci AS DOUBLE) / 10000.0 AS cos_sim,
+       FLOOR((CAST(2 * m.ci * hx.k_x * hy.k_y AS DOUBLE)
+              / CAST(hx.sum_x * hy.k_y + hy.sum_y * hx.k_x AS DOUBLE))
+             * 10000 + 0.5) / 10000 AS margin
+FROM ranked m
+JOIN hood_x hx ON m.src = hx.src
+JOIN hood_y hy ON m.tgt = hy.tgt
+WHERE m.rk_x = 1 AND m.rk_y = 1
+  AND hx.sum_x * hy.k_y + hy.sum_y * hx.k_x > 0
+  AND FLOOR((CAST(2 * m.ci * hx.k_x * hy.k_y AS DOUBLE)
+             / CAST(hx.sum_x * hy.k_y + hy.sum_y * hx.k_x AS DOUBLE))
+            * 10000 + 0.5) / 10000 >= {_BT_MARGIN}
+ORDER BY m.src
+"""
+
+
+SPECS["bitext_margin_pairs"] = QuerySpec(
+    _bitext_margin_pairs,
+    _bitext_margin_pairs_sql(),
+    "margin-based bitext mining (Artetxe-Schwenk ratio margin): mutual cross-shard best matches above the neighborhood-scaled threshold, fenced in the capped IVF cells",
+)
+
+
 # --- simhash_hamming_pairs_auto: the geometry rule, live --------------------
 # The three pinned rungs (16/32/64-bit) demonstrate the width knob; THIS
 # entry makes `simhash_geometry` the actual default: fingerprint width

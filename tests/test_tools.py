@@ -57,6 +57,7 @@ def test_window_rotate_matches_pinned_window(monkeypatch):
     assert real is not r9_history  # sanity: we really swapped it
 
     changed = [
+        "bitext_margin_pairs",
         "ivf_recall_clustered",
         "ivf_pq_operating_curve",
         "semdedup",

@@ -88,6 +88,7 @@ COMMENTARY = {
     "topk_ivf_pq_trained": "The clustered-corpus serving composition (r9): shared hier coarse assignment fences candidates to the query's nprobe=3 probed cells, trained 16x4 ADC scores 16 bytes/candidate against a broadcast integer LUT, exact cosine re-ranks the 100-row shortlist (broadcast semi-join against the full-precision table). Honest number: composed shortlist recall 0.7/0.6/0.5 on this ISOTROPIC corpus vs 1.0 unfenced — the shape serves clustered real-text embeddings; pq_operating_point is this corpus's default.",
     "simhash_hamming_pairs_w64": "The 64-bit geometry rung (r9): two-half fingerprints (fp_hi/fp_lo longs from disjoint md5 hex slices) built by 64 partial-aggregated bit-votes; the pigeonhole band join meets on 4 bands x 16 bits = 65,536 bucket values per band, so bucket population is n/65k and the integer bit_count verify is ~exact-dup-only at any fixture scale (wave-13 probe: 4.6x at 16x vs the 16-bit rung's 67x — the residual growth is the LINEAR fingerprint build). Width derives from corpus size via simhash_geometry().",
     "ivf_pq_operating_curve": "The nprobe/recall/candidate-fraction curve (r10): per-query cell ranking over k broadcast cells, candidates per arm via an equi-join on the routed cell id, ADC sums partial-aggregated per (arm, qid, vec_id), shortlists two-phase — never a global sort. The 'all' arm is the measured >=0.9 operating point (mean 0.96 / min 0.9 at sf0.1); each 2x candidate cut's recall price is a published row.",
+    "bitext_margin_pairs": "Margin-based bitext mining (r10, late — the CCMatrix/LASER op, Artetxe & Schwenk ratio margin): cross-shard candidates fenced in the SAME capped (cluster, sub) cells as the knn default (bounded pair volume on any distribution), per-pair cosines quantized ONCE to exact BIGINTs, neighborhood denominators kept as integer SUM+COUNT (order-free), mutuality via two row_number windows over the same candidate set, margin = one division of two exact integers. The fenced cosine join runs once behind a lineage cut and feeds all four consumers.",
     "ivf_recall_clustered": "The curve's clustered regime (r10, late): corpus derived from documents via dyadic md5 geometry (exact in doubles), materialized ONCE behind a lineage cut — without it Catalyst inlines the 32 md5/conv expressions into the n x K assignment cross join (measured 5.1M md5 evals vs 160k rows). Seeds/queries are frozen local relations, routing happens at plan construction, candidates per arm ride one broadcast equi-join on the routed cell, shortlists and ground truth are two-phase top-k. Measured recall 0.96 at cand_frac 0.030 (nprobe=1) at sf0.1 — the regime where IVF pruning earns its keep.",
     "semdedup_capped": "The default's diagnostic twin (ONE shared builder): same capped (cluster, sub) fence with the sub-cell id EXPOSED so the split geometry is oracle-checked per vector. Keep-superset invariant (splitting only removes candidates) pinned by test.",
     "stream_ingest_index": "The reference's raison d'etre as ONE streaming query (r9): suppression and chunk-explode run stream-side as JVM expressions, the embed stage is the md5 featurizer (dyadic-exact, no Python), and foreachBatch performs delta index maintenance — each micro-batch broadcast-joins the 8-row centroid table, argmins via min_by partial agg, and APPENDS to the index (state is the index, not the stream). The plan shown is the post-drain accounting aggregate; 4 real micro-batches via maxFilesPerTrigger=1. Probe: 2.2x at 16x.",

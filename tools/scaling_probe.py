@@ -265,13 +265,17 @@ PROBES_WAVE17 = [
     "knn_graph_uncapped",
 ]
 
-# wave 18 (r10, late): the clustered-corpus serving curve.  Replicas
-# keep lang/source, so the topic count stays ~100 while every topic
-# grows k-fold — the assignment is n x 32 exact d2 (linear), candidates
-# grow linearly per probed cell, shortlists/ground truth are two-phase
-# top-k over 5 frozen queries; expect ~linear.
+# wave 18 (r10, late): the clustered-corpus serving curve + the bitext
+# miner.  Replicas keep lang/source, so the topic count stays ~100
+# while every topic grows k-fold — the clustered assignment is n x 32
+# exact d2 (linear), candidates grow linearly per probed cell,
+# shortlists/ground truth are two-phase top-k over 5 frozen queries;
+# the bitext miner rides the same capped (cluster, sub) fence as the
+# knn default, so its candidate volume is bounded by construction.
+# Expect ~linear for both.
 PROBES_WAVE18 = [
     "ivf_recall_clustered",
+    "bitext_margin_pairs",
 ]
 
 # sixth wave: stateful Structured Streaming drains (AvailableNow over
