@@ -233,3 +233,71 @@ def test_ivf_recall_clustered_curve_shape(spark):
     # of the corpus
     assert rows[0].recall_mean >= 5 * rows[0].cand_frac
     assert rows[0].recall_mean >= 0.7 and rows[0].cand_frac <= 0.08
+
+
+def test_clustered_dyadic_arithmetic_is_exact_across_runtimes(spark):
+    """ivf_recall_clustered ranks query routing at PLAN time in Python,
+    trusting that every dyadic component and squared-L2 fold replays the
+    exact doubles Spark (and therefore the DuckDB oracle) computes.
+    That claim is mathematical (components are multiples of 2^-20 with
+    bounded magnitude, so all sums stay exact in 53-bit significands) —
+    this test pins it empirically: Spark-evaluated vectors and pair
+    distances must equal the pure-Python replay BIT-FOR-BIT (==, no
+    tolerance), including across fold orders."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from signal_messenger_vector_database_spark.plans.retrieval_eval import (
+        _CL_D,
+        _cl_d2,
+        _cl_vec,
+    )
+
+    topics = [f"lang{i % 7}|src{i % 13}" for i in range(40)] + [
+        "unié|中文",  # non-ASCII survives UTF-8 md5 on both sides
+        "x|y",
+    ]
+    rows = [(i, t, f"d{i}") for i, t in enumerate(topics)]
+    df = spark.createDataFrame(rows, "rid int, topic string, tag string")
+    got = {
+        r["rid"]: r["v"]
+        for r in df.select(
+            "rid", _cl_vec(F.col("topic"), F.col("tag")).alias("v")
+        ).collect()
+    }
+
+    def h4(s: str) -> int:
+        return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:4], 16)
+
+    def py_vec(topic: str, tag: str) -> list[float]:
+        return [
+            h4(f"{topic}:{i}") / 65536.0
+            + (h4(f"{tag}:{i}") / 65536.0 - 0.5) / 16.0
+            for i in range(_CL_D)
+        ]
+
+    expect = {i: py_vec(t, g) for i, t, g in rows}
+    assert got == expect  # exact equality, every component
+
+    # pair distances: Spark's zip_with/aggregate fold == Python's
+    # left-to-right sum, exactly, for every consecutive pair
+    pairs = spark.createDataFrame(
+        [(i, expect[i], expect[i + 1]) for i in range(len(rows) - 1)],
+        "rid int, a array<double>, b array<double>",
+    )
+    got_d2 = {
+        r["rid"]: r["d2"]
+        for r in pairs.select("rid", _cl_d2("a", "b").alias("d2")).collect()
+    }
+    for i in range(len(rows) - 1):
+        acc = 0.0
+        for x, y in zip(expect[i], expect[i + 1]):
+            acc += (x - y) * (x - y)
+        assert got_d2[i] == acc  # bit-exact
+        # fold-order independence (the sums are exact): reversed order
+        # must give the identical double
+        racc = 0.0
+        for x, y in reversed(list(zip(expect[i], expect[i + 1]))):
+            racc += (x - y) * (x - y)
+        assert racc == acc
