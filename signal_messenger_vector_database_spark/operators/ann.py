@@ -487,6 +487,7 @@ def capped_cell_split(
     cap: int,
     id_col: str = "vec_id",
     cell_col: str = "cluster",
+    hash_col: str | None = None,
 ) -> DataFrame:
     """Bound cell size BY CONSTRUCTION: every cell larger than ``cap``
     is split into ceil(|c| / (cap/2)) HASH-BALANCED sub-cells; returns
@@ -516,13 +517,19 @@ def capped_cell_split(
     sub_target = max(2, cap // 2)
     sizes = vecs.groupBy(cell_col).agg(F.count(F.lit(1)).alias("_csz"))
     big = sizes.filter(F.col("_csz") > cap)
-    tagged = vecs.select(id_col, cell_col).join(F.broadcast(big), cell_col, "left")
+    # hash_col (default: the id itself) is what the md5 bucket hashes —
+    # pass a GROUP key (e.g. a pair id) when co-members must land in
+    # the same sub-cell (the bitext planted-pair eval)
+    hcols = [hash_col] if hash_col and hash_col != id_col else []
+    tagged = vecs.select(id_col, cell_col, *hcols).join(
+        F.broadcast(big), cell_col, "left"
+    )
     k_sub = F.ceil(F.col("_csz") / F.lit(float(sub_target))).cast("long")
     # md5-derived bucket: first 4 hex chars -> [0, 65536), mod k_sub.
     # Engine-portable (the simhash hex-arithmetic trick) and uniform.
     from .dedup import _hex_to_int
 
-    hv = _hex_to_int(F.md5(F.col(id_col).cast("string")), 4)
+    hv = _hex_to_int(F.md5(F.col(hash_col or id_col).cast("string")), 4)
     return tagged.select(
         F.col(id_col),
         F.col(cell_col),

@@ -43,12 +43,18 @@ _COS_VC = SQL_COS.format(a="v.v", b="c2.cv")
 # scaled_cluster_count) and the super-cell count ns = GREATEST(2,
 # floor(sqrt(k))) (hier_super_count); nprobe=3 is the measured default
 # (nprobe 1/2/3/4 -> 0.49/0.68/0.85/1.0 agreement at sf0.1).
-HIER_ASSIGN_CTES = f"""p AS (
+# ``src`` parameterizes the corpus relation (a table or an earlier CTE
+# with (vec_id, embedding) columns); the module-level constant renders
+# the default so every historical consumer's SQL is byte-identical.
+
+
+def hier_assign_ctes(src: str = "embeddings") -> str:
+    return f"""p AS (
   SELECT GREATEST(8, COUNT(*) // 125) AS k,
          GREATEST(2, CAST(FLOOR(SQRT(GREATEST(8, COUNT(*) // 125))) AS INTEGER)) AS ns
-  FROM embeddings
+  FROM {src}
 ),
-c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings, p WHERE vec_id < p.k),
+c AS (SELECT vec_id AS cid, embedding AS cv FROM {src}, p WHERE vec_id < p.k),
 s AS (SELECT cid AS sid, cv AS sv FROM c, p WHERE cid < p.ns),
 c2s AS (
   SELECT cid, cv, sid FROM (
@@ -63,7 +69,7 @@ v2s AS (
     SELECT e.vec_id, e.embedding AS v, s.sid,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
                               ORDER BY ({_COS_ES}) DESC, s.sid) AS rk
-    FROM embeddings e, s
+    FROM {src} e, s
   ) WHERE rk <= 3  -- nprobe=3, the measured default
 ),
 hier AS (
@@ -76,7 +82,12 @@ hier AS (
 )"""
 
 
-def capped_split_ctes(cap: int) -> str:
+HIER_ASSIGN_CTES = hier_assign_ctes()
+
+
+def capped_split_ctes(
+    cap: int, src: str = "embeddings", hash_expr: str = "v.vec_id"
+) -> str:
     """CTE suffix for the hash-balanced cell split (the DuckDB twin of
     ``operators/ann.py::capped_cell_split`` applied to the shared hier
     assignment): appends after ``HIER_ASSIGN_CTES`` and yields ``sv2``
@@ -84,15 +95,18 @@ def capped_split_ctes(cap: int) -> str:
     ``cap`` and an md5-balanced sub in [0, ceil(csz/(cap/2))) above it.
     ONE definition consumed by every capped-fence oracle
     (the semdedup/knn_graph_ivf defaults, semdedup_capped,
-    semdedup_uncapped's siblings) — the shared-definition rule."""
+    semdedup_uncapped's siblings) — the shared-definition rule.
+    ``src`` parameterizes the corpus relation; ``hash_expr`` is what
+    the md5 bucket hashes (the twin of capped_cell_split's hash_col —
+    pass a group key when co-members must share a sub-cell)."""
     sub_target = max(2, cap // 2)
     hv = " + ".join(
-        f"(instr('0123456789abcdef', substr(md5(CAST(v.vec_id AS VARCHAR)), {pos}, 1)) - 1) * {16 ** (4 - pos)}"
+        f"(instr('0123456789abcdef', substr(md5(CAST({hash_expr} AS VARCHAR)), {pos}, 1)) - 1) * {16 ** (4 - pos)}"
         for pos in range(1, 5)
     )
     return f"""v AS (
   SELECT e.vec_id, e.embedding, h.cid_hier AS cluster
-  FROM embeddings e JOIN hier h USING (vec_id)
+  FROM {src} e JOIN hier h USING (vec_id)
 ),
 sz AS (SELECT cluster, COUNT(*) AS csz FROM v GROUP BY cluster),
 sv2 AS (

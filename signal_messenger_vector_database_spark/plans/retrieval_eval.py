@@ -19,6 +19,9 @@ add the *measurement* a production vector store runs continuously:
   on a CLUSTERED corpus derived from ``documents`` (see its section
   comment): the measured counterpart to ``ivf_pq_operating_curve``'s
   isotropic regime.
+- ``bitext_mining_eval`` — the margin miner (plans/similarity.py::
+  bitext_margin_pairs) measured against PLANTED parallel pairs:
+  precision/recall vs threshold under the production fence.
 
 Scale design, explicitly:
 
@@ -719,4 +722,219 @@ SPECS["ivf_recall_clustered"] = QuerySpec(
     _ivf_recall_clustered,
     _ivf_recall_clustered_sql(),
     "recall@10 / candidate-fraction vs nprobe on a CLUSTERED corpus (topic = lang|source): where IVF pruning earns its keep",
+)
+
+
+# --- bitext_mining_eval: the miner measured against planted truth ----------
+# ``bitext_margin_pairs`` (plans/similarity.py) runs the Artetxe &
+# Schwenk margin miner; THIS query measures it the way the public mines
+# are validated — against a corpus with KNOWN parallel pairs.  Every
+# document yields two noisy views of one dyadic "sentence" center
+# (vec 2d = side-A view, vec 2d+1 = side-B view; fresh md5 perturbations
+# per side), so ground truth is exactly {(2d, 2d+1)}.  The SAME
+# production fence (scaled-k two-level assignment + capped split) and
+# the SAME margin core then mine pairs, and the output is the
+# (threshold, precision, recall) operating curve — mining quality as a
+# measured number, not an assertion.  The capped split hashes the PAIR
+# id (vec_id div 2), the legitimate production choice when shard keys
+# exist (sentence/document ids), so the fence never separates a true
+# pair by hash accident; fence-induced misses (views routed to
+# different cells) remain IN the measured recall.
+#
+# Exactness: corpus construction is the dyadic grid (exact in doubles,
+# the ivf_recall_clustered argument); margins are the miner's exact
+# integer sufficient statistics; precision/recall are single divisions
+# of exact counts.  Fully oracle-paired — the hier/capped CTE chains
+# are the SHARED builders parameterized by corpus relation
+# (plans/ivf_sql.py), so the eval replays the very fence the production
+# miner uses.
+
+# Thresholds span where the trade actually lives on this corpus: the
+# dyadic grid centers are uniform in [0,1)^16, so every vector shares a
+# large all-ones component and unrelated cosines sit near 0.78 —
+# compressing ratio margins into [1.0, ~1.2] (margin >= 1 always: the
+# mutual-best cosine bounds both neighborhood averages).  th=1.0 is the
+# mutual-only baseline (at sf0.1 it admits 49 false pairs — precision
+# 0.989); the higher arms buy precision 1.000 at measured recall cost
+# (sf0.1: 0.841 -> 0.475 -> 0.080 at 1.04/1.08/1.12).  Recall never
+# reaches 1.0 because fence-induced misses (views routed to different
+# hier cells) are deliberately left IN the measurement.
+_BTE_ARMS = (1.0, 1.04, 1.08, 1.12)
+
+
+def _bte_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.concat_ws("|", "lang", "source").alias("topic")
+    )
+    sk = F.concat(F.col("topic"), F.lit("#"), F.col("doc_id").cast("string"))
+    sides = []
+    for side, tag in ((0, "a"), (1, "b")):
+        sides.append(
+            docs.select(
+                (F.col("doc_id") * 2 + F.lit(side)).alias("vec_id"),
+                _cl_vec(
+                    sk, F.concat(F.lit(tag), F.col("doc_id").cast("string"))
+                ).alias("embedding"),
+            )
+        )
+    # lineage cut: the 32-md5 projection must materialize once, not
+    # inline into the assignment cross join (the ivf_recall_clustered
+    # lesson — 5.1M md5 evals without it)
+    return sides[0].unionByName(sides[1]).localCheckpoint(eager=False)
+
+
+def _bitext_mining_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ann import (
+        capped_cell_split,
+        hier_super_count,
+        ivf_assign_hier,
+        ivf_seed_centroids,
+        scaled_cluster_count,
+    )
+    from .similarity import _KNN_CAP, bt_margin_core
+
+    n_docs = parquet_row_count(sf_dir, "documents")
+    corpus = _bte_corpus(spark, sf_dir)
+    k = scaled_cluster_count(2 * n_docs)
+    assign = ivf_assign_hier(
+        corpus, ivf_seed_centroids(corpus, k), hier_super_count(k), n_centroids=k
+    ).withColumnRenamed("cid", "cluster")
+    split = capped_cell_split(
+        assign.withColumn("pair", F.expr("vec_id DIV 2")).localCheckpoint(
+            eager=False
+        ),
+        cap=_KNN_CAP,
+        hash_col="pair",
+    )
+    from ..functions.vector import dot_product, l2_norm
+
+    vecs = (
+        split.join(corpus, "vec_id")
+        .select(
+            "vec_id",
+            "cluster",
+            "sub",
+            "embedding",
+            l2_norm("embedding").alias("nrm"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    x = vecs.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("src"),
+        F.col("cluster").alias("cl_x"),
+        F.col("sub").alias("sub_x"),
+        F.col("embedding").alias("vx"),
+        F.col("nrm").alias("nx"),
+    )
+    y = vecs.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("tgt"),
+        F.col("cluster").alias("cl_y"),
+        F.col("sub").alias("sub_y"),
+        F.col("embedding").alias("vy"),
+        F.col("nrm").alias("ny"),
+    )
+    ci = F.floor(
+        dot_product("vx", "vy") / (F.col("nx") * F.col("ny")) * 10000
+        + F.lit(0.5)
+    ).cast("long")
+    cand = x.join(
+        y,
+        (F.col("cl_x") == F.col("cl_y")) & (F.col("sub_x") == F.col("sub_y")),
+    ).select("src", "tgt", ci.alias("ci"))
+    scored = (
+        bt_margin_core(cand)
+        .filter(F.col("den") > 0)
+        .select(
+            "src",
+            "tgt",
+            portable_round(
+                F.col("num").cast("double") / F.col("den").cast("double"), 4
+            ).alias("margin"),
+        )
+    )
+    arms = spark.createDataFrame([(t,) for t in _BTE_ARMS], "th double")
+    perarm = (
+        arms.join(
+            F.broadcast(scored), F.col("margin") >= F.col("th"), "left"
+        )
+        .groupBy("th")
+        .agg(
+            F.count("src").alias("n_mined"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("tgt") == F.col("src") + 1, 1).otherwise(0)
+                ),
+                F.lit(0),
+            ).alias("n_correct"),
+        )
+    )
+    return perarm.select(
+        "th",
+        F.col("n_mined").cast("long").alias("n_mined"),
+        F.col("n_correct").cast("long").alias("n_correct"),
+        F.when(
+            F.col("n_mined") > 0,
+            F.col("n_correct").cast("double") / F.col("n_mined").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("prec"),
+        (F.col("n_correct").cast("double") / F.lit(float(n_docs))).alias(
+            "recall"
+        ),
+    ).orderBy("th")
+
+
+def _bitext_mining_eval_sql() -> str:
+    from .ivf_sql import capped_split_ctes, hier_assign_ctes
+    from .similarity import _KNN_CAP, BT_SQL_MARGIN, bt_core_sql
+
+    sk = "topic || '#' || CAST(doc_id AS VARCHAR)"
+    cos_xy = _SQL_COS.format(a="x.embedding", b="y.embedding")
+    arm_rows = ", ".join(f"({t})" for t in _BTE_ARMS)
+    return f"""
+WITH docs AS (
+  SELECT doc_id, lang || '|' || source AS topic FROM documents
+),
+bt_corpus AS (
+  SELECT 2 * doc_id AS vec_id,
+         {_cl_sql_vec(sk, "'a' || CAST(doc_id AS VARCHAR)")} AS embedding
+  FROM docs
+  UNION ALL
+  SELECT 2 * doc_id + 1 AS vec_id,
+         {_cl_sql_vec(sk, "'b' || CAST(doc_id AS VARCHAR)")} AS embedding
+  FROM docs
+),
+{hier_assign_ctes(src="bt_corpus")},
+{capped_split_ctes(_KNN_CAP, src="bt_corpus", hash_expr="v.vec_id // 2")},
+cand AS (
+  SELECT x.vec_id AS src, y.vec_id AS tgt,
+         CAST(FLOOR(({cos_xy}) * 10000 + 0.5) AS BIGINT) AS ci
+  FROM sv2 x JOIN sv2 y
+    ON x.cluster = y.cluster AND x.sub = y.sub
+   AND x.vec_id % 2 = 0 AND y.vec_id % 2 = 1
+),
+{bt_core_sql()},
+scored AS (
+  SELECT src, tgt, {BT_SQL_MARGIN} AS margin FROM mutual WHERE den > 0
+),
+arms(th) AS (VALUES {arm_rows})
+SELECT CAST(a.th AS DOUBLE) AS th,
+       CAST(COUNT(s.src) AS BIGINT) AS n_mined,
+       CAST(COALESCE(SUM(CASE WHEN s.tgt = s.src + 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_correct,
+       CASE WHEN COUNT(s.src) > 0
+            THEN CAST(COALESCE(SUM(CASE WHEN s.tgt = s.src + 1 THEN 1 ELSE 0 END), 0) AS DOUBLE)
+                 / CAST(COUNT(s.src) AS DOUBLE)
+            ELSE 0.0 END AS prec,
+       CAST(COALESCE(SUM(CASE WHEN s.tgt = s.src + 1 THEN 1 ELSE 0 END), 0) AS DOUBLE)
+         / (SELECT COUNT(*) FROM documents) AS recall
+FROM arms a LEFT JOIN scored s ON s.margin >= a.th
+GROUP BY a.th
+ORDER BY th
+"""
+
+
+SPECS["bitext_mining_eval"] = QuerySpec(
+    _bitext_mining_eval,
+    _bitext_mining_eval_sql(),
+    "the bitext miner measured against planted ground truth: precision/recall vs margin threshold under the production fence",
 )

@@ -1354,11 +1354,39 @@ def _bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         y,
         (F.col("cl_x") == F.col("cl_y")) & (F.col("sub_x") == F.col("sub_y")),
     ).select("src", "tgt", ci.alias("ci"))
-    # the pair set feeds four branches (two neighborhood aggregates, the
-    # two mutual-rank windows) — cut the lineage so the fenced cosine
-    # join runs once
-    cand = cand.localCheckpoint(eager=False)
+    mutual = bt_margin_core(cand)
+    margin = portable_round(
+        F.col("num").cast("double") / F.col("den").cast("double"), 4
+    )
+    return (
+        mutual.filter(F.col("den") > 0)
+        .select(
+            "src",
+            "tgt",
+            (F.col("ci").cast("double") / F.lit(10000.0)).alias("cos_sim"),
+            margin.alias("margin"),
+        )
+        .filter(F.col("margin") >= _BT_MARGIN)
+        .orderBy("src")
+    )
 
+
+def bt_margin_core(cand: DataFrame) -> DataFrame:
+    """(src, tgt, ci) candidate pairs -> MUTUAL best matches with the
+    margin's exact-integer sufficient statistics:
+
+      (src, tgt, ci, num = 2*ci*k_x*k_y, den = sum_x*k_y + sum_y*k_x)
+
+    margin = num/den is left to the caller (one exact division; the
+    miner thresholds it, the planted-ground-truth eval sweeps it).  ONE
+    definition shared by both (the shared-definition rule); the SQL
+    twin is ``bt_core_sql``."""
+    from pyspark.sql.window import Window
+
+    # the pair set feeds four branches (two neighborhood aggregates, the
+    # two mutual-rank windows) — cut the lineage so the candidate join
+    # runs once
+    cand = cand.localCheckpoint(eager=False)
     wx = Window.partitionBy("src").orderBy(F.desc("ci"), "tgt")
     wy = Window.partitionBy("tgt").orderBy(F.desc("ci"), "src")
     ranked = cand.withColumn("rk_x", F.row_number().over(wx)).withColumn(
@@ -1374,25 +1402,55 @@ def _bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tgt")
         .agg(F.sum("ci").alias("sum_y"), F.count(F.lit(1)).alias("k_y"))
     )
-    mutual = ranked.filter((F.col("rk_x") == 1) & (F.col("rk_y") == 1))
-    num = 2 * F.col("ci") * F.col("k_x") * F.col("k_y")
-    den = F.col("sum_x") * F.col("k_y") + F.col("sum_y") * F.col("k_x")
-    margin = portable_round(
-        num.cast("double") / den.cast("double"), 4
-    )
     return (
-        mutual.join(hood_x, "src")
+        ranked.filter((F.col("rk_x") == 1) & (F.col("rk_y") == 1))
+        .join(hood_x, "src")
         .join(hood_y, "tgt")
-        .filter(F.col("sum_x") * F.col("k_y") + F.col("sum_y") * F.col("k_x") > 0)
         .select(
             "src",
             "tgt",
-            (F.col("ci").cast("double") / F.lit(10000.0)).alias("cos_sim"),
-            margin.alias("margin"),
+            "ci",
+            (2 * F.col("ci") * F.col("k_x") * F.col("k_y")).alias("num"),
+            (
+                F.col("sum_x") * F.col("k_y") + F.col("sum_y") * F.col("k_x")
+            ).alias("den"),
         )
-        .filter(F.col("margin") >= _BT_MARGIN)
-        .orderBy("src")
     )
+
+
+# the margin expression both oracle twins render (over a `mutual` row)
+BT_SQL_MARGIN = (
+    "FLOOR((CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) * 10000 + 0.5) / 10000"
+)
+
+
+def bt_core_sql() -> str:
+    """CTE suffix (appends after a ``cand(src, tgt, ci)`` CTE) yielding
+    ``mutual`` (src, tgt, ci, num, den) — the DuckDB twin of
+    ``bt_margin_core``."""
+    return f"""ranked AS (
+  SELECT src, tgt, ci,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY ci DESC, tgt) AS rk_x,
+         ROW_NUMBER() OVER (PARTITION BY tgt ORDER BY ci DESC, src) AS rk_y
+  FROM cand
+),
+hood_x AS (
+  SELECT src, SUM(ci) AS sum_x, COUNT(*) AS k_x
+  FROM ranked WHERE rk_x <= {_BT_K} GROUP BY src
+),
+hood_y AS (
+  SELECT tgt, SUM(ci) AS sum_y, COUNT(*) AS k_y
+  FROM ranked WHERE rk_y <= {_BT_K} GROUP BY tgt
+),
+mutual AS (
+  SELECT m.src, m.tgt, m.ci,
+         2 * m.ci * hx.k_x * hy.k_y AS num,
+         hx.sum_x * hy.k_y + hy.sum_y * hx.k_x AS den
+  FROM ranked m
+  JOIN hood_x hx ON m.src = hx.src
+  JOIN hood_y hy ON m.tgt = hy.tgt
+  WHERE m.rk_x = 1 AND m.rk_y = 1
+)"""
 
 
 def _bitext_margin_pairs_sql() -> str:
@@ -1409,34 +1467,13 @@ cand AS (
     ON x.cluster = y.cluster AND x.sub = y.sub
    AND x.vec_id % 2 = 0 AND y.vec_id % 2 = 1
 ),
-ranked AS (
-  SELECT src, tgt, ci,
-         ROW_NUMBER() OVER (PARTITION BY src ORDER BY ci DESC, tgt) AS rk_x,
-         ROW_NUMBER() OVER (PARTITION BY tgt ORDER BY ci DESC, src) AS rk_y
-  FROM cand
-),
-hood_x AS (
-  SELECT src, SUM(ci) AS sum_x, COUNT(*) AS k_x
-  FROM ranked WHERE rk_x <= {_BT_K} GROUP BY src
-),
-hood_y AS (
-  SELECT tgt, SUM(ci) AS sum_y, COUNT(*) AS k_y
-  FROM ranked WHERE rk_y <= {_BT_K} GROUP BY tgt
-)
-SELECT m.src, m.tgt,
-       CAST(m.ci AS DOUBLE) / 10000.0 AS cos_sim,
-       FLOOR((CAST(2 * m.ci * hx.k_x * hy.k_y AS DOUBLE)
-              / CAST(hx.sum_x * hy.k_y + hy.sum_y * hx.k_x AS DOUBLE))
-             * 10000 + 0.5) / 10000 AS margin
-FROM ranked m
-JOIN hood_x hx ON m.src = hx.src
-JOIN hood_y hy ON m.tgt = hy.tgt
-WHERE m.rk_x = 1 AND m.rk_y = 1
-  AND hx.sum_x * hy.k_y + hy.sum_y * hx.k_x > 0
-  AND FLOOR((CAST(2 * m.ci * hx.k_x * hy.k_y AS DOUBLE)
-             / CAST(hx.sum_x * hy.k_y + hy.sum_y * hx.k_x AS DOUBLE))
-            * 10000 + 0.5) / 10000 >= {_BT_MARGIN}
-ORDER BY m.src
+{bt_core_sql()}
+SELECT src, tgt,
+       CAST(ci AS DOUBLE) / 10000.0 AS cos_sim,
+       {BT_SQL_MARGIN} AS margin
+FROM mutual
+WHERE den > 0 AND {BT_SQL_MARGIN} >= {_BT_MARGIN}
+ORDER BY src
 """
 
 

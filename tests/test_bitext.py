@@ -108,3 +108,37 @@ def test_bitext_pairs_are_mutual_cross_side_and_above_margin(spark):
     # bar (otherwise the filter is decorative on this fixture)
     n_mutual = sum(1 for sv, tv in best_x.items() if best_y.get(tv) == sv)
     assert len(rows) < n_mutual
+
+
+def test_bitext_mining_eval_curve_invariants(spark):
+    """The planted-ground-truth eval must (a) emit one row per arm with
+    the accounting identities exact (recall = n_correct/n, prec =
+    n_correct/n_mined), (b) be monotone — mined and correct counts
+    nonincreasing in the threshold (margin >= 1 by construction, so the
+    th=1.0 arm is the full mutual set), and (c) recover most planted
+    pairs at the mutual-only baseline with near-perfect precision."""
+    from signal_messenger_vector_database_spark.io.sources import (
+        parquet_row_count,
+    )
+    from signal_messenger_vector_database_spark.plans.retrieval_eval import (
+        _BTE_ARMS,
+        _bitext_mining_eval,
+    )
+
+    n = parquet_row_count(SF, "documents")
+    rows = sorted(_bitext_mining_eval(spark, SF).collect(), key=lambda r: r.th)
+    assert [r.th for r in rows] == sorted(_BTE_ARMS)
+    for r in rows:
+        assert 0 <= r.n_correct <= r.n_mined
+        assert abs(r.recall - r.n_correct / n) < 1e-12
+        if r.n_mined:
+            assert abs(r.prec - r.n_correct / r.n_mined) < 1e-12
+        else:
+            assert r.prec == 0.0
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_mined <= prev.n_mined
+        assert cur.n_correct <= prev.n_correct
+    base = rows[0]
+    assert base.recall >= 0.85 and base.prec >= 0.98
+    # the curve must be LIVE: the top arm prunes real pairs
+    assert rows[-1].n_mined < base.n_mined

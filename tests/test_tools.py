@@ -58,6 +58,7 @@ def test_window_rotate_matches_pinned_window(monkeypatch):
 
     changed = [
         "bitext_margin_pairs",
+        "bitext_mining_eval",
         "ivf_recall_clustered",
         "ivf_pq_operating_curve",
         "semdedup",

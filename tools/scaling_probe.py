@@ -276,6 +276,7 @@ PROBES_WAVE17 = [
 PROBES_WAVE18 = [
     "ivf_recall_clustered",
     "bitext_margin_pairs",
+    "bitext_mining_eval",
 ]
 
 # sixth wave: stateful Structured Streaming drains (AvailableNow over
