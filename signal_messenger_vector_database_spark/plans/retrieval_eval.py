@@ -853,9 +853,12 @@ def _bitext_mining_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     arms = spark.createDataFrame([(t,) for t in _BTE_ARMS], "th double")
+    # broadcast the 4-row ARMS side, not the corpus-sized mined-pair
+    # set (the EXPLAIN-audit class); right-outer keeps every arm row
+    # even when an arm mines nothing
     perarm = (
-        arms.join(
-            F.broadcast(scored), F.col("margin") >= F.col("th"), "left"
+        scored.join(
+            F.broadcast(arms), F.col("margin") >= F.col("th"), "right"
         )
         .groupBy("th")
         .agg(
