@@ -1298,8 +1298,6 @@ _BT_MARGIN = 1.25
 
 
 def _bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     from ..functions.text import portable_round
     from ..functions.vector import dot_product, l2_norm
     from ..io.sources import parquet_row_count
