@@ -176,3 +176,33 @@ def test_bench_normalization_absent_or_broken_prior(tmp_path):
     assert bench._shared_subset_normalized(str(tmp_path), {"q": 1.0}, out) is None
     (tmp_path / "BENCH_r3.json").write_text("not json at all")
     assert bench._shared_subset_normalized(str(tmp_path), {"q": 1.0}, out) is None
+
+
+# --- parameterized fence builders (plans/ivf_sql.py) ------------------------
+
+
+def test_fence_builder_defaults_are_canonical():
+    """The r10 parameterization of the shared hier/capped CTE builders
+    must keep the DEFAULT rendering exactly equal to the module-level
+    constants every historical oracle embeds — and substituting a
+    source relation must touch ONLY the corpus references, never the
+    arithmetic."""
+    from signal_messenger_vector_database_spark.plans.ivf_sql import (
+        HIER_ASSIGN_CTES,
+        capped_split_ctes,
+        hier_assign_ctes,
+    )
+
+    assert hier_assign_ctes() == HIER_ASSIGN_CTES
+    assert capped_split_ctes(64) == capped_split_ctes(
+        64, src="embeddings", hash_expr="v.vec_id"
+    )
+
+    custom = hier_assign_ctes(src="bt_corpus")
+    assert "embeddings" not in custom and "bt_corpus" in custom
+    # swapping the relation back must reproduce the default byte-for-byte
+    assert custom.replace("bt_corpus", "embeddings") == HIER_ASSIGN_CTES
+
+    split = capped_split_ctes(64, src="bt_corpus", hash_expr="v.vec_id // 2")
+    assert "FROM bt_corpus e JOIN hier h" in split
+    assert "md5(CAST(v.vec_id // 2 AS VARCHAR))" in split
