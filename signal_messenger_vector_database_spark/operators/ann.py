@@ -520,7 +520,9 @@ def capped_cell_split(
     # hash_col (default: the id itself) is what the md5 bucket hashes —
     # pass a GROUP key (e.g. a pair id) when co-members must land in
     # the same sub-cell (the bitext planted-pair eval)
-    hcols = [hash_col] if hash_col and hash_col != id_col else []
+    # exclude cell_col too: hash_col == cell_col would select the
+    # column twice and break downstream references (ADVICE r10)
+    hcols = [hash_col] if hash_col not in (None, id_col, cell_col) else []
     tagged = vecs.select(id_col, cell_col, *hcols).join(
         F.broadcast(big), cell_col, "left"
     )

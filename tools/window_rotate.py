@@ -40,8 +40,13 @@ def latest_rounds() -> dict[str, int]:
     hist: dict[str, int] = {}
     for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         r = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
-        for name in json.load(open(f)):
-            hist[name] = max(r, hist.get(name, 0))
+        for name, row in json.load(open(f)).items():
+            # only dict-valued rows are query results; a future scalar
+            # metadata key must not enter the staleness ranking
+            # (ADVICE r10) — compute_window additionally intersects
+            # with all_specs(), so renamed/retired queries drop out
+            if isinstance(row, dict):
+                hist[name] = max(r, hist.get(name, 0))
     return hist
 
 
