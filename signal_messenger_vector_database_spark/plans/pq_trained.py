@@ -138,7 +138,20 @@ def _op_trained_parts(spark: SparkSession, sf_dir: str):
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     subs = _op_sub_rows(emb).localCheckpoint(eager=False)
-    cb = subs.filter(F.col("vec_id") < _OPK).select(
+    return pq_train_inplace(subs, _OPD, _OPK, _OPROUNDS)
+
+
+def pq_train_inplace(
+    subs: DataFrame, d: int, k: int, rounds: int
+) -> tuple[DataFrame, DataFrame]:
+    """The generalized trained-PQ build over ANY subvector table
+    ``subs(vec_id, sub_j, sv)`` — the ``_op_trained_parts`` chain with
+    geometry (d-dim subspaces, k data-seeded codewords, ``rounds`` Lloyd
+    rounds) as parameters, so the residual-encoding IVF-PQ curve can
+    train on residual subvectors with the SAME in-place assignment and
+    1e-4-grid centroid discipline.  Returns (final assignment
+    (vec_id, sub_j, code), trained codebooks (sub_j, code, cw))."""
+    cb = subs.filter(F.col("vec_id") < k).select(
         "sub_j", F.col("vec_id").cast("int").alias("code"), F.col("sv").alias("cw")
     )
 
@@ -148,15 +161,15 @@ def _op_trained_parts(spark: SparkSession, sf_dir: str):
         )
 
         def _score(e):
-            # UNROLLED d2 (D=4): plain getItem arithmetic instead of a
-            # zip_with fold — no intermediate 4-element array per
-            # (row, codeword).  Bit-identical: the fold computes
+            # UNROLLED d2 (small fixed d): plain getItem arithmetic, no
+            # intermediate d-element array per (row, codeword).
+            # Bit-identical to the zip_with fold: the fold computes
             # (((0+x1)+x2)+x3)+x4 and 0+x1 == x1 exactly for the
             # non-negative squares, so this is the same double sequence.
             terms = [
                 (F.col("sv").getItem(i) - e["cw"].getItem(i))
                 * (F.col("sv").getItem(i) - e["cw"].getItem(i))
-                for i in range(_OPD)
+                for i in range(d)
             ]
             d2 = terms[0]
             for t in terms[1:]:
@@ -170,7 +183,7 @@ def _op_trained_parts(spark: SparkSession, sf_dir: str):
             "vec_id", "sub_j", F.col("_b.code").alias("code"), "sv"
         )
 
-    for _ in range(_OPROUNDS):
+    for _ in range(rounds):
         a = assign(cb)
         cb = (
             a.select("sub_j", "code", F.posexplode("sv").alias("pos", "val"))
@@ -191,11 +204,29 @@ def _op_trained_parts(spark: SparkSession, sf_dir: str):
 def _op_trained_cte_body() -> str:
     """subs -> cb0 -> (a_r, t_r) x rounds -> af (final assignment);
     trained codebooks land in ``t{_OPROUNDS}``.  Shared verbatim by
-    every oracle in this module (shared-definition rule)."""
+    every oracle in this module (shared-definition rule); the
+    geometry-parameterized core is ``pq_train_cte_body`` (rendered
+    byte-identically here — pinned by test_pq_trained)."""
+    subs_ctes = f"""d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+subs AS (
+  SELECT vec_id, j AS sub_j, e[j * {_OPD} + 1 : j * {_OPD} + {_OPD}] AS sv
+  FROM d, generate_series(0, {_OPM - 1}) g(j)
+),
+cb0 AS (SELECT sub_j, CAST(vec_id AS INTEGER) AS code, sv AS cw
+        FROM subs WHERE vec_id < {_OPK})"""
+    return pq_train_cte_body(subs_ctes, _OPD, _OPROUNDS)
+
+
+def pq_train_cte_body(subs_ctes: str, d: int, rounds: int) -> str:
+    """DuckDB twin of ``pq_train_inplace``, parameterized the same way:
+    ``subs_ctes`` must define ``subs(vec_id, sub_j, sv)`` (and the
+    seeded ``cb0(sub_j, code, cw)``); this appends the Lloyd-round
+    assign/update CTE pairs a1/t1..a{rounds}/t{rounds} and the final
+    assignment ``af``.  Trained codebooks land in ``t{rounds}``."""
     d2 = (
         "list_sum(list_transform(range(1, {n}), "
         "i -> (s.sv[i] - c.cw[i]) * (s.sv[i] - c.cw[i])))"
-    ).format(n=_OPD + 1)
+    ).format(n=d + 1)
     assign = """
 {out} AS (
   SELECT vec_id, sub_j, sv, code FROM (
@@ -218,17 +249,9 @@ def _op_trained_cte_body() -> str:
   )
   GROUP BY sub_j, code
 )"""
-    parts = [
-        f"""d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-subs AS (
-  SELECT vec_id, j AS sub_j, e[j * {_OPD} + 1 : j * {_OPD} + {_OPD}] AS sv
-  FROM d, generate_series(0, {_OPM - 1}) g(j)
-),
-cb0 AS (SELECT sub_j, CAST(vec_id AS INTEGER) AS code, sv AS cw
-        FROM subs WHERE vec_id < {_OPK})"""
-    ]
+    parts = [subs_ctes]
     prev_cb = "cb0"
-    for r in range(1, _OPROUNDS + 1):
+    for r in range(1, rounds + 1):
         parts.append(assign.format(out=f"a{r}", cb=prev_cb, d2=d2))
         parts.append(update.format(out=f"t{r}", a=f"a{r}"))
         prev_cb = f"t{r}"
@@ -440,7 +463,11 @@ def _topk_ivf_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = scaled_cluster_count(n)
     emb = load_table(spark, sf_dir, "embeddings")
     cents = ivf_seed_centroids(emb, k)
-    assign = ivf_assign_hier(emb, cents, hier_super_count(k), n_centroids=k)
+    from ..operators.ivf_index import shared_hier_assignment
+
+    assign = shared_hier_assignment(
+        spark, emb, f"{sf_dir}/embeddings|{n}", k, hier_super_count(k)
+    )
 
     q = F.array(*[F.lit(x) for x in _pq_query_vec()]).cast("array<double>")
     probed = (
@@ -713,7 +740,11 @@ def _ivf_pq_operating_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = scaled_cluster_count(n)
     emb = load_table(spark, sf_dir, "embeddings")
     cents = ivf_seed_centroids(emb, k)
-    assign = ivf_assign_hier(emb, cents, hier_super_count(k), n_centroids=k)
+    from ..operators.ivf_index import shared_hier_assignment
+
+    assign = shared_hier_assignment(
+        spark, emb, f"{sf_dir}/embeddings|{n}", k, hier_super_count(k)
+    )
 
     qfull = spark.createDataFrame(
         [(qid, q) for qid, q in enumerate(_op_query_vecs())],

@@ -90,8 +90,11 @@ def _ivf_pieces(spark: SparkSession, sf_dir: str):
     n = parquet_row_count(sf_dir, "embeddings")
     k = scaled_cluster_count(n)
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = ivf_seed_centroids(emb, k)
-    assign = ivf_assign_hier(emb, centroids, hier_super_count(k), n_centroids=k)
+    from ..operators.ivf_index import shared_hier_assignment
+
+    assign = shared_hier_assignment(
+        spark, emb, f"{sf_dir}/embeddings|{n}", k, hier_super_count(k)
+    )
     embn = emb.select(
         "vec_id", "embedding", l2_norm("embedding").alias("nv")
     )
@@ -352,7 +355,9 @@ def _ann_ivf_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = scaled_cluster_count(n)
     ns = hier_super_count(k)
     emb = load_table(spark, sf_dir, "embeddings")
-    hier = ivf_assign_hier(emb, ivf_seed_centroids(emb, k), ns, n_centroids=k)
+    from ..operators.ivf_index import shared_hier_assignment
+
+    hier = shared_hier_assignment(spark, emb, f"{sf_dir}/embeddings|{n}", k, ns)
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     qcid = hier.filter(F.col("vec_id") == 0).select(
         F.col("cid").alias("qcid")
@@ -439,10 +444,12 @@ _CL_ARMS = (1, 2, 4, 8)
 _CL_TOPK = 10
 
 
-def _cl_vec(topic: Column, tag: Column) -> Column:
-    """center(topic) + perturbation(tag) as an array<double> — 2*_CL_D
+def _cl_vec(topic: Column, tag: Column, d: int = _CL_D) -> Column:
+    """center(topic) + perturbation(tag) as an array<double> — 2*d
     md5s per row, pure codegen, no shuffle.  ONE definition consumed by
-    the corpus, the seeds, and the query vectors."""
+    the corpus, the seeds, and the query vectors (``d`` defaults to the
+    clustered-recall geometry; the IVF-PQ residual curve passes its
+    own)."""
     from ..operators.dedup import _hex_to_int
 
     def h4(col):
@@ -456,7 +463,7 @@ def _cl_vec(topic: Column, tag: Column) -> Column:
                 - F.lit(0.5)
             )
             / F.lit(16.0)
-            for i in range(_CL_D)
+            for i in range(d)
         ]
     )
 
@@ -621,16 +628,16 @@ def _ivf_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cl_sql_vec(topic: str, tag: str) -> str:
+def _cl_sql_vec(topic: str, tag: str, d: int = _CL_D) -> str:
     """DuckDB twin of _cl_vec: the list-comprehension form of the same
     dyadic arithmetic (``_sql_hex4`` is the shared hex-to-int SQL)."""
     from .similarity import _sql_hex4
 
     c = _sql_hex4(f"md5({topic} || ':' || CAST(i AS VARCHAR))")
-    d = _sql_hex4(f"md5({tag} || ':' || CAST(i AS VARCHAR))")
+    p = _sql_hex4(f"md5({tag} || ':' || CAST(i AS VARCHAR))")
     return (
-        f"list_transform(range(0, {_CL_D}), i -> "
-        f"{c} / 65536.0 + ({d} / 65536.0 - 0.5) / 16.0)"
+        f"list_transform(range(0, {d}), i -> "
+        f"{c} / 65536.0 + ({p} / 65536.0 - 0.5) / 16.0)"
     )
 
 
@@ -796,8 +803,10 @@ def _bitext_mining_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = parquet_row_count(sf_dir, "documents")
     corpus = _bte_corpus(spark, sf_dir)
     k = scaled_cluster_count(2 * n_docs)
-    assign = ivf_assign_hier(
-        corpus, ivf_seed_centroids(corpus, k), hier_super_count(k), n_centroids=k
+    from ..operators.ivf_index import shared_hier_assignment
+
+    assign = shared_hier_assignment(
+        spark, corpus, f"{sf_dir}/documents|bte|{2 * n_docs}", k, hier_super_count(k)
     ).withColumnRenamed("cid", "cluster")
     split = capped_cell_split(
         assign.withColumn("pair", F.expr("vec_id DIV 2")).localCheckpoint(

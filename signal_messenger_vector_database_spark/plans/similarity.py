@@ -1141,8 +1141,10 @@ def _knn_graph_fenced(
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    assign = ivf_assign_hier(
-        emb, ivf_seed_centroids(emb, k), hier_super_count(k), n_centroids=k
+    from ..operators.ivf_index import shared_hier_assignment
+
+    assign = shared_hier_assignment(
+        spark, emb, f"{sf_dir}/embeddings|{n}", k, hier_super_count(k)
     ).withColumnRenamed("cid", "cluster")
     if cap is not None:
         # capped_cell_split consumes the assignment TWICE (cell-size agg
@@ -1314,8 +1316,10 @@ def _bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    assign = ivf_assign_hier(
-        emb, ivf_seed_centroids(emb, k), hier_super_count(k), n_centroids=k
+    from ..operators.ivf_index import shared_hier_assignment
+
+    assign = shared_hier_assignment(
+        spark, emb, f"{sf_dir}/embeddings|{n}", k, hier_super_count(k)
     ).withColumnRenamed("cid", "cluster")
     assign = capped_cell_split(assign.localCheckpoint(eager=False), cap=_KNN_CAP)
     vecs = (

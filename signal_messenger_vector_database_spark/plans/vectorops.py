@@ -752,8 +752,10 @@ def _semdedup_fenced(
     )
     n = parquet_row_count(sf_dir, "embeddings")
     k = scaled_cluster_count(n)
-    assigned = ivf_assign_hier(
-        emb, ivf_seed_centroids(emb, k), hier_super_count(k), n_centroids=k
+    from ..operators.ivf_index import shared_hier_assignment
+
+    assigned = shared_hier_assignment(
+        spark, emb, f"{sf_dir}/embeddings|{n}", k, hier_super_count(k)
     ).withColumnRenamed("cid", "cluster")
     if cap is not None:
         # capped_cell_split consumes the assignment TWICE (the cell-size
@@ -1468,9 +1470,12 @@ def _ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Two-level assignment (r9): with k ~ n/125, flat assignment is the
     # n*k = n^2/125 quadratic the wave-11 probe surfaced (16x point
     # 4.0x); hier is n*(1+nprobe)*sqrt(k), oracle-replayed via the
-    # shared CTE chain (plans/ivf_sql.py).
-    assign = ivf_assign_hier(
-        emb, ivf_seed_centroids(emb, k), hier_super_count(k), n_centroids=k
+    # shared CTE chain (plans/ivf_sql.py).  Routed through the r11
+    # build-once index seam (inline when SMVD_IVF_CACHE_DIR is unset).
+    from ..operators.ivf_index import shared_hier_assignment
+
+    assign = shared_hier_assignment(
+        spark, emb, f"{sf_dir}/embeddings|{n}", k, hier_super_count(k)
     )
     tagged = assign.select(
         "cid",

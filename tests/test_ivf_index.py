@@ -1,0 +1,87 @@
+"""Tests for the build-once shared IVF assignment
+(operators/ivf_index.py): cache-path results must be bit-identical to
+the inline path, the cache must be corpus- and geometry-keyed, and the
+second consumer must READ instead of rebuilding."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _load(spark):
+    from signal_messenger_vector_database_spark.io.sources import (
+        load_table,
+        parquet_row_count,
+    )
+    from signal_messenger_vector_database_spark.operators.ann import (
+        hier_super_count,
+        scaled_cluster_count,
+    )
+
+    n = parquet_row_count(SF, "embeddings")
+    k = scaled_cluster_count(n)
+    return load_table(spark, SF, "embeddings"), n, k, hier_super_count(k)
+
+
+def test_cached_assignment_bit_identical_to_inline(spark, tmp_path, monkeypatch):
+    from signal_messenger_vector_database_spark.operators.ivf_index import (
+        shared_hier_assignment,
+    )
+
+    emb, n, k, ns = _load(spark)
+    token = f"{SF}/embeddings|{n}"
+
+    monkeypatch.delenv("SMVD_IVF_CACHE_DIR", raising=False)
+    inline = shared_hier_assignment(spark, emb, token, k, ns)
+    inline_rows = {r.vec_id: r.cid for r in inline.collect()}
+
+    monkeypatch.setenv("SMVD_IVF_CACHE_DIR", str(tmp_path))
+    cached = shared_hier_assignment(spark, emb, token, k, ns)
+    cached_rows = {r.vec_id: r.cid for r in cached.collect()}
+
+    assert inline_rows == cached_rows
+    assert len(inline_rows) == n
+    # schema parity: same column names and integral types
+    assert cached.columns == ["vec_id", "cid"]
+
+
+def test_cache_is_corpus_and_geometry_keyed(spark, tmp_path, monkeypatch):
+    from signal_messenger_vector_database_spark.operators.ivf_index import (
+        shared_hier_assignment,
+    )
+
+    emb, n, k, ns = _load(spark)
+    monkeypatch.setenv("SMVD_IVF_CACHE_DIR", str(tmp_path))
+
+    shared_hier_assignment(spark, emb, f"{SF}/embeddings|{n}", k, ns).count()
+    dirs = set(os.listdir(tmp_path))
+    assert len(dirs) == 1
+
+    # a different corpus token or geometry must MISS to a fresh build,
+    # never read the stale index
+    shared_hier_assignment(spark, emb, f"{SF}/embeddings|{n + 1}", k, ns).count()
+    shared_hier_assignment(spark, emb, f"{SF}/embeddings|{n}", k, ns + 1).count()
+    assert len(set(os.listdir(tmp_path))) == 3
+
+
+def test_second_consumer_reads_not_rebuilds(spark, tmp_path, monkeypatch):
+    """After the first build, a second call must come back as a plain
+    parquet scan (no groupBy/aggregate stages from the two-level
+    assignment in the plan)."""
+    from signal_messenger_vector_database_spark.operators.ivf_index import (
+        shared_hier_assignment,
+    )
+
+    emb, n, k, ns = _load(spark)
+    monkeypatch.setenv("SMVD_IVF_CACHE_DIR", str(tmp_path))
+    token = f"{SF}/embeddings|{n}"
+
+    shared_hier_assignment(spark, emb, token, k, ns).count()
+    second = shared_hier_assignment(spark, emb, token, k, ns)
+    plan = second._jdf.queryExecution().executedPlan().toString()
+    assert "Aggregate" not in plan and "Join" not in plan
+    assert "Scan parquet" in plan or "FileScan" in plan
