@@ -1,0 +1,120 @@
+"""Probe: the build-once shared IVF assignment amortized across
+consumers (VERDICT r10 #3 done-criterion).
+
+For each scale (i.i.d. replicas from tools/scaling_probe.build_scaled):
+
+  inline  — each consumer recomputes the two-level assignment
+            (the status quo the x64 probe flagged: the n*(1+nprobe)*
+            sqrt(k) term paid once PER QUERY);
+  shared  — SMVD_IVF_CACHE_DIR set: the index is built & materialized
+            ONCE (timed as build_sec), then every consumer reads the
+            parquet assignment — per-query marginal cost is the
+            consumer's own work, linear in n.
+
+Consumers probed: semdedup + knn_graph_ivf + ann_recall_at_k — three
+catalog queries that share the identical (corpus, k, n_super, nprobe)
+assignment.  Oracles are unaffected (the cached frame is bit-identical;
+test_ivf_index pins it); this probe measures COST shape only.
+
+Usage:
+    python tools/ivf_share_probe.py [--scales=1,16,64]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CONSUMERS = ["semdedup", "knn_graph_ivf", "ann_recall_at_k"]
+
+
+def main() -> None:
+    scales = [1, 16, 64]
+    for a in sys.argv[1:]:
+        if a.startswith("--scales="):
+            scales = [int(x) for x in a.split("=", 1)[1].split(",")]
+        else:
+            sys.exit(f"unrecognized argument {a!r}")
+
+    from scaling_probe import build_scaled
+
+    import __spark_entry__ as entry
+    from signal_messenger_vector_database_spark.session import get_spark
+
+    spark = get_spark("ivf-share-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+    dirs = {k: build_scaled(spark, k) for k in scales}
+
+    # untimed warmup at the smallest scale
+    os.environ.pop("SMVD_IVF_CACHE_DIR", None)
+    for name in CONSUMERS:
+        qs[name](spark, dirs[scales[0]]).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    results = {}
+    for k in scales:
+        sf_dir = dirs[k]
+        row: dict = {"scale": k}
+
+        os.environ.pop("SMVD_IVF_CACHE_DIR", None)
+        inline = {}
+        for name in CONSUMERS:
+            spark.catalog.clearCache()
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            inline[name] = round(time.time() - t0, 2)
+        row["inline"] = inline
+        row["inline_total"] = round(sum(inline.values()), 2)
+
+        cache = f"/tmp/smvd_ivf_share_probe/x{k}"
+        import shutil
+
+        shutil.rmtree(cache, ignore_errors=True)
+        os.makedirs(cache, exist_ok=True)
+        os.environ["SMVD_IVF_CACHE_DIR"] = cache
+        # time the one-off index build explicitly (first touch builds)
+        from signal_messenger_vector_database_spark.io.sources import (
+            load_table,
+            parquet_row_count,
+        )
+        from signal_messenger_vector_database_spark.operators.ann import (
+            hier_super_count,
+            scaled_cluster_count,
+        )
+        from signal_messenger_vector_database_spark.operators.ivf_index import (
+            shared_hier_assignment,
+        )
+
+        n = parquet_row_count(sf_dir, "embeddings")
+        kk = scaled_cluster_count(n)
+        emb = load_table(spark, sf_dir, "embeddings")
+        t0 = time.time()
+        shared_hier_assignment(
+            spark, emb, f"{sf_dir}/embeddings|{n}", kk, hier_super_count(kk)
+        ).count()
+        row["build_sec"] = round(time.time() - t0, 2)
+
+        shared = {}
+        for name in CONSUMERS:
+            spark.catalog.clearCache()
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            shared[name] = round(time.time() - t0, 2)
+        row["shared"] = shared
+        row["shared_total"] = round(row["build_sec"] + sum(shared.values()), 2)
+        os.environ.pop("SMVD_IVF_CACHE_DIR", None)
+
+        results[f"x{k}"] = row
+        print(json.dumps(row), flush=True)
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
