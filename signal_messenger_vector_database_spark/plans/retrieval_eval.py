@@ -862,38 +862,53 @@ def _bitext_mining_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     arms = spark.createDataFrame([(t,) for t in _BTE_ARMS], "th double")
-    # broadcast the 4-row ARMS side, not the corpus-sized mined-pair
-    # set (the EXPLAIN-audit class); right-outer keeps every arm row
-    # even when an arm mines nothing
-    perarm = (
-        scored.join(
-            F.broadcast(arms), F.col("margin") >= F.col("th"), "right"
-        )
-        .groupBy("th")
+    # per-lang stratification (r11, VERDICT r10 #4): a mined pair is
+    # attributed to its SOURCE document's lang (src = view 2d of doc d);
+    # recall denominators are per-lang planted-pair counts.  The grid is
+    # arms x langs so an arm that mines nothing in a lang still reports
+    # its zero row.
+    docs_lang = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("pd"), "lang"
+    )
+    lang_counts = docs_lang.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_lang")
+    )
+    mined = (
+        scored.withColumn("pd", F.expr("src DIV 2"))
+        .join(docs_lang, "pd")
+        .join(F.broadcast(arms), F.col("margin") >= F.col("th"))
+        .groupBy("th", "lang")
         .agg(
             F.count("src").alias("n_mined"),
-            F.coalesce(
-                F.sum(
-                    F.when(F.col("tgt") == F.col("src") + 1, 1).otherwise(0)
-                ),
-                F.lit(0),
+            F.sum(
+                F.when(F.col("tgt") == F.col("src") + 1, 1).otherwise(0)
             ).alias("n_correct"),
         )
     )
-    return perarm.select(
-        "th",
-        F.col("n_mined").cast("long").alias("n_mined"),
-        F.col("n_correct").cast("long").alias("n_correct"),
-        F.when(
-            F.col("n_mined") > 0,
-            F.col("n_correct").cast("double") / F.col("n_mined").cast("double"),
+    grid = arms.crossJoin(F.broadcast(lang_counts))
+    return (
+        grid.join(F.broadcast(mined), ["th", "lang"], "left")
+        .select(
+            "th",
+            "lang",
+            F.coalesce(F.col("n_mined"), F.lit(0)).cast("long").alias("n_mined"),
+            F.coalesce(F.col("n_correct"), F.lit(0))
+            .cast("long")
+            .alias("n_correct"),
+            F.when(
+                F.coalesce(F.col("n_mined"), F.lit(0)) > 0,
+                F.col("n_correct").cast("double")
+                / F.col("n_mined").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("prec"),
+            (
+                F.coalesce(F.col("n_correct"), F.lit(0)).cast("double")
+                / F.col("n_lang").cast("double")
+            ).alias("recall"),
         )
-        .otherwise(F.lit(0.0))
-        .alias("prec"),
-        (F.col("n_correct").cast("double") / F.lit(float(n_docs))).alias(
-            "recall"
-        ),
-    ).orderBy("th")
+        .orderBy("th", "lang")
+    )
 
 
 def _bitext_mining_eval_sql() -> str:
@@ -929,19 +944,29 @@ cand AS (
 scored AS (
   SELECT src, tgt, {BT_SQL_MARGIN} AS margin FROM mutual WHERE den > 0
 ),
-arms(th) AS (VALUES {arm_rows})
-SELECT CAST(a.th AS DOUBLE) AS th,
-       CAST(COUNT(s.src) AS BIGINT) AS n_mined,
-       CAST(COALESCE(SUM(CASE WHEN s.tgt = s.src + 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_correct,
-       CASE WHEN COUNT(s.src) > 0
-            THEN CAST(COALESCE(SUM(CASE WHEN s.tgt = s.src + 1 THEN 1 ELSE 0 END), 0) AS DOUBLE)
-                 / CAST(COUNT(s.src) AS DOUBLE)
+arms(th) AS (VALUES {arm_rows}),
+lang_counts AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
+mined AS (
+  SELECT a.th, d.lang,
+         COUNT(s.src) AS n_mined,
+         COALESCE(SUM(CASE WHEN s.tgt = s.src + 1 THEN 1 ELSE 0 END), 0) AS n_correct
+  FROM arms a
+  JOIN scored s ON s.margin >= a.th
+  JOIN documents d ON d.doc_id = s.src // 2
+  GROUP BY a.th, d.lang
+)
+SELECT CAST(a.th AS DOUBLE) AS th, lc.lang,
+       CAST(COALESCE(m.n_mined, 0) AS BIGINT) AS n_mined,
+       CAST(COALESCE(m.n_correct, 0) AS BIGINT) AS n_correct,
+       CASE WHEN COALESCE(m.n_mined, 0) > 0
+            THEN CAST(m.n_correct AS DOUBLE) / CAST(m.n_mined AS DOUBLE)
             ELSE 0.0 END AS prec,
-       CAST(COALESCE(SUM(CASE WHEN s.tgt = s.src + 1 THEN 1 ELSE 0 END), 0) AS DOUBLE)
-         / (SELECT COUNT(*) FROM documents) AS recall
-FROM arms a LEFT JOIN scored s ON s.margin >= a.th
-GROUP BY a.th
-ORDER BY th
+       CAST(COALESCE(m.n_correct, 0) AS DOUBLE)
+         / CAST(lc.n_lang AS DOUBLE) AS recall
+FROM arms a
+CROSS JOIN lang_counts lc
+LEFT JOIN mined m ON m.th = a.th AND m.lang = lc.lang
+ORDER BY th, lc.lang
 """
 
 

@@ -41,8 +41,20 @@ def test_bitext_pairs_are_mutual_cross_side_and_above_margin(spark):
 
     rows = _bitext_margin_pairs(spark, SF).collect()
     assert len(rows) > 0
+
+    # the two collections are the corpus's two largest langs (r11):
+    # derive them in plain Python from the documents table
+    from collections import Counter
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "lang")
+    lang_of = {r["doc_id"]: r["lang"] for r in docs.collect()}
+    counts = Counter(lang_of.values())
+    ranked = sorted(counts, key=lambda l: (-counts[l], l))
+    lx, ly = ranked[0], ranked[1]
+
     for r in rows:
-        assert r.src % 2 == 0 and r.tgt % 2 == 1  # cross-side only
+        assert lang_of[r.src] == lx and r.src_lang == lx
+        assert lang_of[r.tgt] == ly and r.tgt_lang == ly
         assert r.margin >= _BT_MARGIN
         assert -1.0 <= r.cos_sim <= 1.0
 
@@ -64,7 +76,10 @@ def test_bitext_pairs_are_mutual_cross_side_and_above_margin(spark):
 
     by_cell = defaultdict(lambda: ([], []))
     for vid, cell in cells.items():
-        by_cell[cell][vid % 2].append(vid)
+        if lang_of.get(vid) == lx:
+            by_cell[cell][0].append(vid)
+        elif lang_of.get(vid) == ly:
+            by_cell[cell][1].append(vid)
     best_x, best_y, hood_x, hood_y = {}, {}, {}, {}
     ci_of = {}
     for cell, (xs, ys) in by_cell.items():
@@ -111,34 +126,47 @@ def test_bitext_pairs_are_mutual_cross_side_and_above_margin(spark):
 
 
 def test_bitext_mining_eval_curve_invariants(spark):
-    """The planted-ground-truth eval must (a) emit one row per arm with
-    the accounting identities exact (recall = n_correct/n, prec =
-    n_correct/n_mined), (b) be monotone — mined and correct counts
-    nonincreasing in the threshold (margin >= 1 by construction, so the
-    th=1.0 arm is the full mutual set), and (c) recover most planted
-    pairs at the mutual-only baseline with near-perfect precision."""
-    from signal_messenger_vector_database_spark.io.sources import (
-        parquet_row_count,
-    )
+    """The planted-ground-truth eval must (a) emit one row per (arm,
+    lang) with the accounting identities exact per lang (recall =
+    n_correct/n_lang, prec = n_correct/n_mined), (b) be monotone in the
+    threshold WITHIN each lang — mined and correct counts nonincreasing
+    (margin >= 1 by construction, so the th=1.0 arm is the full mutual
+    set), and (c) recover most planted pairs at the mutual-only
+    baseline with near-perfect precision, in EVERY lang."""
+    from collections import Counter
+
+    from signal_messenger_vector_database_spark.io.sources import load_table
     from signal_messenger_vector_database_spark.plans.retrieval_eval import (
         _BTE_ARMS,
         _bitext_mining_eval,
     )
 
-    n = parquet_row_count(SF, "documents")
-    rows = sorted(_bitext_mining_eval(spark, SF).collect(), key=lambda r: r.th)
-    assert [r.th for r in rows] == sorted(_BTE_ARMS)
+    n_lang = Counter(
+        r["lang"]
+        for r in load_table(spark, SF, "documents").select("lang").collect()
+    )
+    rows = _bitext_mining_eval(spark, SF).collect()
+    langs = sorted(n_lang)
+    assert sorted((r.th, r.lang) for r in rows) == [
+        (th, lang) for th in sorted(_BTE_ARMS) for lang in langs
+    ]
     for r in rows:
         assert 0 <= r.n_correct <= r.n_mined
-        assert abs(r.recall - r.n_correct / n) < 1e-12
+        assert abs(r.recall - r.n_correct / n_lang[r.lang]) < 1e-12
         if r.n_mined:
             assert abs(r.prec - r.n_correct / r.n_mined) < 1e-12
         else:
             assert r.prec == 0.0
-    for prev, cur in zip(rows, rows[1:]):
-        assert cur.n_mined <= prev.n_mined
-        assert cur.n_correct <= prev.n_correct
-    base = rows[0]
-    assert base.recall >= 0.85 and base.prec >= 0.98
-    # the curve must be LIVE: the top arm prunes real pairs
-    assert rows[-1].n_mined < base.n_mined
+    by_lang = {}
+    for r in sorted(rows, key=lambda r: (r.lang, r.th)):
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, seq in by_lang.items():
+        for prev, cur in zip(seq, seq[1:]):
+            assert cur.n_mined <= prev.n_mined, lang
+            assert cur.n_correct <= prev.n_correct, lang
+        base = seq[0]
+        assert base.recall >= 0.75 and base.prec >= 0.95, (lang, base)
+    # the curve must be LIVE: the top arm prunes real pairs overall
+    total_base = sum(seq[0].n_mined for seq in by_lang.values())
+    total_top = sum(seq[-1].n_mined for seq in by_lang.values())
+    assert total_top < total_base
