@@ -130,7 +130,12 @@ WHERE rn = 1
 def _kmeans_fit_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Lloyd's loop (operators/clustering.py): deterministic init,
     iterate until inertia stabilizes, return the final assignment.
-    Non-SQL-expressible (driver-side iteration) => rows-only check."""
+    The driver-side iteration is not one SQL string, but the OUTPUT is
+    deterministic per corpus (centroid updates average raw float32
+    components — exact order-free sums in doubles; see
+    tools/gen_kmeans_oracle.py), so the oracle is a corpus-keyed
+    snapshot (the tokenize_cl100k / bpe_train pattern), re-verified by
+    every multi-scale + hostile sweep."""
     from ..operators.clustering import kmeans_fit
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -138,11 +143,55 @@ def _kmeans_fit_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned
 
 
+def _kmeans_fit_assign_sql() -> str:
+    import os
+    import sys
+
+    from ..functions.bpe import _DATA_DIR
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+            "tools",
+        ),
+    )
+    from gen_kmeans_oracle import KEY_SQL
+
+    values = []
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = os.path.join(_DATA_DIR, f"kmeans_fit_{sf}.tsv")
+        with open(path) as f:
+            header = f.readline().strip()
+            if not header.startswith("# corpus_key="):
+                raise ValueError(
+                    f"{path}: missing '# corpus_key=' header — regenerate "
+                    "with tools/gen_kmeans_oracle.py"
+                )
+            key = int(header.split("=", 1)[1])
+            for line in f:
+                if line.strip():
+                    vec_id, cluster, d2 = line.split("\t")
+                    # the d2 literal must parse as a DOUBLE, not via an
+                    # intermediate DECIMAL (which rounds the last ulp):
+                    # VARCHAR -> DOUBLE is the exact repr round-trip
+                    values.append(
+                        f"({key}, {vec_id}, {cluster}, '{d2.strip()}'::DOUBLE)"
+                    )
+    joined = ", ".join(values)
+    return (
+        "SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+        "CAST(cluster AS BIGINT) AS cluster, CAST(d2 AS DOUBLE) AS d2 "
+        f"FROM (VALUES {joined}) AS t(corpus_key, vec_id, cluster, d2) "
+        f"WHERE corpus_key = ({KEY_SQL})"
+    )
+
+
 SPECS: dict[str, QuerySpec] = {
     "kmeans_fit_assign": QuerySpec(
         _kmeans_fit_assign,
-        None,
-        "full iterative k-means fit (Lloyd), final assignment",
+        _kmeans_fit_assign_sql(),
+        "full iterative k-means fit (Lloyd), final assignment — corpus-keyed snapshot oracle",
     ),
     "embedding_centroids": QuerySpec(
         _embedding_centroids,
