@@ -93,6 +93,8 @@ HEADLINE = [
     "ivf_pq_operating_curve",
     "ivf_recall_clustered",
     "bitext_margin_pairs",
+    # added r11 (same caveat)
+    "ivf_pq_clustered_curve",
 ]
 
 

@@ -279,6 +279,24 @@ PROBES_WAVE18 = [
     "bitext_mining_eval",
 ]
 
+# wave 20 (r11): the x64 grid extended beyond the IVF family (VERDICT
+# r10 #7) — the corpus-derived simhash width rule's first x64 exercise
+# (the geometry should step 24 -> 56 bits between x16 and x64), the
+# content-defined-window substring dedup, and the banded MinHash join —
+# plus the new composed residual serving curve.
+PROBES_WAVE20 = [
+    "simhash_hamming_pairs_auto",
+    "dup_substring_spans",
+    "minhash_lsh_pairs",
+    "ivf_pq_clustered_curve",
+]
+
+# wave 20b: the two wave-20 probes the first x64 run's timeout cut
+PROBES_WAVE20B = [
+    "minhash_lsh_pairs",
+    "ivf_pq_clustered_curve",
+]
+
 # sixth wave: stateful Structured Streaming drains (AvailableNow over
 # the replicated events directory; slower — each query builds a
 # checkpoint).  First run of this wave caught the glob-arm silent empty
@@ -480,6 +498,8 @@ def main() -> None:
         "13": PROBES_WAVE13,
         "17": PROBES_WAVE17,
         "18": PROBES_WAVE18,
+        "20": PROBES_WAVE20,
+        "20b": PROBES_WAVE20B,
     }
     probes = PROBES
     for a in sys.argv[1:]:
