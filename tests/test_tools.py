@@ -58,6 +58,9 @@ def test_window_rotate_matches_pinned_window(monkeypatch):
 
     changed = [
         "ivf_pq_clustered_curve",
+        "bitext_margin_pairs",
+        "bitext_mining_eval",
+        "kmeans_fit_assign",
     ]
     window, prov = window_rotate.compute_window(changed, 50)
     assert window == _WINDOW

@@ -297,6 +297,14 @@ PROBES_WAVE20B = [
     "ivf_pq_clustered_curve",
 ]
 
+# wave 20c: simhash on the SUBSTITUTED-vocabulary replicas (see
+# build_scaled_subst) — the plan's growth with the k^2 replica-family
+# near-dup signal removed.  Probes in SUBST_PROBES read the s{k} dirs.
+PROBES_WAVE20C = [
+    "simhash_hamming_pairs_auto",
+]
+SUBST_PROBES = {"simhash_hamming_pairs_auto"}
+
 # sixth wave: stateful Structured Streaming drains (AvailableNow over
 # the replicated events directory; slower — each query builds a
 # checkpoint).  First run of this wave caught the glob-arm silent empty
@@ -346,6 +354,53 @@ PROBES_WAVE3 = [
     "markov_transitions",
     "assoc_rules",
 ]
+
+
+def build_scaled_subst(spark, k: int) -> str:
+    """Documents-only replicas with SUBSTITUTED vocabulary: rep > 0
+    replaces every word with an 8-hex md5(word|rep) token.  build_scaled's
+    scrambling decorrelates SHINGLES but keeps each replica's word SET —
+    so unigram-set operators (simhash) see every replica family as
+    genuine mutual near-dups and the true pair count grows ~k^2:
+    wave 20's first x64 simhash point measured that data growth
+    (8.05M -> 126M output pairs for x16 -> x64), not the plan.
+    Substitution keeps token counts/lengths but decorrelates the word
+    sets, so the banded join's growth is the PLAN's."""
+    from pyspark.sql import functions as F
+
+    out = os.path.join(WORK, f"s{k}")
+    if os.path.exists(os.path.join(out, "_OK1")):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    docs = spark.read.parquet(os.path.join(BASE, "documents.parquet"))
+    n_docs = docs.count()
+    reps = spark.range(k).select(F.col("id").cast("int").alias("rep"))
+    ws = F.split(F.col("text"), " ")
+    subst = F.array_join(
+        F.transform(
+            ws,
+            lambda w: F.substring(
+                F.md5(F.concat_ws("_", w, F.col("rep").cast("string"))), 1, 8
+            ),
+        ),
+        " ",
+    )
+    (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * n_docs).alias("doc_id"),
+            F.when(F.col("rep") == 0, F.col("text")).otherwise(subst).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "documents.parquet"))
+    )
+    open(os.path.join(out, "_OK1"), "w").close()
+    return out
 
 
 def build_scaled(spark, k: int) -> str:
@@ -500,6 +555,7 @@ def main() -> None:
         "18": PROBES_WAVE18,
         "20": PROBES_WAVE20,
         "20b": PROBES_WAVE20B,
+        "20c": PROBES_WAVE20C,
     }
     probes = PROBES
     for a in sys.argv[1:]:
@@ -522,10 +578,20 @@ def main() -> None:
     qs = entry.queries()
 
     dirs = {k: build_scaled(spark, k) for k in scales}
+    # substituted-vocab twin dirs, built only when this run probes a
+    # unigram-set operator (wave 20c)
+    sdirs = (
+        {k: build_scaled_subst(spark, k) for k in scales}
+        if any(p in SUBST_PROBES for p in probes)
+        else {}
+    )
+
+    def probe_dir(name: str, k: int) -> str:
+        return sdirs[k] if name in SUBST_PROBES and sdirs else dirs[k]
 
     # untimed warmup: plan compilation + codegen caches
     for name in probes:
-        qs[name](spark, dirs[scales[0]]).write.format("noop").mode(
+        qs[name](spark, probe_dir(name, scales[0])).write.format("noop").mode(
             "overwrite"
         ).save()
         spark.catalog.clearCache()
@@ -536,7 +602,7 @@ def main() -> None:
         for k in scales:
             spark.catalog.clearCache()
             t0 = time.time()
-            qs[name](spark, dirs[k]).write.format("noop").mode("overwrite").save()
+            qs[name](spark, probe_dir(name, k)).write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             results[name][k] = round(dt, 2)
             print(f"{name:28s} x{k:<3d} {dt:7.2f}s", flush=True)
