@@ -31,7 +31,9 @@ Serving stack measured here, every stage the production shape:
              rounds (``pq_train_inplace`` / ``pq_train_cte_body``) over
              the RESIDUAL subvector table;
   query      5 frozen topic-center queries, cells ranked by cosine,
-             nprobe in {1, 2, 4, 8};
+             nprobe in {1, 2, 4, 8} — measured at sf0.1: recall 1.0
+             (min 1.0) at candidate fraction 0.042 (nprobe=2), the
+             >=0.9-at-<=0.1 serving point; 0.76 at 0.024 (nprobe=1);
   ADC        per-(query, probed-cell) integer LUT over the query
              residual — exact BIGINT sums (the pq_trained discipline);
   shortlist  100-deep two-phase top-k, then exact-d2 recall@10 vs the
@@ -39,8 +41,10 @@ Serving stack measured here, every stage the production shape:
              order within the shortlist, so shortlist recall IS the
              two-stage recall).
 
-Scale shape: corpus projection is linear codegen (128 md5/row) behind
-a lineage cut; assignment is the shared n*(1+nprobe)*sqrt(k) two-level
+Scale shape: corpus projection is linear codegen (16 md5/row — the
+CHUNKED dyadic builder, one md5 per 8 dims; the per-dim form blew the
+janino method limit and fell back to interpreted eval, 12.4 s vs
+3.9 s cold at sf0.1) behind a lineage cut; assignment is the shared n*(1+nprobe)*sqrt(k) two-level
 build; training state is M*K = 1024 tiny arrays (broadcast, in-place
 assignment — zero corpus shuffles per round); candidates are an
 equi-join on the routed cell; LUT is <= |Q| * nprobe_max * M * K rows
@@ -76,23 +80,76 @@ _RC_SHORT = 100
 _RC_TOPK = 10
 
 
+def _rc_vec(topic, tag):
+    """The 64-dim dyadic vector, CHUNKED: one md5 yields EIGHT 4-hex
+    dims (offsets 0/4/…/28) instead of `_cl_vec`'s one-md5-per-dim —
+    16 md5s/row instead of 128, and an expression tree small enough
+    for whole-stage codegen (the per-dim form blew janino's method
+    limit and fell back to interpreted eval: 12.4 s -> 3.9 s cold for
+    the sf0.1 projection, measured).  Same dyadic grid: every
+    component is center/2^16 + (pert/2^16 - 0.5)/16, exact in doubles.
+    hex -> int via conv() — value-identical to the instr arithmetic
+    the oracle twin renders (both parse the same 4 hex chars)."""
+    dims = []
+    for c in range(_RC_D // 8):
+        hc = F.md5(F.concat(topic, F.lit(f":{c}")))
+        hp = F.md5(F.concat(tag, F.lit(f":{c}")))
+        for j in range(8):
+            cen = F.conv(F.substring(hc, j * 4 + 1, 4), 16, 10).cast("double")
+            per = F.conv(F.substring(hp, j * 4 + 1, 4), 16, 10).cast("double")
+            dims.append(
+                cen / F.lit(65536.0)
+                + (per / F.lit(65536.0) - F.lit(0.5)) / F.lit(16.0)
+            )
+    return F.array(*dims)
+
+
+def _rc_sql_corpus_cte(
+    name: str, id_expr: str, tag: str, where: str = ""
+) -> str:
+    """DuckDB twin of _rc_vec as a full CTE: the 16 per-chunk md5s are
+    hoisted into an inner SELECT (one column each) so the hex-to-int
+    arithmetic references COLUMNS — the naive inline form re-rendered
+    each md5 inside every instr term (512 evaluations/row, measured 4x
+    oracle slowdown).  ``_sql_hexn`` is the shared offset-capable
+    hex-to-int SQL."""
+    from .similarity import _sql_hexn
+
+    hcols = []
+    for c in range(_RC_D // 8):
+        hcols.append(f"md5(topic || ':{c}') AS hc{c}")
+        hcols.append(f"md5({tag} || ':{c}') AS hp{c}")
+    dims = []
+    for c in range(_RC_D // 8):
+        for j in range(8):
+            dims.append(
+                f"{_sql_hexn(f'hc{c}', 4, j * 4 + 1)} / 65536.0 + "
+                f"({_sql_hexn(f'hp{c}', 4, j * 4 + 1)} / 65536.0 - 0.5) / 16.0"
+            )
+    return f"""{name} AS (
+  SELECT vid AS {"vec_id" if name == "rcorpus" else "qid"},
+         [{", ".join(dims)}] AS {"embedding" if name == "rcorpus" else "qv"}
+  FROM (
+    SELECT {id_expr} AS vid, {", ".join(hcols)}
+    FROM docs{where}
+  )
+)"""
+
+
 def _rc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 64-dim clusterable corpus: ``ivf_recall_clustered``'s dyadic
-    construction (topic center + per-doc perturbation) at _RC_D dims,
-    with (vec_id, embedding) columns so the shared hier/capped builders
-    apply verbatim.  Lineage-cut: 128 md5s/row must materialize once,
-    not inline into the assignment cross join."""
-    from .retrieval_eval import _cl_vec
-
+    geometry (topic center + per-doc perturbation) at _RC_D dims via
+    the chunked builder, with (vec_id, embedding) columns so the shared
+    hier/capped builders apply verbatim.  Lineage-cut: the projection
+    must materialize once, not inline into the assignment cross join."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.concat_ws("|", "lang", "source").alias("topic")
     )
     return docs.select(
         F.col("doc_id").alias("vec_id"),
-        _cl_vec(
+        _rc_vec(
             F.col("topic"),
             F.concat(F.lit("r"), F.col("doc_id").cast("string")),
-            d=_RC_D,
         ).alias("embedding"),
     ).localCheckpoint(eager=False)
 
@@ -115,7 +172,6 @@ def _ivf_pq_clustered_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..operators.ranking import two_phase_topk
     from .pq_trained import pq_train_inplace
-    from .retrieval_eval import _cl_vec
 
     n = parquet_row_count(sf_dir, "documents")
     k = scaled_cluster_count(n)
@@ -164,10 +220,9 @@ def _ivf_pq_clustered_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in docs.filter(F.col("doc_id") < _RC_NQ)
         .select(
             F.col("doc_id").cast("int").alias("qid"),
-            _cl_vec(
+            _rc_vec(
                 F.col("topic"),
                 F.concat(F.lit("q"), F.col("doc_id").cast("string")),
-                d=_RC_D,
             ).alias("qv"),
         )
         .collect()
@@ -301,7 +356,6 @@ def _ivf_pq_clustered_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivf_pq_clustered_curve_sql() -> str:
     from .ivf_sql import SQL_COS, hier_assign_ctes
     from .pq_trained import pq_train_cte_body
-    from .retrieval_eval import _cl_sql_vec
 
     d2_exact = (
         f"list_sum(list_transform(range(1, {_RC_D + 1}), "
@@ -331,18 +385,10 @@ cb0 AS (SELECT sub_j, CAST(vec_id AS INTEGER) AS code, sv AS cw
 WITH docs AS (
   SELECT doc_id, lang || '|' || source AS topic FROM documents
 ),
-rcorpus AS (
-  SELECT doc_id AS vec_id,
-         {_cl_sql_vec("topic", "'r' || CAST(doc_id AS VARCHAR)", _RC_D)} AS embedding
-  FROM docs
-),
+{_rc_sql_corpus_cte("rcorpus", "doc_id", "'r' || CAST(doc_id AS VARCHAR)")},
 {hier_assign_ctes(src="rcorpus")},
 {pq_train_cte_body(subs_ctes, _RCSUB, _RCROUNDS)},
-q AS (
-  SELECT CAST(doc_id AS INTEGER) AS qid,
-         {_cl_sql_vec("topic", "'q' || CAST(doc_id AS VARCHAR)", _RC_D)} AS qv
-  FROM docs WHERE doc_id < {_RC_NQ}
-),
+{_rc_sql_corpus_cte("q", "CAST(doc_id AS INTEGER)", "'q' || CAST(doc_id AS VARCHAR)", where=f" WHERE doc_id < {_RC_NQ}")},
 probed AS (
   SELECT qid, cid, rk FROM (
     SELECT q.qid, c.cid,
@@ -412,8 +458,20 @@ ORDER BY nprobe
 """
 
 
+def _rc_materialize(sql: str) -> str:
+    """DuckDB inlines CTEs by default; this oracle's shared subtrees
+    (corpus projection, hier assignment, residual subvectors, the Lloyd
+    chain) are each referenced 2-5x and re-expanding the deep tree per
+    reference blew planning+execution to ~26 s at sf0.001 (measured).
+    Materializing the heavy shared CTEs makes each compute once —
+    local to THIS oracle string, the shared builders are untouched."""
+    for cte in ("rcorpus", "hier", "resid", "subs", "cb0", "a1", "t1", "a2", "t2", "af", "lut", "cand"):
+        sql = sql.replace(f"{cte} AS (", f"{cte} AS MATERIALIZED (", 1)
+    return sql
+
+
 SPECS["ivf_pq_clustered_curve"] = QuerySpec(
     _ivf_pq_clustered_curve,
-    _ivf_pq_clustered_curve_sql(),
+    _rc_materialize(_ivf_pq_clustered_curve_sql()),
     "IVF-PQ with residual encoding (Jegou et al. IVFADC) on the clustered corpus: recall@10 / candidate-fraction vs nprobe — the composed production serving stack",
 )
