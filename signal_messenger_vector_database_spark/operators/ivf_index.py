@@ -71,7 +71,14 @@ def shared_hier_assignment(
     ``corpus_token`` must identify the corpus bytes the caller scans
     (e.g. ``f"{sf_dir}/embeddings|{n}"``); derived corpora pass their
     derivation tag so two different projections of the same table
-    never share an index."""
+    never share an index.
+
+    Write discipline: the build is re-run whenever ``_SUCCESS`` is
+    absent (a crashed partial write self-heals via mode=overwrite).
+    Concurrent builders of the SAME key are out of scope — the cache
+    is per-driver (one session's queries run sequentially); a
+    multi-tenant deployment would front this with an atomic-rename or
+    catalog-level lock, which parquet-on-object-store makes cheap."""
 
     def inline() -> DataFrame:
         return ivf_assign_hier(

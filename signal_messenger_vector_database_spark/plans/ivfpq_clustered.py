@@ -154,19 +154,15 @@ def _rc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
 
 
-def _rc_d2(a: str, b: str):
-    return F.aggregate(
-        F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+# the exact squared-L2 fold is retrieval_eval's _cl_d2 (ONE definition
+# — the shared-definition rule)
+from .retrieval_eval import _cl_d2 as _rc_d2  # noqa: E402
 
 
 def _ivf_pq_clustered_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vector import cosine_similarity
     from ..operators.ann import (
         hier_super_count,
-        ivf_assign_hier,
         ivf_seed_centroids,
         scaled_cluster_count,
     )
