@@ -108,3 +108,44 @@ def _seed(emb: DataFrame, k: int, id_col: str, vec_col: str) -> DataFrame:
     from .ann import ivf_seed_centroids
 
     return ivf_seed_centroids(emb, k, id_col=id_col, vec_col=vec_col)
+
+
+def shared_pq_parts(
+    spark: SparkSession,
+    subs: DataFrame,
+    corpus_token: str,
+    d: int,
+    k: int,
+    rounds: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Trained-PQ parts (final assignment + codebooks), amortized the
+    same way as the coarse assignment: the three trained-PQ catalog
+    queries each retrain IDENTICAL codebooks over the same corpus
+    (~10 s each at sf0.1 — the pq_train_inplace Lloyd rounds), and the
+    residual curve trains its own set.  With ``SMVD_IVF_CACHE_DIR``
+    set, the (sub_j, code, cw) codebooks and the (vec_id, sub_j, code)
+    final assignment are parquet-materialized once per (corpus token,
+    geometry); inline otherwise — byte-identical either way (ints and
+    1e-4-grid doubles round-trip parquet exactly; pinned by
+    test_ivf_index).  Same write discipline as the assignment cache."""
+    from ..plans.pq_trained import pq_train_inplace
+
+    cache = ivf_cache_dir()
+    if cache is None:
+        return pq_train_inplace(subs, d, k, rounds)
+    key = hashlib.md5(
+        f"{corpus_token}|pq|d={d}|k={k}|r={rounds}".encode()
+    ).hexdigest()[:20]
+    af_path = os.path.join(cache, f"pq_af_{key}")
+    cb_path = os.path.join(cache, f"pq_cb_{key}")
+    if not (
+        os.path.exists(os.path.join(af_path, "_SUCCESS"))
+        and os.path.exists(os.path.join(cb_path, "_SUCCESS"))
+    ):
+        af, cb = pq_train_inplace(subs, d, k, rounds)
+        af.write.mode("overwrite").parquet(af_path)
+        cb.write.mode("overwrite").parquet(cb_path)
+    return (
+        spark.read.parquet(af_path).select("vec_id", "sub_j", "code"),
+        spark.read.parquet(cb_path).select("sub_j", "code", "cw"),
+    )

@@ -167,7 +167,6 @@ def _ivf_pq_clustered_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         scaled_cluster_count,
     )
     from ..operators.ranking import two_phase_topk
-    from .pq_trained import pq_train_inplace
 
     n = parquet_row_count(sf_dir, "documents")
     k = scaled_cluster_count(n)
@@ -203,7 +202,12 @@ def _ivf_pq_clustered_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sub_j", "sv"),
     ).localCheckpoint(eager=False)
-    af, cb = pq_train_inplace(subs, _RCSUB, _RCK, _RCROUNDS)
+    from ..operators.ivf_index import shared_pq_parts
+
+    af, cb = shared_pq_parts(
+        spark, subs, f"{sf_dir}/documents|rcorpus-resid|{n}",
+        _RCSUB, _RCK, _RCROUNDS,
+    )
 
     # five frozen topic-center queries (the ivf_recall_clustered collect
     # pattern: bounded eval constants, re-injected as a local relation —

@@ -138,7 +138,17 @@ def _op_trained_parts(spark: SparkSession, sf_dir: str):
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     subs = _op_sub_rows(emb).localCheckpoint(eager=False)
-    return pq_train_inplace(subs, _OPD, _OPK, _OPROUNDS)
+    # routed through the r11 build-once seam: the three trained-PQ
+    # queries retrain IDENTICAL codebooks (inline when
+    # SMVD_IVF_CACHE_DIR is unset — byte-identical)
+    from ..io.sources import parquet_row_count
+    from ..operators.ivf_index import shared_pq_parts
+
+    n = parquet_row_count(sf_dir, "embeddings")
+    return shared_pq_parts(
+        spark, subs, f"{sf_dir}/embeddings|{n}|op{_OPM}x{_OPD}",
+        _OPD, _OPK, _OPROUNDS,
+    )
 
 
 def pq_train_inplace(

@@ -85,3 +85,39 @@ def test_second_consumer_reads_not_rebuilds(spark, tmp_path, monkeypatch):
     plan = second._jdf.queryExecution().executedPlan().toString()
     assert "Aggregate" not in plan and "Join" not in plan
     assert "Scan parquet" in plan or "FileScan" in plan
+
+
+def test_cached_pq_parts_bit_identical_to_inline(spark, tmp_path, monkeypatch):
+    """The trained-PQ cache must return the identical final assignment
+    and codebooks as the inline Lloyd build (ints and 1e-4-grid doubles
+    round-trip parquet exactly)."""
+    from pyspark.sql import functions as F
+
+    from signal_messenger_vector_database_spark.io.sources import load_table
+    from signal_messenger_vector_database_spark.operators.ivf_index import (
+        shared_pq_parts,
+    )
+    from signal_messenger_vector_database_spark.plans.pq_trained import (
+        _OPD,
+        _op_sub_rows,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    subs = _op_sub_rows(emb).localCheckpoint(eager=False)
+
+    monkeypatch.delenv("SMVD_IVF_CACHE_DIR", raising=False)
+    af_i, cb_i = shared_pq_parts(spark, subs, "t", _OPD, 16, 1)
+    af_inline = {(r.vec_id, r.sub_j): r.code for r in af_i.collect()}
+    cb_inline = {(r.sub_j, r.code): list(r.cw) for r in cb_i.collect()}
+
+    monkeypatch.setenv("SMVD_IVF_CACHE_DIR", str(tmp_path))
+    af_c, cb_c = shared_pq_parts(spark, subs, "t", _OPD, 16, 1)
+    assert {(r.vec_id, r.sub_j): r.code for r in af_c.collect()} == af_inline
+    assert {(r.sub_j, r.code): list(r.cw) for r in cb_c.collect()} == cb_inline
+    # second call reads, never retrains
+    af_c2, _ = shared_pq_parts(spark, subs, "t", _OPD, 16, 1)
+    plan = af_c2._jdf.queryExecution().executedPlan().toString()
+    assert "Aggregate" not in plan
+    assert "Scan parquet" in plan or "FileScan" in plan
