@@ -18,6 +18,9 @@ test_ivf_index pins it); this probe measures COST shape only.
 
 Usage:
     python tools/ivf_share_probe.py [--scales=1,16,64]
+    python tools/ivf_share_probe.py --pq        # wave 19c: the trained-PQ
+                                                # trio + residual curve at
+                                                # sf0.1, inline vs shared
 """
 
 from __future__ import annotations
@@ -32,9 +35,57 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 CONSUMERS = ["semdedup", "knn_graph_ivf", "ann_recall_at_k"]
 
 
+PQ_CONSUMERS = [
+    "pq_operating_point",
+    "topk_ivf_pq_trained",
+    "ivf_pq_operating_curve",
+    "ivf_pq_clustered_curve",
+]
+
+
+def run_pq() -> None:
+    """Wave 19c: the trained-PQ family at sf0.1 — each query retrains
+    identical codebooks inline; with the cache the build amortizes."""
+    import shutil
+    import time
+
+    import __spark_entry__ as entry
+    from signal_messenger_vector_database_spark.session import get_spark
+
+    spark = get_spark("pq-share-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+    sf = "/root/testdata/sf0.1"
+    for name in PQ_CONSUMERS:  # codegen warmup
+        qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
+    out = {}
+    os.environ.pop("SMVD_IVF_CACHE_DIR", None)
+    for arm in ("inline", "shared_first", "shared_warm"):
+        if arm == "shared_first":
+            cache = "/tmp/smvd_pq_share_probe"
+            shutil.rmtree(cache, ignore_errors=True)
+            os.makedirs(cache, exist_ok=True)
+            os.environ["SMVD_IVF_CACHE_DIR"] = cache
+        times = {}
+        for name in PQ_CONSUMERS:
+            spark.catalog.clearCache()
+            t0 = time.time()
+            qs[name](spark, sf).write.format("noop").mode("overwrite").save()
+            times[name] = round(time.time() - t0, 1)
+        out[arm] = {"per_query": times, "total": round(sum(times.values()), 1)}
+        print(json.dumps({arm: out[arm]}), flush=True)
+    os.environ.pop("SMVD_IVF_CACHE_DIR", None)
+    print(json.dumps(out))
+
+
 def main() -> None:
     scales = [1, 16, 64]
     for a in sys.argv[1:]:
+        if a == "--pq":
+            run_pq()
+            return
         if a.startswith("--scales="):
             scales = [int(x) for x in a.split("=", 1)[1].split(",")]
         else:
