@@ -36,8 +36,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from signal_messenger_vector_database_spark.plans.registry import (
+        resolve_oracle,
+    )
+
     return {
-        name: spec.oracle
+        name: sql
         for name, spec in all_specs().items()
-        if spec.oracle is not None
+        if (sql := resolve_oracle(name, spec)) is not None
     }

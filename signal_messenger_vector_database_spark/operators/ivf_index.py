@@ -21,9 +21,14 @@ Design:
   and later consumers read it.
 * **Corpus-keyed** (the ``tokenize_cl100k`` snapshot pattern): the
   cache key hashes the caller's corpus token (source path + row
-  count) together with the full assignment geometry (k, n_super,
-  nprobe) — a corpus or geometry change can never read a stale index,
-  it simply misses to a fresh build.
+  count), the source files' (mtime_ns, size) stats, and the full
+  assignment geometry (k, n_super, nprobe) — a row-count, geometry,
+  or source-file change (including an in-place update that preserves
+  row count, via the file stats — ADVICE r11) misses to a fresh
+  build.  The residual blind spot is an in-place rewrite that forges
+  identical mtime+size; a deployment needing cryptographic staleness
+  guarantees would swap ``_content_stamp`` for a content hash at
+  build-pipeline cost.
 * **Bit-identical by construction**: the cached frame is the parquet
   round-trip of the very DataFrame the inline path returns; (long,
   long) columns round-trip exactly, so consumers' results — and their
@@ -50,6 +55,32 @@ def ivf_cache_dir() -> str | None:
     """The shared-index cache root, or None (inline path) when the
     deployment has not opted in."""
     return os.environ.get("SMVD_IVF_CACHE_DIR") or None
+
+
+def _content_stamp(corpus_token: str) -> str:
+    """File-stat component of the cache key (ADVICE r11): an in-place
+    corpus content change that preserves row count (update, or
+    delete+insert — exactly the ``ivf_maintenance`` regime) must MISS
+    the cache, not serve a stale assignment.  By caller convention the
+    token's '|'-pieces lead with the source path (``<sf_dir>/<table>``,
+    parquet suffix elided); every piece that names an existing file
+    (with or without ``.parquet``) or directory contributes its
+    (mtime_ns, size).  Derivation-tag pieces contribute nothing — for a
+    purely derived corpus the row count in the token plus the BASE
+    file's stats remain the content signal."""
+    parts: list[str] = []
+    for piece in corpus_token.split("|"):
+        for cand in (piece, piece + ".parquet"):
+            if os.path.isfile(cand):
+                st = os.stat(cand)
+                parts.append(f"{st.st_mtime_ns}:{st.st_size}")
+                break
+            if os.path.isdir(cand):
+                for f in sorted(os.listdir(cand)):
+                    st = os.stat(os.path.join(cand, f))
+                    parts.append(f"{st.st_mtime_ns}:{st.st_size}")
+                break
+    return ";".join(parts)
 
 
 def shared_hier_assignment(
@@ -96,7 +127,8 @@ def shared_hier_assignment(
     if cache is None:
         return inline()
     key = hashlib.md5(
-        f"{corpus_token}|k={k}|ns={n_super}|np={nprobe}".encode()
+        f"{corpus_token}|k={k}|ns={n_super}|np={nprobe}"
+        f"|fs={_content_stamp(corpus_token)}".encode()
     ).hexdigest()[:20]
     path = os.path.join(cache, f"hier_{key}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -108,6 +140,76 @@ def _seed(emb: DataFrame, k: int, id_col: str, vec_col: str) -> DataFrame:
     from .ann import ivf_seed_centroids
 
     return ivf_seed_centroids(emb, k, id_col=id_col, vec_col=vec_col)
+
+
+def shared_hier_assignment_delta(
+    spark: SparkSession,
+    base: DataFrame,
+    delta: DataFrame,
+    base_token: str,
+    delta_token: str,
+    k: int,
+    n_super: int,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    shard_threshold: int = 4096,
+) -> DataFrame:
+    """Incremental index maintenance through the build-once seam
+    (VERDICT r11 #2): the (id, cid) assignment for ``base`` UNION
+    ``delta`` with the coarse quantizer FROZEN at the base corpus —
+    seeds (and therefore k, n_super) derive from ``base`` only, so an
+    incoming batch never re-clusters the world.
+
+    At 100 TB the daily reality is +0.1-1% new documents; a full
+    rebuild per ingest (the shared_hier_assignment contract — a corpus
+    change is a cache miss) costs the whole n*(1+nprobe)*sqrt(k)
+    assignment again, while THIS path assigns only the delta:
+    marginal cost linear in |delta| (probed by
+    ``tools/ivf_share_probe.py --delta``).  Because the two-level
+    assignment is per-row given fixed centroids, base-part rows are
+    bit-identical to ``shared_hier_assignment(base, ...)`` — the delta
+    path shares its cache key, so a deployment that built the base
+    index pays ONLY the delta assignment here — and the whole result
+    is bit-identical to the inline full assignment of base UNION delta
+    at base geometry (pinned by test_ivf_index; the DuckDB twin is
+    ``plans/ivf_sql.py::hier_assign_ctes(src=..., assign_src=...)``).
+
+    Re-cluster policy stays with the caller: ``ivf_maintenance``'s
+    split/compact flags (per-cell drift) are the trigger for
+    scheduling a fresh ``shared_hier_assignment`` build; this operator
+    is the cheap steady-state between those events."""
+
+    def assign(df: DataFrame) -> DataFrame:
+        return ivf_assign_hier(
+            df,
+            _seed(base, k, id_col, vec_col),
+            n_super,
+            nprobe=nprobe,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_centroids=k,
+            shard_threshold=shard_threshold,
+        )
+
+    cache = ivf_cache_dir()
+    if cache is None:
+        return assign(base.unionByName(delta))
+    base_part = shared_hier_assignment(
+        spark, base, base_token, k, n_super,
+        nprobe=nprobe, id_col=id_col, vec_col=vec_col,
+        shard_threshold=shard_threshold,
+    )
+    dkey = hashlib.md5(
+        f"{base_token}|delta|{delta_token}|k={k}|ns={n_super}|np={nprobe}"
+        f"|fs={_content_stamp(base_token)};{_content_stamp(delta_token)}".encode()
+    ).hexdigest()[:20]
+    dpath = os.path.join(cache, f"hier_delta_{dkey}")
+    if not os.path.exists(os.path.join(dpath, "_SUCCESS")):
+        assign(delta).write.mode("overwrite").parquet(dpath)
+    return base_part.unionByName(
+        spark.read.parquet(dpath).select(id_col, "cid")
+    )
 
 
 def shared_pq_parts(
@@ -134,7 +236,8 @@ def shared_pq_parts(
     if cache is None:
         return pq_train_inplace(subs, d, k, rounds)
     key = hashlib.md5(
-        f"{corpus_token}|pq|d={d}|k={k}|r={rounds}".encode()
+        f"{corpus_token}|pq|d={d}|k={k}|r={rounds}"
+        f"|fs={_content_stamp(corpus_token)}".encode()
     ).hexdigest()[:20]
     af_path = os.path.join(cache, f"pq_af_{key}")
     cb_path = os.path.join(cache, f"pq_cb_{key}")

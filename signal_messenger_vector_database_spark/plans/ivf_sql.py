@@ -48,7 +48,15 @@ _COS_VC = SQL_COS.format(a="v.v", b="c2.cv")
 # the default so every historical consumer's SQL is byte-identical.
 
 
-def hier_assign_ctes(src: str = "embeddings") -> str:
+def hier_assign_ctes(src: str = "embeddings", assign_src: str | None = None) -> str:
+    """``src`` is the relation the GEOMETRY and CENTROIDS derive from;
+    ``assign_src`` (default: src — rendering byte-identical for every
+    historical consumer) is the relation whose vectors get ASSIGNED.
+    Passing a different assign_src is the DELTA-maintenance shape
+    (VERDICT r11 #2): centroids frozen at the base corpus, only the
+    incoming vectors routed — the SQL twin of
+    operators/ivf_index.py::shared_hier_assignment_delta."""
+    asrc = assign_src or src
     return f"""p AS (
   SELECT GREATEST(8, COUNT(*) // 125) AS k,
          GREATEST(2, CAST(FLOOR(SQRT(GREATEST(8, COUNT(*) // 125))) AS INTEGER)) AS ns
@@ -69,7 +77,7 @@ v2s AS (
     SELECT e.vec_id, e.embedding AS v, s.sid,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
                               ORDER BY ({_COS_ES}) DESC, s.sid) AS rk
-    FROM {src} e, s
+    FROM {asrc} e, s
   ) WHERE rk <= 3  -- nprobe=3, the measured default
 ),
 hier AS (

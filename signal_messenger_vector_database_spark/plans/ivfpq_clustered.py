@@ -465,7 +465,14 @@ def _rc_materialize(sql: str) -> str:
     reference blew planning+execution to ~26 s at sf0.001 (measured).
     Materializing the heavy shared CTEs makes each compute once —
     local to THIS oracle string, the shared builders are untouched."""
-    for cte in ("rcorpus", "hier", "resid", "subs", "cb0", "a1", "t1", "a2", "t2", "af", "lut", "cand"):
+    # the Lloyd-round CTE names are DERIVED from _RCROUNDS (ADVICE r11:
+    # a hardcoded a1/t1/a2/t2 tuple would silently leave new rounds'
+    # CTEs inlined if the round count were ever raised, reintroducing
+    # the re-expansion regime this function exists to avoid)
+    lloyd = tuple(
+        name for r in range(1, _RCROUNDS + 1) for name in (f"a{r}", f"t{r}")
+    )
+    for cte in ("rcorpus", "hier", "resid", "subs", "cb0", *lloyd, "af", "lut", "cand"):
         sql = sql.replace(f"{cte} AS (", f"{cte} AS MATERIALIZED (", 1)
     return sql
 

@@ -56,5 +56,25 @@ from pyspark.sql import DataFrame, SparkSession
 @dataclass(frozen=True)
 class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None = None
+    # str = the DuckDB SQL; zero-arg callable = built lazily on first
+    # oracle_sql() access (for oracles that read snapshot fixtures —
+    # ADVICE r11: an import-time build made a corrupt snapshot file
+    # break import of the whole plans package, failing every query
+    # instead of just the one); None = rows-only.
+    oracle: str | Callable[[], str] | None = None
     description: str = ""
+
+
+def resolve_oracle(name: str, spec: QuerySpec) -> str | None:
+    """Resolve a spec's oracle to its SQL string.  A lazy oracle whose
+    builder THROWS (missing/corrupt snapshot fixture) is contained to
+    this one query: the returned SQL raises DuckDB-side, so the driver
+    records an ``err`` for exactly this entry while every other
+    compare proceeds."""
+    if spec.oracle is None or isinstance(spec.oracle, str):
+        return spec.oracle
+    try:
+        return spec.oracle()
+    except Exception as ex:  # noqa: BLE001 — containment is the point
+        msg = f"lazy oracle for {name} failed: {ex}".replace("'", "''")[:300]
+        return f"SELECT error('{msg}')"

@@ -1360,11 +1360,14 @@ def _bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
+    # lang labels deliberately NOT selected here: cand carries only the
+    # sufficient statistics, and the labels re-attach after
+    # bt_margin_core from the vecs projections below (ADVICE r11 — the
+    # aliases formerly selected here were dead code).
     x = vecs.filter(F.col("rk") == 1).select(
         F.col("vec_id").alias("src"),
         F.col("cluster").alias("cl_x"),
         F.col("sub").alias("sub_x"),
-        F.col("lang").alias("src_lang"),
         F.col("embedding").alias("vx"),
         F.col("nrm").alias("nx"),
     )
@@ -1372,7 +1375,6 @@ def _bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("tgt"),
         F.col("cluster").alias("cl_y"),
         F.col("sub").alias("sub_y"),
-        F.col("lang").alias("tgt_lang"),
         F.col("embedding").alias("vy"),
         F.col("nrm").alias("ny"),
     )

@@ -19,6 +19,8 @@ analytics a 100 TB embedding store needs beyond top-k:
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -144,6 +146,17 @@ def _kmeans_fit_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmeans_fit_assign_sql() -> str:
+    """Corpus-keyed snapshot oracle, built LAZILY (the QuerySpec holds
+    this function, resolved at oracle_sql() access): reading the three
+    snapshot TSVs at import time made a missing/corrupt fixture break
+    import of the entire plans package instead of just this query
+    (ADVICE r11).  lru_cache keeps the ~155 KB VALUES literal a
+    one-time cost per process."""
+    return _kmeans_fit_assign_sql_cached()
+
+
+@functools.lru_cache(maxsize=1)
+def _kmeans_fit_assign_sql_cached() -> str:
     import os
     import sys
 
@@ -190,8 +203,12 @@ def _kmeans_fit_assign_sql() -> str:
 SPECS: dict[str, QuerySpec] = {
     "kmeans_fit_assign": QuerySpec(
         _kmeans_fit_assign,
-        _kmeans_fit_assign_sql(),
-        "full iterative k-means fit (Lloyd), final assignment — corpus-keyed snapshot oracle",
+        _kmeans_fit_assign_sql,  # lazy: snapshot TSVs read on first access
+        "full iterative k-means fit (Lloyd), final assignment — corpus-keyed "
+        "snapshot oracle (generated FROM this implementation, so it pins "
+        "determinism and regressions, not first-time correctness; an "
+        "independent numpy Lloyd replays the sf0.001 snapshot in "
+        "tests/test_clustering.py)",
     ),
     "embedding_centroids": QuerySpec(
         _embedding_centroids,
@@ -1593,6 +1610,82 @@ SPECS["ivf_maintenance"] = QuerySpec(
     _ivf_maintenance,
     _ivf_maint_sql(),
     "IVF index maintenance: delta assignment + tombstone accounting, split/compact flags (exact-integer rules)",
+)
+
+
+# --- incremental delta assignment (VERDICT r11 #2) -------------------------
+# The steady-state ingest path between ivf_maintenance's re-cluster
+# events: the newest max(50, n/10) vectors (the same "incoming batch"
+# convention as ivf_maintenance) are assigned against the coarse
+# quantizer FROZEN at the base corpus — geometry k/ns derives from the
+# BASE count, seeds are the base's lowest-k ids — and only those delta
+# rows are returned, with their per-cell occupancy.  Because the
+# two-level assignment is per-row given fixed centroids, the delta-only
+# path is bit-identical to slicing a full base∪delta assignment at base
+# geometry; the oracle replays it with the shared CTE chain's
+# (src=base, assign_src=delta) parameterization, so drift between the
+# delta operator and the full chain is structurally impossible.  Routed
+# through shared_hier_assignment_delta: with SMVD_IVF_CACHE_DIR set the
+# base index is read (or built once) and ONLY the delta is assigned —
+# the +1/64-corpus probe (tools/ivf_share_probe.py --delta) measures
+# that marginal cost; inline (driver/oracle runs) it is one job.
+
+
+def _ivf_delta_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..io.sources import parquet_row_count
+    from ..operators.ann import hier_super_count, scaled_cluster_count
+    from ..operators.ivf_index import shared_hier_assignment_delta
+
+    n = parquet_row_count(sf_dir, "embeddings")
+    cut = n - max(50, n // 10)
+    k = scaled_cluster_count(cut)  # BASE geometry — frozen at index build
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = shared_hier_assignment_delta(
+        spark,
+        emb.filter(F.col("vec_id") < cut),
+        emb.filter(F.col("vec_id") >= cut),
+        f"{sf_dir}/embeddings|base|{cut}",
+        f"{sf_dir}/embeddings|delta|{n - cut}",
+        k,
+        hier_super_count(k),
+    )
+    return assign.filter(F.col("vec_id") >= cut).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cid").cast("long").alias("cid"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("cid"))
+        .cast("long")
+        .alias("n_delta_in_cell"),
+    )
+
+
+def _ivf_delta_assign_sql() -> str:
+    from .ivf_sql import hier_assign_ctes
+
+    return f"""
+WITH nn AS (SELECT COUNT(*) AS n,
+                   COUNT(*) - GREATEST(50, COUNT(*) // 10) AS cut
+            FROM embeddings),
+base AS (SELECT e.vec_id, e.embedding FROM embeddings e, nn
+         WHERE e.vec_id < nn.cut),
+delta AS (SELECT e.vec_id, e.embedding FROM embeddings e, nn
+          WHERE e.vec_id >= nn.cut),
+{hier_assign_ctes(src="base", assign_src="delta")}
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(cid_hier AS BIGINT) AS cid,
+       CAST(COUNT(*) OVER (PARTITION BY cid_hier) AS BIGINT) AS n_delta_in_cell
+FROM hier
+"""
+
+
+SPECS["ivf_delta_assign"] = QuerySpec(
+    _ivf_delta_assign,
+    _ivf_delta_assign_sql(),
+    "incremental IVF maintenance: delta-only assignment against the frozen "
+    "base quantizer (shared_hier_assignment_delta; oracle = the shared hier "
+    "CTE chain with src=base, assign_src=delta)",
 )
 
 

@@ -121,3 +121,90 @@ def test_cached_pq_parts_bit_identical_to_inline(spark, tmp_path, monkeypatch):
     plan = af_c2._jdf.queryExecution().executedPlan().toString()
     assert "Aggregate" not in plan
     assert "Scan parquet" in plan or "FileScan" in plan
+
+
+def test_content_change_misses_cache(spark, tmp_path, monkeypatch):
+    """ADVICE r11 (medium): an in-place corpus content change that
+    preserves row count must MISS the cache (file mtime/size stamp),
+    never serve a stale assignment."""
+    import shutil
+
+    from signal_messenger_vector_database_spark.operators.ivf_index import (
+        shared_hier_assignment,
+    )
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    src = corpus / "embeddings.parquet"
+    shutil.copyfile(f"{SF}/embeddings.parquet", src)
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    monkeypatch.setenv("SMVD_IVF_CACHE_DIR", str(cache))
+
+    emb, n, k, ns = _load(spark)
+    token = f"{corpus}/embeddings|{n}"
+    shared_hier_assignment(spark, emb, token, k, ns).count()
+    assert len(os.listdir(cache)) == 1
+
+    # same path, same row count, same byte size — later mtime (an
+    # in-place update): the key must change
+    os.utime(src, ns=(os.stat(src).st_mtime_ns + 10**9,) * 2)
+    shared_hier_assignment(spark, emb, token, k, ns).count()
+    assert len(os.listdir(cache)) == 2
+
+
+def test_delta_assignment_bit_identical_to_inline_full(
+    spark, tmp_path, monkeypatch
+):
+    """shared_hier_assignment_delta parity (VERDICT r11 #2): the cached
+    path (base index read/built once + delta-only assignment appended)
+    must be bit-identical to the inline full assignment of base UNION
+    delta at base geometry — and the base part must ride the SAME cache
+    entry as shared_hier_assignment(base)."""
+    from signal_messenger_vector_database_spark.operators.ivf_index import (
+        shared_hier_assignment,
+        shared_hier_assignment_delta,
+    )
+
+    emb, n, k, ns = _load(spark)
+    cut = n - max(50, n // 10)
+    base = emb.filter(F.col("vec_id") < cut)
+    delta = emb.filter(F.col("vec_id") >= cut)
+    bt, dt = f"{SF}/embeddings|base|{cut}", f"{SF}/embeddings|delta|{n - cut}"
+
+    monkeypatch.delenv("SMVD_IVF_CACHE_DIR", raising=False)
+    inline = shared_hier_assignment_delta(spark, base, delta, bt, dt, k, ns)
+    inline_rows = {r.vec_id: r.cid for r in inline.collect()}
+    assert len(inline_rows) == n
+
+    monkeypatch.setenv("SMVD_IVF_CACHE_DIR", str(tmp_path))
+    # pre-build the base index the way a plain consumer would
+    shared_hier_assignment(spark, base, bt, k, ns).count()
+    n_entries = len(os.listdir(tmp_path))
+    cached = shared_hier_assignment_delta(spark, base, delta, bt, dt, k, ns)
+    cached_rows = {r.vec_id: r.cid for r in cached.collect()}
+    assert cached_rows == inline_rows
+    # exactly ONE new cache entry (the delta) — the base part was reused
+    assert len(os.listdir(tmp_path)) == n_entries + 1
+    names = os.listdir(tmp_path)
+    assert sum(1 for x in names if x.startswith("hier_delta_")) == 1
+
+
+def test_delta_assignment_second_read_is_scan_only(
+    spark, tmp_path, monkeypatch
+):
+    from signal_messenger_vector_database_spark.operators.ivf_index import (
+        shared_hier_assignment_delta,
+    )
+
+    emb, n, k, ns = _load(spark)
+    cut = n - max(50, n // 10)
+    base = emb.filter(F.col("vec_id") < cut)
+    delta = emb.filter(F.col("vec_id") >= cut)
+    bt, dt = f"{SF}/embeddings|base|{cut}", f"{SF}/embeddings|delta|{n - cut}"
+    monkeypatch.setenv("SMVD_IVF_CACHE_DIR", str(tmp_path))
+    shared_hier_assignment_delta(spark, base, delta, bt, dt, k, ns).count()
+    second = shared_hier_assignment_delta(spark, base, delta, bt, dt, k, ns)
+    plan = second._jdf.queryExecution().executedPlan().toString()
+    assert "Aggregate" not in plan and "Join" not in plan
+    assert "Scan parquet" in plan or "FileScan" in plan
