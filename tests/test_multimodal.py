@@ -27,7 +27,10 @@ def test_attach_binary_metadata(spark):
 
 @pytest.mark.skipif(_pil() is not None, reason="Pillow installed: decode is real")
 def test_decode_raises_without_pil():
-    with pytest.raises(NotImplementedError):
+    # compressed formats still cannot decode without PIL — but the error
+    # class is ValueError now that the stub seam is retired (r12): PPM
+    # decodes for real, everything else is a clear unsupported-format error
+    with pytest.raises(ValueError):
         decode_image(b"\x89PNG")
 
 
@@ -129,3 +132,106 @@ def test_real_resize_with_pil():
     ).save(buf, format="PNG")
     resized = resize_image(buf.getvalue(), 2, 2)
     assert decode_image(resized).shape == (2, 2, 3)
+
+
+# --- pure-stdlib PPM decode (VERDICT r11 #5: the stub seam retired) --------
+
+
+def _make_ppm(w, h, fn=lambda j: (31 * j) % 256, header=None):
+    raster = bytes(fn(j) for j in range(w * h * 3))
+    return (header or f"P6\n{w} {h}\n255\n").encode() + raster
+
+
+def test_decode_ppm_roundtrip_and_geometry():
+    from signal_messenger_vector_database_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+    )
+
+    payload = _make_ppm(5, 4)
+    w, h, maxval, px = decode_ppm(payload)
+    assert (w, h, maxval) == (5, 4, 255)
+    assert px.shape == (4, 5, 3) and px.dtype == np.uint8
+    assert px[0, 0, 0] == 0 and px[0, 0, 1] == 31
+    # encode_ppm is the exact inverse for canonical headers
+    assert encode_ppm(px, maxval) == payload
+
+
+def test_decode_ppm_handles_header_comments_and_whitespace():
+    from signal_messenger_vector_database_spark.operators.multimodal import (
+        decode_ppm,
+    )
+
+    # the PNM spec allows comments and arbitrary whitespace in the header
+    payload = _make_ppm(3, 2, header="P6\n# a comment\n 3\t2 # trailing\n255\n")
+    w, h, maxval, px = decode_ppm(payload)
+    assert (w, h) == (3, 2) and px.shape == (2, 3, 3)
+
+
+def test_decode_ppm_rejects_bad_payloads():
+    from signal_messenger_vector_database_spark.operators.multimodal import (
+        decode_ppm,
+    )
+
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n1 1\n255\n\x00")  # greyscale PGM: not P6
+    with pytest.raises(ValueError):
+        decode_ppm(_make_ppm(4, 4)[:-1])  # truncated raster
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 2\n65535\n" + b"\x00" * 24)  # 2-byte samples
+
+
+def test_decode_image_ppm_path_without_pil():
+    """decode_image must decode P6 for real regardless of PIL — this is
+    the NotImplementedError retirement."""
+    payload = _make_ppm(6, 2)
+    px = decode_image(payload)
+    assert px.shape == (2, 6, 3)
+
+
+def test_resize_ppm_nearest_neighbor():
+    from signal_messenger_vector_database_spark.operators.multimodal import (
+        decode_ppm,
+        resize_image,
+        resize_ppm,
+    )
+
+    payload = _make_ppm(8, 8)
+    out = resize_ppm(payload, 4, 4)
+    w, h, maxval, px = decode_ppm(out)
+    assert (w, h) == (4, 4)
+    # pixel-center rule: out[0,0] samples src[1,1]
+    _, _, _, src = decode_ppm(payload)
+    assert np.array_equal(px[0, 0], src[1, 1])
+    # identity resize is lossless
+    assert resize_ppm(payload, 8, 8) == payload
+    if _pil() is None:
+        assert resize_image(payload, 4, 4) == out
+        with pytest.raises(ValueError):
+            resize_image(b"\x89PNG", 2, 2)
+
+
+def test_decode_ppm_stats_fixtures_match_generator_formula(spark):
+    """End-to-end: the catalog query decodes the committed fixtures and
+    the per-channel sums must equal the generator's closed form — a
+    third, formula-level check independent of BOTH the Python decoder
+    and the DuckDB byte-arithmetic oracle."""
+    import os
+    import re
+
+    from signal_messenger_vector_database_spark.plans.catalog import all_specs
+
+    rows = {
+        r.file_name: r
+        for r in all_specs()["decode_ppm_stats"].fn(spark, SF).collect()
+    }
+    assert len(rows) == 6
+    for name, r in rows.items():
+        f = int(re.match(r"img_(\d+)_", name).group(1))
+        w, h = (int(x) for x in re.search(r"_(\d+)x(\d+)\.ppm", name).groups())
+        assert (r.width, r.height, r.maxval, r.n_px) == (w, h, 255, w * h)
+        for c, col in enumerate(("sum_r", "sum_g", "sum_b")):
+            expect = sum(
+                (31 * (3 * p + c) + 17 * f) % 256 for p in range(w * h)
+            )
+            assert getattr(r, col) == expect, (name, col)
