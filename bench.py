@@ -32,6 +32,16 @@ last round after cancelling sandbox speed.
 
 Each query is forced through full evaluation with the noop sink (count()
 would let Catalyst prune the projections we mean to measure).
+
+Flags (r12):
+  --warm-index   run with SMVD_IVF_CACHE_DIR set (temp dir unless the
+                 env supplies one) and the index PRE-BUILT, writing
+                 BENCH_warm_r<N>.json — the amortized serving-mode
+                 series, compared only against prior warm sidecars.
+  --stamp=<s>    free-form provenance stamp recorded in the payload.
+The payload also carries run = $SMVD_BENCH_RUN (default
+"unattributed") so a driver-overwritten sidecar is distinguishable
+from the builder's committed run (VERDICT r11 #8).
 """
 
 from __future__ import annotations
@@ -103,6 +113,23 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    # --warm-index (VERDICT r11 #4): run the SAME query set with the
+    # build-once IVF/PQ index cache enabled and pre-built, so the
+    # amortized serving-mode cost is a machine-recorded artifact
+    # (BENCH_warm_r<N>.json) instead of SCALING.md prose.  The cache dir
+    # must be set BEFORE the session/first plan is built.
+    warm = "--warm-index" in sys.argv[1:]
+    stamp = next(
+        (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--stamp=")),
+        None,
+    )
+    if warm and not os.environ.get("SMVD_IVF_CACHE_DIR"):
+        import tempfile
+
+        os.environ["SMVD_IVF_CACHE_DIR"] = tempfile.mkdtemp(
+            prefix="smvd_bench_warm_"
+        )
+
     from signal_messenger_vector_database_spark.session import get_spark
     from signal_messenger_vector_database_spark.plans.catalog import all_specs
 
@@ -119,6 +146,16 @@ def main() -> None:
             specs[name].fn(spark, "/root/testdata/sf0.001").write.format(
                 "noop"
             ).mode("overwrite").save()
+
+    if warm:
+        # index pre-build pass at the TARGET sf: the first evaluation of
+        # each consumer materializes its corpus-keyed assignment/codebook
+        # parquet; the timed loop below then measures pure serving cost.
+        for name in HEADLINE:
+            if name in specs:
+                specs[name].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -140,17 +177,23 @@ def main() -> None:
 
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     out = {
-        "metric": "headline_queries_total",
+        "metric": "headline_queries_total_warm" if warm else "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "sf": sf,
+        # provenance stamp (VERDICT r11 #8): lets a driver-overwritten
+        # sidecar be distinguished from the builder's committed run —
+        # the driver invokes plain `python bench.py` in a clean env, so
+        # its artifacts read run=unattributed / stamp=None.
+        "run": os.environ.get("SMVD_BENCH_RUN", "unattributed"),
+        "stamp": stamp,
         "canary": canary("tokenize"),
         "canary_shuffle": canary("region_rollup"),
         # queries LAST: the driver keeps only the tail of stdout, and
         # the per-query timings are the payload the judge reads
         "queries": timings,
     }
-    norm = _shared_subset_normalized(repo_dir, timings, out)
+    norm = _shared_subset_normalized(repo_dir, timings, out, warm=warm)
     if norm is not None:
         # stdout gets the small summary only; the per-query maps that
         # truncated BENCH_r10.json live in the committed sidecar below
@@ -163,7 +206,7 @@ def main() -> None:
     sidecar = dict(out)
     if norm is not None:
         sidecar["shared_subset_normalized"] = norm
-    with open(os.path.join(repo_dir, _sidecar_name(repo_dir)), "w") as f:
+    with open(os.path.join(repo_dir, _sidecar_name(repo_dir, warm=warm)), "w") as f:
         json.dump(sidecar, f, indent=1)
     # stop Spark BEFORE printing so no shutdown/stage log line can land
     # after the JSON and push it out of the driver's 2000-char tail
@@ -171,10 +214,11 @@ def main() -> None:
     print(json.dumps(out))
 
 
-def _sidecar_name(repo_dir: str) -> str:
-    """``BENCH_local_r<N>.json`` where N = newest driver BENCH round + 1
-    (the driver writes BENCH_r<N>.json AFTER running bench, so at run
-    time the newest existing file is the previous round's)."""
+def _sidecar_name(repo_dir: str, warm: bool = False) -> str:
+    """``BENCH_local_r<N>.json`` (or ``BENCH_warm_r<N>.json`` for the
+    --warm-index arm) where N = newest driver BENCH round + 1 (the
+    driver writes BENCH_r<N>.json AFTER running bench, so at run time
+    the newest existing file is the previous round's)."""
     import glob
 
     rounds = [
@@ -182,14 +226,18 @@ def _sidecar_name(repo_dir: str) -> str:
         for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
         if (m := re.search(r"BENCH_r(\d+)\.json$", os.path.basename(p)))
     ]
-    return f"BENCH_local_r{max(rounds, default=0) + 1}.json"
+    kind = "warm" if warm else "local"
+    return f"BENCH_{kind}_r{max(rounds, default=0) + 1}.json"
 
 
 def _shared_subset_normalized(
-    repo_dir: str, timings: dict[str, float], out: dict
+    repo_dir: str, timings: dict[str, float], out: dict, warm: bool = False
 ) -> dict | None:
     """See the module docstring.  Returns None when no prior BENCH file
-    (or its canaries) exist — first round, or a stripped checkout."""
+    (or its canaries) exist — first round, or a stripped checkout.
+    Warm-index runs compare only against prior WARM sidecars: mixing
+    the cold and warm series would misread the amortization as a
+    round-over-round speedup."""
     import glob
 
     # newest by ROUND NUMBER, not lexicographic filename order — an
@@ -201,8 +249,13 @@ def _shared_subset_normalized(
     # driver artifact) must not kill the comparison, it should fall
     # back to the newest intact round.
     prior = []
-    own = _sidecar_name(repo_dir)  # this round's sidecar is not a prior
-    for pref, pat in ((1, "BENCH_r*.json"), (0, "BENCH_local_r*.json")):
+    own = _sidecar_name(repo_dir, warm=warm)  # this run's sidecar is not a prior
+    patterns = (
+        ((0, "BENCH_warm_r*.json"),)
+        if warm
+        else ((1, "BENCH_r*.json"), (0, "BENCH_local_r*.json"))
+    )
+    for pref, pat in patterns:
         for p in glob.glob(os.path.join(repo_dir, pat)):
             m = re.search(r"_r(\d+)\.json$", os.path.basename(p))
             if m and os.path.basename(p) != own:

@@ -21,6 +21,10 @@ Usage:
     python tools/ivf_share_probe.py --pq        # wave 19c: the trained-PQ
                                                 # trio + residual curve at
                                                 # sf0.1, inline vs shared
+    python tools/ivf_share_probe.py --delta     # wave 21: incremental
+                                                # maintenance — +1/64 corpus
+                                                # via delta assignment vs a
+                                                # full index rebuild
 """
 
 from __future__ import annotations
@@ -80,12 +84,92 @@ def run_pq() -> None:
     print(json.dumps(out))
 
 
+def run_delta(scales: list[int]) -> None:
+    """Wave 21 (VERDICT r11 #2 done-criterion): a +1/64-corpus ingest
+    through shared_hier_assignment_delta must cost ~1/64 of the base
+    index build, not a rebuild.  Per scale: split the corpus at
+    cut = n - n//64 (base | delta), time the base build (the one-off /
+    re-cluster cost), then time the delta-only assignment against the
+    warm base index (the steady-state ingest cost)."""
+    import shutil
+
+    from scaling_probe import build_scaled
+
+    from signal_messenger_vector_database_spark.io.sources import (
+        load_table,
+        parquet_row_count,
+    )
+    from signal_messenger_vector_database_spark.operators.ann import (
+        hier_super_count,
+        scaled_cluster_count,
+    )
+    from signal_messenger_vector_database_spark.operators.ivf_index import (
+        shared_hier_assignment,
+        shared_hier_assignment_delta,
+    )
+    from signal_messenger_vector_database_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark("ivf-delta-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    dirs = {k: build_scaled(spark, k) for k in scales}
+
+    results = {}
+    for k in scales:
+        sf_dir = dirs[k]
+        n = parquet_row_count(sf_dir, "embeddings")
+        cut = n - max(1, n // 64)
+        kk = scaled_cluster_count(cut)
+        ns = hier_super_count(kk)
+        emb = load_table(spark, sf_dir, "embeddings")
+        base = emb.filter(F.col("vec_id") < cut)
+        delta = emb.filter(F.col("vec_id") >= cut)
+        bt = f"{sf_dir}/embeddings|probe-base|{cut}"
+        dt = f"{sf_dir}/embeddings|probe-delta|{n - cut}"
+
+        cache = f"/tmp/smvd_ivf_delta_probe/x{k}"
+        shutil.rmtree(cache, ignore_errors=True)
+        os.makedirs(cache, exist_ok=True)
+        os.environ["SMVD_IVF_CACHE_DIR"] = cache
+        t0 = time.time()
+        shared_hier_assignment(spark, base, bt, kk, ns).count()
+        build_sec = round(time.time() - t0, 2)
+        t0 = time.time()
+        got = shared_hier_assignment_delta(
+            spark, base, delta, bt, dt, kk, ns
+        ).count()
+        delta_sec = round(time.time() - t0, 2)
+        os.environ.pop("SMVD_IVF_CACHE_DIR", None)
+        assert got == n, (got, n)
+        row = {
+            "scale": k,
+            "n": n,
+            "n_delta": n - cut,
+            "build_sec": build_sec,
+            "delta_sec": delta_sec,
+            "delta_over_build": round(delta_sec / build_sec, 3)
+            if build_sec
+            else None,
+        }
+        results[f"x{k}"] = row
+        print(json.dumps(row), flush=True)
+    print(json.dumps(results))
+
+
 def main() -> None:
     scales = [1, 16, 64]
-    for a in sys.argv[1:]:
+    args = sys.argv[1:]
+    for a in args:
+        if a.startswith("--scales="):
+            scales = [int(x) for x in a.split("=", 1)[1].split(",")]
+    for a in args:
         if a == "--pq":
             run_pq()
             return
+        if a == "--delta":
+            run_delta(scales)
+            return
+    for a in args:
         if a.startswith("--scales="):
             scales = [int(x) for x in a.split("=", 1)[1].split(",")]
         else:
