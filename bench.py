@@ -105,6 +105,9 @@ HEADLINE = [
     "bitext_margin_pairs",
     # added r11 (same caveat)
     "ivf_pq_clustered_curve",
+    # added r12 (same caveat)
+    "ivf_delta_assign",
+    "decode_ppm_stats",
 ]
 
 

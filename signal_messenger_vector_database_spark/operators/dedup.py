@@ -714,3 +714,101 @@ def strip_boilerplate(
             .alias("cleaned"),
         )
     )
+
+
+def lsh_dedup_batch(
+    spark,
+    batch_df: DataFrame,
+    index_dir: str,
+    threshold: float,
+    pairs_dir: str | None = None,
+    collect_stats: bool = False,
+) -> dict | None:
+    """ONE micro-batch of the incremental LSH dedup — THE shared batch
+    body (r12 adversarial review: this glue lived only inside
+    ``plans/streaming_queries.py::_stream_lsh_dedup``'s foreachBatch
+    closure, and ``tools/stream_probe.py`` carried a hand copy; the
+    shared-definition rule says measurement and production must run the
+    same code).  Steps:
+
+      1. signatures + shingle sets for the batch (one explode pass);
+      2. within-batch LSH candidates (band equi-join, lower id first);
+      3. cross-batch candidates: batch band keys vs the ACCUMULATED
+         signature index (read from ``index_dir`` when it exists);
+      4. exact-Jaccard verify over batch sets + ONLY the history sets
+         the candidates touch (semi-join — per-batch work stays
+         O(batch + candidates), never O(history));
+      5. append the batch's signature rows to the index.
+
+    ``pairs_dir`` set (the streaming query): verified pairs append
+    there.  ``collect_stats`` (the probe): returns
+    {"n_candidates", "n_pairs"} via count() actions instead — the
+    streaming hot path never pays those extra jobs."""
+    import os as _os
+
+    banded = (
+        minhash_with_shingles(batch_df, id_col="doc_id", text_col="text")
+        .select("doc_id", "shingles", *band_key_cols())
+        .persist()
+    )
+    new_b = explode_band_keys(banded, "doc_id")
+
+    a, b = new_b.alias("a"), new_b.alias("b")
+    within = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    cand = within
+    hist = None
+    if _os.path.isdir(index_dir):
+        hist = spark.read.parquet(index_dir).persist()
+        h = explode_band_keys(hist, "doc_id").alias("h")
+        n2 = new_b.alias("n")
+        cross = (
+            h.join(
+                n2,
+                (F.col("h.band") == F.col("n.band"))
+                & (F.col("h.key") == F.col("n.key")),
+            )
+            .select(
+                F.least("h.doc_id", "n.doc_id").alias("id_a"),
+                F.greatest("h.doc_id", "n.doc_id").alias("id_b"),
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .distinct()
+        )
+        cand = within.unionByName(cross).distinct()
+    cand = cand.persist()
+
+    sets = banded.select("doc_id", "shingles")
+    if hist is not None:
+        touched = (
+            cand.select(F.col("id_a").alias("doc_id"))
+            .unionByName(cand.select(F.col("id_b").alias("doc_id")))
+            .distinct()
+        )
+        sets = sets.unionByName(
+            hist.select("doc_id", "shingles").join(touched, "doc_id", "semi")
+        )
+    sets = sets.persist()
+    verified = jaccard_verify(
+        cand, sets, id_col="doc_id", threshold=threshold, persist_sets=False
+    )
+    stats = None
+    if collect_stats:
+        stats = {"n_candidates": cand.count(), "n_pairs": verified.count()}
+    if pairs_dir is not None:
+        verified.write.mode("append").parquet(pairs_dir)
+    banded.write.mode("append").parquet(index_dir)
+    for df in (banded, cand, sets) + ((hist,) if hist is not None else ()):
+        df.unpersist()
+    return stats

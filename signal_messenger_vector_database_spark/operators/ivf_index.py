@@ -67,9 +67,14 @@ def _content_stamp(corpus_token: str) -> str:
     (with or without ``.parquet``) or directory contributes its
     (mtime_ns, size).  Derivation-tag pieces contribute nothing — for a
     purely derived corpus the row count in the token plus the BASE
-    file's stats remain the content signal."""
+    file's stats remain the content signal.  Only ABSOLUTE paths are
+    stat-probed (r12 adversarial review): a relative piece like
+    'base' or a bare row count must never match a stray cwd file, or
+    the key becomes cwd-dependent and churns spurious rebuilds."""
     parts: list[str] = []
     for piece in corpus_token.split("|"):
+        if not os.path.isabs(piece):
+            continue
         for cand in (piece, piece + ".parquet"):
             if os.path.isfile(cand):
                 st = os.stat(cand)

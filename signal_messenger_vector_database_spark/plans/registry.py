@@ -76,5 +76,8 @@ def resolve_oracle(name: str, spec: QuerySpec) -> str | None:
     try:
         return spec.oracle()
     except Exception as ex:  # noqa: BLE001 — containment is the point
-        msg = f"lazy oracle for {name} failed: {ex}".replace("'", "''")[:300]
+        # truncate BEFORE quote-doubling: a cut that splits an escaped
+        # '' would leave the SQL string unterminated and replace the
+        # diagnostic with a parser error (r12 adversarial review)
+        msg = f"lazy oracle for {name} failed: {ex}"[:300].replace("'", "''")
         return f"SELECT error('{msg}')"

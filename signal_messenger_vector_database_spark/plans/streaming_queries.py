@@ -656,16 +656,10 @@ SPECS["stream_ingest_index"] = QuerySpec(
 #     planted pairs in one batch because 1e6 % 4 = 0).
 
 def _stream_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
     import tempfile
     import uuid
 
-    from ..operators.dedup import (
-        band_key_cols,
-        explode_band_keys,
-        jaccard_verify,
-        minhash_with_shingles,
-    )
+    from ..operators.dedup import lsh_dedup_batch
     from .similarity import _JACCARD_THRESHOLD, _augmented_docs
 
     spark = streaming_session(spark)
@@ -689,78 +683,17 @@ def _stream_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_dir = tempfile.mkdtemp(prefix="smvd-lsh-stream-") + "/index"
     pairs_dir = tempfile.mkdtemp(prefix="smvd-lsh-stream-") + "/pairs"
 
+    # the batch body is THE shared lsh_dedup_batch (operators/dedup.py)
+    # — the same code the x64 marginal-cost probe times (r12; the
+    # shared-definition rule: measurement and production cannot drift)
     def _dedup_batch(batch_df, batch_id: int) -> None:
-        banded = (
-            minhash_with_shingles(batch_df, id_col="doc_id", text_col="text")
-            .select("doc_id", "shingles", *band_key_cols())
-            .persist()
+        lsh_dedup_batch(
+            spark,
+            batch_df,
+            index_dir,
+            threshold=_JACCARD_THRESHOLD,
+            pairs_dir=pairs_dir,
         )
-        new_b = explode_band_keys(banded, "doc_id")
-
-        # arm 1: within-batch candidates (lower id < higher id)
-        a, b = new_b.alias("a"), new_b.alias("b")
-        within = (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.key") == F.col("b.key"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(
-                F.col("a.doc_id").alias("id_a"),
-                F.col("b.doc_id").alias("id_b"),
-            )
-            .distinct()
-        )
-        # arm 2: new docs vs the accumulated index
-        cand = within
-        hist = None
-        if os.path.isdir(index_dir):
-            hist = spark.read.parquet(index_dir).persist()
-            h = explode_band_keys(hist, "doc_id").alias("h")
-            n2 = new_b.alias("n")
-            cross = (
-                h.join(
-                    n2,
-                    (F.col("h.band") == F.col("n.band"))
-                    & (F.col("h.key") == F.col("n.key")),
-                )
-                .select(
-                    F.least("h.doc_id", "n.doc_id").alias("id_a"),
-                    F.greatest("h.doc_id", "n.doc_id").alias("id_b"),
-                )
-                .filter(F.col("id_a") < F.col("id_b"))
-                .distinct()
-            )
-            cand = within.unionByName(cross).distinct()
-        cand = cand.persist()
-
-        # verify side: batch sets + ONLY the history sets the candidates
-        # touch (semi-join on the pair ids — per-batch work stays
-        # O(batch + candidates), never O(history))
-        sets = banded.select("doc_id", "shingles")
-        if hist is not None:
-            touched = (
-                cand.select(F.col("id_a").alias("doc_id"))
-                .unionByName(cand.select(F.col("id_b").alias("doc_id")))
-                .distinct()
-            )
-            sets = sets.unionByName(
-                hist.select("doc_id", "shingles").join(
-                    touched, "doc_id", "semi"
-                )
-            )
-        sets = sets.persist()
-        verified = jaccard_verify(
-            cand, sets, id_col="doc_id",
-            threshold=_JACCARD_THRESHOLD, persist_sets=False,
-        )
-        verified.write.mode("append").parquet(pairs_dir)
-        banded.select("doc_id", "shingles", *[
-            F.col(c) for c in banded.columns if c.startswith("band_")
-        ]).write.mode("append").parquet(index_dir)
-        for df in (banded, cand, sets) + ((hist,) if hist is not None else ()):
-            df.unpersist()
 
     q = (
         stream.writeStream.foreachBatch(_dedup_batch)

@@ -145,6 +145,7 @@ def _kmeans_fit_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned
 
 
+@functools.lru_cache(maxsize=1)
 def _kmeans_fit_assign_sql() -> str:
     """Corpus-keyed snapshot oracle, built LAZILY (the QuerySpec holds
     this function, resolved at oracle_sql() access): reading the three
@@ -152,11 +153,6 @@ def _kmeans_fit_assign_sql() -> str:
     import of the entire plans package instead of just this query
     (ADVICE r11).  lru_cache keeps the ~155 KB VALUES literal a
     one-time cost per process."""
-    return _kmeans_fit_assign_sql_cached()
-
-
-@functools.lru_cache(maxsize=1)
-def _kmeans_fit_assign_sql_cached() -> str:
     import os
     import sys
 
@@ -1639,7 +1635,12 @@ def _ivf_delta_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ivf_index import shared_hier_assignment_delta
 
     n = parquet_row_count(sf_dir, "embeddings")
-    cut = n - max(50, n // 10)
+    # clamp: on a corpus of <= 50 rows the "incoming batch" convention
+    # would leave an EMPTY base (no centroids — Spark would emit NULL
+    # cids while the oracle's empty hier chain emits zero rows); a
+    # 1-row base keeps both engines on the same degenerate-but-defined
+    # arm (r12 adversarial review; planted 40-row test pins parity)
+    cut = max(1, n - max(50, n // 10))
     k = scaled_cluster_count(cut)  # BASE geometry — frozen at index build
     emb = load_table(spark, sf_dir, "embeddings")
     assign = shared_hier_assignment_delta(
@@ -1666,7 +1667,7 @@ def _ivf_delta_assign_sql() -> str:
 
     return f"""
 WITH nn AS (SELECT COUNT(*) AS n,
-                   COUNT(*) - GREATEST(50, COUNT(*) // 10) AS cut
+                   GREATEST(1, COUNT(*) - GREATEST(50, COUNT(*) // 10)) AS cut
             FROM embeddings),
 base AS (SELECT e.vec_id, e.embedding FROM embeddings e, nn
          WHERE e.vec_id < nn.cut),

@@ -208,3 +208,47 @@ def test_delta_assignment_second_read_is_scan_only(
     plan = second._jdf.queryExecution().executedPlan().toString()
     assert "Aggregate" not in plan and "Join" not in plan
     assert "Scan parquet" in plan or "FileScan" in plan
+
+
+def test_delta_assign_query_degenerate_small_corpus(spark, tmp_path):
+    """r12 adversarial review: a corpus of <= 50 rows makes the
+    'incoming batch' convention consume everything — the un-clamped cut
+    left an EMPTY base (Spark emitted NULL cids, the oracle zero rows).
+    The clamp keeps a 1-row base on BOTH engines; this planted 40-row
+    corpus pins their parity on that degenerate arm (the fixtures'
+    smallest scale is 500 rows, so no sweep reaches it)."""
+    import duckdb
+
+    from signal_messenger_vector_database_spark.plans.catalog import all_specs
+    from signal_messenger_vector_database_spark.plans.registry import (
+        resolve_oracle,
+    )
+
+    rows = [
+        (i, [float((7 * i + d) % 13) / 13.0 for d in range(8)], 0)
+        for i in range(40)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+
+    spec = all_specs()["ivf_delta_assign"]
+    got = {
+        (r.vec_id, r.cid, r.n_delta_in_cell)
+        for r in spec.fn(spark, str(tmp_path)).collect()
+    }
+    assert got and all(cid is not None for _, cid, _ in got)
+
+    con = duckdb.connect()
+    con.execute(  # Spark writes a parquet DIRECTORY; glob its parts
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{tmp_path}/embeddings.parquet/*.parquet'"
+    )
+    want = {
+        (r[0], r[1], r[2])
+        for r in con.execute(resolve_oracle("ivf_delta_assign", spec)).fetchall()
+    }
+    assert got == want
+    assert len(got) == 39  # everything but the 1-row clamped base

@@ -115,7 +115,8 @@ def run_delta(scales: list[int]) -> None:
     dirs = {k: build_scaled(spark, k) for k in scales}
 
     results = {}
-    for k in scales:
+    for warmup in (True, False):
+      for k in (scales[:1] if warmup else scales):
         sf_dir = dirs[k]
         n = parquet_row_count(sf_dir, "embeddings")
         cut = n - max(1, n // 64)
@@ -141,6 +142,8 @@ def run_delta(scales: list[int]) -> None:
         delta_sec = round(time.time() - t0, 2)
         os.environ.pop("SMVD_IVF_CACHE_DIR", None)
         assert got == n, (got, n)
+        if warmup:  # first pass only pays codegen/JIT; numbers discarded
+            continue
         row = {
             "scale": k,
             "n": n,
@@ -157,23 +160,26 @@ def run_delta(scales: list[int]) -> None:
 
 
 def main() -> None:
+    # strict one-pass parse (r12 adversarial review: the mode-dispatch
+    # restructure had stopped validating unknown flags, so a typo'd
+    # --scale= would silently probe the defaults)
     scales = [1, 16, 64]
-    args = sys.argv[1:]
-    for a in args:
+    mode = "share"
+    for a in sys.argv[1:]:
         if a.startswith("--scales="):
             scales = [int(x) for x in a.split("=", 1)[1].split(",")]
-    for a in args:
-        if a == "--pq":
-            run_pq()
-            return
-        if a == "--delta":
-            run_delta(scales)
-            return
-    for a in args:
-        if a.startswith("--scales="):
-            scales = [int(x) for x in a.split("=", 1)[1].split(",")]
+        elif a == "--pq":
+            mode = "pq"
+        elif a == "--delta":
+            mode = "delta"
         else:
             sys.exit(f"unrecognized argument {a!r}")
+    if mode == "pq":
+        run_pq()
+        return
+    if mode == "delta":
+        run_delta(scales)
+        return
 
     from scaling_probe import build_scaled
 

@@ -19,7 +19,7 @@ ACCUMULATED state the batch must consult grows 1x -> 64x:
   suppress -> chunk -> md5-featurize -> broadcast-assign -> append.
   Per-batch work never reads the index (append-only sink), so cost
   must be flat by construction; the row verifies it.
-* ``wm`` — stream_dedup_watermark's shape at the LARGEST scale:
+* ``wm`` — stream_dedup_watermark's shape at EVERY requested scale:
   dropDuplicatesWithinWatermark over the scale-k events stream in
   multi-batch AvailableNow mode, reporting per-batch durations and the
   state-store row counts from query progress — bounded state (eviction
@@ -68,19 +68,21 @@ def _fixed_batch(spark):
 
 
 def probe_lsh(spark, scales) -> dict:
-    from pyspark.sql import functions as F
-
     from scaling_probe import build_scaled
     from signal_messenger_vector_database_spark.operators.dedup import (
         band_key_cols,
-        explode_band_keys,
-        jaccard_verify,
+        lsh_dedup_batch,
         minhash_with_shingles,
     )
     from signal_messenger_vector_database_spark.plans.similarity import (
         _JACCARD_THRESHOLD,
     )
 
+    # the growing index's array columns defeat Catalyst's size estimate
+    # (the _stream_lsh_dedup rationale) — but scope the conf to THIS arm
+    # and restore it, so a combined run's other arms measure under the
+    # default join config (r12 adversarial review)
+    prior_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     out = {}
     batch = _fixed_batch(spark)
@@ -93,69 +95,23 @@ def probe_lsh(spark, scales) -> dict:
         ).write.mode("overwrite").parquet(index_dir)
 
         t0 = time.time()
-        banded = (
-            minhash_with_shingles(batch, id_col="doc_id", text_col="text")
-            .select("doc_id", "shingles", *band_key_cols())
-            .persist()
+        stats = lsh_dedup_batch(
+            spark,
+            batch,
+            index_dir,
+            threshold=_JACCARD_THRESHOLD,
+            collect_stats=True,
         )
-        new_b = explode_band_keys(banded, "doc_id")
-        a, b = new_b.alias("a"), new_b.alias("b")
-        within = (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.key") == F.col("b.key"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-            .distinct()
-        )
-        hist = spark.read.parquet(index_dir).persist()
-        h = explode_band_keys(hist, "doc_id").alias("h")
-        n2 = new_b.alias("n")
-        cross = (
-            h.join(
-                n2,
-                (F.col("h.band") == F.col("n.band"))
-                & (F.col("h.key") == F.col("n.key")),
-            )
-            .select(
-                F.least("h.doc_id", "n.doc_id").alias("id_a"),
-                F.greatest("h.doc_id", "n.doc_id").alias("id_b"),
-            )
-            .filter(F.col("id_a") < F.col("id_b"))
-            .distinct()
-        )
-        cand = within.unionByName(cross).distinct().persist()
-        n_cand = cand.count()
-        sets = banded.select("doc_id", "shingles").unionByName(
-            hist.select("doc_id", "shingles").join(
-                cand.select(F.col("id_a").alias("doc_id")).unionByName(
-                    cand.select(F.col("id_b").alias("doc_id"))
-                ).distinct(),
-                "doc_id",
-                "leftsemi",
-            )
-        )
-        n_pairs = jaccard_verify(
-            cand, sets, id_col="doc_id", threshold=_JACCARD_THRESHOLD,
-            persist_sets=False,
-        ).count()
-        banded.select("doc_id", "shingles", *band_key_cols()).write.mode(
-            "append"
-        ).parquet(index_dir)
         sec = round(time.time() - t0, 2)
-        for df in (banded, hist, cand):
-            df.unpersist()
         row = {
             "scale": k,
             "index_docs": docs.count(),
             "batch_sec": sec,
-            "n_candidates": n_cand,
-            "n_pairs": n_pairs,
+            **stats,
         }
         out[f"x{k}"] = row
         print(json.dumps({"lsh": row}), flush=True)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior_thresh)
     return out
 
 
@@ -222,7 +178,7 @@ def probe_ingest(spark, scales) -> dict:
 
 def probe_wm(spark, scales) -> dict:
     """Per-batch durations + state rows for the watermark dedup over the
-    largest requested scale (the stream itself IS the growing history)."""
+    each requested scale (the stream itself IS the growing history)."""
     from pyspark.sql import functions as F
 
     from scaling_probe import build_scaled
@@ -260,7 +216,13 @@ def probe_wm(spark, scales) -> dict:
             .start()
         )
         await_drained(q)
-        prog = [json.loads(p.json()) for p in q.recentProgress]
+        prog = []
+        for p in q.recentProgress:
+            if isinstance(p, dict):
+                prog.append(p)
+            else:  # StreamingQueryProgress: .json is a str property
+                j = p.json
+                prog.append(json.loads(j() if callable(j) else j))
         batches = [
             {
                 "rows": p["numInputRows"],
