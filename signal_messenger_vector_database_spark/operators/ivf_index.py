@@ -10,15 +10,29 @@ consumers, not a per-query recompute: build once, write (vec_id, cid)
 to parquet keyed by the corpus, and let every consumer equi-join
 against the stored index — per-query marginal cost linear in n.
 
-Design:
+Design — three tiers, cheapest honest one wins:
 
-* **Opt-in by environment** (``SMVD_IVF_CACHE_DIR``): when unset —
-  the driver's oracle runs, tests, bench — every consumer uses the
-  inline ``ivf_assign_hier`` path unchanged, so plan construction
-  never runs a job (the repo rule) and every oracle string is
-  untouched.  When set (the scaling probe, a production deployment's
-  index-build step), the first consumer materializes the assignment
-  and later consumers read it.
+* **Session memo (default, r12)**: within one SparkSession the first
+  inline build of a given (corpus token, content stamp, geometry) key
+  is localCheckpoint'ed and handed — the SAME frame, so results are
+  bit-identical by construction — to every later consumer of that key.
+  A driver's queries run sequentially in one session (the bench, the
+  correctness sweep, a notebook), so this is the index-manager
+  behavior a production engine has anyway: build once per session,
+  serve many.  Plan construction still never runs a job (the
+  checkpoint is lazy) and every oracle string is untouched.
+  ``SMVD_IVF_MEMO=0`` restores the per-call recompute — the scaling
+  probes set it so their "inline" baseline keeps measuring the
+  unamortized cost.  The memo is keyed per-session via a weak map
+  (a stopped session's entries die with it) and includes the same
+  file-stat content stamp as the disk key, so a mid-session in-place
+  corpus change misses.
+* **Opt-in disk cache by environment** (``SMVD_IVF_CACHE_DIR``):
+  when set (the scaling probe, a production deployment's index-build
+  step, the bench's ``--warm-index`` arm), the first consumer
+  materializes the assignment to parquet and later consumers —
+  including other processes — read it.  The memo never shadows this
+  tier: cache-dir mode behaves exactly as in r11.
 * **Corpus-keyed** (the ``tokenize_cl100k`` snapshot pattern): the
   cache key hashes the caller's corpus token (source path + row
   count), the source files' (mtime_ns, size) stats, and the full
@@ -45,6 +59,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -55,6 +70,29 @@ def ivf_cache_dir() -> str | None:
     """The shared-index cache root, or None (inline path) when the
     deployment has not opted in."""
     return os.environ.get("SMVD_IVF_CACHE_DIR") or None
+
+
+# --- session-scoped memo (the default tier; module docstring) -------------
+# One dict per live SparkSession, weakly keyed so a stopped/collected
+# session's checkpointed frames are dropped with it.  Values are the
+# exact DataFrames the inline build returned (localCheckpoint(lazy) —
+# materialized by the first consumer's job, reused by the rest).
+
+_SESSION_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _memo_enabled() -> bool:
+    return os.environ.get("SMVD_IVF_MEMO", "1") != "0"
+
+
+def _memo(spark: SparkSession) -> dict:
+    d = _SESSION_MEMO.get(spark)
+    if d is None:
+        d = {}
+        _SESSION_MEMO[spark] = d
+    return d
 
 
 def _content_stamp(corpus_token: str) -> str:
@@ -102,7 +140,10 @@ def shared_hier_assignment(
     """The two-level coarse assignment, amortized: returns the same
     (id_col, cid) frame as ``ivf_assign_hier`` — from the corpus-keyed
     parquet index when ``SMVD_IVF_CACHE_DIR`` is set (building it on
-    first use), inline otherwise.
+    first use), else the session-memoized inline build (the first
+    consumer of a key in this session pays the build, later ones reuse
+    the same checkpointed frame; ``SMVD_IVF_MEMO=0`` restores per-call
+    recompute).
 
     ``corpus_token`` must identify the corpus bytes the caller scans
     (e.g. ``f"{sf_dir}/embeddings|{n}"``); derived corpora pass their
@@ -130,7 +171,18 @@ def shared_hier_assignment(
 
     cache = ivf_cache_dir()
     if cache is None:
-        return inline()
+        if not _memo_enabled():
+            return inline()
+        mkey = (
+            "hier", corpus_token, k, n_super, nprobe, id_col, vec_col,
+            shard_threshold, _content_stamp(corpus_token),
+        )
+        memo = _memo(spark)
+        got = memo.get(mkey)
+        if got is None:
+            got = inline().localCheckpoint(eager=False)
+            memo[mkey] = got
+        return got
     key = hashlib.md5(
         f"{corpus_token}|k={k}|ns={n_super}|np={nprobe}"
         f"|fs={_content_stamp(corpus_token)}".encode()
@@ -199,7 +251,19 @@ def shared_hier_assignment_delta(
 
     cache = ivf_cache_dir()
     if cache is None:
-        return assign(base.unionByName(delta))
+        if not _memo_enabled():
+            return assign(base.unionByName(delta))
+        mkey = (
+            "delta", base_token, delta_token, k, n_super, nprobe, id_col,
+            vec_col, shard_threshold,
+            _content_stamp(base_token), _content_stamp(delta_token),
+        )
+        memo = _memo(spark)
+        got = memo.get(mkey)
+        if got is None:
+            got = assign(base.unionByName(delta)).localCheckpoint(eager=False)
+            memo[mkey] = got
+        return got
     base_part = shared_hier_assignment(
         spark, base, base_token, k, n_super,
         nprobe=nprobe, id_col=id_col, vec_col=vec_col,
@@ -232,14 +296,25 @@ def shared_pq_parts(
     residual curve trains its own set.  With ``SMVD_IVF_CACHE_DIR``
     set, the (sub_j, code, cw) codebooks and the (vec_id, sub_j, code)
     final assignment are parquet-materialized once per (corpus token,
-    geometry); inline otherwise — byte-identical either way (ints and
-    1e-4-grid doubles round-trip parquet exactly; pinned by
+    geometry); otherwise the session-memoized inline build (same memo
+    contract as ``shared_hier_assignment``) — byte-identical every way
+    (ints and 1e-4-grid doubles round-trip parquet exactly; pinned by
     test_ivf_index).  Same write discipline as the assignment cache."""
     from ..plans.pq_trained import pq_train_inplace
 
     cache = ivf_cache_dir()
     if cache is None:
-        return pq_train_inplace(subs, d, k, rounds)
+        if not _memo_enabled():
+            return pq_train_inplace(subs, d, k, rounds)
+        # pq_train_inplace's outputs are already localCheckpoint'ed, so
+        # memoizing the tuple reuses their materialized blocks directly.
+        mkey = ("pq", corpus_token, d, k, rounds, _content_stamp(corpus_token))
+        memo = _memo(spark)
+        got = memo.get(mkey)
+        if got is None:
+            got = pq_train_inplace(subs, d, k, rounds)
+            memo[mkey] = got
+        return got
     key = hashlib.md5(
         f"{corpus_token}|pq|d={d}|k={k}|r={rounds}"
         f"|fs={_content_stamp(corpus_token)}".encode()

@@ -252,3 +252,87 @@ def test_delta_assign_query_degenerate_small_corpus(spark, tmp_path):
     }
     assert got == want
     assert len(got) == 39  # everything but the 1-row clamped base
+
+
+def test_session_memo_reuses_and_is_bit_identical(spark, monkeypatch):
+    """r12 session-memo tier: with no cache dir, the second consumer of
+    the same (token, geometry) key in one session gets the SAME
+    checkpointed frame (no retrain), and SMVD_IVF_MEMO=0 restores the
+    per-call recompute the scaling probes measure."""
+    from signal_messenger_vector_database_spark.operators.ivf_index import (
+        shared_hier_assignment,
+    )
+
+    emb, n, k, ns = _load(spark)
+    token = f"{SF}/embeddings|memo-test|{n}"
+    monkeypatch.delenv("SMVD_IVF_CACHE_DIR", raising=False)
+    monkeypatch.delenv("SMVD_IVF_MEMO", raising=False)
+
+    first = shared_hier_assignment(spark, emb, token, k, ns)
+    second = shared_hier_assignment(spark, emb, token, k, ns)
+    assert second is first  # memo hit: the very same frame
+    rows = {r.vec_id: r.cid for r in second.collect()}
+    assert len(rows) == n
+
+    # memo-off: a fresh plan per call (the probe's inline baseline)
+    monkeypatch.setenv("SMVD_IVF_MEMO", "0")
+    fresh = shared_hier_assignment(spark, emb, token, k, ns)
+    assert fresh is not first
+    assert {r.vec_id: r.cid for r in fresh.collect()} == rows
+
+
+def test_session_memo_is_key_and_content_sensitive(spark, tmp_path, monkeypatch):
+    """A different token or geometry must miss the memo, and an
+    in-place corpus file change mid-session must too (same file-stat
+    stamp discipline as the disk key)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from signal_messenger_vector_database_spark.operators.ivf_index import (
+        shared_hier_assignment,
+    )
+
+    monkeypatch.delenv("SMVD_IVF_CACHE_DIR", raising=False)
+    monkeypatch.delenv("SMVD_IVF_MEMO", raising=False)
+    emb, n, k, ns = _load(spark)
+    t1 = f"{SF}/embeddings|memo-key|{n}"
+    a = shared_hier_assignment(spark, emb, t1, k, ns)
+    assert shared_hier_assignment(spark, emb, t1, k, ns + 1) is not a
+    assert shared_hier_assignment(spark, emb, t1 + "x", k, ns) is not a
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    src = corpus / "embeddings.parquet"
+    shutil.copyfile(f"{SF}/embeddings.parquet", src)
+    t2 = f"{corpus}/embeddings|{n}"
+    b = shared_hier_assignment(spark, emb, t2, k, ns)
+    assert shared_hier_assignment(spark, emb, t2, k, ns) is b
+    os.utime(src, ns=(os.stat(src).st_mtime_ns + 10**9,) * 2)
+    assert shared_hier_assignment(spark, emb, t2, k, ns) is not b
+
+
+def test_session_memo_pq_parts(spark, monkeypatch):
+    from pyspark.sql import functions as F
+
+    from signal_messenger_vector_database_spark.io.sources import load_table
+    from signal_messenger_vector_database_spark.operators.ivf_index import (
+        shared_pq_parts,
+    )
+    from signal_messenger_vector_database_spark.plans.pq_trained import (
+        _OPD,
+        _OPM,
+        _op_sub_rows,
+    )
+
+    monkeypatch.delenv("SMVD_IVF_CACHE_DIR", raising=False)
+    monkeypatch.delenv("SMVD_IVF_MEMO", raising=False)
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    subs = _op_sub_rows(emb).localCheckpoint(eager=False)
+    af1, cb1 = shared_pq_parts(spark, subs, "memo-pq", _OPD, 16, 1)
+    af2, cb2 = shared_pq_parts(spark, subs, "memo-pq", _OPD, 16, 1)
+    assert af2 is af1 and cb2 is cb1
+    # k=16 codewords per subspace x _OPM subspaces
+    assert af1.count() > 0 and cb1.count() == 16 * _OPM

@@ -5,7 +5,12 @@ For each scale (i.i.d. replicas from tools/scaling_probe.build_scaled):
 
   inline  — each consumer recomputes the two-level assignment
             (the status quo the x64 probe flagged: the n*(1+nprobe)*
-            sqrt(k) term paid once PER QUERY);
+            sqrt(k) term paid once PER QUERY).  Since r12 the seam's
+            default session memo would amortize this within one
+            process, so the probe sets SMVD_IVF_MEMO=0 for the whole
+            run — its arms measure the unamortized inline cost vs the
+            cross-process disk cache, the contrast the wave-19/21
+            numbers are defined over;
   shared  — SMVD_IVF_CACHE_DIR set: the index is built & materialized
             ONCE (timed as build_sec), then every consumer reads the
             parquet assignment — per-query marginal cost is the
@@ -160,6 +165,9 @@ def run_delta(scales: list[int]) -> None:
 
 
 def main() -> None:
+    # the probe's contract is unamortized-inline vs disk-cache (module
+    # docstring); the r12 session memo must not blur the inline arms
+    os.environ["SMVD_IVF_MEMO"] = "0"
     # strict one-pass parse (r12 adversarial review: the mode-dispatch
     # restructure had stopped validating unknown flags, so a typo'd
     # --scale= would silently probe the defaults)

@@ -536,6 +536,10 @@ def build_scaled(spark, k: int) -> str:
 
 
 def main() -> None:
+    # per-operator COLD cost is the probe's contract; the r12 session
+    # memo would amortize seam consumers after the first and break
+    # comparability with the historical SCALING.md series
+    os.environ["SMVD_IVF_MEMO"] = "0"
     scales = [1, 4, 16]
     waves = {
         "1": PROBES,
