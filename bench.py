@@ -38,6 +38,10 @@ Flags (r12):
                  env supplies one) and the index PRE-BUILT, writing
                  BENCH_warm_r<N>.json — the amortized serving-mode
                  series, compared only against prior warm sidecars.
+  --stamp=<s>    free-form provenance stamp recorded in the payload.
+The payload also carries run = $SMVD_BENCH_RUN (default
+"unattributed") so a driver-overwritten sidecar is distinguishable
+from the builder's committed run (VERDICT r11 #8).
 
 Since the r12 session memo (operators/ivf_index.py) the COLD series
 also amortizes the shared IVF/PQ index within the run: the first seam
@@ -48,10 +52,6 @@ series differs in that the build happens BEFORE the timed window
 (cross-process disk cache, pre-built untimed), so no query pays it.
 Round-over-round, r12+ cold entries for seam consumers are therefore
 expected to drop vs r11; compare via shared_subset_normalized as ever.
-  --stamp=<s>    free-form provenance stamp recorded in the payload.
-The payload also carries run = $SMVD_BENCH_RUN (default
-"unattributed") so a driver-overwritten sidecar is distinguishable
-from the builder's committed run (VERDICT r11 #8).
 """
 
 from __future__ import annotations

@@ -23,10 +23,13 @@ Design — three tiers, cheapest honest one wins:
   checkpoint is lazy) and every oracle string is untouched.
   ``SMVD_IVF_MEMO=0`` restores the per-call recompute — the scaling
   probes set it so their "inline" baseline keeps measuring the
-  unamortized cost.  The memo is keyed per-session via a weak map
-  (a stopped session's entries die with it) and includes the same
-  file-stat content stamp as the disk key, so a mid-session in-place
-  corpus change misses.
+  unamortized cost.  Retention: keyed per-session; STOPPED sessions
+  are purged on the next seam access (the frames reference their
+  session, so weakness alone can never fire — r12 code review); one
+  live entry per (kind, token, geometry) family, superseded in place
+  when the file-stat content stamp changes, so a mid-session in-place
+  corpus change misses AND the stale frame's checkpoint blocks become
+  reclaimable instead of accumulating.
 * **Opt-in disk cache by environment** (``SMVD_IVF_CACHE_DIR``):
   when set (the scaling probe, a production deployment's index-build
   step, the bench's ``--warm-index`` arm), the first consumer
@@ -73,10 +76,16 @@ def ivf_cache_dir() -> str | None:
 
 
 # --- session-scoped memo (the default tier; module docstring) -------------
-# One dict per live SparkSession, weakly keyed so a stopped/collected
-# session's checkpointed frames are dropped with it.  Values are the
-# exact DataFrames the inline build returned (localCheckpoint(lazy) —
-# materialized by the first consumer's job, reused by the rest).
+# One dict per SparkSession.  Retention discipline (r12 code review):
+# the memoized DataFrames strongly reference their session, so a weak
+# map alone can never collect an entry — instead every access PURGES
+# sessions whose context reports stopped (sc._jsc is None after
+# SparkContext.stop()), which breaks the value->key cycle and frees the
+# frames.  Within a live session each (kind, token, geometry) FAMILY
+# holds at most ONE entry: a content-stamp change supersedes in place,
+# dropping the stale frame's last reference so its checkpoint blocks
+# are reclaimable, instead of pinning every superseded assignment for
+# the session's lifetime.
 
 _SESSION_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
     weakref.WeakKeyDictionary()
@@ -87,12 +96,43 @@ def _memo_enabled() -> bool:
     return os.environ.get("SMVD_IVF_MEMO", "1") != "0"
 
 
+def _session_stopped(spark: SparkSession) -> bool:
+    try:
+        return spark.sparkContext._jsc is None
+    except Exception:
+        return True
+
+
 def _memo(spark: SparkSession) -> dict:
+    for s in list(_SESSION_MEMO.keys()):
+        if _session_stopped(s):
+            del _SESSION_MEMO[s]
     d = _SESSION_MEMO.get(spark)
     if d is None:
         d = {}
         _SESSION_MEMO[spark] = d
     return d
+
+
+def _memo_get_or_build(spark: SparkSession, family: tuple, stamp: str, build):
+    """One live entry per family: a hit requires the stored content
+    stamp to match; a mismatch rebuilds and REPLACES the entry (the
+    stale frame becomes unreachable and its checkpoint blocks follow)."""
+    memo = _memo(spark)
+    got = memo.get(family)
+    if got is not None and got[0] == stamp:
+        return got[1]
+    val = build()
+    memo[family] = (stamp, val)
+    return val
+
+
+def _vec_dtype(df: DataFrame, col: str) -> str:
+    """The vector column's type, memo-key component: two callers may
+    pass the same corpus token with float vs double projections — the
+    assignment math casts to double internally so results are
+    identical today, but the key should not BET on that staying true."""
+    return df.schema[col].dataType.simpleString()
 
 
 def _content_stamp(corpus_token: str) -> str:
@@ -173,18 +213,17 @@ def shared_hier_assignment(
     if cache is None:
         if not _memo_enabled():
             return inline()
-        mkey = (
+        family = (
             "hier", corpus_token, k, n_super, nprobe, id_col, vec_col,
-            shard_threshold, _content_stamp(corpus_token),
+            shard_threshold, _vec_dtype(emb, vec_col),
         )
-        memo = _memo(spark)
-        got = memo.get(mkey)
-        if got is None:
-            got = inline().localCheckpoint(eager=False)
-            memo[mkey] = got
-        return got
+        return _memo_get_or_build(
+            spark, family, _content_stamp(corpus_token),
+            lambda: inline().localCheckpoint(eager=False),
+        )
     key = hashlib.md5(
         f"{corpus_token}|k={k}|ns={n_super}|np={nprobe}"
+        f"|id={id_col}|vc={vec_col}|dt={_vec_dtype(emb, vec_col)}"
         f"|fs={_content_stamp(corpus_token)}".encode()
     ).hexdigest()[:20]
     path = os.path.join(cache, f"hier_{key}")
@@ -253,17 +292,17 @@ def shared_hier_assignment_delta(
     if cache is None:
         if not _memo_enabled():
             return assign(base.unionByName(delta))
-        mkey = (
+        family = (
             "delta", base_token, delta_token, k, n_super, nprobe, id_col,
-            vec_col, shard_threshold,
-            _content_stamp(base_token), _content_stamp(delta_token),
+            vec_col, shard_threshold, _vec_dtype(base, vec_col),
         )
-        memo = _memo(spark)
-        got = memo.get(mkey)
-        if got is None:
-            got = assign(base.unionByName(delta)).localCheckpoint(eager=False)
-            memo[mkey] = got
-        return got
+        stamp = f"{_content_stamp(base_token)};{_content_stamp(delta_token)}"
+        return _memo_get_or_build(
+            spark, family, stamp,
+            lambda: assign(base.unionByName(delta)).localCheckpoint(
+                eager=False
+            ),
+        )
     base_part = shared_hier_assignment(
         spark, base, base_token, k, n_super,
         nprobe=nprobe, id_col=id_col, vec_col=vec_col,
@@ -271,6 +310,7 @@ def shared_hier_assignment_delta(
     )
     dkey = hashlib.md5(
         f"{base_token}|delta|{delta_token}|k={k}|ns={n_super}|np={nprobe}"
+        f"|id={id_col}|vc={vec_col}|dt={_vec_dtype(base, vec_col)}"
         f"|fs={_content_stamp(base_token)};{_content_stamp(delta_token)}".encode()
     ).hexdigest()[:20]
     dpath = os.path.join(cache, f"hier_delta_{dkey}")
@@ -308,15 +348,14 @@ def shared_pq_parts(
             return pq_train_inplace(subs, d, k, rounds)
         # pq_train_inplace's outputs are already localCheckpoint'ed, so
         # memoizing the tuple reuses their materialized blocks directly.
-        mkey = ("pq", corpus_token, d, k, rounds, _content_stamp(corpus_token))
-        memo = _memo(spark)
-        got = memo.get(mkey)
-        if got is None:
-            got = pq_train_inplace(subs, d, k, rounds)
-            memo[mkey] = got
-        return got
+        family = ("pq", corpus_token, d, k, rounds, _vec_dtype(subs, "sv"))
+        return _memo_get_or_build(
+            spark, family, _content_stamp(corpus_token),
+            lambda: pq_train_inplace(subs, d, k, rounds),
+        )
     key = hashlib.md5(
         f"{corpus_token}|pq|d={d}|k={k}|r={rounds}"
+        f"|dt={_vec_dtype(subs, 'sv')}"
         f"|fs={_content_stamp(corpus_token)}".encode()
     ).hexdigest()[:20]
     af_path = os.path.join(cache, f"pq_af_{key}")

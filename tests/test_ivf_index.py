@@ -284,10 +284,9 @@ def test_session_memo_reuses_and_is_bit_identical(spark, monkeypatch):
 def test_session_memo_is_key_and_content_sensitive(spark, tmp_path, monkeypatch):
     """A different token or geometry must miss the memo, and an
     in-place corpus file change mid-session must too (same file-stat
-    stamp discipline as the disk key)."""
+    stamp discipline as the disk key), REPLACING the superseded entry
+    rather than accumulating it (one live entry per family)."""
     import shutil
-
-    from pyspark.sql import functions as F
 
     from signal_messenger_vector_database_spark.operators.ivf_index import (
         shared_hier_assignment,
@@ -306,15 +305,49 @@ def test_session_memo_is_key_and_content_sensitive(spark, tmp_path, monkeypatch)
     src = corpus / "embeddings.parquet"
     shutil.copyfile(f"{SF}/embeddings.parquet", src)
     t2 = f"{corpus}/embeddings|{n}"
+    from signal_messenger_vector_database_spark.operators import ivf_index
+
     b = shared_hier_assignment(spark, emb, t2, k, ns)
     assert shared_hier_assignment(spark, emb, t2, k, ns) is b
+    n_fams = len(ivf_index._SESSION_MEMO[spark])
     os.utime(src, ns=(os.stat(src).st_mtime_ns + 10**9,) * 2)
-    assert shared_hier_assignment(spark, emb, t2, k, ns) is not b
+    c = shared_hier_assignment(spark, emb, t2, k, ns)
+    assert c is not b
+    # the stale entry was SUPERSEDED in place, not accumulated — the
+    # family count is unchanged and the live value is the new frame
+    assert len(ivf_index._SESSION_MEMO[spark]) == n_fams
+    fam = next(
+        f for f in ivf_index._SESSION_MEMO[spark] if f[1] == t2
+    )
+    assert ivf_index._SESSION_MEMO[spark][fam][1] is c
+
+
+def test_session_memo_purges_stopped_sessions(spark, monkeypatch):
+    """The memoized frames strongly reference their session, so weak
+    collection alone can never fire (r12 code review): a session whose
+    context reports stopped must be PURGED on the next seam access."""
+    from signal_messenger_vector_database_spark.operators import ivf_index
+
+    class _StoppedCtx:
+        _jsc = None
+
+    class _FakeSession:
+        sparkContext = _StoppedCtx()
+
+    fake = _FakeSession()
+    ivf_index._SESSION_MEMO[fake] = {("hier", "zombie"): ("stamp", object())}
+    monkeypatch.delenv("SMVD_IVF_CACHE_DIR", raising=False)
+    monkeypatch.delenv("SMVD_IVF_MEMO", raising=False)
+    emb, n, k, ns = _load(spark)
+    shared_hier_assignment_call = ivf_index.shared_hier_assignment
+    shared_hier_assignment_call(
+        spark, emb, f"{SF}/embeddings|purge-test|{n}", k, ns
+    )
+    assert fake not in ivf_index._SESSION_MEMO  # zombie purged
+    assert spark in ivf_index._SESSION_MEMO  # live session kept
 
 
 def test_session_memo_pq_parts(spark, monkeypatch):
-    from pyspark.sql import functions as F
-
     from signal_messenger_vector_database_spark.io.sources import load_table
     from signal_messenger_vector_database_spark.operators.ivf_index import (
         shared_pq_parts,
