@@ -371,3 +371,145 @@ def shared_pq_parts(
         spark.read.parquet(af_path).select("vec_id", "sub_j", "code"),
         spark.read.parquet(cb_path).select("sub_j", "code", "cw"),
     )
+
+
+# --- maintenance policy: when does the delta path stop being enough? -------
+# ``shared_hier_assignment_delta`` is the cheap steady-state; the
+# catalog's ``ivf_maintenance`` computes the per-cell accounting that
+# says when the frozen quantizer has drifted.  ``maintain`` composes
+# the two into the decision a 100 TB deployment actually schedules on:
+# assign the incoming batch, account occupancy, and recommend a
+# re-cluster only once enough cells are flagged.  All rules are
+# EXACT-INTEGER (the ivf_maintenance discipline — zero FP seams), and
+# the flag expressions below are the ONE definition consumed by both
+# the catalog query and this operator (shared-definition rule).
+
+
+def cell_split_flag(n_live, n_new, k_col, total_col):
+    """Overfull rule: occupancy > 1.1x the mean, in exact integers —
+    10 * (n_live + n_new) * k > 11 * total."""
+    from pyspark.sql import functions as F
+
+    return 10 * (F.col(n_live) + F.col(n_new)) * F.col(k_col) > 11 * F.col(
+        total_col
+    )
+
+
+def cell_compact_flag(n_live, n_tomb):
+    """Tombstone rule: live fraction < 0.98, in exact integers —
+    50 * n_live < 49 * (n_live + n_tomb)."""
+    from pyspark.sql import functions as F
+
+    return 50 * F.col(n_live) < 49 * (F.col(n_live) + F.col(n_tomb))
+
+
+# re-cluster once more than 1 cell in _REBUILD_DENOM is flagged (exact
+# integers: DENOM * n_flagged > k).  A policy constant, not a measured
+# optimum — deployments tune it against their rebuild cost.
+_REBUILD_DENOM = 10
+
+
+def maintain(
+    spark: SparkSession,
+    base: DataFrame,
+    delta: DataFrame,
+    base_token: str,
+    delta_token: str,
+    k: int,
+    n_super: int,
+    tombstones: DataFrame | None = None,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    shard_threshold: int = 4096,
+) -> dict[str, DataFrame]:
+    """One ingest cycle of IVF index maintenance (the policy layer
+    VERDICT r11 #2 left with the caller, made concrete):
+
+    * ``assignment`` — (id_col, cid) for base UNION delta with the
+      coarse quantizer frozen at the base corpus
+      (``shared_hier_assignment_delta``: cached mode assigns ONLY the
+      delta; inline is one job, bit-identical).
+    * ``cells`` — per-cid (n_live, n_tomb, n_new, needs_split,
+      needs_compact): delta rows count as new, ``tombstones`` rows
+      (a frame of id_col values, e.g. the delete log) as tombstoned,
+      the rest live — the exact-integer rules of the oracle-paired
+      ``ivf_maintenance`` catalog query via the shared flag
+      expressions above.
+    * ``decision`` — ONE row (k, n_flagged, rebuild_recommended):
+      re-cluster when ``_REBUILD_DENOM * n_flagged > k``, i.e. more
+      than 1 cell in 10 flagged.  Below the threshold the steady
+      state is this delta path; past it the caller schedules a fresh
+      ``shared_hier_assignment`` build (with the disk cache on, the
+      changed corpus stamp makes that build a natural cache miss).
+
+    Everything is returned as an unevaluated DataFrame — no driver
+    action at construction (the repo rule); ``decision`` is a 1-row
+    aggregate the scheduler collects."""
+    from pyspark.sql import functions as F
+
+    assignment = shared_hier_assignment_delta(
+        spark, base, delta, base_token, delta_token, k, n_super,
+        nprobe=nprobe, id_col=id_col, vec_col=vec_col,
+        shard_threshold=shard_threshold,
+    )
+    new_ids = delta.select(F.col(id_col).alias("_mid")).withColumn(
+        "_new", F.lit(True)
+    )
+    tomb_ids = (
+        tombstones.select(F.col(id_col).alias("_mid")).withColumn(
+            "_tomb", F.lit(True)
+        )
+        if tombstones is not None
+        else spark.createDataFrame([], "_mid long, _tomb boolean")
+    )
+    # membership joins are NOT broadcast-hinted: both sides are real
+    # table projections with stats (a day's delta or delete log can be
+    # arbitrarily large at 100 TB) — Catalyst/AQE broadcasts them when
+    # they are in fact small.
+    tagged = (
+        assignment.join(new_ids, F.col(id_col) == F.col("_mid"), "left")
+        .drop("_mid")
+        .join(tomb_ids, F.col(id_col) == F.col("_mid"), "left")
+        .select(
+            "cid",
+            F.when(F.col("_new"), "new")
+            .when(F.col("_tomb"), "tomb")
+            .otherwise("live")
+            .alias("st"),
+        )
+    )
+    agg = tagged.groupBy("cid").agg(
+        F.sum(F.when(F.col("st") == "live", 1).otherwise(0)).alias("n_live"),
+        F.sum(F.when(F.col("st") == "tomb", 1).otherwise(0)).alias("n_tomb"),
+        F.sum(F.when(F.col("st") == "new", 1).otherwise(0)).alias("n_new"),
+    )
+    tot = agg.agg(
+        F.sum(F.col("n_live") + F.col("n_new")).alias("_total"),
+        F.count(F.lit(1)).alias("_k"),
+    )
+    cells = agg.crossJoin(F.broadcast(tot)).select(
+        F.col("cid").cast("long").alias("cid"),
+        F.col("n_live").cast("long").alias("n_live"),
+        F.col("n_tomb").cast("long").alias("n_tomb"),
+        F.col("n_new").cast("long").alias("n_new"),
+        cell_split_flag("n_live", "n_new", "_k", "_total").alias(
+            "needs_split"
+        ),
+        cell_compact_flag("n_live", "n_tomb").alias("needs_compact"),
+    )
+    decision = cells.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(
+            F.when(F.col("needs_split") | F.col("needs_compact"), 1).otherwise(
+                0
+            )
+        ).alias("n_flagged"),
+    ).select(
+        "k",
+        "n_flagged",
+        (F.lit(_REBUILD_DENOM) * F.col("n_flagged") > F.col("k")).alias(
+            "rebuild_recommended"
+        ),
+    )
+    return {"assignment": assignment, "cells": cells, "decision": decision}

@@ -1555,18 +1555,20 @@ def _ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n_live") + F.col("n_new")).alias("_total"),
         F.count(F.lit(1)).alias("_k"),
     )
+    # ONE definition of the exact-integer flag rules, shared with the
+    # maintenance-policy operator (ivf_index.maintain — r12): the
+    # catalog query and the scheduler-facing API cannot drift.
+    from ..operators.ivf_index import cell_compact_flag, cell_split_flag
+
     return agg.crossJoin(F.broadcast(tot)).select(
         F.col("cid").cast("long").alias("cid"),
         F.col("n_live").cast("long").alias("n_live"),
         F.col("n_tomb").cast("long").alias("n_tomb"),
         F.col("n_new").cast("long").alias("n_new"),
-        (
-            10 * (F.col("n_live") + F.col("n_new")) * F.col("_k")
-            > 11 * F.col("_total")
-        ).alias("needs_split"),
-        (
-            50 * F.col("n_live") < 49 * (F.col("n_live") + F.col("n_tomb"))
-        ).alias("needs_compact"),
+        cell_split_flag("n_live", "n_new", "_k", "_total").alias(
+            "needs_split"
+        ),
+        cell_compact_flag("n_live", "n_tomb").alias("needs_compact"),
     )
 
 

@@ -369,3 +369,104 @@ def test_session_memo_pq_parts(spark, monkeypatch):
     assert af2 is af1 and cb2 is cb1
     # k=16 codewords per subspace x _OPM subspaces
     assert af1.count() > 0 and cb1.count() == 16 * _OPM
+
+
+def test_maintain_policy_composes_delta_and_flags(spark, monkeypatch):
+    """ivf_index.maintain (r12): assignment == the delta path,
+    per-cell accounting matches an independent Python recompute of the
+    exact-integer ivf_maintenance rules, and the rebuild decision is
+    DENOM * n_flagged > k."""
+    from pyspark.sql import functions as F
+
+    from signal_messenger_vector_database_spark.operators.ivf_index import (
+        _REBUILD_DENOM,
+        maintain,
+        shared_hier_assignment_delta,
+    )
+
+    monkeypatch.delenv("SMVD_IVF_CACHE_DIR", raising=False)
+    monkeypatch.delenv("SMVD_IVF_MEMO", raising=False)
+    emb, n, k, ns = _load(spark)
+    cut = n - max(50, n // 10)
+    base = emb.filter(F.col("vec_id") < cut)
+    delta = emb.filter(F.col("vec_id") >= cut)
+    # planted delete log: every 37th base id
+    tombs = base.select("vec_id").filter(F.col("vec_id") % 37 == 5)
+    bt = f"{SF}/embeddings|mt-base|{cut}"
+    dt = f"{SF}/embeddings|mt-delta|{n - cut}"
+
+    out = maintain(spark, base, delta, bt, dt, k, ns, tombstones=tombs)
+    got_assign = {r.vec_id: r.cid for r in out["assignment"].collect()}
+    want_assign = {
+        r.vec_id: r.cid
+        for r in shared_hier_assignment_delta(
+            spark, base, delta, bt, dt, k, ns
+        ).collect()
+    }
+    assert got_assign == want_assign and len(got_assign) == n
+
+    # independent recompute of the accounting + flags in plain Python
+    from collections import defaultdict
+
+    st = {}
+    for vid, cid in got_assign.items():
+        if vid >= cut:
+            s = "new"
+        elif vid % 37 == 5:
+            s = "tomb"
+        else:
+            s = "live"
+        st[vid] = (cid, s)
+    counts = defaultdict(lambda: [0, 0, 0])  # live, tomb, new
+    for cid, s in st.values():
+        counts[cid][("live", "tomb", "new").index(s)] += 1
+    total = sum(c[0] + c[2] for c in counts.values())
+    kk = len(counts)
+    want_cells = {
+        cid: (
+            c[0],
+            c[1],
+            c[2],
+            10 * (c[0] + c[2]) * kk > 11 * total,
+            50 * c[0] < 49 * (c[0] + c[1]),
+        )
+        for cid, c in counts.items()
+    }
+    got_cells = {
+        r.cid: (r.n_live, r.n_tomb, r.n_new, r.needs_split, r.needs_compact)
+        for r in out["cells"].collect()
+    }
+    assert got_cells == want_cells
+
+    n_flagged = sum(1 for c in want_cells.values() if c[3] or c[4])
+    drow = out["decision"].collect()
+    assert len(drow) == 1
+    assert drow[0].k == kk and drow[0].n_flagged == n_flagged
+    assert drow[0].rebuild_recommended == (
+        _REBUILD_DENOM * n_flagged > kk
+    )
+
+
+def test_maintain_without_tombstones(spark, monkeypatch):
+    """No delete log: n_tomb must be 0 everywhere and live+new == n."""
+    from pyspark.sql import functions as F
+
+    from signal_messenger_vector_database_spark.operators.ivf_index import (
+        maintain,
+    )
+
+    monkeypatch.delenv("SMVD_IVF_CACHE_DIR", raising=False)
+    emb, n, k, ns = _load(spark)
+    cut = n - max(50, n // 10)
+    out = maintain(
+        spark,
+        emb.filter(F.col("vec_id") < cut),
+        emb.filter(F.col("vec_id") >= cut),
+        f"{SF}/embeddings|mt2-base|{cut}",
+        f"{SF}/embeddings|mt2-delta|{n - cut}",
+        k,
+        ns,
+    )
+    rows = out["cells"].collect()
+    assert all(r.n_tomb == 0 for r in rows)
+    assert sum(r.n_live + r.n_new for r in rows) == n
