@@ -387,20 +387,60 @@ def shared_pq_parts(
 
 def cell_split_flag(n_live, n_new, k_col, total_col):
     """Overfull rule: occupancy > 1.1x the mean, in exact integers —
-    10 * (n_live + n_new) * k > 11 * total."""
+    10 * (n_live + n_new) * k > 11 * total.  Evaluated in
+    decimal(38,0) (r12 code review): the occupancy x k product can
+    exceed LongType at 1e11-row corpora with k ~ n/125, and with ANSI
+    off Spark would wrap SILENTLY — decimal keeps the comparison exact
+    at any scale and is value-identical to the bigint form wherever
+    bigint doesn't overflow (so the DuckDB twin, which runs at fixture
+    scale, is unchanged)."""
     from pyspark.sql import functions as F
 
-    return 10 * (F.col(n_live) + F.col(n_new)) * F.col(k_col) > 11 * F.col(
-        total_col
-    )
+    occ = (F.col(n_live) + F.col(n_new)).cast("decimal(38,0)")
+    return occ * F.col(k_col) * 10 > F.col(total_col).cast(
+        "decimal(38,0)"
+    ) * 11
 
 
 def cell_compact_flag(n_live, n_tomb):
     """Tombstone rule: live fraction < 0.98, in exact integers —
-    50 * n_live < 49 * (n_live + n_tomb)."""
+    50 * n_live < 49 * (n_live + n_tomb).  Long is safe here: per-cell
+    counts are bounded by n, and 50n fits a long for any feasible n."""
     from pyspark.sql import functions as F
 
     return 50 * F.col(n_live) < 49 * (F.col(n_live) + F.col(n_tomb))
+
+
+def occupancy_cells(tagged: DataFrame) -> DataFrame:
+    """Per-cell occupancy accounting over a ``(cid, st)`` frame with
+    st in {'live', 'tomb', 'new'}: (cid, n_live, n_tomb, n_new,
+    needs_split, needs_compact).  ONE definition consumed by both the
+    oracle-paired ``ivf_maintenance`` catalog query and ``maintain``
+    (r12 code review: extracting only the flag expressions left the
+    whole aggregate pipeline free to drift).  The split rule's mean is
+    over NON-EMPTY cells (the aggregate's own row count) — the
+    ivf_maintenance oracle convention."""
+    from pyspark.sql import functions as F
+
+    agg = tagged.groupBy("cid").agg(
+        F.sum(F.when(F.col("st") == "live", 1).otherwise(0)).alias("n_live"),
+        F.sum(F.when(F.col("st") == "tomb", 1).otherwise(0)).alias("n_tomb"),
+        F.sum(F.when(F.col("st") == "new", 1).otherwise(0)).alias("n_new"),
+    )
+    tot = agg.agg(
+        F.sum(F.col("n_live") + F.col("n_new")).alias("_total"),
+        F.count(F.lit(1)).alias("_k"),
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        F.col("cid").cast("long").alias("cid"),
+        F.col("n_live").cast("long").alias("n_live"),
+        F.col("n_tomb").cast("long").alias("n_tomb"),
+        F.col("n_new").cast("long").alias("n_new"),
+        cell_split_flag("n_live", "n_new", "_k", "_total").alias(
+            "needs_split"
+        ),
+        cell_compact_flag("n_live", "n_tomb").alias("needs_compact"),
+    )
 
 
 # re-cluster once more than 1 cell in _REBUILD_DENOM is flagged (exact
@@ -432,16 +472,21 @@ def maintain(
       delta; inline is one job, bit-identical).
     * ``cells`` — per-cid (n_live, n_tomb, n_new, needs_split,
       needs_compact): delta rows count as new, ``tombstones`` rows
-      (a frame of id_col values, e.g. the delete log) as tombstoned,
-      the rest live — the exact-integer rules of the oracle-paired
-      ``ivf_maintenance`` catalog query via the shared flag
-      expressions above.
+      (a frame of id_col values, e.g. the delete log — duplicates are
+      deduplicated, and an id both inserted and deleted in the same
+      cycle counts as TOMB) as tombstoned, the rest live — the
+      exact-integer rules of the oracle-paired ``ivf_maintenance``
+      catalog query via the shared ``occupancy_cells``.
     * ``decision`` — ONE row (k, n_flagged, rebuild_recommended):
       re-cluster when ``_REBUILD_DENOM * n_flagged > k``, i.e. more
-      than 1 cell in 10 flagged.  Below the threshold the steady
-      state is this delta path; past it the caller schedules a fresh
-      ``shared_hier_assignment`` build (with the disk cache on, the
-      changed corpus stamp makes that build a natural cache miss).
+      than 1 cell in 10 flagged.  ``k`` here is the CONFIGURED cell
+      count (empty cells included — the index the scheduler owns),
+      unlike the per-cell split rule's mean, which by the
+      ivf_maintenance oracle convention is over non-empty cells.
+      Below the threshold the steady state is this delta path; past
+      it the caller schedules a fresh ``shared_hier_assignment``
+      build (with the disk cache on, the changed corpus stamp makes
+      that build a natural cache miss).
 
     Everything is returned as an unevaluated DataFrame — no driver
     action at construction (the repo rule); ``decision`` is a 1-row
@@ -453,62 +498,51 @@ def maintain(
         nprobe=nprobe, id_col=id_col, vec_col=vec_col,
         shard_threshold=shard_threshold,
     )
-    new_ids = delta.select(F.col(id_col).alias("_mid")).withColumn(
-        "_new", F.lit(True)
-    )
-    tomb_ids = (
-        tombstones.select(F.col(id_col).alias("_mid")).withColumn(
-            "_tomb", F.lit(True)
-        )
-        if tombstones is not None
-        else spark.createDataFrame([], "_mid long, _tomb boolean")
-    )
-    # membership joins are NOT broadcast-hinted: both sides are real
-    # table projections with stats (a day's delta or delete log can be
+    # membership sides are deduplicated (an at-least-once delete log
+    # repeats ids) and NOT broadcast-hinted: both are real table
+    # projections with stats (a day's delta or delete log can be
     # arbitrarily large at 100 TB) — Catalyst/AQE broadcasts them when
     # they are in fact small.
-    tagged = (
-        assignment.join(new_ids, F.col(id_col) == F.col("_mid"), "left")
-        .drop("_mid")
-        .join(tomb_ids, F.col(id_col) == F.col("_mid"), "left")
-        .select(
-            "cid",
-            F.when(F.col("_new"), "new")
-            .when(F.col("_tomb"), "tomb")
-            .otherwise("live")
-            .alias("st"),
+    new_ids = (
+        delta.select(F.col(id_col).alias("_mid"))
+        .distinct()
+        .withColumn("_new", F.lit(True))
+    )
+    tagged = assignment.join(
+        new_ids, F.col(id_col) == F.col("_mid"), "left"
+    ).drop("_mid")
+    if tombstones is not None:
+        tomb_ids = (
+            tombstones.select(F.col(id_col).alias("_mid"))
+            .distinct()
+            .withColumn("_tomb", F.lit(True))
         )
+        tagged = tagged.join(
+            tomb_ids, F.col(id_col) == F.col("_mid"), "left"
+        ).drop("_mid")
+    else:
+        tagged = tagged.withColumn("_tomb", F.lit(None).cast("boolean"))
+    # TOMB wins over NEW (r12 code review): a vector inserted and
+    # deleted in the same cycle is dead — counting it 'new' would
+    # inflate occupancy and hide it from the compact rule.
+    tagged = tagged.select(
+        "cid",
+        F.when(F.col("_tomb"), "tomb")
+        .when(F.col("_new"), "new")
+        .otherwise("live")
+        .alias("st"),
     )
-    agg = tagged.groupBy("cid").agg(
-        F.sum(F.when(F.col("st") == "live", 1).otherwise(0)).alias("n_live"),
-        F.sum(F.when(F.col("st") == "tomb", 1).otherwise(0)).alias("n_tomb"),
-        F.sum(F.when(F.col("st") == "new", 1).otherwise(0)).alias("n_new"),
-    )
-    tot = agg.agg(
-        F.sum(F.col("n_live") + F.col("n_new")).alias("_total"),
-        F.count(F.lit(1)).alias("_k"),
-    )
-    cells = agg.crossJoin(F.broadcast(tot)).select(
-        F.col("cid").cast("long").alias("cid"),
-        F.col("n_live").cast("long").alias("n_live"),
-        F.col("n_tomb").cast("long").alias("n_tomb"),
-        F.col("n_new").cast("long").alias("n_new"),
-        cell_split_flag("n_live", "n_new", "_k", "_total").alias(
-            "needs_split"
-        ),
-        cell_compact_flag("n_live", "n_tomb").alias("needs_compact"),
-    )
+    cells = occupancy_cells(tagged)
     decision = cells.agg(
-        F.count(F.lit(1)).alias("k"),
         F.sum(
             F.when(F.col("needs_split") | F.col("needs_compact"), 1).otherwise(
                 0
             )
         ).alias("n_flagged"),
     ).select(
-        "k",
-        "n_flagged",
-        (F.lit(_REBUILD_DENOM) * F.col("n_flagged") > F.col("k")).alias(
+        F.lit(k).cast("long").alias("k"),
+        F.col("n_flagged").cast("long").alias("n_flagged"),
+        (F.lit(_REBUILD_DENOM) * F.col("n_flagged") > F.lit(k)).alias(
             "rebuild_recommended"
         ),
     )

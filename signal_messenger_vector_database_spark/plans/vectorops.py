@@ -1546,30 +1546,15 @@ def _ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("live")
         .alias("st"),
     )
-    agg = tagged.groupBy("cid").agg(
-        F.sum(F.when(F.col("st") == "live", 1).otherwise(0)).alias("n_live"),
-        F.sum(F.when(F.col("st") == "tomb", 1).otherwise(0)).alias("n_tomb"),
-        F.sum(F.when(F.col("st") == "new", 1).otherwise(0)).alias("n_new"),
-    )
-    tot = agg.agg(
-        F.sum(F.col("n_live") + F.col("n_new")).alias("_total"),
-        F.count(F.lit(1)).alias("_k"),
-    )
-    # ONE definition of the exact-integer flag rules, shared with the
-    # maintenance-policy operator (ivf_index.maintain — r12): the
-    # catalog query and the scheduler-facing API cannot drift.
-    from ..operators.ivf_index import cell_compact_flag, cell_split_flag
+    # ONE definition of the whole accounting pipeline (aggregation +
+    # exact-integer flag rules), shared with the maintenance-policy
+    # operator (ivf_index.maintain — r12): the catalog query and the
+    # scheduler-facing API cannot drift.  Only the membership TAGGING
+    # differs (this query's synthetic new/tomb convention above vs the
+    # operator's real delta/delete-log joins).
+    from ..operators.ivf_index import occupancy_cells
 
-    return agg.crossJoin(F.broadcast(tot)).select(
-        F.col("cid").cast("long").alias("cid"),
-        F.col("n_live").cast("long").alias("n_live"),
-        F.col("n_tomb").cast("long").alias("n_tomb"),
-        F.col("n_new").cast("long").alias("n_new"),
-        cell_split_flag("n_live", "n_new", "_k", "_total").alias(
-            "needs_split"
-        ),
-        cell_compact_flag("n_live", "n_tomb").alias("needs_compact"),
-    )
+    return occupancy_cells(tagged)
 
 
 def _ivf_maint_sql() -> str:

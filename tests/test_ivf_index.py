@@ -374,8 +374,10 @@ def test_session_memo_pq_parts(spark, monkeypatch):
 def test_maintain_policy_composes_delta_and_flags(spark, monkeypatch):
     """ivf_index.maintain (r12): assignment == the delta path,
     per-cell accounting matches an independent Python recompute of the
-    exact-integer ivf_maintenance rules, and the rebuild decision is
-    DENOM * n_flagged > k."""
+    exact-integer ivf_maintenance rules with the operator's contract
+    (duplicate delete-log ids deduplicated; same-cycle insert+delete
+    counts TOMB), and the rebuild decision is DENOM * n_flagged > the
+    CONFIGURED k."""
     from pyspark.sql import functions as F
 
     from signal_messenger_vector_database_spark.operators.ivf_index import (
@@ -390,8 +392,13 @@ def test_maintain_policy_composes_delta_and_flags(spark, monkeypatch):
     cut = n - max(50, n // 10)
     base = emb.filter(F.col("vec_id") < cut)
     delta = emb.filter(F.col("vec_id") >= cut)
-    # planted delete log: every 37th base id
-    tombs = base.select("vec_id").filter(F.col("vec_id") % 37 == 5)
+    # planted delete log: every 37th base id, PLUS one delta id (a
+    # same-cycle insert+delete), PLUS the whole thing duplicated (an
+    # at-least-once log repeats entries)
+    tombs1 = base.select("vec_id").filter(F.col("vec_id") % 37 == 5)
+    tombs = tombs1.unionAll(
+        delta.select("vec_id").filter(F.col("vec_id") == cut)
+    ).unionAll(tombs1)
     bt = f"{SF}/embeddings|mt-base|{cut}"
     dt = f"{SF}/embeddings|mt-delta|{n - cut}"
 
@@ -410,10 +417,10 @@ def test_maintain_policy_composes_delta_and_flags(spark, monkeypatch):
 
     st = {}
     for vid, cid in got_assign.items():
-        if vid >= cut:
+        if vid % 37 == 5 and vid < cut or vid == cut:
+            s = "tomb"  # tomb wins over new for the same-cycle id
+        elif vid >= cut:
             s = "new"
-        elif vid % 37 == 5:
-            s = "tomb"
         else:
             s = "live"
         st[vid] = (cid, s)
@@ -421,7 +428,7 @@ def test_maintain_policy_composes_delta_and_flags(spark, monkeypatch):
     for cid, s in st.values():
         counts[cid][("live", "tomb", "new").index(s)] += 1
     total = sum(c[0] + c[2] for c in counts.values())
-    kk = len(counts)
+    kk = len(counts)  # non-empty cells: the split rule's mean
     want_cells = {
         cid: (
             c[0],
@@ -437,13 +444,16 @@ def test_maintain_policy_composes_delta_and_flags(spark, monkeypatch):
         for r in out["cells"].collect()
     }
     assert got_cells == want_cells
+    # the accounting must balance: every assigned row counted once
+    assert sum(sum(c) for c in counts.values()) == n
 
     n_flagged = sum(1 for c in want_cells.values() if c[3] or c[4])
     drow = out["decision"].collect()
     assert len(drow) == 1
-    assert drow[0].k == kk and drow[0].n_flagged == n_flagged
+    # the decision denominator is the CONFIGURED k, not non-empty cells
+    assert drow[0].k == k and drow[0].n_flagged == n_flagged
     assert drow[0].rebuild_recommended == (
-        _REBUILD_DENOM * n_flagged > kk
+        _REBUILD_DENOM * n_flagged > k
     )
 
 
