@@ -145,6 +145,23 @@ def run_delta(scales: list[int]) -> None:
             spark, base, delta, bt, dt, kk, ns
         ).count()
         delta_sec = round(time.time() - t0, 2)
+        # wave 21d: the FULL maintenance cycle (delta assignment via
+        # the warm index + occupancy accounting + rebuild decision) —
+        # the policy pass a scheduler runs per ingest.  Tombstones =
+        # every 37th base id (the ivf_maintenance convention).
+        from signal_messenger_vector_database_spark.operators.ivf_index import (
+            maintain,
+        )
+
+        t0 = time.time()
+        out = maintain(
+            spark, base, delta, bt, dt, kk, ns,
+            tombstones=base.filter(F.col("vec_id") % 37 == 5).select(
+                "vec_id"
+            ),
+        )
+        dec = out["decision"].collect()[0]
+        maintain_sec = round(time.time() - t0, 2)
         os.environ.pop("SMVD_IVF_CACHE_DIR", None)
         assert got == n, (got, n)
         if warmup:  # first pass only pays codegen/JIT; numbers discarded
@@ -158,6 +175,9 @@ def run_delta(scales: list[int]) -> None:
             "delta_over_build": round(delta_sec / build_sec, 3)
             if build_sec
             else None,
+            "maintain_sec": maintain_sec,
+            "n_flagged": dec.n_flagged,
+            "rebuild_recommended": dec.rebuild_recommended,
         }
         results[f"x{k}"] = row
         print(json.dumps(row), flush=True)
