@@ -97,16 +97,22 @@ def _memo_enabled() -> bool:
 
 
 def _session_stopped(spark: SparkSession) -> bool:
+    """True only when the context AFFIRMATIVELY reports stopped
+    (SparkContext.stop() sets _jsc = None).  'Context unavailable'
+    (e.g. Spark Connect raises on .sparkContext) is NOT stopped —
+    classifying it stopped would purge live sessions on every access
+    and silently disable the memo tier (r12 code review)."""
     try:
-        return spark.sparkContext._jsc is None
+        sc = spark.sparkContext
     except Exception:
-        return True
+        return False
+    return getattr(sc, "_jsc", None) is None
 
 
 def _memo(spark: SparkSession) -> dict:
     for s in list(_SESSION_MEMO.keys()):
         if _session_stopped(s):
-            del _SESSION_MEMO[s]
+            _SESSION_MEMO.pop(s, None)  # pop: race-free under threads
     d = _SESSION_MEMO.get(spark)
     if d is None:
         d = {}
@@ -294,7 +300,8 @@ def shared_hier_assignment_delta(
             return assign(base.unionByName(delta))
         family = (
             "delta", base_token, delta_token, k, n_super, nprobe, id_col,
-            vec_col, shard_threshold, _vec_dtype(base, vec_col),
+            vec_col, shard_threshold,
+            _vec_dtype(base, vec_col), _vec_dtype(delta, vec_col),
         )
         stamp = f"{_content_stamp(base_token)};{_content_stamp(delta_token)}"
         return _memo_get_or_build(
@@ -310,7 +317,8 @@ def shared_hier_assignment_delta(
     )
     dkey = hashlib.md5(
         f"{base_token}|delta|{delta_token}|k={k}|ns={n_super}|np={nprobe}"
-        f"|id={id_col}|vc={vec_col}|dt={_vec_dtype(base, vec_col)}"
+        f"|id={id_col}|vc={vec_col}"
+        f"|dt={_vec_dtype(base, vec_col)};{_vec_dtype(delta, vec_col)}"
         f"|fs={_content_stamp(base_token)};{_content_stamp(delta_token)}".encode()
     ).hexdigest()[:20]
     dpath = os.path.join(cache, f"hier_delta_{dkey}")
@@ -533,11 +541,16 @@ def maintain(
         .alias("st"),
     )
     cells = occupancy_cells(tagged)
+    # coalesce: SUM over an EMPTY cells frame (a cycle before first
+    # ingest) is NULL — the decision contract is total (0 / False)
     decision = cells.agg(
-        F.sum(
-            F.when(F.col("needs_split") | F.col("needs_compact"), 1).otherwise(
-                0
-            )
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("needs_split") | F.col("needs_compact"), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
         ).alias("n_flagged"),
     ).select(
         F.lit(k).cast("long").alias("k"),

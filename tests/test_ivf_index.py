@@ -404,12 +404,17 @@ def test_maintain_policy_composes_delta_and_flags(spark, monkeypatch):
 
     out = maintain(spark, base, delta, bt, dt, k, ns, tombstones=tombs)
     got_assign = {r.vec_id: r.cid for r in out["assignment"].collect()}
+    # want computed with the memo OFF — otherwise this collects the
+    # very frame maintain memoized and the parity check is vacuous
+    # (r12 code review)
+    monkeypatch.setenv("SMVD_IVF_MEMO", "0")
     want_assign = {
         r.vec_id: r.cid
         for r in shared_hier_assignment_delta(
             spark, base, delta, bt, dt, k, ns
         ).collect()
     }
+    monkeypatch.delenv("SMVD_IVF_MEMO", raising=False)
     assert got_assign == want_assign and len(got_assign) == n
 
     # independent recompute of the accounting + flags in plain Python
@@ -480,3 +485,23 @@ def test_maintain_without_tombstones(spark, monkeypatch):
     rows = out["cells"].collect()
     assert all(r.n_tomb == 0 for r in rows)
     assert sum(r.n_live + r.n_new for r in rows) == n
+
+
+def test_maintain_empty_corpus_decision_is_total(spark, monkeypatch):
+    """A cycle before first ingest (empty base+delta) must yield a
+    TOTAL decision row — (k, 0, False), never NULLs (the SUM over an
+    empty cells frame is NULL without the coalesce; r12 code review)."""
+    from signal_messenger_vector_database_spark.operators.ivf_index import (
+        maintain,
+    )
+
+    monkeypatch.delenv("SMVD_IVF_CACHE_DIR", raising=False)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = maintain(spark, empty, empty, "e|base|0", "e|delta|0", 1, 1)
+    row = out["decision"].collect()
+    assert row == [(1, 0, False)] or (
+        row[0].k == 1
+        and row[0].n_flagged == 0
+        and row[0].rebuild_recommended is False
+    )
+    assert out["cells"].count() == 0
