@@ -273,3 +273,48 @@ def test_waterfill_closed_form_equals_iterative(tokens, frac):
         assert abs(sum(
             (float(tokens[i]) if i in sat else theta) for i in range(D)
         ) - budget) < 1e-6 * max(1.0, budget)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),
+            st.sampled_from(["live", "tomb", "new"]),
+        ),
+        max_size=60,
+    )
+)
+def test_occupancy_cells_matches_python_model(spark, rows):
+    """The shared maintenance accounting (ivf_index.occupancy_cells —
+    consumed by BOTH the oracle-paired ivf_maintenance query and the
+    maintain policy operator) equals a pure-Python model of the
+    exact-integer rules on ANY (cid, st) multiset, including empty."""
+    from collections import defaultdict
+
+    from signal_messenger_vector_database_spark.operators.ivf_index import (
+        occupancy_cells,
+    )
+
+    tagged = spark.createDataFrame(rows, "cid long, st string")
+    got = {
+        r.cid: (r.n_live, r.n_tomb, r.n_new, r.needs_split, r.needs_compact)
+        for r in occupancy_cells(tagged).collect()
+    }
+
+    counts = defaultdict(lambda: [0, 0, 0])
+    for cid, s in rows:
+        counts[cid][("live", "tomb", "new").index(s)] += 1
+    total = sum(c[0] + c[2] for c in counts.values())
+    k = len(counts)
+    want = {
+        cid: (
+            c[0],
+            c[1],
+            c[2],
+            10 * (c[0] + c[2]) * k > 11 * total,
+            50 * c[0] < 49 * (c[0] + c[1]),
+        )
+        for cid, c in counts.items()
+    }
+    assert got == want
