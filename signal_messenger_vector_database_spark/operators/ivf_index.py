@@ -204,8 +204,14 @@ def shared_hier_assignment(
     catalog-level lock, which parquet-on-object-store makes cheap."""
 
     def inline() -> DataFrame:
+        from ..io.sources import ensure_parallelism
+
+        # the assignment scan is row-local given the (broadcast)
+        # centroids — spread a single-file input across the cores
+        # (seeds derive from the UNSPREAD frame: an id-range filter,
+        # partition-independent)
         return ivf_assign_hier(
-            emb,
+            ensure_parallelism(emb),
             _seed(emb, k, id_col, vec_col),
             n_super,
             nprobe=nprobe,
@@ -283,8 +289,10 @@ def shared_hier_assignment_delta(
     is the cheap steady-state between those events."""
 
     def assign(df: DataFrame) -> DataFrame:
+        from ..io.sources import ensure_parallelism
+
         return ivf_assign_hier(
-            df,
+            ensure_parallelism(df),
             _seed(base, k, id_col, vec_col),
             n_super,
             nprobe=nprobe,

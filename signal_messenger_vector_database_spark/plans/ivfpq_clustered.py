@@ -142,8 +142,14 @@ def _rc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     the chunked builder, with (vec_id, embedding) columns so the shared
     hier/capped builders apply verbatim.  Lineage-cut: the projection
     must materialize once, not inline into the assignment cross join."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.concat_ws("|", "lang", "source").alias("topic")
+    from ..io.sources import ensure_parallelism
+
+    # spread the single-file docs scan BEFORE the 16-md5/row projection
+    # (one input partition serialized it on one core of local[32])
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.concat_ws("|", "lang", "source").alias("topic")
+        )
     )
     return docs.select(
         F.col("doc_id").alias("vec_id"),

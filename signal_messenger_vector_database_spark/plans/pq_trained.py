@@ -137,7 +137,13 @@ def _op_trained_parts(spark: SparkSession, sf_dir: str):
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    subs = _op_sub_rows(emb).localCheckpoint(eager=False)
+    # spread the single-file input across the cores BEFORE the Lloyd
+    # rounds: the whole training loop is row-local scans over subs, and
+    # one input partition serialized it on one core (11.5 -> 2.4 s at
+    # sf0.1, bit-identical — io.sources.ensure_parallelism)
+    from ..io.sources import ensure_parallelism
+
+    subs = ensure_parallelism(_op_sub_rows(emb)).localCheckpoint(eager=False)
     # routed through the r11 build-once seam: the three trained-PQ
     # queries retrain IDENTICAL codebooks (inline when
     # SMVD_IVF_CACHE_DIR is unset — byte-identical)
@@ -303,7 +309,9 @@ def _op_exact_topk(spark: SparkSession, sf_dir: str, qfull: DataFrame) -> DataFr
     """Exact squared-L2 ground-truth top-10 per query (two-phase top-k;
     same literals both engines).  ONE copy shared by the operating-point
     measurement and the nprobe operating curve."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    from ..io.sources import ensure_parallelism
+
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     d2 = F.aggregate(
         F.zip_with(
             F.col("embedding").cast("array<double>"),

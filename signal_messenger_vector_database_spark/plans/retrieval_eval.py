@@ -489,12 +489,19 @@ def _ivf_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (measured: 5.1M md5s, 6.3 s for the assignment alone at sf0.1)
     # instead of 32 per corpus row.  The checkpoint materializes the
     # projection once; every consumer reads plain arrays.
-    vecs = docs.select(
-        "doc_id",
-        _cl_vec(
-            F.col("topic"),
-            F.concat(F.lit("d"), F.col("doc_id").cast("string")),
-        ).alias("v"),
+    from ..io.sources import ensure_parallelism
+
+    # spread the single-file docs scan before the per-dim md5
+    # projection and the n x K assignment (one input partition
+    # serialized both on one core — io.sources.ensure_parallelism)
+    vecs = ensure_parallelism(
+        docs.select(
+            "doc_id",
+            _cl_vec(
+                F.col("topic"),
+                F.concat(F.lit("d"), F.col("doc_id").cast("string")),
+            ).alias("v"),
+        )
     ).localCheckpoint(eager=False)
     # Seeds and query vectors are FROZEN index/eval constants (the
     # kmeans-codebook collect pattern): materialize the 32 + 5 rows ONCE

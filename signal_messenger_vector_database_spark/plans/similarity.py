@@ -85,6 +85,13 @@ _JACCARD_THRESHOLD = 0.5
 
 
 def _augmented_docs(docs: DataFrame) -> DataFrame:
+    # spread the single-file docs scan across the cores before the
+    # shingle/fingerprint stage-1 work (io.sources.ensure_parallelism;
+    # all downstream aggregates here are integer sums / min / set
+    # semantics — order-free at ANY scale, not just on the fixtures)
+    from ..io.sources import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
     planted = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" planteddup")).alias("text"),
@@ -932,7 +939,11 @@ _SIMHASH_N_BANDS = 4  # >= ham_max+1 => banded recall is provably complete
 def _simhash_hamming_pairs_with(
     spark: SparkSession, sf_dir: str, bits: int, ham_max: int
 ) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from ..io.sources import ensure_parallelism
+
+    # spread the single-file scan before the fingerprint stage (votes
+    # are integer sums — order-free at any scale)
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     fp = simhash(docs, id_col="doc_id", text_col="text", bits=bits)
     return simhash_hamming_pairs(
         fp,
