@@ -939,11 +939,11 @@ _SIMHASH_N_BANDS = 4  # >= ham_max+1 => banded recall is provably complete
 def _simhash_hamming_pairs_with(
     spark: SparkSession, sf_dir: str, bits: int, ham_max: int
 ) -> DataFrame:
-    from ..io.sources import ensure_parallelism
-
-    # spread the single-file scan before the fingerprint stage (votes
-    # are integer sums — order-free at any scale)
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    # NOT spread (r12 ensure_parallelism audit): measured 3x A/B at
+    # sf0.1 — the band join dominates this family and the fingerprint
+    # stage-1 is short, so the extra docs shuffle is neutral-to-
+    # negative (3.5 s unspread vs 3.7-3.8 s spread).
+    docs = load_table(spark, sf_dir, "documents")
     fp = simhash(docs, id_col="doc_id", text_col="text", bits=bits)
     return simhash_hamming_pairs(
         fp,
