@@ -491,17 +491,17 @@ def _ivf_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     # projection once; every consumer reads plain arrays.
     from ..io.sources import ensure_parallelism
 
-    # spread the single-file docs scan before the per-dim md5
-    # projection and the n x K assignment (one input partition
-    # serialized both on one core — io.sources.ensure_parallelism)
-    vecs = ensure_parallelism(
-        docs.select(
-            "doc_id",
-            _cl_vec(
-                F.col("topic"),
-                F.concat(F.lit("d"), F.col("doc_id").cast("string")),
-            ).alias("v"),
-        )
+    # spread the single-file docs scan BEFORE the per-dim md5
+    # projection (spreading the projected frame left the md5 work in
+    # the single pre-shuffle partition — caught by a stage profile;
+    # the _rc_corpus ordering is the correct one)
+    docs_spread = ensure_parallelism(docs)
+    vecs = docs_spread.select(
+        "doc_id",
+        _cl_vec(
+            F.col("topic"),
+            F.concat(F.lit("d"), F.col("doc_id").cast("string")),
+        ).alias("v"),
     ).localCheckpoint(eager=False)
     # Seeds and query vectors are FROZEN index/eval constants (the
     # kmeans-codebook collect pattern): materialize the 32 + 5 rows ONCE
