@@ -81,18 +81,56 @@ def register_views(spark, sf_dir: str, tables=None) -> None:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
+def _parse_bytes(v: str | int) -> int:
+    """Spark byte-size conf values arrive as plain ints ("134217728"),
+    suffixed bytes ("134217728b") or binary units ("128m")."""
+    if isinstance(v, int):
+        return v
+    s = v.strip().lower()
+    mult = 1
+    for suffix, m in (
+        ("pb", 1024**5), ("tb", 1024**4), ("gb", 1024**3), ("mb", 1024**2),
+        ("kb", 1024), ("p", 1024**5), ("t", 1024**4), ("g", 1024**3),
+        ("m", 1024**2), ("k", 1024), ("b", 1),
+    ):
+        if s.endswith(suffix):
+            mult, s = m, s[: -len(suffix)]
+            break
+    return int(s) * mult
+
+
 def ensure_parallelism(df: "DataFrame") -> "DataFrame":
     """Repartition UP to the session's default parallelism when the
-    frame has fewer partitions — never down.
+    frame's file-backed input would scan in fewer partitions — never
+    down.
 
-    Why: the fixture parquet is one small file, so a frame read from it
-    has ONE input partition and every row-local heavy projection
-    downstream (the dyadic md5 corpus builders, the PQ codeword
-    scoring, exact ground-truth scans) serializes on a single core of
-    local[32] — measured r12: the 3-round trained-PQ build over the
-    sf0.1 corpus drops 11.5 s → 2.4 s once spread across the cores.
-    At 100 TB inputs arrive in thousands of partitions, so the guard
-    makes this a no-op there (coalescing DOWN would be a regression).
+    Why: the fixture parquet is one small file (one row group), so a
+    frame read from it has ONE non-empty input partition and every
+    row-local heavy projection downstream (the dyadic md5 corpus
+    builders, the PQ codeword scoring, exact ground-truth scans)
+    serializes on a single core of local[32] — measured r12: the
+    3-round trained-PQ build over the sf0.1 corpus drops 11.5 s →
+    2.4 s once spread across the cores.  At 100 TB inputs arrive in
+    thousands of partitions, so the guard makes this a no-op there
+    (coalescing DOWN would be a regression).
+
+    How the decision is made (r13, VERDICT r12 #7 / ADVICE r12): from
+    FILE-LEVEL METADATA, never ``df.rdd`` — the old
+    ``df.rdd.getNumPartitions()`` probe forced an extra
+    physical-planning + RDD-conversion pass per call at plan-build
+    time and raises outright under Spark Connect.  The estimate
+    replays Spark's own split math (``FilePartition.maxSplitBytes``:
+    max_split = min(maxPartitionBytes, max(openCostInBytes,
+    total/defaultParallelism)); partitions ≈ ceil(total/max_split))
+    and, for small local parquet inputs, caps it at the total ROW
+    GROUP count from the footers — a byte-range split with zero row
+    groups is an empty partition, which is exactly the
+    single-row-group fixture regime the spread exists for.  Anything
+    that prevents a cheap local answer — Spark Connect (no
+    sparkContext), a non-file-backed plan, an object-store URI, a
+    stat failure — returns the frame UNCHANGED: at cluster scale the
+    spread is a no-op by design, so declining to spread is always
+    safe, while spreading a 100 TB scan would be the regression.
 
     Result safety: repartitioning only changes row placement/order.
     Row-local transforms are unaffected by construction, and every
@@ -102,8 +140,50 @@ def ensure_parallelism(df: "DataFrame") -> "DataFrame":
     value hashes match at three scales + hostile), and re-pinned by
     the bit-identical parity checks in test_ivf_index/test_pq_trained.
     """
-    spark = df.sparkSession
-    par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
-    return df
+    import math
+
+    try:
+        spark = df.sparkSession
+        par = spark.sparkContext.defaultParallelism
+        files = df.inputFiles()
+    except Exception:
+        return df  # Spark Connect or a plan with no file listing
+    if not files:
+        return df  # not file-backed (in-memory frames): nothing to infer
+    paths = []
+    for f in files:
+        if f.startswith("file:"):
+            p = f[len("file://"):] if f.startswith("file://") else f[len("file:"):]
+        elif f.startswith("/"):
+            p = f
+        else:
+            return df  # object-store input: cluster-scale, no spread
+        paths.append(p)
+    try:
+        sizes = [os.path.getsize(p) for p in paths]
+    except OSError:
+        return df
+    open_cost = _parse_bytes(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
+    )
+    max_pb = _parse_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    total = sum(sizes) + open_cost * len(files)
+    max_split = min(max_pb, max(open_cost, total // max(par, 1) or 1))
+    est = math.ceil(total / max_split)
+    if est >= par:
+        return df  # already parallel enough by byte-range splits alone
+    if len(paths) <= 64:
+        # few small files: the honest bound is row groups, not byte
+        # ranges (a split with no row group is an empty partition)
+        import pyarrow.parquet as pq
+
+        try:
+            est = min(
+                est,
+                sum(pq.ParquetFile(p).metadata.num_row_groups for p in paths),
+            )
+        except Exception:
+            pass  # non-parquet input (binaryFile): keep the byte estimate
+    return df.repartition(par) if est < par else df
