@@ -1677,6 +1677,189 @@ SPECS["ivf_delta_assign"] = QuerySpec(
 )
 
 
+# --- chained incremental assignment (VERDICT r12 #2) ------------------------
+# The steady state ivf_delta_assign models ONE cycle of; this is the
+# N-cycle reality: the incoming region (newest max(50, n/10) ids — the
+# ivf_maintenance convention) arrives as THREE successive ingest
+# batches, each assigned against the quantizer frozen at the original
+# base.  Cycle i's base is the materialized union of base + cycles
+# 1..i-1 (cached mode reads them, never re-assigns) — the
+# shared_hier_assignment_chain seam.  Because per-row assignment is
+# independent given fixed centroids, the 3-cycle chain is bit-identical
+# to one full assignment at base geometry, which is exactly what the
+# oracle replays (src=base, assign_src=whole corpus).  Output: the
+# incoming region's rows with their cycle tag.
+
+
+def _ivf_chain_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.sources import parquet_row_count
+    from ..operators.ann import hier_super_count, scaled_cluster_count
+    from ..operators.ivf_index import shared_hier_assignment_chain
+
+    n = parquet_row_count(sf_dir, "embeddings")
+    cut = max(1, n - max(50, n // 10))
+    s = (n - cut) // 3
+    b1, b2 = cut + s, cut + 2 * s
+    k = scaled_cluster_count(cut)  # BASE geometry — frozen at index build
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = shared_hier_assignment_chain(
+        spark,
+        emb.filter(F.col("vec_id") < cut),
+        [
+            emb.filter((F.col("vec_id") >= cut) & (F.col("vec_id") < b1)),
+            emb.filter((F.col("vec_id") >= b1) & (F.col("vec_id") < b2)),
+            emb.filter(F.col("vec_id") >= b2),
+        ],
+        f"{sf_dir}/embeddings|base|{cut}",
+        [
+            f"{sf_dir}/embeddings|cyc1|{cut}-{b1}",
+            f"{sf_dir}/embeddings|cyc2|{b1}-{b2}",
+            f"{sf_dir}/embeddings|cyc3|{b2}-{n}",
+        ],
+        k,
+        hier_super_count(k),
+    )
+    return assign.filter(F.col("vec_id") >= cut).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cid").cast("long").alias("cid"),
+        F.when(F.col("vec_id") < b1, 1)
+        .when(F.col("vec_id") < b2, 2)
+        .otherwise(3)
+        .cast("int")
+        .alias("cycle"),
+    )
+
+
+def _ivf_chain_assign_sql() -> str:
+    from .ivf_sql import hier_assign_ctes
+
+    return f"""
+WITH nn AS (SELECT COUNT(*) AS n,
+                   GREATEST(1, COUNT(*) - GREATEST(50, COUNT(*) // 10)) AS cut
+            FROM embeddings),
+bb AS (SELECT cut, n,
+              cut + (n - cut) // 3 AS b1,
+              cut + 2 * ((n - cut) // 3) AS b2
+       FROM nn),
+base AS (SELECT e.vec_id, e.embedding FROM embeddings e, nn
+         WHERE e.vec_id < nn.cut),
+{hier_assign_ctes(src="base", assign_src="embeddings")}
+SELECT CAST(h.vec_id AS BIGINT) AS vec_id,
+       CAST(h.cid_hier AS BIGINT) AS cid,
+       CAST(CASE WHEN h.vec_id < bb.b1 THEN 1
+                 WHEN h.vec_id < bb.b2 THEN 2
+                 ELSE 3 END AS INTEGER) AS cycle
+FROM hier h, bb
+WHERE h.vec_id >= bb.cut
+"""
+
+
+SPECS["ivf_chain_assign"] = QuerySpec(
+    _ivf_chain_assign,
+    _ivf_chain_assign_sql(),
+    "N-cycle incremental maintenance: 3 chained ingest batches assigned "
+    "against the frozen base quantizer (shared_hier_assignment_chain — "
+    "cycle i's base is the materialized union of base + cycles 1..i-1)",
+)
+
+
+# --- deletion-aware serving (VERDICT r12 #1) --------------------------------
+# ``ivf_maintenance`` accounts tombstones; THIS query is the serving
+# side finally excluding them: top-5 by cosine over base ∪ delta MINUS
+# the delete log, through the frozen-quantizer IVF shortlist.  The
+# anti-join sits INSIDE the shortlist — after the query-cell routing
+# restricts candidates, before the exact re-rank — so its cost is
+# O(candidates) x delete-log (an equi-join AQE broadcasts when the log
+# is small), never O(n).  Conventions shared with the maintenance pair
+# so all three queries describe ONE lifecycle: base/delta split at
+# cut = n - max(50, n/10) (clamped to 1), tombstones = base ids with
+# vec_id % 37 = 5 (deterministic in both engines; in production: the
+# delta table and the delete log).  Query = vec_id 0 (0 % 37 != 5, so
+# the probe row itself is live).  Exclusion correctness is structural:
+# filtering candidates BEFORE ranking is top-k over the surviving set
+# restricted to the cell — the oracle recomputes exactly that.
+
+
+def _topk_ivf_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import cosine_similarity
+    from ..io.sources import parquet_row_count
+    from ..operators.ann import hier_super_count, scaled_cluster_count
+    from ..operators.ivf_index import (
+        exclude_tombstones,
+        shared_hier_assignment_delta,
+    )
+
+    n = parquet_row_count(sf_dir, "embeddings")
+    cut = max(1, n - max(50, n // 10))
+    k = scaled_cluster_count(cut)  # BASE geometry — frozen at index build
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = shared_hier_assignment_delta(
+        spark,
+        emb.filter(F.col("vec_id") < cut),
+        emb.filter(F.col("vec_id") >= cut),
+        f"{sf_dir}/embeddings|base|{cut}",
+        f"{sf_dir}/embeddings|delta|{n - cut}",
+        k,
+        hier_super_count(k),
+    )
+    tombs = emb.filter(
+        (F.col("vec_id") < cut) & (F.col("vec_id") % 37 == 5)
+    ).select("vec_id")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    qcid = assign.filter(F.col("vec_id") == 0).select(F.col("cid").alias("qcid"))
+    shortlist = assign.join(
+        F.broadcast(qcid), F.col("cid") == F.col("qcid")
+    )  # routed candidates: the query's cell only
+    live = exclude_tombstones(shortlist, tombs)  # THE r13 serving seam
+    return (
+        emb.join(live.select("vec_id"), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            portable_round(cosine_similarity("embedding", "qv"), 4).alias(
+                "sim"
+            ),
+        )
+        .orderBy(F.desc("sim"), F.col("vec_id"))
+        .limit(5)
+    )
+
+
+def _topk_ivf_tombstone_sql() -> str:
+    from .ivf_sql import SQL_COS, hier_assign_ctes
+
+    cos_eq = SQL_COS.format(a="e.embedding", b="q.qv")
+    return f"""
+WITH nn AS (SELECT COUNT(*) AS n,
+                   GREATEST(1, COUNT(*) - GREATEST(50, COUNT(*) // 10)) AS cut
+            FROM embeddings),
+base AS (SELECT e.vec_id, e.embedding FROM embeddings e, nn
+         WHERE e.vec_id < nn.cut),
+{hier_assign_ctes(src="base", assign_src="embeddings")},
+tomb AS (SELECT e.vec_id FROM embeddings e, nn
+         WHERE e.vec_id < nn.cut AND e.vec_id % 37 = 5),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qc AS (SELECT cid_hier AS cid FROM hier WHERE vec_id = 0)
+SELECT e.vec_id,
+       FLOOR(({cos_eq}) * 10000 + 0.5) / 10000 AS sim
+FROM embeddings e
+JOIN hier h ON e.vec_id = h.vec_id
+JOIN qc ON h.cid_hier = qc.cid, q
+WHERE e.vec_id NOT IN (SELECT vec_id FROM tomb)
+ORDER BY sim DESC, e.vec_id
+LIMIT 5
+"""
+
+
+SPECS["topk_ivf_tombstone"] = QuerySpec(
+    _topk_ivf_tombstone,
+    _topk_ivf_tombstone_sql(),
+    "deletion-aware IVF serving: top-5 cosine over base ∪ delta MINUS the "
+    "delete log — tombstone anti-join inside the shortlist (O(candidates)), "
+    "before the exact re-rank (exclude_tombstones seam)",
+)
+
+
 # --- embedding drift monitor ----------------------------------------------
 # The vector-store ML-ops query: has the embedding distribution MOVED
 # between the established corpus and the newest ingest?  Per label,

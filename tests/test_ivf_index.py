@@ -648,3 +648,215 @@ def test_memo_fingerprint_guards_token_reuse(spark, monkeypatch):
     emb3 = emb.withColumn("extra", F.lit(1))
     c = shared_hier_assignment(spark, emb3, token, k, ns)
     assert c is not a and c is not b
+
+
+# --- r13: deletion-aware serving + cell compaction --------------------------
+
+
+def _tiny_assignment(spark):
+    """A hand-built (vec_id, cid) assignment: 3 cells x 4 rows."""
+    rows = [(cid * 10 + i, cid) for cid in (0, 1, 2) for i in range(4)]
+    return spark.createDataFrame(rows, "vec_id long, cid long")
+
+
+def test_maintain_live_assignment_excludes_tombstones(spark, monkeypatch):
+    from signal_messenger_vector_database_spark.operators.ivf_index import (
+        maintain,
+    )
+
+    monkeypatch.delenv("SMVD_IVF_CACHE_DIR", raising=False)
+    emb, n, k, ns = _load(spark)
+    cut = n - max(50, n // 10)
+    base = emb.filter(F.col("vec_id") < cut)
+    delta = emb.filter(F.col("vec_id") >= cut)
+    tombs = base.filter(F.col("vec_id") % 37 == 5).select("vec_id")
+    out = maintain(
+        spark, base, delta,
+        f"{SF}/embeddings|base|{cut}", f"{SF}/embeddings|delta|{n - cut}",
+        k, ns, tombstones=tombs,
+    )
+    tomb_ids = {r.vec_id for r in tombs.collect()}
+    assert tomb_ids  # the convention plants some at this scale
+    all_ids = {r.vec_id for r in out["assignment"].collect()}
+    live_ids = {r.vec_id for r in out["live_assignment"].collect()}
+    assert live_ids == all_ids - tomb_ids
+
+
+def test_serving_never_returns_a_tombstoned_vector(spark):
+    """The seam itself, on planted data: the nearest neighbor is
+    tombstoned — it must vanish from the shortlist while every other
+    candidate survives."""
+    from signal_messenger_vector_database_spark.operators.ivf_index import (
+        exclude_tombstones,
+    )
+
+    shortlist = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, 7)], "vec_id long, cid long"
+    )
+    # at-least-once delete log: duplicates must not multiply rows
+    tombs = spark.createDataFrame([(2,), (2,)], "vec_id long")
+    live = exclude_tombstones(shortlist, tombs)
+    assert {r.vec_id for r in live.collect()} == {1, 3}
+    # None = no delete log: the shortlist passes through untouched
+    assert exclude_tombstones(shortlist, None) is shortlist
+
+
+def test_compact_cells_rewrites_only_flagged(spark, tmp_path):
+    """compact_cells must (a) drop tombstones from flagged cells,
+    (b) never open — let alone rewrite — unflagged cells' files,
+    (c) remove a fully-emptied flagged cell's directory, and
+    (d) report exact per-cell stats."""
+    import os
+
+    from signal_messenger_vector_database_spark.operators.ivf_index import (
+        compact_cells,
+        read_cell_index,
+        write_cell_index,
+    )
+
+    path = str(tmp_path / "idx")
+    write_cell_index(_tiny_assignment(spark), path)
+
+    # tombstones: one row of cell 0, ALL of cell 2, one row of the
+    # UNFLAGGED cell 1 (must survive — cell 1 is not compacted)
+    tombs = spark.createDataFrame(
+        [(0,), (20,), (21,), (22,), (23,), (11,)], "vec_id long"
+    )
+    unflagged_dir = os.path.join(path, "cid=1")
+    before = {
+        f: os.stat(os.path.join(unflagged_dir, f)).st_mtime_ns
+        for f in os.listdir(unflagged_dir)
+    }
+
+    stats = compact_cells(spark, path, tombs, [0, 2])
+    srows = {r.cid: (r.n_before, r.n_removed, r.n_after) for r in stats.collect()}
+    assert srows == {0: (4, 1, 3), 2: (4, 4, 0)}
+
+    after = read_cell_index(spark, path)
+    got = {(r.vec_id, r.cid) for r in after.select("vec_id", "cid").collect()}
+    # cell 0: one tombstone dropped; cell 1 untouched (11 still there);
+    # cell 2 gone entirely
+    assert got == {(1, 0), (2, 0), (3, 0), (10, 1), (11, 1), (12, 1), (13, 1)}
+    assert not os.path.exists(os.path.join(path, "cid=2"))
+    # byte-level proof cell 1 was never rewritten
+    assert {
+        f: os.stat(os.path.join(unflagged_dir, f)).st_mtime_ns
+        for f in os.listdir(unflagged_dir)
+    } == before
+
+
+def test_compact_cells_empty_flag_list_is_noop(spark, tmp_path):
+    from signal_messenger_vector_database_spark.operators.ivf_index import (
+        compact_cells,
+        write_cell_index,
+    )
+
+    path = str(tmp_path / "idx")
+    write_cell_index(_tiny_assignment(spark), path)
+    tombs = spark.createDataFrame([(0,)], "vec_id long")
+    stats = compact_cells(spark, path, tombs, [])
+    assert stats.count() == 0
+
+
+def test_compact_cells_accepts_cells_frame(spark, tmp_path):
+    """The natural caller passes maintain()['cells'] filtered on
+    needs_compact — a frame with a cid column."""
+    from signal_messenger_vector_database_spark.operators.ivf_index import (
+        compact_cells,
+        write_cell_index,
+    )
+
+    path = str(tmp_path / "idx")
+    write_cell_index(_tiny_assignment(spark), path)
+    tombs = spark.createDataFrame([(0,), (10,)], "vec_id long")
+    flagged = spark.createDataFrame([(0,)], "cid long")
+    stats = compact_cells(spark, path, tombs, flagged)
+    assert {r.cid: r.n_removed for r in stats.collect()} == {0: 1}
+
+
+def test_chained_cycles_match_inline_full_assignment(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r12 #2 done-criterion: after 3 chained ingest cycles the
+    assignment equals the inline full assignment of base UNION all
+    deltas at base geometry — and cycle N's call assigns ONLY its own
+    delta (one new cache entry per cycle; earlier parts are read)."""
+    from signal_messenger_vector_database_spark.operators.ivf_index import (
+        shared_hier_assignment_chain,
+    )
+
+    emb, n, k, ns = _load(spark)
+    cut = n - max(50, n // 10)
+    s = (n - cut) // 3
+    b1, b2 = cut + s, cut + 2 * s
+    base = emb.filter(F.col("vec_id") < cut)
+    deltas = [
+        emb.filter((F.col("vec_id") >= cut) & (F.col("vec_id") < b1)),
+        emb.filter((F.col("vec_id") >= b1) & (F.col("vec_id") < b2)),
+        emb.filter(F.col("vec_id") >= b2),
+    ]
+    bt = f"{SF}/embeddings|chain-base|{cut}"
+    dts = [
+        f"{SF}/embeddings|chain-c1|{cut}-{b1}",
+        f"{SF}/embeddings|chain-c2|{b1}-{b2}",
+        f"{SF}/embeddings|chain-c3|{b2}-{n}",
+    ]
+
+    monkeypatch.delenv("SMVD_IVF_CACHE_DIR", raising=False)
+    monkeypatch.setenv("SMVD_IVF_MEMO", "0")
+    inline = shared_hier_assignment_chain(spark, base, deltas, bt, dts, k, ns)
+    inline_rows = {r.vec_id: r.cid for r in inline.collect()}
+    assert len(inline_rows) == n
+
+    monkeypatch.setenv("SMVD_IVF_CACHE_DIR", str(tmp_path))
+
+    def entries():
+        return sorted(
+            d for d in os.listdir(tmp_path) if "__tmp_" not in d
+        )
+
+    # cycle 1: base build + cycle-1 delta
+    c1 = shared_hier_assignment_chain(
+        spark, base, deltas[:1], bt, dts[:1], k, ns
+    )
+    assert {r.vec_id for r in c1.collect()} == set(range(b1))
+    after1 = entries()
+    assert sum(1 for d in after1 if d.startswith("hier_delta_")) == 1
+
+    # cycle 2: exactly ONE new entry (cycle-2's delta); cycle-1 is read
+    c2 = shared_hier_assignment_chain(
+        spark, base, deltas[:2], bt, dts[:2], k, ns
+    )
+    c2.count()
+    after2 = entries()
+    assert set(after1) <= set(after2)
+    assert len(after2) == len(after1) + 1
+
+    # cycle 3: full parity with the inline one-shot assignment
+    c3 = shared_hier_assignment_chain(spark, base, deltas, bt, dts, k, ns)
+    assert {r.vec_id: r.cid for r in c3.collect()} == inline_rows
+    after3 = entries()
+    assert len(after3) == len(after2) + 1
+
+    # the memo arm is bit-identical too, and a repeat call HITS
+    monkeypatch.delenv("SMVD_IVF_CACHE_DIR", raising=False)
+    monkeypatch.delenv("SMVD_IVF_MEMO", raising=False)
+    m1 = shared_hier_assignment_chain(spark, base, deltas, bt, dts, k, ns)
+    assert {r.vec_id: r.cid for r in m1.collect()} == inline_rows
+    m2 = shared_hier_assignment_chain(spark, base, deltas, bt, dts, k, ns)
+    assert m2 is m1
+
+
+def test_chain_with_no_deltas_is_the_base_assignment(spark, monkeypatch):
+    from signal_messenger_vector_database_spark.operators.ivf_index import (
+        shared_hier_assignment,
+        shared_hier_assignment_chain,
+    )
+
+    monkeypatch.delenv("SMVD_IVF_CACHE_DIR", raising=False)
+    monkeypatch.delenv("SMVD_IVF_MEMO", raising=False)
+    emb, n, k, ns = _load(spark)
+    token = f"{SF}/embeddings|chain-empty|{n}"
+    a = shared_hier_assignment_chain(spark, emb, [], token, [], k, ns)
+    b = shared_hier_assignment(spark, emb, token, k, ns)
+    assert a is b  # same memo family: the chain degenerates exactly

@@ -30,6 +30,9 @@ Usage:
                                                 # maintenance — +1/64 corpus
                                                 # via delta assignment vs a
                                                 # full index rebuild
+    python tools/ivf_share_probe.py --compact   # wave 24: cell compaction —
+                                                # flagged-cells-only rewrite
+                                                # vs the full index write
 """
 
 from __future__ import annotations
@@ -184,6 +187,175 @@ def run_delta(scales: list[int]) -> None:
     print(json.dumps(results))
 
 
+def run_delta_chain(scales: list[int]) -> None:
+    """Wave 25 (VERDICT r12 #2 done-criterion): per-cycle ingest cost
+    must stay FLAT in |delta| across CHAINED cycles.  Per scale: split
+    the corpus into base + three +1/64 slices; build the base index
+    once; then run cycles 1..3 through shared_hier_assignment_chain
+    with the cache warm from the previous cycle — cycle i must pay only
+    its OWN delta's assignment (cycles 1..i-1 read their parquets)."""
+    import shutil
+
+    from scaling_probe import build_scaled
+
+    from pyspark.sql import functions as F
+
+    from signal_messenger_vector_database_spark.io.sources import (
+        load_table,
+        parquet_row_count,
+    )
+    from signal_messenger_vector_database_spark.operators.ann import (
+        hier_super_count,
+        scaled_cluster_count,
+    )
+    from signal_messenger_vector_database_spark.operators.ivf_index import (
+        shared_hier_assignment,
+        shared_hier_assignment_chain,
+    )
+    from signal_messenger_vector_database_spark.session import get_spark
+
+    spark = get_spark("ivf-chain-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    dirs = {k: build_scaled(spark, k) for k in scales}
+
+    results = {}
+    for warmup in (True, False):
+      for k in (scales[:1] if warmup else scales):
+        sf_dir = dirs[k]
+        n = parquet_row_count(sf_dir, "embeddings")
+        step = max(1, n // 64)
+        cut = n - 3 * step
+        kk = scaled_cluster_count(cut)
+        ns = hier_super_count(kk)
+        emb = load_table(spark, sf_dir, "embeddings")
+        base = emb.filter(F.col("vec_id") < cut)
+        bounds = [cut, cut + step, cut + 2 * step, n]
+        deltas = [
+            emb.filter(
+                (F.col("vec_id") >= bounds[i]) & (F.col("vec_id") < bounds[i + 1])
+            )
+            for i in range(3)
+        ]
+        bt = f"{sf_dir}/embeddings|chain-base|{cut}"
+        dts = [
+            f"{sf_dir}/embeddings|chain-c{i + 1}|{bounds[i]}-{bounds[i + 1]}"
+            for i in range(3)
+        ]
+
+        cache = f"/tmp/smvd_ivf_chain_probe/x{k}"
+        shutil.rmtree(cache, ignore_errors=True)
+        os.makedirs(cache, exist_ok=True)
+        os.environ["SMVD_IVF_CACHE_DIR"] = cache
+        t0 = time.time()
+        shared_hier_assignment(spark, base, bt, kk, ns).count()
+        build_sec = round(time.time() - t0, 2)
+        cyc = {}
+        for i in (1, 2, 3):
+            t0 = time.time()
+            got = shared_hier_assignment_chain(
+                spark, base, deltas[:i], bt, dts[:i], kk, ns
+            ).count()
+            cyc[f"cycle{i}_sec"] = round(time.time() - t0, 2)
+            assert got == bounds[i], (got, bounds[i])
+        os.environ.pop("SMVD_IVF_CACHE_DIR", None)
+        if warmup:
+            continue
+        row = {"scale": k, "n": n, "n_per_cycle": step,
+               "build_sec": build_sec, **cyc}
+        results[f"x{k}"] = row
+        print(json.dumps(row), flush=True)
+    print(json.dumps(results))
+
+
+def run_compact(scales: list[int]) -> None:
+    """Wave 24 (VERDICT r12 #1 done-criterion): compaction cost must be
+    proportional to FLAGGED CELLS, not corpus.  Per scale: build the
+    assignment, materialize it as a cid-partitioned disk index (the
+    full-rewrite contrast arm — this is what compaction avoids), then
+    compact a FIXED set of 2 cells.  Because the corpus-scaled k keeps
+    cell size ~125 rows at every scale, a fixed flagged set means a
+    fixed row count — compact_sec should stay FLAT at x1/x16/x64 while
+    full_write_sec grows with the corpus.  At the largest scale a
+    second pass compacts 8 cells, showing cost tracks the flagged-cell
+    row count along the other axis too."""
+    import shutil
+
+    from scaling_probe import build_scaled
+
+    from pyspark.sql import functions as F
+
+    from signal_messenger_vector_database_spark.io.sources import (
+        load_table,
+        parquet_row_count,
+    )
+    from signal_messenger_vector_database_spark.operators.ann import (
+        hier_super_count,
+        scaled_cluster_count,
+    )
+    from signal_messenger_vector_database_spark.operators.ivf_index import (
+        compact_cells,
+        read_cell_index,
+        shared_hier_assignment,
+        write_cell_index,
+    )
+    from signal_messenger_vector_database_spark.session import get_spark
+
+    spark = get_spark("ivf-compact-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    dirs = {k: build_scaled(spark, k) for k in scales}
+
+    results = {}
+    for warmup in (True, False):
+      for k in (scales[:1] if warmup else scales):
+        sf_dir = dirs[k]
+        n = parquet_row_count(sf_dir, "embeddings")
+        kk = scaled_cluster_count(n)
+        ns = hier_super_count(kk)
+        emb = load_table(spark, sf_dir, "embeddings")
+        assign = shared_hier_assignment(
+            spark, emb, f"{sf_dir}/embeddings|compact-probe|{n}", kk, ns
+        )
+        idx = f"/tmp/smvd_compact_probe/x{k}"
+        shutil.rmtree(idx, ignore_errors=True)
+        t0 = time.time()
+        write_cell_index(assign, idx)
+        full_write_sec = round(time.time() - t0, 2)
+
+        for n_flagged in (2,) if k != scales[-1] or warmup else (2, 8):
+            flagged = [
+                r.cid
+                for r in read_cell_index(spark, idx)
+                .select("cid")
+                .distinct()
+                .orderBy("cid")
+                .limit(n_flagged)
+                .collect()
+            ]
+            tombs = (
+                read_cell_index(spark, idx)
+                .filter(F.col("cid").isin(flagged) & (F.col("vec_id") % 2 == 0))
+                .select("vec_id")
+            )
+            t0 = time.time()
+            stats = compact_cells(spark, idx, tombs, flagged).collect()
+            compact_sec = round(time.time() - t0, 2)
+            if warmup:
+                continue
+            row = {
+                "scale": k,
+                "n": n,
+                "k_cells": kk,
+                "full_write_sec": full_write_sec,
+                "n_flagged": n_flagged,
+                "rows_in_flagged": int(sum(s.n_before for s in stats)),
+                "rows_removed": int(sum(s.n_removed for s in stats)),
+                "compact_sec": compact_sec,
+            }
+            results[f"x{k}_f{n_flagged}"] = row
+            print(json.dumps(row), flush=True)
+    print(json.dumps(results))
+
+
 def main() -> None:
     # the probe's contract is unamortized-inline vs disk-cache (module
     # docstring); the r12 session memo must not blur the inline arms
@@ -200,6 +372,10 @@ def main() -> None:
             mode = "pq"
         elif a == "--delta":
             mode = "delta"
+        elif a == "--compact":
+            mode = "compact"
+        elif a == "--delta-chain":
+            mode = "delta-chain"
         else:
             sys.exit(f"unrecognized argument {a!r}")
     if mode == "pq":
@@ -207,6 +383,12 @@ def main() -> None:
         return
     if mode == "delta":
         run_delta(scales)
+        return
+    if mode == "compact":
+        run_compact(scales)
+        return
+    if mode == "delta-chain":
+        run_delta_chain(scales)
         return
 
     from scaling_probe import build_scaled
