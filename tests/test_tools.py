@@ -23,11 +23,11 @@ sys.path.insert(0, REPO)
 
 def test_window_rotate_matches_pinned_window(monkeypatch):
     """The committed _WINDOW must be exactly what the tool generates
-    from the r01-r11 CORRECTNESS history (the documented input state in
+    from the r01-r12 CORRECTNESS history (the documented input state in
     the catalog comment block) and the documented --changed list — the
     rotation rule is executable, so the pinned list must not drift from
-    it.  History is pinned to <= r11 so the test stays true after the
-    r12 driver row lands.
+    it.  History is pinned to <= r12 so the test stays true after the
+    r13 driver row lands.
 
     NEXT-ROUND NOTE: when a round re-pins _WINDOW, update this test in
     the SAME commit — copy the new --changed list from the catalog
@@ -40,25 +40,25 @@ def test_window_rotate_matches_pinned_window(monkeypatch):
 
     real = window_rotate.latest_rounds
 
-    def r11_history():
+    def r12_history():
         import glob
         import re
 
         hist = {}
         for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
             rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
-            if rnd > 11:
+            if rnd > 12:
                 continue
             for name in json.load(open(f)):
                 hist[name] = max(rnd, hist.get(name, 0))
         return hist
 
-    monkeypatch.setattr(window_rotate, "latest_rounds", r11_history)
-    assert real is not r11_history  # sanity: we really swapped it
+    monkeypatch.setattr(window_rotate, "latest_rounds", r12_history)
+    assert real is not r12_history  # sanity: we really swapped it
 
     changed = [
-        "ivf_delta_assign",
-        "decode_ppm_stats",
+        "topk_ivf_tombstone",
+        "ivf_chain_assign",
     ]
     window, prov = window_rotate.compute_window(changed, 50)
     assert window == _WINDOW
