@@ -118,6 +118,10 @@ HEADLINE = [
     # added r12 (same caveat)
     "ivf_delta_assign",
     "decode_ppm_stats",
+    # added r13 (same caveat; topk_ivf_tombstone shares ivf_delta_assign's
+    # base/delta memo family — first of the pair to run pays the build)
+    "topk_ivf_tombstone",
+    "ivf_chain_assign",
 ]
 
 
