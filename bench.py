@@ -122,6 +122,7 @@ HEADLINE = [
     # base/delta memo family — first of the pair to run pays the build)
     "topk_ivf_tombstone",
     "ivf_chain_assign",
+    "pq_encode_delta",
 ]
 
 

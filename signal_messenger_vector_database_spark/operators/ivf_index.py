@@ -635,6 +635,80 @@ def shared_pq_parts(
     )
 
 
+def shared_pq_encode_delta(
+    spark: SparkSession,
+    base_subs: DataFrame,
+    delta_subs: DataFrame,
+    base_token: str,
+    delta_token: str,
+    d: int,
+    k: int,
+    rounds: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental PQ encoding (r13): (codes for base ∪ delta,
+    codebooks), with the codebooks TRAINED ON THE BASE ONLY and frozen
+    — an incoming batch is encoded against them, never retrained into
+    them.  The IVF twin of this seam is ``shared_hier_assignment_delta``;
+    at 100 TB the daily +0.1-1% ingest must cost one encode pass over
+    |delta| (a broadcast join against k tiny codewords), not the
+    ``rounds``-round Lloyd retrain over the corpus.
+
+    Tiers mirror the coarse-assignment seam: with ``SMVD_IVF_CACHE_DIR``
+    set, the base parts ride ``shared_pq_parts``'s keys (a deployment
+    that trained the base pays ONLY the delta encode, published to its
+    own key via the atomic protocol); otherwise the session memo holds
+    one entry per (base token, delta token, geometry) family; memo-off
+    is one inline job.  Every arm is bit-identical: per-row encoding
+    against fixed codebooks is placement-independent, and the base part
+    equals ``shared_pq_parts(base)``'s assignment exactly — so the
+    DuckDB twin is ``pq_train_cte_body(..., assign_src=<delta rel>)``
+    unioned with the base ``af`` (the ``pq_encode_delta`` catalog
+    query's oracle).  Drift policy stays with the caller: codebooks
+    frozen at base go stale as the distribution moves — the
+    ``embedding_drift`` monitor is the re-train trigger, exactly as
+    ``maintain`` is the re-cluster trigger."""
+    from ..plans.pq_trained import pq_assign_codes
+
+    af_base, cb = shared_pq_parts(
+        spark, base_subs, base_token, d, k, rounds
+    )
+
+    def encode() -> DataFrame:
+        from ..io.sources import ensure_parallelism
+
+        return pq_assign_codes(ensure_parallelism(delta_subs), cb, d)
+
+    cache = ivf_cache_dir()
+    if cache is None:
+        if not _memo_enabled():
+            return af_base.unionByName(encode()), cb
+        family = (
+            "pqdelta", base_token, delta_token, d, k, rounds,
+            _vec_dtype(delta_subs, "sv"),
+        )
+        stamp = f"{_content_stamp(base_token)};{_content_stamp(delta_token)}"
+        codes = _memo_get_or_build(
+            spark, family, stamp,
+            lambda: encode().localCheckpoint(eager=False),
+            fingerprint=_frame_fingerprint(delta_subs),
+        )
+        return af_base.unionByName(codes), cb
+    dkey = hashlib.md5(
+        f"{base_token}|pqdelta|{delta_token}|d={d}|k={k}|r={rounds}"
+        f"|dt={_vec_dtype(delta_subs, 'sv')}"
+        f"|fs={_content_stamp(base_token)};{_content_stamp(delta_token)}".encode()
+    ).hexdigest()[:20]
+    dpath = os.path.join(cache, f"pq_delta_{dkey}")
+    if not os.path.exists(os.path.join(dpath, "_SUCCESS")):
+        _atomic_publish(encode(), dpath)
+    return (
+        af_base.unionByName(
+            spark.read.parquet(dpath).select("vec_id", "sub_j", "code")
+        ),
+        cb,
+    )
+
+
 # --- maintenance policy: when does the delta path stop being enough? -------
 # ``shared_hier_assignment_delta`` is the cheap steady-state; the
 # catalog's ``ivf_maintenance`` computes the per-cell accounting that

@@ -157,6 +157,50 @@ def _op_trained_parts(spark: SparkSession, sf_dir: str):
     )
 
 
+def pq_assign_codes(
+    subs: DataFrame, cb_df: DataFrame, d: int, keep_sv: bool = False
+) -> DataFrame:
+    """Encode a subvector table against FIXED codebooks — the single
+    assignment pass of the trained-PQ build, public so the incremental
+    path (``ivf_index.shared_pq_encode_delta``) can encode an incoming
+    batch against codebooks frozen at the base corpus without
+    retraining.  Per subspace the k codewords collapse to one
+    array-of-structs row, broadcast-joined on sub_j; each subvector row
+    folds its argmin in place (kmeans_lloyd3 pattern — the table is
+    scanned, never shuffled).  ``array_min`` on a (d2, code) struct
+    replays min_by's tie-break (smallest d2, then smallest code)
+    bit-identically with the DuckDB twin's row_number ordering."""
+    packed = cb_df.groupBy("sub_j").agg(
+        F.array_sort(F.collect_list(F.struct("code", "cw"))).alias("_cbk")
+    )
+
+    def _score(e):
+        # UNROLLED d2 (small fixed d): plain getItem arithmetic, no
+        # intermediate d-element array per (row, codeword).
+        # Bit-identical to the zip_with fold: the fold computes
+        # (((0+x1)+x2)+x3)+x4 and 0+x1 == x1 exactly for the
+        # non-negative squares, so this is the same double sequence.
+        terms = [
+            (F.col("sv").getItem(i) - e["cw"].getItem(i))
+            * (F.col("sv").getItem(i) - e["cw"].getItem(i))
+            for i in range(d)
+        ]
+        d2 = terms[0]
+        for t in terms[1:]:
+            d2 = d2 + t
+        return F.struct(d2.alias("d2"), e["code"].alias("code"))
+
+    best = F.array_min(F.transform(F.col("_cbk"), _score))
+    out = subs.join(F.broadcast(packed), "sub_j").select(
+        "vec_id", "sub_j", F.col("sv"), F.col("_cbk"), best.alias("_b")
+    )
+    if keep_sv:
+        return out.select(
+            "vec_id", "sub_j", F.col("_b.code").alias("code"), "sv"
+        )
+    return out.select("vec_id", "sub_j", F.col("_b.code").alias("code"))
+
+
 def pq_train_inplace(
     subs: DataFrame, d: int, k: int, rounds: int
 ) -> tuple[DataFrame, DataFrame]:
@@ -172,32 +216,7 @@ def pq_train_inplace(
     )
 
     def assign(cb_df: DataFrame) -> DataFrame:
-        packed = cb_df.groupBy("sub_j").agg(
-            F.array_sort(F.collect_list(F.struct("code", "cw"))).alias("_cbk")
-        )
-
-        def _score(e):
-            # UNROLLED d2 (small fixed d): plain getItem arithmetic, no
-            # intermediate d-element array per (row, codeword).
-            # Bit-identical to the zip_with fold: the fold computes
-            # (((0+x1)+x2)+x3)+x4 and 0+x1 == x1 exactly for the
-            # non-negative squares, so this is the same double sequence.
-            terms = [
-                (F.col("sv").getItem(i) - e["cw"].getItem(i))
-                * (F.col("sv").getItem(i) - e["cw"].getItem(i))
-                for i in range(d)
-            ]
-            d2 = terms[0]
-            for t in terms[1:]:
-                d2 = d2 + t
-            return F.struct(d2.alias("d2"), e["code"].alias("code"))
-
-        best = F.array_min(F.transform(F.col("_cbk"), _score))
-        return subs.join(F.broadcast(packed), "sub_j").select(
-            "vec_id", "sub_j", F.col("sv"), F.col("_cbk"), best.alias("_b")
-        ).select(
-            "vec_id", "sub_j", F.col("_b.code").alias("code"), "sv"
-        )
+        return pq_assign_codes(subs, cb_df, d, keep_sv=True)
 
     for _ in range(rounds):
         a = assign(cb)
@@ -233,12 +252,22 @@ cb0 AS (SELECT sub_j, CAST(vec_id AS INTEGER) AS code, sv AS cw
     return pq_train_cte_body(subs_ctes, _OPD, _OPROUNDS)
 
 
-def pq_train_cte_body(subs_ctes: str, d: int, rounds: int) -> str:
+def pq_train_cte_body(
+    subs_ctes: str, d: int, rounds: int, assign_src: str = "subs"
+) -> str:
     """DuckDB twin of ``pq_train_inplace``, parameterized the same way:
     ``subs_ctes`` must define ``subs(vec_id, sub_j, sv)`` (and the
     seeded ``cb0(sub_j, code, cw)``); this appends the Lloyd-round
     assign/update CTE pairs a1/t1..a{rounds}/t{rounds} and the final
-    assignment ``af``.  Trained codebooks land in ``t{rounds}``."""
+    assignment ``af``.  Trained codebooks land in ``t{rounds}``.
+
+    ``assign_src`` (default ``subs`` — rendering byte-identical for
+    every historical consumer, pinned by test_pq_trained) is the
+    relation whose subvectors the FINAL ``af`` assignment encodes; the
+    Lloyd rounds always train on ``subs``.  Passing a different
+    assign_src is the incremental-encode shape (the twin of
+    ``pq_assign_codes`` against frozen codebooks —
+    ``ivf_index.shared_pq_encode_delta``)."""
     d2 = (
         "list_sum(list_transform(range(1, {n}), "
         "i -> (s.sv[i] - c.cw[i]) * (s.sv[i] - c.cw[i])))"
@@ -248,7 +277,7 @@ def pq_train_cte_body(subs_ctes: str, d: int, rounds: int) -> str:
   SELECT vec_id, sub_j, sv, code FROM (
     SELECT s.vec_id, s.sub_j, s.sv, c.code, {d2} AS d2,
            row_number() OVER (PARTITION BY s.vec_id, s.sub_j ORDER BY {d2}, c.code) AS rn
-    FROM subs s JOIN {cb} c ON s.sub_j = c.sub_j
+    FROM {src} s JOIN {cb} c ON s.sub_j = c.sub_j
   ) WHERE rn = 1
 )"""
     update = """
@@ -268,10 +297,10 @@ def pq_train_cte_body(subs_ctes: str, d: int, rounds: int) -> str:
     parts = [subs_ctes]
     prev_cb = "cb0"
     for r in range(1, rounds + 1):
-        parts.append(assign.format(out=f"a{r}", cb=prev_cb, d2=d2))
+        parts.append(assign.format(out=f"a{r}", cb=prev_cb, d2=d2, src="subs"))
         parts.append(update.format(out=f"t{r}", a=f"a{r}"))
         prev_cb = f"t{r}"
-    parts.append(assign.format(out="af", cb=prev_cb, d2=d2))
+    parts.append(assign.format(out="af", cb=prev_cb, d2=d2, src=assign_src))
     return ",".join(parts)
 
 
@@ -929,4 +958,92 @@ SPECS["ivf_pq_operating_curve"] = QuerySpec(
     _ivf_pq_operating_curve,
     _ivf_pq_operating_curve_sql(),
     "recall@10 / candidate-fraction vs nprobe (1/2/4/8/all) for IVF + trained-PQ serving: the operating curve",
+)
+
+
+# --- pq_encode_delta: incremental PQ encoding (r13) -------------------------
+# The PQ tier's twin of ivf_delta_assign: the newest max(50, n/10)
+# vectors (the maintenance convention) are ENCODED against codebooks
+# trained on the base corpus only — 1 Lloyd round at the operating
+# geometry (M=16, D=4, K=64), frozen at ingest time.  The incoming
+# batch costs one broadcast-join encode pass over |delta| subvectors,
+# never a retrain; staleness policy belongs to the embedding_drift
+# monitor, exactly as maintain owns the re-cluster trigger.  Routed
+# through ivf_index.shared_pq_encode_delta (cache: base parts ride
+# shared_pq_parts' keys, only the delta encode is new; memo: one
+# family; inline: one job — bit-identical everywhere, pinned by
+# test_ivf_index).  Oracle = pq_train_cte_body with assign_src=dsubs:
+# train on base subs, final-assign the delta subs — drift between the
+# operator and the trainer's own CTE chain is structurally impossible.
+
+_PQED_ROUNDS = 1
+
+
+def _pq_encode_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.sources import ensure_parallelism, parquet_row_count
+    from ..operators.ivf_index import shared_pq_encode_delta
+
+    n = parquet_row_count(sf_dir, "embeddings")
+    cut = max(1, n - max(50, n // 10))
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    subs_all = _op_sub_rows(emb)
+    # base subs feed the Lloyd round repeatedly: spread + checkpoint
+    # (the _op_trained_parts discipline); delta subs are encoded once
+    base_subs = ensure_parallelism(
+        subs_all.filter(F.col("vec_id") < cut)
+    ).localCheckpoint(eager=False)
+    delta_subs = subs_all.filter(F.col("vec_id") >= cut)
+    codes, _cb = shared_pq_encode_delta(
+        spark,
+        base_subs,
+        delta_subs,
+        f"{sf_dir}/embeddings|base|{cut}|op{_OPM}x{_OPD}r{_PQED_ROUNDS}",
+        f"{sf_dir}/embeddings|delta|{n - cut}|op{_OPM}x{_OPD}r{_PQED_ROUNDS}",
+        _OPD,
+        _OPK,
+        _PQED_ROUNDS,
+    )
+    return codes.filter(F.col("vec_id") >= cut).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("sub_j").cast("int").alias("sub_j"),
+        F.col("code").cast("int").alias("code"),
+    )
+
+
+def _pq_encode_delta_sql() -> str:
+    subs_ctes = f"""nn AS (SELECT COUNT(*) AS n,
+                   GREATEST(1, COUNT(*) - GREATEST(50, COUNT(*) // 10)) AS cut
+            FROM embeddings),
+d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+allsubs AS (
+  SELECT vec_id, j AS sub_j, e[j * {_OPD} + 1 : j * {_OPD} + {_OPD}] AS sv
+  FROM d, generate_series(0, {_OPM - 1}) g(j)
+),
+subs AS (SELECT a.vec_id, a.sub_j, a.sv FROM allsubs a, nn
+         WHERE a.vec_id < nn.cut),
+dsubs AS (SELECT a.vec_id, a.sub_j, a.sv FROM allsubs a, nn
+          WHERE a.vec_id >= nn.cut),
+cb0 AS (SELECT sub_j, CAST(vec_id AS INTEGER) AS code, sv AS cw
+        FROM subs WHERE vec_id < {_OPK})"""
+    body = pq_train_cte_body(
+        subs_ctes, _OPD, _PQED_ROUNDS, assign_src="dsubs"
+    )
+    return f"""
+WITH {body}
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(sub_j AS INTEGER) AS sub_j,
+       CAST(code AS INTEGER) AS code
+FROM af
+"""
+
+
+SPECS["pq_encode_delta"] = QuerySpec(
+    _pq_encode_delta,
+    _pq_encode_delta_sql(),
+    "incremental PQ encoding: the incoming batch encoded against "
+    "codebooks trained on the base corpus and frozen "
+    "(shared_pq_encode_delta; oracle = pq_train_cte_body with "
+    "assign_src=dsubs)",
 )

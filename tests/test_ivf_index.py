@@ -860,3 +860,63 @@ def test_chain_with_no_deltas_is_the_base_assignment(spark, monkeypatch):
     a = shared_hier_assignment_chain(spark, emb, [], token, [], k, ns)
     b = shared_hier_assignment(spark, emb, token, k, ns)
     assert a is b  # same memo family: the chain degenerates exactly
+
+
+def test_pq_encode_delta_tiers_bit_identical(spark, tmp_path, monkeypatch):
+    """shared_pq_encode_delta (r13): the incoming batch encoded against
+    base-frozen codebooks must be bit-identical across inline, memo and
+    cache tiers; the cached call reuses the base training's keys and
+    publishes exactly ONE new entry (the delta codes)."""
+    from signal_messenger_vector_database_spark.io.sources import load_table
+    from signal_messenger_vector_database_spark.operators.ivf_index import (
+        shared_pq_encode_delta,
+        shared_pq_parts,
+    )
+    from signal_messenger_vector_database_spark.plans.pq_trained import (
+        _OPD,
+        _op_sub_rows,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    n = emb.count()
+    cut = n - max(50, n // 10)
+    subs_all = _op_sub_rows(emb)
+    base_subs = subs_all.filter(F.col("vec_id") < cut).localCheckpoint(
+        eager=False
+    )
+    delta_subs = subs_all.filter(F.col("vec_id") >= cut)
+    bt, dt = f"{SF}/embeddings|pqd-base|{cut}", f"{SF}/embeddings|pqd-delta|{n - cut}"
+
+    monkeypatch.delenv("SMVD_IVF_CACHE_DIR", raising=False)
+    monkeypatch.setenv("SMVD_IVF_MEMO", "0")
+    inline_codes, inline_cb = shared_pq_encode_delta(
+        spark, base_subs, delta_subs, bt, dt, _OPD, 16, 1
+    )
+    want = {(r.vec_id, r.sub_j): r.code for r in inline_codes.collect()}
+    assert {v for v, _ in want} == set(range(n))  # base ∪ delta covered
+
+    # the base part must equal shared_pq_parts(base) exactly (frozen
+    # codebooks = the base training's own output)
+    af_base, _cb = shared_pq_parts(spark, base_subs, bt, _OPD, 16, 1)
+    base_part = {(r.vec_id, r.sub_j): r.code for r in af_base.collect()}
+    assert base_part == {k: v for k, v in want.items() if k[0] < cut}
+
+    monkeypatch.delenv("SMVD_IVF_MEMO", raising=False)
+    memo_codes, _ = shared_pq_encode_delta(
+        spark, base_subs, delta_subs, bt, dt, _OPD, 16, 1
+    )
+    assert {(r.vec_id, r.sub_j): r.code for r in memo_codes.collect()} == want
+
+    monkeypatch.setenv("SMVD_IVF_CACHE_DIR", str(tmp_path))
+    # pre-train the base the way a deployment's build step would
+    shared_pq_parts(spark, base_subs, bt, _OPD, 16, 1)[0].count()
+    n_entries = len(os.listdir(tmp_path))
+    cached_codes, _ = shared_pq_encode_delta(
+        spark, base_subs, delta_subs, bt, dt, _OPD, 16, 1
+    )
+    assert {(r.vec_id, r.sub_j): r.code for r in cached_codes.collect()} == want
+    names = os.listdir(tmp_path)
+    assert len(names) == n_entries + 1  # ONLY the delta codes are new
+    assert sum(1 for x in names if x.startswith("pq_delta_")) == 1

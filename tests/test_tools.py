@@ -59,6 +59,7 @@ def test_window_rotate_matches_pinned_window(monkeypatch):
     changed = [
         "topk_ivf_tombstone",
         "ivf_chain_assign",
+        "pq_encode_delta",
     ]
     window, prov = window_rotate.compute_window(changed, 50)
     assert window == _WINDOW
