@@ -193,6 +193,23 @@ def main() -> None:
             runs.append(round(time.time() - t0, 3))
         return {"query": name, "sec": sorted(runs)[1], "runs": runs}
 
+    def canary_jobs() -> dict:
+        """Per-JOB scheduler-overhead canary (r13).  The first r13 warm
+        run hit a degraded-box window where every multi-stage query ran
+        ~2.4x while BOTH data canaries read <=1.2x — the degradation was
+        in per-job/stage fixed costs, which a single-job canary cannot
+        see.  This one times 10 consecutive trivial jobs (1-row scans,
+        zero data): its unit is almost purely job submission + stage
+        scheduling, so a drifted reading here says 'normalize multi-
+        stage queries by THIS, not the data canaries'."""
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            for _j in range(10):
+                spark.range(1).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.time() - t0, 3))
+        return {"jobs": 10, "sec": sorted(runs)[1], "runs": runs}
+
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     out = {
         "metric": "headline_queries_total_warm" if warm else "headline_queries_total",
@@ -207,6 +224,7 @@ def main() -> None:
         "stamp": stamp,
         "canary": canary("tokenize"),
         "canary_shuffle": canary("region_rollup"),
+        "canary_jobs": canary_jobs(),
         # queries LAST: the driver keeps only the tail of stdout, and
         # the per-query timings are the payload the judge reads
         "queries": timings,

@@ -966,6 +966,24 @@ def read_cell_index(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def cell_candidates(spark: SparkSession, path: str, cids) -> DataFrame:
+    """The serving read of a cell-partitioned disk index: the candidate
+    rows of the routed cell(s), via PARTITION PRUNING — only the named
+    ``cid=<n>`` directories are listed and opened, so a point query's
+    IO is O(|routed cells| x cell size) regardless of corpus size (the
+    posting-list contract; pruning is asserted by test_ivf_index, which
+    checks the pruned scan's inputFiles).  Compose with
+    ``exclude_tombstones`` before the exact re-rank for deletion-aware
+    serving off the stored index."""
+    from pyspark.sql import functions as F
+
+    if isinstance(cids, int):
+        cids = [cids]
+    return read_cell_index(spark, path).filter(
+        F.col("cid").isin([int(c) for c in cids])
+    )
+
+
 def compact_cells(
     spark: SparkSession,
     path: str,

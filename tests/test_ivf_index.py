@@ -920,3 +920,37 @@ def test_pq_encode_delta_tiers_bit_identical(spark, tmp_path, monkeypatch):
     names = os.listdir(tmp_path)
     assert len(names) == n_entries + 1  # ONLY the delta codes are new
     assert sum(1 for x in names if x.startswith("pq_delta_")) == 1
+
+
+def test_cell_candidates_prunes_to_the_routed_directories(spark, tmp_path):
+    """Serving off the stored index must be O(routed cells) IO: the
+    cid filter is a PARTITION filter, so only the named cell
+    directories' files appear in the scan's input — the posting-list
+    contract that makes point queries corpus-size-independent."""
+    from signal_messenger_vector_database_spark.operators.ivf_index import (
+        cell_candidates,
+        write_cell_index,
+    )
+
+    path = str(tmp_path / "idx")
+    write_cell_index(_tiny_assignment(spark), path)
+
+    import re
+
+    def partition_filter(df) -> str:
+        # inputFiles() ignores pushed filters (it lists the whole
+        # relation), so pruning is asserted on the scan node itself
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m, plan[:2000]
+        return m.group(1)
+
+    one = cell_candidates(spark, path, 1)
+    pf = partition_filter(one)
+    assert re.search(r"cid#\d+L? = 1", pf), pf
+    assert {r.vec_id for r in one.collect()} == {10, 11, 12, 13}
+
+    two = cell_candidates(spark, path, [0, 2])
+    pf2 = partition_filter(two)
+    assert "cid" in pf2 and ("IN (0,2" in pf2 or re.search(r"0,\s*2", pf2)), pf2
+    assert {r.vec_id for r in two.collect()} == {0, 1, 2, 3, 20, 21, 22, 23}

@@ -632,3 +632,28 @@ def test_pq_operating_point_recall_joins_are_broadcast(spark):
     # substring would never match anything (r9 second review — the
     # first cut of this assertion was vacuous); match the node name.
     assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_tombstone_antijoin_sits_inside_the_shortlist(spark):
+    """Deletion-aware serving (r13): the delete-log exclusion must be
+    an ANTI join evaluated below the final top-k (TakeOrderedAndProject
+    consumes the already-filtered candidates), and it must not be
+    nested-loop — at 100 TB the delete log joins on the id equi-key."""
+    from signal_messenger_vector_database_spark.plans.vectorops import (
+        _topk_ivf_tombstone,
+    )
+
+    plan = (
+        _topk_ivf_tombstone(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+    anti = plan.find("LeftAnti")
+    assert anti != -1, plan[:3000]
+    # the anti-join appears BELOW the top-k operator in the tree dump
+    # (physical string lists parents before children)
+    assert plan.find("TakeOrderedAndProject") < anti, plan[:3000]
+    # equi-key anti join, not a nested loop over the delete log
+    assert "BroadcastNestedLoopJoin BuildLeft, LeftAnti" not in plan
