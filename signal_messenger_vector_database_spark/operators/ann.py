@@ -42,7 +42,15 @@ def exact_cosine_pairs(
     # follows the cluster (defaultParallelism), not a baked-in core count
     # (r6 VERDICT task 7); callers can override for a known topology.
     if num_partitions is None:
-        num_partitions = emb.sparkSession.sparkContext.defaultParallelism
+        try:
+            num_partitions = emb.sparkSession.sparkContext.defaultParallelism
+        except Exception:
+            # Spark Connect has no sparkContext (r13, the
+            # ensure_parallelism tolerance): fall back to the session's
+            # shuffle width — same order of magnitude, never raises
+            num_partitions = int(
+                emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+            )
     a = emb.repartition(num_partitions).select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),

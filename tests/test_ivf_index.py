@@ -954,3 +954,77 @@ def test_cell_candidates_prunes_to_the_routed_directories(spark, tmp_path):
     pf2 = partition_filter(two)
     assert "cid" in pf2 and ("IN (0,2" in pf2 or re.search(r"0,\s*2", pf2)), pf2
     assert {r.vec_id for r in two.collect()} == {0, 1, 2, 3, 20, 21, 22, 23}
+
+
+def test_index_lifecycle_end_to_end(spark, tmp_path, monkeypatch):
+    """The whole r12+r13 lifecycle on one corpus, composed the way a
+    scheduler would run it: build base index -> ingest a delta ->
+    delete some ids -> maintain (accounting + live frame) -> serve
+    WITHOUT the deleted ids -> materialize the cell index -> compact
+    the flagged cells -> the compacted disk index equals the live
+    frame exactly."""
+    from signal_messenger_vector_database_spark.operators.ivf_index import (
+        cell_candidates,
+        compact_cells,
+        exclude_tombstones,
+        maintain,
+        read_cell_index,
+        write_cell_index,
+    )
+
+    monkeypatch.setenv("SMVD_IVF_CACHE_DIR", str(tmp_path / "cache"))
+    (tmp_path / "cache").mkdir()
+    emb, n, k, ns = _load(spark)
+    cut = n - max(50, n // 10)
+    base = emb.filter(F.col("vec_id") < cut)
+    delta = emb.filter(F.col("vec_id") >= cut)
+    tombs = emb.filter(
+        (F.col("vec_id") % 37 == 5) & (F.col("vec_id") < cut)
+    ).select("vec_id")
+    tomb_ids = {r.vec_id for r in tombs.collect()}
+
+    out = maintain(
+        spark, base, delta,
+        f"{SF}/embeddings|lc-base|{cut}", f"{SF}/embeddings|lc-delta|{n - cut}",
+        k, ns, tombstones=tombs,
+    )
+    live = {(r.vec_id, r.cid) for r in out["live_assignment"].collect()}
+    assert tomb_ids and not {v for v, _ in live} & tomb_ids
+
+    # serving: the query's cell shortlist, deletion-aware
+    assign = out["assignment"]
+    qcid = assign.filter(F.col("vec_id") == 0).collect()[0].cid
+    shortlist = assign.filter(F.col("cid") == qcid)
+    served = {
+        r.vec_id for r in exclude_tombstones(shortlist, tombs).collect()
+    }
+    assert served == {v for v, c in live if c == qcid}
+
+    # storage: materialize, compact ONLY the flagged cells, then verify
+    # the disk index serves the same live rows for those cells
+    idx = str(tmp_path / "idx")
+    write_cell_index(assign, idx)
+    flagged = out["cells"].filter(F.col("needs_compact"))
+    flagged_ids = {r.cid for r in flagged.select("cid").collect()}
+    assert flagged_ids  # the %37 tombstones flag cells at this scale
+    stats = compact_cells(spark, idx, tombs, flagged)
+    assert {r.cid for r in stats.collect()} == flagged_ids
+
+    disk = {
+        (r.vec_id, r.cid)
+        for r in read_cell_index(spark, idx).select("vec_id", "cid").collect()
+    }
+    for cid in flagged_ids:  # compacted cells: tombstones physically gone
+        assert {v for v, c in disk if c == cid} == {
+            v for v, c in live if c == cid
+        }
+    # unflagged cells still carry their tombstones on disk (the policy:
+    # physical reclaim is for flagged cells; serving reads compose
+    # cell_candidates + exclude_tombstones until then)
+    still = {
+        r.vec_id
+        for r in exclude_tombstones(
+            cell_candidates(spark, idx, sorted(flagged_ids | {qcid})), tombs
+        ).collect()
+    }
+    assert not still & tomb_ids
