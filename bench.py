@@ -123,6 +123,10 @@ HEADLINE = [
     "topk_ivf_tombstone",
     "ivf_chain_assign",
     "pq_encode_delta",
+    # added r13 second batch (same caveat; both ride the full-corpus
+    # hier memo family semdedup builds — marginal cost is serving-only)
+    "topk_ivf_filtered",
+    "maxsim_retrieve",
 ]
 
 

@@ -288,6 +288,130 @@ def ivf_assign(
     )
 
 
+def centroid_super_map(centroids: DataFrame, n_super: int):
+    """The two-level quantizer's level-1 state, extracted so the build
+    path (``ivf_assign_hier``) and the query-time router
+    (``route_query_cells``) share ONE definition (the shared-definition
+    rule — the SQL twin is the ``s``/``c2s`` CTE pair in
+    plans/ivf_sql.py::hier_assign_ctes).  Returns ``(supers, c2s)``:
+    supers = (sid, sv, _ns) — the first n_super centroids; c2s =
+    (cid, sid, cv, _nc) — each coarse centroid routed to its nearest
+    super (max cosine, sid tie-break).  Both frames are k-row tiny and
+    always broadcast by their consumers."""
+    from ..functions.vector import l2_norm
+
+    supers = centroids.filter(F.col("cid") < n_super).select(
+        F.col("cid").alias("sid"), F.col("cv").alias("sv"),
+        l2_norm("cv").alias("_ns"),
+    )
+    # level-1 routing for the centroids themselves (k * n_super, tiny)
+    cent = centroids.select("cid", "cv", l2_norm("cv").alias("_nc"))
+    c2s = (
+        cent.crossJoin(F.broadcast(supers))
+        .select(
+            "cid",
+            "cv",
+            "_nc",
+            "sid",
+            (
+                dot_product("cv", "sv") / (F.col("_nc") * F.col("_ns"))
+            ).alias("csim"),
+        )
+        .groupBy("cid")
+        .agg(
+            F.min_by(
+                F.struct("sid", "cv", "_nc"),
+                F.struct((-F.col("csim")).alias("negsim"), F.col("sid")),
+            ).alias("s")
+        )
+        .select("cid", F.col("s.sid").alias("sid"), F.col("s.cv").alias("cv"),
+                F.col("s._nc").alias("_nc"))
+    )
+    return supers, c2s
+
+
+def route_query_cells(
+    q: DataFrame,
+    centroids: DataFrame,
+    n_super: int,
+    nprobe: int = 3,
+    n_cells: int = 1,
+    vec_col: str = "qv",
+    id_col: str | None = None,
+    with_rank: bool = False,
+) -> DataFrame:
+    """Query-time multi-cell routing: the ``n_cells`` nearest coarse
+    cells for ONE query vector, replaying EXACTLY the two-level rule
+    ``ivf_assign_hier`` applies at build time (same shared
+    ``centroid_super_map`` level-1 state, same nprobe super routing,
+    same cosine arithmetic and tie-breaks) but keeping the top
+    ``n_cells`` cells instead of the argmax.
+
+    Why serving needs this when the stored assignment doesn't: the
+    index stores each vector's ONE cell; a query that must widen its
+    probe — an attribute-FILTERED search whose predicate thins every
+    cell (a 10%-selective filter leaves ~12 candidates in a 125-row
+    cell), or a recall target above the single-cell operating point —
+    re-ranks over the union of its n_cells nearest cells.  Cost is
+    O(n_cells x cell size) candidates against the same stored index;
+    the routing itself is driver-free arithmetic over the k-row
+    centroid table (all frames broadcast, no corpus scan).
+
+    ``q`` is a (vec_col) frame — 1 row, or a BATCH of query vectors
+    when ``id_col`` names their key (routing is then per-query: the
+    late-interaction / eval-sweep shape).  Returns (id_col?, cid) —
+    plus ``cell_rank`` (1 = nearest) when ``with_rank`` is set, so an
+    operating-curve consumer routes ONCE at its widest arm and slices
+    ``cell_rank <= arm`` per arm.  Rows come back ordered by
+    (id_col?, cell_rank); broadcast the result into the shortlist
+    join.  The SQL twin is the qs/qcells CTE pair over the shared hier
+    chain (the ``topk_ivf_filtered`` / ``filtered_recall_curve``
+    oracles)."""
+    from pyspark.sql import Window
+
+    from ..functions.vector import l2_norm
+
+    supers, c2s = centroid_super_map(centroids, n_super)
+    keys = [id_col] if id_col else []
+    qv = q.select(
+        *keys, F.col(vec_col).alias("_qv"), l2_norm(vec_col).alias("_nq")
+    )
+    # per-query windows over tiny joined frames (|Q| x n_super, then
+    # |Q| x nprobe x cells-per-super): row_number replays the same
+    # (sim DESC, id) comparator the orderBy/limit form had, but keyed
+    w_s = Window.partitionBy(*keys).orderBy(F.desc("ssim"), "sid")
+    qsids = (
+        qv.crossJoin(F.broadcast(supers))
+        .select(
+            *keys,
+            "_qv",
+            "_nq",
+            "sid",
+            (dot_product("_qv", "sv") / (F.col("_nq") * F.col("_ns"))).alias(
+                "ssim"
+            ),
+        )
+        .withColumn("_srk", F.row_number().over(w_s))
+        .filter(F.col("_srk") <= nprobe)
+        .select(*keys, "_qv", "_nq", "sid")
+    )
+    w_c = Window.partitionBy(*keys).orderBy(F.desc("csim"), "cid")
+    ranked = (
+        qsids.join(F.broadcast(c2s), "sid")
+        .select(
+            *keys,
+            "cid",
+            (dot_product("_qv", "cv") / (F.col("_nq") * F.col("_nc"))).alias(
+                "csim"
+            ),
+        )
+        .withColumn("cell_rank", F.row_number().over(w_c))
+        .filter(F.col("cell_rank") <= n_cells)
+    )
+    out = [*keys, "cid"] + (["cell_rank"] if with_rank else [])
+    return ranked.orderBy(*keys, "cell_rank").select(*out)
+
+
 def ivf_assign_hier(
     emb: DataFrame,
     centroids: DataFrame,
@@ -350,33 +474,7 @@ def ivf_assign_hier(
     test_ivf_hier_sharded_matches_packed)."""
     from ..functions.vector import l2_norm
 
-    supers = centroids.filter(F.col("cid") < n_super).select(
-        F.col("cid").alias("sid"), F.col("cv").alias("sv"),
-        l2_norm("cv").alias("_ns"),
-    )
-    # level-1 routing for the centroids themselves (k * n_super, tiny)
-    cent = centroids.select("cid", "cv", l2_norm("cv").alias("_nc"))
-    c2s = (
-        cent.crossJoin(F.broadcast(supers))
-        .select(
-            "cid",
-            "cv",
-            "_nc",
-            "sid",
-            (
-                dot_product("cv", "sv") / (F.col("_nc") * F.col("_ns"))
-            ).alias("csim"),
-        )
-        .groupBy("cid")
-        .agg(
-            F.min_by(
-                F.struct("sid", "cv", "_nc"),
-                F.struct((-F.col("csim")).alias("negsim"), F.col("sid")),
-            ).alias("s")
-        )
-        .select("cid", F.col("s.sid").alias("sid"), F.col("s.cv").alias("cv"),
-                F.col("s._nc").alias("_nc"))
-    )
+    supers, c2s = centroid_super_map(centroids, n_super)
     ev = emb.select(
         F.col(id_col), F.col(vec_col), l2_norm(vec_col).alias("_nv")
     )

@@ -42,7 +42,15 @@ Design — three tiers, cheapest honest one wins:
   executor ever leaves); a cluster deployment should point the seam
   at the durable tier instead (``SMVD_IVF_CACHE_DIR`` on shared
   storage — the memo never shadows it), or accept re-running the
-  failed query with ``SMVD_IVF_MEMO=0``.
+  failed query with ``SMVD_IVF_MEMO=0``.  Since r13 the seam also
+  SELF-HEALS at the next access (``_memo_value_healthy``): a memo hit
+  whose checkpoint blocks are gone — executor loss, or a handle whose
+  blocks were unpersisted out from under it — is detected driver-side
+  (materialized-but-zero-cached-partitions in the block manager),
+  dropped, and rebuilt from the caller's still-lineaged input instead
+  of being served dead.  Only the action already in flight when the
+  blocks vanish can still fail; every subsequent seam consumer gets a
+  live frame.
 * **Opt-in disk cache by environment** (``SMVD_IVF_CACHE_DIR``):
   when set (the scaling probe, a production deployment's index-build
   step, the bench's ``--warm-index`` arm), the first consumer
@@ -187,6 +195,56 @@ def _memo_max() -> int:
     return max(1, int(os.environ.get("SMVD_IVF_MEMO_MAX", "16")))
 
 
+def _memo_frame_jrdds(val):
+    """The JVM RDD handle(s) behind a memo value's localCheckpoint'ed
+    frame(s): a checkpointed DataFrame's analyzed plan is a LogicalRDD
+    carrying the MEMORY_AND_DISK blocks.  Yields nothing for handles
+    that cannot be reached (Spark Connect has no _jdf; a plan that is
+    not a LogicalRDD) — callers treat absence as 'no claim'."""
+    frames = val if isinstance(val, tuple) else (val,)
+    for df in frames:
+        try:
+            yield df._jdf.queryExecution().analyzed().rdd()
+        except Exception:
+            continue
+
+
+def _memo_value_healthy(val) -> bool:
+    """Self-heal guard on memo hits (ADVICE r12, the cluster caveat
+    made recoverable): localCheckpoint truncates lineage at
+    materialization, and its blocks are UNRECOVERABLE after executor
+    loss — a hit handed out after the blocks vanished fails the
+    consumer's action with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND.  Detect
+    exactly that state driver-side (no job): a frame whose RDD reports
+    ``isCheckpointed`` (materialization happened) but whose block-
+    manager storage info shows fewer cached partitions than the RDD
+    has is a dead handle — the seam drops the entry and REBUILDS from
+    the caller's still-lineaged input instead of serving it.  A
+    never-materialized lazy checkpoint (isCheckpointed False) is
+    healthy by construction: its lineage is intact.  Anything
+    unreachable (Connect, non-LogicalRDD plans) is assumed healthy —
+    the pre-r13 behavior, never worse."""
+    for jrdd in _memo_frame_jrdds(val):
+        try:
+            if not jrdd.isCheckpointed():
+                continue
+            n = jrdd.getNumPartitions()
+            if n <= 0:
+                continue
+            sc = jrdd.sparkContext()
+            cached = 0
+            it = sc.getRDDStorageInfo()
+            for info in it:
+                if info.id() == jrdd.id():
+                    cached = info.numCachedPartitions()
+                    break
+            if cached < n:
+                return False
+        except Exception:
+            continue
+    return True
+
+
 def _unpersist_memo_value(val) -> None:
     """Best-effort EXPLICIT release of an evicted entry's checkpoint
     blocks: a localCheckpoint'ed frame's analyzed plan is a LogicalRDD
@@ -196,10 +254,9 @@ def _unpersist_memo_value(val) -> None:
     Failures (Spark Connect has no _jdf; a never-materialized lazy
     checkpoint) degrade to the old behavior: blocks become reclaimable
     when the reference drops."""
-    frames = val if isinstance(val, tuple) else (val,)
-    for df in frames:
+    for jrdd in _memo_frame_jrdds(val):
         try:
-            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+            jrdd.unpersist(False)
         except Exception:
             pass
 
@@ -244,8 +301,12 @@ def _memo_get_or_build(
     memo = _memo(spark)
     got = memo.get(family)
     if got is not None and got[0] == stamp and got[1] == fingerprint:
-        memo[family] = memo.pop(family)  # LRU touch: move to newest
-        return got[2]
+        if _memo_value_healthy(got[2]):
+            memo[family] = memo.pop(family)  # LRU touch: move to newest
+            return got[2]
+        # dead handle (checkpoint blocks lost — executor loss, or
+        # blocks externally unpersisted): fall through to rebuild,
+        # which replaces the entry like any stamp mismatch
     val = build()
     if got is not None:
         del memo[family]
@@ -966,22 +1027,45 @@ def read_cell_index(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _cell_paths(path: str, cids) -> list[str] | None:
+    """Direct ``cid=<n>`` subdirectory paths for a cid list, or None
+    when direct construction does not apply (non-local URI — object
+    stores go through Spark's own listing; a deployment shards the
+    index path by cid prefix instead, the wave-24 note).  Flagged cids
+    whose directory no longer exists (already compacted empty) are
+    skipped — they contribute no rows either way."""
+    if "://" in path:
+        return None
+    out = []
+    for c in cids:
+        p = os.path.join(path, f"cid={int(c)}")
+        if os.path.isdir(p):
+            out.append(p)
+    return out
+
+
 def cell_candidates(spark: SparkSession, path: str, cids) -> DataFrame:
     """The serving read of a cell-partitioned disk index: the candidate
-    rows of the routed cell(s), via PARTITION PRUNING — only the named
-    ``cid=<n>`` directories are listed and opened, so a point query's
-    IO is O(|routed cells| x cell size) regardless of corpus size (the
-    posting-list contract; pruning is asserted by test_ivf_index, which
-    checks the pruned scan's inputFiles).  Compose with
+    rows of the routed cell(s), with the paths of the named ``cid=<n>``
+    directories CONSTRUCTED directly (r13, closing the wave-24
+    residual: an isin-filter prune still LISTS every cell directory to
+    discover partitions — k-proportional driver work; constructing the
+    paths makes the read O(|routed cells|) end to end, listing
+    included).  ``basePath`` keeps ``cid`` as a real column.  Non-local
+    URIs fall back to the filter-pruned root read (only the routed
+    directories' FILES are opened either way; pruning is asserted by
+    test_ivf_index via the scan's inputFiles).  Compose with
     ``exclude_tombstones`` before the exact re-rank for deletion-aware
     serving off the stored index."""
     from pyspark.sql import functions as F
 
     if isinstance(cids, int):
         cids = [cids]
-    return read_cell_index(spark, path).filter(
-        F.col("cid").isin([int(c) for c in cids])
-    )
+    cids = [int(c) for c in cids]
+    paths = _cell_paths(path, cids)
+    if paths:
+        return spark.read.option("basePath", path).parquet(*paths)
+    return read_cell_index(spark, path).filter(F.col("cid").isin(cids))
 
 
 def compact_cells(
@@ -997,9 +1081,9 @@ def compact_cells(
     already materialized, safe to read after the rewrite.
 
     Cost shape: reads and rewrites the flagged cells' partitions only
-    (partition pruning on the literal cid list — unflagged cells'
-    files are never touched, probed by ``tools/ivf_share_probe.py
-    --compact``).  ``flagged_cids`` is a Python iterable of cids or a
+    (the ``cell_candidates`` direct-path read — unflagged cells'
+    directories are never listed, let alone opened; probed by
+    ``tools/ivf_share_probe.py --compact``).  ``flagged_cids`` is a Python iterable of cids or a
     frame with a ``cid`` column (pass ``maintain()['cells']`` filtered
     on needs_compact); it is collected driver-side — bounded by the
     rebuild policy: past ~k/10 flagged cells the scheduler does a full
@@ -1028,8 +1112,8 @@ def compact_cells(
         .withColumn("_tomb", F.lit(True))
     )
     tagged = (
-        spark.read.parquet(path)
-        .filter(F.col("cid").isin(flagged_cids))  # partition-pruned scan
+        cell_candidates(spark, path, flagged_cids)  # direct-path read:
+        # only the flagged cells' directories are listed or opened
         .join(tomb, id_col, "left")
         .localCheckpoint()  # eager: cut lineage to `path` before rewrite
     )

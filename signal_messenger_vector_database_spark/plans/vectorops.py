@@ -1860,6 +1860,205 @@ SPECS["topk_ivf_tombstone"] = QuerySpec(
 )
 
 
+# --- attribute-filtered ANN serving (r13) -----------------------------------
+# The filtered-search shape every production vector store serves
+# (pgvector: `WHERE ... ORDER BY embedding <=> q` — the reference's
+# installed-but-unused stack at src/rag/sqlx.rs:22-29 would have gotten
+# it for free from Postgres): a metadata predicate restricts WHICH
+# vectors may be returned.  Two strategies exist at scale — PRE-filter
+# (scan with the predicate pushed to parquet, exact rank: right when
+# the predicate is partition-prunable or ultra-selective) and
+# POST-filter (route cells, apply the predicate INSIDE the shortlist,
+# exact re-rank: right for broad predicates, cost O(candidates)).
+# This query is the post-filter arm with the twist the strategy
+# actually requires: a ~10%-selective predicate thins a 125-row cell
+# to ~12 candidates, so the probe is WIDENED to the query's 2 nearest
+# cells (route_query_cells — the first serving query to multi-probe;
+# the stored index is unchanged, the router replays the build rule
+# over the k-row centroid table).  Anti-pattern for contrast: ranking
+# first and filtering after the LIMIT returns < k rows.
+
+
+def _topk_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import cosine_similarity
+    from ..io.sources import parquet_row_count
+    from ..operators.ann import (
+        hier_super_count,
+        ivf_seed_centroids,
+        route_query_cells,
+        scaled_cluster_count,
+    )
+    from ..operators.ivf_index import shared_hier_assignment
+
+    n = parquet_row_count(sf_dir, "embeddings")
+    k = scaled_cluster_count(n)
+    emb = load_table(spark, sf_dir, "embeddings")
+    # the SAME build-once family every full-corpus consumer rides
+    assign = shared_hier_assignment(
+        spark, emb, f"{sf_dir}/embeddings|{n}", k, hier_super_count(k)
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    qcells = route_query_cells(
+        q, ivf_seed_centroids(emb, k), hier_super_count(k), n_cells=2
+    )
+    shortlist = assign.join(F.broadcast(qcells), "cid")
+    return (
+        emb.join(shortlist.select("vec_id"), "vec_id")
+        .filter(F.col("label") == 3)  # the predicate, INSIDE the shortlist
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            portable_round(cosine_similarity("embedding", "qv"), 4).alias(
+                "sim"
+            ),
+        )
+        .orderBy(F.desc("sim"), F.col("vec_id"))
+        .limit(5)
+    )
+
+
+def _topk_ivf_filtered_sql() -> str:
+    from .ivf_sql import SQL_COS, hier_assign_ctes
+
+    cos_qs = SQL_COS.format(a="q.qv", b="s.sv")
+    cos_qc = SQL_COS.format(a="q.qv", b="c2.cv")
+    cos_eq = SQL_COS.format(a="e.embedding", b="q.qv")
+    return f"""
+WITH {hier_assign_ctes()},
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qs AS (
+  SELECT sid FROM (
+    SELECT s.sid,
+           ROW_NUMBER() OVER (ORDER BY ({cos_qs}) DESC, s.sid) AS rk
+    FROM s, q
+  ) WHERE rk <= 3
+),
+qcells AS (
+  SELECT cid FROM (
+    SELECT c2.cid,
+           ROW_NUMBER() OVER (ORDER BY ({cos_qc}) DESC, c2.cid) AS rk
+    FROM c2s c2 JOIN qs USING (sid), q
+  ) WHERE rk <= 2
+)
+SELECT e.vec_id,
+       FLOOR(({cos_eq}) * 10000 + 0.5) / 10000 AS sim
+FROM embeddings e
+JOIN hier h ON e.vec_id = h.vec_id
+JOIN qcells qc ON h.cid_hier = qc.cid, q
+WHERE e.label = 3
+ORDER BY sim DESC, e.vec_id
+LIMIT 5
+"""
+
+
+SPECS["topk_ivf_filtered"] = QuerySpec(
+    _topk_ivf_filtered,
+    _topk_ivf_filtered_sql(),
+    "attribute-filtered ANN serving: label predicate INSIDE the IVF "
+    "shortlist, probe widened to the query's 2 nearest cells "
+    "(route_query_cells), exact re-rank over the filtered candidates",
+)
+
+
+# --- late-interaction (MaxSim) retrieval (r13) -------------------------------
+# ColBERT-style multi-vector scoring (Khattab & Zaharia, SIGIR 2020):
+# a document is MANY vectors (one per chunk/token — here doc_id =
+# vec_id div 8, the chunk-explode layout operators/chunking.py
+# produces when each chunk is embedded); a query is a SET of token
+# vectors; score(doc) = sum over query tokens of max over the doc's
+# vectors of sim(token, vector).  The serving shape at 100 TB: each
+# query token routes to its IVF cell (the stored assignment — no new
+# index), candidate docs = docs owning ANY routed vector, then the
+# exact MaxSim re-rank touches only candidate docs' vectors.  Query
+# tokens are a tiny broadcast side, so scoring is |Q| expression
+# passes over the candidates — no shuffle beyond the two-key
+# aggregate.  FP seam discipline (the similarity.py banded-statistics
+# rule): per-(vector, token) cosines quantize ONCE to exact BIGINTs;
+# max and sum are then order-independent integer ops, and the final
+# score is one exact division both engines render identically.
+
+
+def _maxsim_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import cosine_similarity
+    from ..io.sources import parquet_row_count
+    from ..operators.ann import hier_super_count, scaled_cluster_count
+    from ..operators.ivf_index import shared_hier_assignment
+
+    n = parquet_row_count(sf_dir, "embeddings")
+    k = scaled_cluster_count(n)
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = shared_hier_assignment(
+        spark, emb, f"{sf_dir}/embeddings|{n}", k, hier_super_count(k)
+    )
+    qt = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    # candidate generation off the stored index: the union of the
+    # query tokens' routed cells -> the docs owning any member vector
+    qcells = (
+        assign.filter(F.col("vec_id") < 3).select("cid").distinct()
+    )
+    cand_docs = (
+        assign.join(F.broadcast(qcells), "cid")
+        .select(F.expr("vec_id div 8").alias("doc_id"))
+        .distinct()
+    )
+    qsim = F.floor(
+        cosine_similarity("embedding", "qv") * 10000 + 0.5
+    ).cast("long")
+    sims = (
+        emb.withColumn("doc_id", F.expr("vec_id div 8"))
+        .join(cand_docs, "doc_id")  # exact re-rank: candidates only
+        .crossJoin(F.broadcast(qt))
+        .select("doc_id", "qid", qsim.alias("qsim"))
+    )
+    return (
+        sims.groupBy("doc_id", "qid")
+        .agg(F.max("qsim").alias("mx"))
+        .groupBy("doc_id")
+        .agg((F.sum("mx").cast("double") / 10000).alias("score"))
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "score")
+        .orderBy(F.desc("score"), F.col("doc_id"))
+        .limit(5)
+    )
+
+
+def _maxsim_retrieve_sql() -> str:
+    from .ivf_sql import SQL_COS, hier_assign_ctes
+
+    cos_eq = SQL_COS.format(a="e.embedding", b="qt.qv")
+    return f"""
+WITH {hier_assign_ctes()},
+qt AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),
+qcells AS (SELECT DISTINCT cid_hier AS cid FROM hier WHERE vec_id < 3),
+cand_docs AS (
+  SELECT DISTINCT h.vec_id // 8 AS doc_id
+  FROM hier h JOIN qcells qc ON h.cid_hier = qc.cid
+),
+sims AS (
+  SELECT e.vec_id // 8 AS doc_id, qt.qid,
+         CAST(FLOOR(({cos_eq}) * 10000 + 0.5) AS BIGINT) AS qsim
+  FROM embeddings e
+  JOIN cand_docs d ON e.vec_id // 8 = d.doc_id, qt
+),
+ms AS (SELECT doc_id, qid, MAX(qsim) AS mx FROM sims GROUP BY doc_id, qid)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(SUM(mx) AS DOUBLE) / 10000 AS score
+FROM ms GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT 5
+"""
+
+
+SPECS["maxsim_retrieve"] = QuerySpec(
+    _maxsim_retrieve,
+    _maxsim_retrieve_sql(),
+    "late-interaction (ColBERT MaxSim) retrieval: per-token IVF candidate "
+    "generation off the stored assignment, exact integer-quantized MaxSim "
+    "re-rank over candidate docs only",
+)
+
+
 # --- embedding drift monitor ----------------------------------------------
 # The vector-store ML-ops query: has the embedding distribution MOVED
 # between the established corpus and the newest ingest?  Per label,

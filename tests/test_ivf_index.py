@@ -623,6 +623,43 @@ def test_memo_lru_bounds_families_and_unpersists(spark, monkeypatch):
     assert not any("lru-c" in t for t in tokens)
 
 
+def test_memo_self_heals_lost_checkpoint_blocks(spark, monkeypatch):
+    """ADVICE r12 cluster caveat, made recoverable (r13): a memoized
+    frame whose localCheckpoint blocks vanish (executor loss; here
+    simulated by unpersisting the blocks out from under the handle) is
+    a DEAD handle — collecting it raises
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND.  The seam must detect that at
+    the next access, drop the entry, and rebuild from the caller's
+    still-lineaged input instead of serving the corpse."""
+    from signal_messenger_vector_database_spark.operators import ivf_index
+
+    monkeypatch.delenv("SMVD_IVF_CACHE_DIR", raising=False)
+    monkeypatch.delenv("SMVD_IVF_MEMO", raising=False)
+    emb, n, k, ns = _load(spark)
+    token = f"{SF}/embeddings|heal-test|{n}"
+
+    first = ivf_index.shared_hier_assignment(spark, emb, token, k, ns)
+    rows = {r.vec_id: r.cid for r in first.collect()}  # materialize
+    assert ivf_index.shared_hier_assignment(spark, emb, token, k, ns) is first
+
+    # simulate executor loss: the blocks disappear, the handle stays
+    for jrdd in ivf_index._memo_frame_jrdds(first):
+        jrdd.unpersist(True)
+    assert not ivf_index._memo_value_healthy(first)
+
+    healed = ivf_index.shared_hier_assignment(spark, emb, token, k, ns)
+    assert healed is not first  # rebuilt, not the dead handle
+    assert {r.vec_id: r.cid for r in healed.collect()} == rows
+    # the healed entry replaced the dead one in place and is served on
+    # the next hit
+    assert ivf_index.shared_hier_assignment(spark, emb, token, k, ns) is healed
+
+    # a never-materialized lazy checkpoint reports healthy (lineage
+    # intact, nothing to lose)
+    lazy = emb.localCheckpoint(eager=False)
+    assert ivf_index._memo_value_healthy(lazy)
+
+
 def test_memo_fingerprint_guards_token_reuse(spark, monkeypatch):
     """ADVICE r12: a consumer that reuses a token for a
     DIFFERENTLY-SHAPED projection must not silently receive the other
@@ -923,10 +960,15 @@ def test_pq_encode_delta_tiers_bit_identical(spark, tmp_path, monkeypatch):
 
 
 def test_cell_candidates_prunes_to_the_routed_directories(spark, tmp_path):
-    """Serving off the stored index must be O(routed cells) IO: the
-    cid filter is a PARTITION filter, so only the named cell
-    directories' files appear in the scan's input — the posting-list
-    contract that makes point queries corpus-size-independent."""
+    """Serving off the stored index must be O(routed cells) IO end to
+    end.  r13 direct-path arm (local index): the routed ``cid=<n>``
+    paths are CONSTRUCTED, so nothing else is even LISTED — the scan's
+    whole relation (inputFiles) is confined to the routed directories,
+    closing the wave-24 k-proportional-listing residual.  Fallback arm
+    (non-local URI): the cid filter is a PARTITION filter, so only the
+    routed directories' files are opened even when the store's own
+    listing discovers every partition."""
+    from signal_messenger_vector_database_spark.operators import ivf_index
     from signal_messenger_vector_database_spark.operators.ivf_index import (
         cell_candidates,
         write_cell_index,
@@ -935,25 +977,37 @@ def test_cell_candidates_prunes_to_the_routed_directories(spark, tmp_path):
     path = str(tmp_path / "idx")
     write_cell_index(_tiny_assignment(spark), path)
 
-    import re
-
-    def partition_filter(df) -> str:
-        # inputFiles() ignores pushed filters (it lists the whole
-        # relation), so pruning is asserted on the scan node itself
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
-        assert m, plan[:2000]
-        return m.group(1)
-
     one = cell_candidates(spark, path, 1)
-    pf = partition_filter(one)
-    assert re.search(r"cid#\d+L? = 1", pf), pf
+    # direct-path: the relation itself contains ONLY cid=1 files
+    assert one.inputFiles() and all("cid=1" in f for f in one.inputFiles())
     assert {r.vec_id for r in one.collect()} == {10, 11, 12, 13}
+    assert {r.cid for r in one.collect()} == {1}  # basePath keeps cid
 
     two = cell_candidates(spark, path, [0, 2])
-    pf2 = partition_filter(two)
-    assert "cid" in pf2 and ("IN (0,2" in pf2 or re.search(r"0,\s*2", pf2)), pf2
+    assert two.inputFiles() and all(
+        "cid=0" in f or "cid=2" in f for f in two.inputFiles()
+    )
     assert {r.vec_id for r in two.collect()} == {0, 1, 2, 3, 20, 21, 22, 23}
+
+    # a flagged cid with no directory contributes nothing, not an error
+    assert {r.vec_id for r in cell_candidates(spark, path, [1, 99]).collect()} == {
+        10, 11, 12, 13,
+    }
+
+    # object-store URIs decline direct construction
+    assert ivf_index._cell_paths("s3://bucket/idx", [1]) is None
+
+    # fallback arm (forced): the root read prunes via a PARTITION
+    # filter on the scan node
+    import re
+    from unittest import mock
+
+    with mock.patch.object(ivf_index, "_cell_paths", return_value=None):
+        fb = cell_candidates(spark, path, 1)
+    plan = fb._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and re.search(r"cid#\d+L? = 1", m.group(1)), plan[:2000]
+    assert {r.vec_id for r in fb.collect()} == {10, 11, 12, 13}
 
 
 def test_index_lifecycle_end_to_end(spark, tmp_path, monkeypatch):

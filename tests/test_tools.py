@@ -60,6 +60,8 @@ def test_window_rotate_matches_pinned_window(monkeypatch):
         "topk_ivf_tombstone",
         "ivf_chain_assign",
         "pq_encode_delta",
+        "topk_ivf_filtered",
+        "maxsim_retrieve",
     ]
     window, prov = window_rotate.compute_window(changed, 50)
     assert window == _WINDOW

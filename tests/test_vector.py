@@ -309,3 +309,113 @@ def test_ivf_hier_sharded_matches_packed(spark):
     }
     assert sharded == packed
     assert len(packed) == n
+
+
+def test_route_query_cells_replays_the_build_rule(spark):
+    """r13 query-time multi-cell router: with n_cells=1, routing a
+    corpus member's own vector must land EXACTLY on the cell
+    ``ivf_assign_hier`` stored for it — the router and the build path
+    share one level-1 state (centroid_super_map) and one comparator,
+    so disagreement would mean the serving probe searches a different
+    cell than the index filed the vector under.  With n_cells=2 the
+    first cell is that same argmax and the second is distinct — the
+    widened-probe contract topk_ivf_filtered serves with."""
+    from pyspark.sql import functions as F
+
+    from signal_messenger_vector_database_spark.io.sources import (
+        load_table,
+        parquet_row_count,
+    )
+    from signal_messenger_vector_database_spark.operators.ann import (
+        hier_super_count,
+        ivf_assign_hier,
+        ivf_seed_centroids,
+        route_query_cells,
+        scaled_cluster_count,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    n = parquet_row_count(sf, "embeddings")
+    k = scaled_cluster_count(n)
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = ivf_seed_centroids(emb, k)
+    ns = hier_super_count(k)
+    assigned = {
+        r.vec_id: r.cid
+        for r in ivf_assign_hier(
+            emb, cents, ns, n_centroids=k
+        ).collect()
+    }
+    assert len(assigned) == n
+    for vid in (0, 1, 7, 13, 29, n - 1):
+        q = emb.filter(F.col("vec_id") == vid).select(
+            F.col("embedding").alias("qv")
+        )
+        got = [r.cid for r in route_query_cells(q, cents, ns).collect()]
+        assert got == [assigned[vid]], (vid, got, assigned[vid])
+
+    q0 = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    two = [r.cid for r in route_query_cells(q0, cents, ns, n_cells=2).collect()]
+    assert len(two) == 2 and len(set(two)) == 2
+    assert two[0] == assigned[0]
+
+
+def test_topk_ivf_filtered_respects_predicate_and_rank(spark):
+    """The filtered serving query: every hit satisfies the predicate,
+    and the result IS the exact filtered top-k over the widened
+    2-cell candidate union (structural: filter-then-rank, never
+    rank-then-filter)."""
+    from pyspark.sql import functions as F
+
+    from signal_messenger_vector_database_spark.functions.vector import (
+        cosine_similarity,
+    )
+    from signal_messenger_vector_database_spark.io.sources import (
+        load_table,
+        parquet_row_count,
+    )
+    from signal_messenger_vector_database_spark.operators.ann import (
+        hier_super_count,
+        ivf_seed_centroids,
+        route_query_cells,
+        scaled_cluster_count,
+    )
+    from signal_messenger_vector_database_spark.operators.ivf_index import (
+        shared_hier_assignment,
+    )
+    from signal_messenger_vector_database_spark.plans.vectorops import (
+        _topk_ivf_filtered,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = _topk_ivf_filtered(spark, sf).collect()
+    assert 0 < len(rows) <= 5
+    assert [r.vec_id for r in rows] == sorted(
+        [r.vec_id for r in rows],
+        key=lambda v: (-[r.sim for r in rows if r.vec_id == v][0], v),
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    n = parquet_row_count(sf, "embeddings")
+    k = scaled_cluster_count(n)
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    assert all(labels[r.vec_id] == 3 for r in rows)
+
+    # recompute the exact filtered rank over the 2-cell union
+    assign = shared_hier_assignment(
+        spark, emb, f"{sf}/embeddings|{n}", k, hier_super_count(k)
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    qcells = route_query_cells(q, ivf_seed_centroids(emb, k), hier_super_count(k), n_cells=2)
+    want = (
+        emb.join(assign.join(F.broadcast(qcells), "cid").select("vec_id"), "vec_id")
+        .filter(F.col("label") == 3)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(cosine_similarity("embedding", "qv"), 4).alias("sim"))
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(5)
+        .collect()
+    )
+    assert [(r.vec_id, r.sim) for r in rows] == [(r.vec_id, r.sim) for r in want]
