@@ -62,6 +62,7 @@ def test_window_rotate_matches_pinned_window(monkeypatch):
         "pq_encode_delta",
         "topk_ivf_filtered",
         "maxsim_retrieve",
+        "filtered_recall_curve",
     ]
     window, prov = window_rotate.compute_window(changed, 50)
     assert window == _WINDOW
