@@ -849,9 +849,9 @@ _REBUILD_DENOM = 10
 def maintain(
     spark: SparkSession,
     base: DataFrame,
-    delta: DataFrame,
+    delta: DataFrame | list[DataFrame],
     base_token: str,
-    delta_token: str,
+    delta_token: str | list[str],
     k: int,
     n_super: int,
     tombstones: DataFrame | None = None,
@@ -901,16 +901,40 @@ def maintain(
     winning over new remains deliberate for a row inserted AND
     deleted under one id in the same cycle (it is dead).
 
+    N-cycle form (r13): ``delta`` / ``delta_token`` may be LISTS — the
+    chained steady state ``shared_hier_assignment_chain`` models.  The
+    assignment then covers base ∪ all cycles (quantizer frozen at the
+    original base; cached mode assigns only the newest batch), and the
+    occupancy convention follows the cycle semantics: cycles 1..N-1
+    are part of the ESTABLISHED index (``live``), only the NEWEST
+    batch counts ``new`` — so split flags measure THIS cycle's ingest
+    against everything already standing, exactly what the scheduler
+    decides on at cycle N.
+
     Everything is returned as an unevaluated DataFrame — no driver
     action at construction (the repo rule); ``decision`` is a 1-row
     aggregate the scheduler collects."""
     from pyspark.sql import functions as F
 
-    assignment = shared_hier_assignment_delta(
-        spark, base, delta, base_token, delta_token, k, n_super,
-        nprobe=nprobe, id_col=id_col, vec_col=vec_col,
-        shard_threshold=shard_threshold,
+    deltas = delta if isinstance(delta, list) else [delta]
+    delta_tokens = (
+        delta_token if isinstance(delta_token, list) else [delta_token]
     )
+    if len(deltas) != len(delta_tokens):
+        raise ValueError("delta and delta_token must pair 1:1")
+    if len(deltas) == 1:
+        assignment = shared_hier_assignment_delta(
+            spark, base, deltas[0], base_token, delta_tokens[0], k, n_super,
+            nprobe=nprobe, id_col=id_col, vec_col=vec_col,
+            shard_threshold=shard_threshold,
+        )
+    else:
+        assignment = shared_hier_assignment_chain(
+            spark, base, deltas, base_token, delta_tokens, k, n_super,
+            nprobe=nprobe, id_col=id_col, vec_col=vec_col,
+            shard_threshold=shard_threshold,
+        )
+    delta = deltas[-1]  # occupancy 'new' = the NEWEST batch only
     live_assignment = exclude_tombstones(assignment, tombstones, id_col)
     # membership sides are deduplicated (an at-least-once delete log
     # repeats ids) and NOT broadcast-hinted: both are real table

@@ -1082,3 +1082,155 @@ def test_index_lifecycle_end_to_end(spark, tmp_path, monkeypatch):
         ).collect()
     }
     assert not still & tomb_ids
+
+
+def test_composed_filtered_tombstone_serving(spark, tmp_path, monkeypatch):
+    """The full r13 serving stack in ONE query, composed off the STORED
+    index the way a production point query runs: widened 2-cell probe
+    (route_query_cells) -> direct-path candidate read (cell_candidates)
+    -> tombstone anti-join (exclude_tombstones) -> attribute predicate
+    -> exact cosine re-rank.  Must equal the exact recompute over the
+    surviving, predicate-matching members of the routed cells — every
+    seam composes without changing the answer."""
+    from signal_messenger_vector_database_spark.functions.vector import (
+        cosine_similarity,
+    )
+    from signal_messenger_vector_database_spark.operators.ann import (
+        hier_super_count,
+        ivf_seed_centroids,
+        route_query_cells,
+        scaled_cluster_count,
+    )
+    from signal_messenger_vector_database_spark.operators.ivf_index import (
+        cell_candidates,
+        exclude_tombstones,
+        shared_hier_assignment,
+        write_cell_index,
+    )
+
+    monkeypatch.delenv("SMVD_IVF_CACHE_DIR", raising=False)
+    sf = "/root/testdata/sf0.01"  # big enough that each cell has labels
+    from signal_messenger_vector_database_spark.io.sources import (
+        load_table,
+        parquet_row_count,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    n = parquet_row_count(sf, "embeddings")
+    k = scaled_cluster_count(n)
+    ns = hier_super_count(k)
+    assign = shared_hier_assignment(
+        spark, emb, f"{sf}/embeddings|composed|{n}", k, ns
+    )
+    idx = str(tmp_path / "idx")
+    write_cell_index(assign, idx)
+
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cids = [
+        r.cid
+        for r in route_query_cells(
+            q, ivf_seed_centroids(emb, k), ns, n_cells=2
+        ).collect()
+    ]
+    assert len(cids) == 2
+    tombs = emb.filter(F.col("vec_id") % 37 == 5).select("vec_id")
+
+    served = (
+        exclude_tombstones(cell_candidates(spark, idx, cids), tombs)
+        .join(emb, "vec_id")
+        .filter(F.col("label") == 3)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine_similarity("embedding", "qv"), 4).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(5)
+        .collect()
+    )
+    assert served  # the composed stack returns hits at this scale
+
+    # exact recompute over the surviving, label-matching routed members
+    tomb_ids = {r.vec_id for r in tombs.collect()}
+    members = {
+        r.vec_id
+        for r in assign.filter(F.col("cid").isin([int(c) for c in cids])).collect()
+    }
+    want = (
+        emb.filter(
+            F.col("vec_id").isin([int(v) for v in members - tomb_ids])
+            & (F.col("label") == 3)
+        )
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine_similarity("embedding", "qv"), 4).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(5)
+        .collect()
+    )
+    assert [(r.vec_id, r.sim) for r in served] == [
+        (r.vec_id, r.sim) for r in want
+    ]
+    assert not {r.vec_id for r in served} & tomb_ids
+
+
+def test_maintain_accepts_chained_cycles(spark, monkeypatch):
+    """r13 policy-layer completion: `maintain` over N chained cycles.
+    The assignment must equal the single-delta form over the union
+    (frozen quantizer: per-row assignment is chain-invariant), and the
+    occupancy convention is cycle-correct — cycles 1..N-1 count LIVE
+    (the established index), only the newest batch counts NEW.  Pinned
+    against the equivalent re-based single-delta call (base' = base ∪
+    d1 ∪ d2, delta = d3): same k, same seeds (the lowest-k ids live in
+    base), so cells and decision must match exactly."""
+    from signal_messenger_vector_database_spark.operators.ivf_index import (
+        maintain,
+    )
+
+    monkeypatch.delenv("SMVD_IVF_CACHE_DIR", raising=False)
+    emb, n, k, ns = _load(spark)
+    cut = n - max(50, n // 10)
+    s = (n - cut) // 3
+    b1, b2 = cut + s, cut + 2 * s
+    base = emb.filter(F.col("vec_id") < cut)
+    d1 = emb.filter((F.col("vec_id") >= cut) & (F.col("vec_id") < b1))
+    d2 = emb.filter((F.col("vec_id") >= b1) & (F.col("vec_id") < b2))
+    d3 = emb.filter(F.col("vec_id") >= b2)
+    tombs = emb.filter(
+        (F.col("vec_id") < cut) & (F.col("vec_id") % 37 == 5)
+    ).select("vec_id")
+
+    chain = maintain(
+        spark, base, [d1, d2, d3],
+        f"{SF}/embeddings|mc-base|{cut}",
+        [
+            f"{SF}/embeddings|mc-c1|{cut}-{b1}",
+            f"{SF}/embeddings|mc-c2|{b1}-{b2}",
+            f"{SF}/embeddings|mc-c3|{b2}-{n}",
+        ],
+        k, ns, tombstones=tombs,
+    )
+    rebased = maintain(
+        spark, emb.filter(F.col("vec_id") < b2), d3,
+        f"{SF}/embeddings|mc-rebase|{b2}",
+        f"{SF}/embeddings|mc-c3b|{b2}-{n}",
+        k, ns, tombstones=tombs,
+    )
+    assert {
+        (r.vec_id, r.cid) for r in chain["assignment"].collect()
+    } == {(r.vec_id, r.cid) for r in rebased["assignment"].collect()}
+    cells_c = {r.cid: (r.n_live, r.n_tomb, r.n_new, r.needs_split, r.needs_compact)
+               for r in chain["cells"].collect()}
+    cells_r = {r.cid: (r.n_live, r.n_tomb, r.n_new, r.needs_split, r.needs_compact)
+               for r in rebased["cells"].collect()}
+    assert cells_c == cells_r
+    assert [tuple(r) for r in chain["decision"].collect()] == [
+        tuple(r) for r in rebased["decision"].collect()
+    ]
+    # live frame excludes the tombstones in the chain form too
+    tomb_ids = {r.vec_id for r in tombs.collect()}
+    live = {r.vec_id for r in chain["live_assignment"].collect()}
+    assert tomb_ids and not live & tomb_ids
+    assert live == set(range(n)) - tomb_ids
