@@ -419,3 +419,77 @@ def test_topk_ivf_filtered_respects_predicate_and_rank(spark):
         .collect()
     )
     assert [(r.vec_id, r.sim) for r in rows] == [(r.vec_id, r.sim) for r in want]
+
+
+def test_route_query_cells_matches_independent_python_model(spark):
+    """Circularity breaker for the r13 router (the numpy-Lloyd
+    discipline): `route_query_cells` is pinned above against
+    `ivf_assign_hier`, but both share `centroid_super_map` — this test
+    replays the WHOLE two-level routing rule in pure Python (sequential
+    left-fold dot products, exactly the functions/vector.py summation
+    order, so every double is bit-identical) and requires the router's
+    ranked multi-cell output to match it for a batch of queries."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from signal_messenger_vector_database_spark.io.sources import (
+        load_table,
+        parquet_row_count,
+    )
+    from signal_messenger_vector_database_spark.operators.ann import (
+        hier_super_count,
+        ivf_seed_centroids,
+        route_query_cells,
+        scaled_cluster_count,
+    )
+
+    sf = "/root/testdata/sf0.01"  # k=16 > n_super=4: two real levels
+    n = parquet_row_count(sf, "embeddings")
+    k = scaled_cluster_count(n)
+    ns = hier_super_count(k)
+    nprobe, n_cells = 3, 4
+    emb = load_table(spark, sf, "embeddings")
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < max(k, 8)).collect()
+    }
+
+    def dot(a, b):  # sequential left fold — the Spark expression's order
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def cos(a, b):
+        return dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+    cents = {c: vecs[c] for c in range(k)}
+    supers = {s: vecs[s] for s in range(ns)}
+    # level-1: each centroid -> nearest super (max cos, sid tie-break)
+    c2s = {
+        c: min(supers, key=lambda s: (-cos(cents[c], supers[s]), s))
+        for c in cents
+    }
+
+    def model_route(qv):
+        sids = sorted(supers, key=lambda s: (-cos(qv, supers[s]), s))[:nprobe]
+        cells = [c for c in cents if c2s[c] in sids]
+        return sorted(cells, key=lambda c: (-cos(qv, cents[c]), c))[:n_cells]
+
+    qids = [0, 3, 17, 29, 42]
+    qt = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    got = {}
+    for r in route_query_cells(
+        qt, ivf_seed_centroids(emb, k), ns, nprobe=nprobe,
+        n_cells=n_cells, id_col="qid", with_rank=True,
+    ).collect():
+        got.setdefault(r.qid, []).append((r.cell_rank, r.cid))
+    qvecs = {
+        r.qid: [float(x) for x in r.qv] for r in qt.collect()
+    }
+    for qid in qids:
+        want = model_route(qvecs[qid])
+        assert [c for _, c in sorted(got[qid])] == want, (qid, got[qid], want)
