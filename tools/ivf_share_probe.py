@@ -33,6 +33,9 @@ Usage:
     python tools/ivf_share_probe.py --compact   # wave 24: cell compaction —
                                                 # flagged-cells-only rewrite
                                                 # vs the full index write
+    python tools/ivf_share_probe.py --serve     # wave 26: serving marginal
+                                                # cost off a pre-built index
+                                                # (filtered ANN + MaxSim)
 """
 
 from __future__ import annotations
@@ -356,6 +359,76 @@ def run_compact(scales: list[int]) -> None:
     print(json.dumps(results))
 
 
+def run_serve(scales: list[int]) -> None:
+    """Wave 26 (late r13): SERVING marginal cost of the new query
+    shapes off a pre-built index.  Per scale: materialize the shared
+    assignment to the disk tier (untimed — the build step a deployment
+    schedules), then time 3 repeats (median) of `topk_ivf_filtered`
+    (widened 2-cell probe + label predicate + exact re-rank) and
+    `maxsim_retrieve` (3-token candidate gen + exact MaxSim re-rank).
+    Expected shape: ~flat — the router is O(k) arithmetic over the
+    broadcast centroid table and the re-rank is O(cells-touched x
+    cell size), with cell size bounded by the corpus-scaled-k rule;
+    the only growth left is the assignment parquet scan feeding the
+    shortlist join (linear, IO-bound) and fixed job overhead."""
+    import shutil
+
+    from scaling_probe import build_scaled
+
+    import __spark_entry__ as entry
+    from signal_messenger_vector_database_spark.io.sources import (
+        load_table,
+        parquet_row_count,
+    )
+    from signal_messenger_vector_database_spark.operators.ann import (
+        hier_super_count,
+        scaled_cluster_count,
+    )
+    from signal_messenger_vector_database_spark.operators.ivf_index import (
+        shared_hier_assignment,
+    )
+    from signal_messenger_vector_database_spark.session import get_spark
+
+    spark = get_spark("ivf-serve-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+    dirs = {k: build_scaled(spark, k) for k in scales}
+    cache = "/tmp/smvd_serve_probe_cache"
+    shutil.rmtree(cache, ignore_errors=True)
+    os.makedirs(cache, exist_ok=True)
+    os.environ["SMVD_IVF_CACHE_DIR"] = cache
+
+    results = {}
+    for warmup in (True, False):
+      for k in (scales[:1] if warmup else scales):
+        sf_dir = dirs[k]
+        n = parquet_row_count(sf_dir, "embeddings")
+        kk = scaled_cluster_count(n)
+        emb = load_table(spark, sf_dir, "embeddings")
+        t0 = time.time()
+        shared_hier_assignment(
+            spark, emb, f"{sf_dir}/embeddings|{n}", kk, hier_super_count(kk)
+        ).write.format("noop").mode("overwrite").save()
+        build_sec = round(time.time() - t0, 2)
+        row = {"scale": k, "n": n, "k_cells": kk, "build_sec": build_sec}
+        for name in ("topk_ivf_filtered", "maxsim_retrieve"):
+            runs = []
+            for _ in range(3):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(round(time.time() - t0, 3))
+            row[name] = sorted(runs)[1]
+            row[f"{name}_runs"] = runs
+        if warmup:
+            continue
+        results[f"x{k}"] = row
+        print(json.dumps(row), flush=True)
+    print(json.dumps(results))
+
+
 def main() -> None:
     # the probe's contract is unamortized-inline vs disk-cache (module
     # docstring); the r12 session memo must not blur the inline arms
@@ -376,6 +449,8 @@ def main() -> None:
             mode = "compact"
         elif a == "--delta-chain":
             mode = "delta-chain"
+        elif a == "--serve":
+            mode = "serve"
         else:
             sys.exit(f"unrecognized argument {a!r}")
     if mode == "pq":
@@ -389,6 +464,9 @@ def main() -> None:
         return
     if mode == "delta-chain":
         run_delta_chain(scales)
+        return
+    if mode == "serve":
+        run_serve(scales)
         return
 
     from scaling_probe import build_scaled
