@@ -909,7 +909,9 @@ def maintain(
     are part of the ESTABLISHED index (``live``), only the NEWEST
     batch counts ``new`` — so split flags measure THIS cycle's ingest
     against everything already standing, exactly what the scheduler
-    decides on at cycle N.
+    decides on at cycle N.  An EMPTY list is the no-ingest accounting
+    cycle: base-only assignment, nothing new, tombstone/compact
+    accounting still runs (r13 code review — this used to IndexError).
 
     Everything is returned as an unevaluated DataFrame — no driver
     action at construction (the repo rule); ``decision`` is a 1-row
@@ -929,26 +931,33 @@ def maintain(
             shard_threshold=shard_threshold,
         )
     else:
+        # includes deltas == [] — the no-ingest accounting cycle (the
+        # chain seam returns the base-only assignment; nothing counts
+        # 'new', tombstone/compact accounting still runs)
         assignment = shared_hier_assignment_chain(
             spark, base, deltas, base_token, delta_tokens, k, n_super,
             nprobe=nprobe, id_col=id_col, vec_col=vec_col,
             shard_threshold=shard_threshold,
         )
-    delta = deltas[-1]  # occupancy 'new' = the NEWEST batch only
     live_assignment = exclude_tombstones(assignment, tombstones, id_col)
     # membership sides are deduplicated (an at-least-once delete log
     # repeats ids) and NOT broadcast-hinted: both are real table
     # projections with stats (a day's delta or delete log can be
     # arbitrarily large at 100 TB) — Catalyst/AQE broadcasts them when
     # they are in fact small.
-    new_ids = (
-        delta.select(F.col(id_col).alias("_mid"))
-        .distinct()
-        .withColumn("_new", F.lit(True))
-    )
-    tagged = assignment.join(
-        new_ids, F.col(id_col) == F.col("_mid"), "left"
-    ).drop("_mid")
+    if deltas:
+        # occupancy 'new' = the NEWEST batch only (chain form: earlier
+        # cycles are the established index)
+        new_ids = (
+            deltas[-1].select(F.col(id_col).alias("_mid"))
+            .distinct()
+            .withColumn("_new", F.lit(True))
+        )
+        tagged = assignment.join(
+            new_ids, F.col(id_col) == F.col("_mid"), "left"
+        ).drop("_mid")
+    else:
+        tagged = assignment.withColumn("_new", F.lit(None).cast("boolean"))
     if tombstones is not None:
         tomb_ids = (
             tombstones.select(F.col(id_col).alias("_mid"))
@@ -1051,14 +1060,25 @@ def read_cell_index(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def _cell_paths(path: str, cids) -> list[str] | None:
+def _cell_paths(spark: SparkSession, path: str, cids) -> list[str] | None:
     """Direct ``cid=<n>`` subdirectory paths for a cid list, or None
-    when direct construction does not apply (non-local URI — object
-    stores go through Spark's own listing; a deployment shards the
-    index path by cid prefix instead, the wave-24 note).  Flagged cids
-    whose directory no longer exists (already compacted empty) are
-    skipped — they contribute no rows either way."""
+    when direct construction does not apply: an explicit non-local URI
+    (object stores go through Spark's own listing; a deployment shards
+    the index path by cid prefix instead, the wave-24 note), or an
+    UNQUALIFIED path in a session whose ``fs.defaultFS`` is not the
+    local filesystem — Spark would resolve it against HDFS/S3 while
+    ``os.path`` probes the driver's local disk, and a stale same-named
+    local directory could silently drop routed cells from serving
+    (r13 code review).  Flagged cids whose directory no longer exists
+    (already compacted empty) are skipped — they contribute no rows
+    either way."""
     if "://" in path:
+        return None
+    try:
+        fs = spark.sparkContext._jsc.hadoopConfiguration().get("fs.defaultFS")
+    except Exception:
+        return None  # Connect / no JVM access: cannot confirm resolution
+    if fs and not fs.startswith("file:"):
         return None
     out = []
     for c in cids:
@@ -1066,6 +1086,20 @@ def _cell_paths(path: str, cids) -> list[str] | None:
         if os.path.isdir(p):
             out.append(p)
     return out
+
+
+def _first_cell_dir(path: str) -> str | None:
+    """Any one existing ``cid=`` directory under a local index root
+    (streaming scandir — stops at the first match), or None.  Schema
+    donor for the all-routed-cells-absent case."""
+    try:
+        with os.scandir(path) as it:
+            for e in it:
+                if e.name.startswith("cid=") and e.is_dir():
+                    return e.path
+    except OSError:
+        return None
+    return None
 
 
 def cell_candidates(spark: SparkSession, path: str, cids) -> DataFrame:
@@ -1086,9 +1120,21 @@ def cell_candidates(spark: SparkSession, path: str, cids) -> DataFrame:
     if isinstance(cids, int):
         cids = [cids]
     cids = [int(c) for c in cids]
-    paths = _cell_paths(path, cids)
+    paths = _cell_paths(spark, path, cids)
     if paths:
         return spark.read.option("basePath", path).parquet(*paths)
+    if paths is not None:
+        # [] — every routed cell's directory is absent (all compacted
+        # away): the answer is provably empty, so do NOT fall back to
+        # the k-listing root read (r13 code review) — borrow any one
+        # existing cell dir for the schema and return zero rows
+        donor = _first_cell_dir(path)
+        if donor is not None:
+            return (
+                spark.read.option("basePath", path)
+                .parquet(donor)
+                .filter(F.lit(False))
+            )
     return read_cell_index(spark, path).filter(F.col("cid").isin(cids))
 
 

@@ -994,8 +994,30 @@ def test_cell_candidates_prunes_to_the_routed_directories(spark, tmp_path):
         10, 11, 12, 13,
     }
 
+    # ALL routed cells absent: provably-empty answer must NOT fall back
+    # to the k-listing root read — schema borrowed from a donor cell
+    # dir, zero rows, relation confined to that one directory
+    gone = cell_candidates(spark, path, [97, 99])
+    assert gone.collect() == []
+    assert set(gone.columns) == set(
+        ivf_index.read_cell_index(spark, path).columns
+    )
+    assert all("cid=" in f for f in gone.inputFiles())
+
     # object-store URIs decline direct construction
-    assert ivf_index._cell_paths("s3://bucket/idx", [1]) is None
+    assert ivf_index._cell_paths(spark, "s3://bucket/idx", [1]) is None
+
+    # an unqualified path in a session whose fs.defaultFS is NOT local
+    # must decline too: Spark would resolve it against the cluster FS
+    # while os.path probes the driver's local disk (r13 code review)
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old_fs = hconf.get("fs.defaultFS")
+    try:
+        hconf.set("fs.defaultFS", "hdfs://nn:8020")
+        assert ivf_index._cell_paths(spark, path, [1]) is None
+    finally:
+        hconf.set("fs.defaultFS", old_fs)
+    assert ivf_index._cell_paths(spark, path, [1]) is not None
 
     # fallback arm (forced): the root read prunes via a PARTITION
     # filter on the scan node
@@ -1234,3 +1256,29 @@ def test_maintain_accepts_chained_cycles(spark, monkeypatch):
     live = {r.vec_id for r in chain["live_assignment"].collect()}
     assert tomb_ids and not live & tomb_ids
     assert live == set(range(n)) - tomb_ids
+
+
+def test_maintain_empty_delta_list_is_the_no_ingest_cycle(spark, monkeypatch):
+    """r13 code review: `maintain(spark, base, [], ..., [])` used to
+    IndexError on `deltas[-1]`.  It is a legitimate scheduler call —
+    a cycle with deletes but no ingest: base-only assignment, zero
+    'new' rows, tombstone accounting and the rebuild decision intact."""
+    from signal_messenger_vector_database_spark.operators.ivf_index import (
+        maintain,
+    )
+
+    monkeypatch.delenv("SMVD_IVF_CACHE_DIR", raising=False)
+    emb, n, k, ns = _load(spark)
+    tombs = emb.filter(F.col("vec_id") % 37 == 5).select("vec_id")
+    out = maintain(
+        spark, emb, [], f"{SF}/embeddings|noing|{n}", [], k, ns,
+        tombstones=tombs,
+    )
+    assert out["assignment"].count() == n
+    cells = out["cells"].collect()
+    assert sum(r.n_new for r in cells) == 0
+    assert sum(r.n_tomb for r in cells) == len(
+        {r.vec_id for r in tombs.collect()}
+    )
+    dec = out["decision"].collect()[0]
+    assert dec.k == k and isinstance(dec.rebuild_recommended, bool)
