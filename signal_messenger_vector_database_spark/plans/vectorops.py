@@ -2059,6 +2059,145 @@ SPECS["maxsim_retrieve"] = QuerySpec(
 )
 
 
+# --- composed lifecycle serving (VERDICT r13 #1) -----------------------------
+# The FULL production point-query shape, every r13 seam stacked in one
+# hash-checked answer: an index built once at base geometry, grown by
+# THREE chained ingest cycles against the frozen quantizer
+# (shared_hier_assignment_chain), served deletion-aware (tombstone
+# anti-join inside the shortlist), attribute-filtered (label predicate
+# INSIDE the shortlist), through a probe widened to the query's 2
+# nearest cells (route_query_cells — centroids frozen at the base
+# corpus, exactly what the chain's quantizer uses), exact cosine
+# re-rank last.  Until r14 this composition existed only as a pytest
+# assertion (test_composed_filtered_tombstone_serving); here the
+# oracle recomputes the identical composition from first principles —
+# hier CTE chain at base geometry over the whole corpus (chain
+# assignment is per-row invariant, so N chained cycles == one delta
+# assignment of everything), the same qs/qcells routing CTEs, the same
+# tombstone NOT IN and label predicate — so "every seam composes
+# without changing the answer" is driver-verified, not asserted.
+# Conventions shared with the maintenance family: base/delta split at
+# cut = n - max(50, n/10) (clamped to 1), three equal ingest cycles,
+# tombstones = base ids with vec_id % 37 = 5, query = vec_id 0.
+
+
+def _topk_ivf_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import cosine_similarity
+    from ..io.sources import parquet_row_count
+    from ..operators.ann import (
+        hier_super_count,
+        ivf_seed_centroids,
+        route_query_cells,
+        scaled_cluster_count,
+    )
+    from ..operators.ivf_index import (
+        exclude_tombstones,
+        shared_hier_assignment_chain,
+    )
+
+    n = parquet_row_count(sf_dir, "embeddings")
+    cut = max(1, n - max(50, n // 10))
+    s = (n - cut) // 3
+    b1, b2 = cut + s, cut + 2 * s
+    k = scaled_cluster_count(cut)  # BASE geometry — frozen at index build
+    ns = hier_super_count(k)
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < cut)
+    # grow: 3 chained cycles, quantizer frozen at the base corpus
+    assign = shared_hier_assignment_chain(
+        spark,
+        base,
+        [
+            emb.filter((F.col("vec_id") >= cut) & (F.col("vec_id") < b1)),
+            emb.filter((F.col("vec_id") >= b1) & (F.col("vec_id") < b2)),
+            emb.filter(F.col("vec_id") >= b2),
+        ],
+        f"{sf_dir}/embeddings|base|{cut}",
+        [
+            f"{sf_dir}/embeddings|cyc1|{cut}-{b1}",
+            f"{sf_dir}/embeddings|cyc2|{b1}-{b2}",
+            f"{sf_dir}/embeddings|cyc3|{b2}-{n}",
+        ],
+        k,
+        ns,
+    )
+    tombs = emb.filter(
+        (F.col("vec_id") < cut) & (F.col("vec_id") % 37 == 5)
+    ).select("vec_id")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    # route: 2-cell widened probe off the SAME frozen base centroids
+    qcells = route_query_cells(
+        q, ivf_seed_centroids(base, k), ns, n_cells=2
+    )
+    shortlist = assign.join(F.broadcast(qcells), "cid")
+    live = exclude_tombstones(shortlist, tombs)  # deletes, O(candidates)
+    return (
+        emb.join(live.select("vec_id"), "vec_id")
+        .filter(F.col("label") == 3)  # attribute predicate, in-shortlist
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            portable_round(cosine_similarity("embedding", "qv"), 4).alias(
+                "sim"
+            ),
+        )
+        .orderBy(F.desc("sim"), F.col("vec_id"))
+        .limit(5)
+    )
+
+
+def _topk_ivf_lifecycle_sql() -> str:
+    from .ivf_sql import SQL_COS, hier_assign_ctes
+
+    cos_qs = SQL_COS.format(a="q.qv", b="s.sv")
+    cos_qc = SQL_COS.format(a="q.qv", b="c2.cv")
+    cos_eq = SQL_COS.format(a="e.embedding", b="q.qv")
+    return f"""
+WITH nn AS (SELECT COUNT(*) AS n,
+                   GREATEST(1, COUNT(*) - GREATEST(50, COUNT(*) // 10)) AS cut
+            FROM embeddings),
+base AS (SELECT e.vec_id, e.embedding FROM embeddings e, nn
+         WHERE e.vec_id < nn.cut),
+{hier_assign_ctes(src="base", assign_src="embeddings")},
+tomb AS (SELECT e.vec_id FROM embeddings e, nn
+         WHERE e.vec_id < nn.cut AND e.vec_id % 37 = 5),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qs AS (
+  SELECT sid FROM (
+    SELECT s.sid,
+           ROW_NUMBER() OVER (ORDER BY ({cos_qs}) DESC, s.sid) AS rk
+    FROM s, q
+  ) WHERE rk <= 3
+),
+qcells AS (
+  SELECT cid FROM (
+    SELECT c2.cid,
+           ROW_NUMBER() OVER (ORDER BY ({cos_qc}) DESC, c2.cid) AS rk
+    FROM c2s c2 JOIN qs USING (sid), q
+  ) WHERE rk <= 2
+)
+SELECT e.vec_id,
+       FLOOR(({cos_eq}) * 10000 + 0.5) / 10000 AS sim
+FROM embeddings e
+JOIN hier h ON e.vec_id = h.vec_id
+JOIN qcells qc ON h.cid_hier = qc.cid, q
+WHERE e.label = 3
+  AND e.vec_id NOT IN (SELECT vec_id FROM tomb)
+ORDER BY sim DESC, e.vec_id
+LIMIT 5
+"""
+
+
+SPECS["topk_ivf_lifecycle"] = QuerySpec(
+    _topk_ivf_lifecycle,
+    _topk_ivf_lifecycle_sql(),
+    "composed lifecycle serving: 3 chained ingest cycles (frozen base "
+    "quantizer) + tombstone anti-join + label predicate inside a 2-cell "
+    "widened probe (route_query_cells) + exact cosine re-rank — every "
+    "r13 seam in ONE hash-checked answer",
+)
+
+
 # --- embedding drift monitor ----------------------------------------------
 # The vector-store ML-ops query: has the embedding distribution MOVED
 # between the established corpus and the newest ingest?  Per label,
