@@ -616,6 +616,182 @@ SPECS["stream_ingest_index"] = QuerySpec(
 
 
 # ---------------------------------------------------------------------------
+# stream_ivf_maintain: the STREAMING maintenance cycle (VERDICT r13 #5).
+#
+# The batch seam family (shared_hier_assignment_delta / _chain +
+# maintain) models ingest as discrete cycles; the 100 TB steady state
+# is a CONTINUOUS stream of inserts AND deletes driving exactly that
+# policy.  This query runs it for real: an op log (ins rows carry the
+# vector, del rows carry only the id) staged as FOUR parquet files and
+# streamed with maxFilesPerTrigger=1 — four genuine micro-batches,
+# each carrying both op kinds.  Per micro-batch (foreachBatch): the
+# batch's inserts are assigned against the quantizer FROZEN at the
+# base corpus (base geometry k/ns, base seed centroids — the
+# shared_hier_assignment_delta rule) and appended to the delta index;
+# its deletes append to the tombstone log.  After the drain, occupancy
+# is computed from the STREAMED state only (base index ∪ delta-index
+# parquet, tombstones from the log — no batch-side shortcut), through
+# the same shared ``occupancy_cells`` as ``maintain`` and the
+# ``ivf_maintenance`` oracle.  Correctness contract: because per-row
+# assignment is chain-invariant under a frozen quantizer, N streamed
+# micro-batches == the one-shot batch maintain over the full delta —
+# which is what the oracle recomputes (hier CTE chain at src=base,
+# assign_src=whole-corpus, the ivf_maintenance tagging convention).
+# Conventions shared with the maintenance family: cut = n - max(50,
+# n/10) (clamped to 1), inserts = vec_id >= cut, delete log = base ids
+# with vec_id % 37 = 5.
+
+
+def _stream_ivf_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from ..io.sources import parquet_row_count
+    from ..operators.ann import (
+        hier_super_count,
+        ivf_assign_hier,
+        ivf_seed_centroids,
+        scaled_cluster_count,
+    )
+    from ..operators.ivf_index import occupancy_cells
+
+    n = parquet_row_count(sf_dir, "embeddings")
+    cut = max(1, n - max(50, n // 10))
+    k = scaled_cluster_count(cut)  # BASE geometry — frozen at index build
+    ns = hier_super_count(k)
+    spark = streaming_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < cut)
+    seeds = ivf_seed_centroids(base, k)
+
+    # Stage the op log as FOUR files split on vec_id % 4: every
+    # micro-batch carries inserts AND deletes (maxFilesPerTrigger=1).
+    stage = tempfile.mkdtemp(prefix="smvd-ivf-maint-") + "/ops"
+    ops = (
+        emb.filter(F.col("vec_id") >= cut)
+        .select("vec_id", "embedding", F.lit("ins").alias("op"))
+        .unionByName(
+            emb.filter(
+                (F.col("vec_id") < cut) & (F.col("vec_id") % 37 == 5)
+            ).select(
+                "vec_id",
+                F.lit(None).cast("array<float>").alias("embedding"),
+                F.lit("del").alias("op"),
+            )
+        )
+    )
+    for i in range(4):
+        ops.filter(F.col("vec_id") % 4 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+
+    idx_dir = tempfile.mkdtemp(prefix="smvd-ivf-maint-") + "/delta_idx"
+    tomb_dir = tempfile.mkdtemp(prefix="smvd-ivf-maint-") + "/tomb_log"
+
+    def _cycle(batch_df, batch_id: int) -> None:
+        # frozen quantizer: assign ONLY this micro-batch's inserts —
+        # per-row assignment is chain-invariant, so the union over
+        # batches is bit-identical to the one-shot delta assignment
+        ins = batch_df.filter(F.col("op") == "ins").select(
+            "vec_id", "embedding"
+        )
+        ivf_assign_hier(ins, seeds, ns, n_centroids=k).select(
+            "vec_id", "cid"
+        ).write.mode("append").parquet(idx_dir)
+        batch_df.filter(F.col("op") == "del").select("vec_id").write.mode(
+            "append"
+        ).parquet(tomb_dir)
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>, op string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_cycle)
+        .queryName(f"ivf_maintain_{uuid.uuid4().hex[:8]}")
+        .outputMode("append")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="smvd-ckpt-maint-")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_drained(q)
+
+    # occupancy from the STREAMED state only: standing base index ∪
+    # the delta-index parquet the stream appended; tombstones from the
+    # streamed log (deduplicated — at-least-once logs repeat ids)
+    base_assign = ivf_assign_hier(base, seeds, ns, n_centroids=k).select(
+        "vec_id", "cid"
+    )
+    delta_assign = spark.read.parquet(idx_dir).select("vec_id", "cid")
+    tombs = (
+        spark.read.parquet(tomb_dir)
+        .select("vec_id")
+        .distinct()
+        .withColumn("_tomb", F.lit(True))
+    )
+    tagged = (
+        base_assign.withColumn("_new", F.lit(False))
+        .unionByName(delta_assign.withColumn("_new", F.lit(True)))
+        .join(tombs, "vec_id", "left")
+        .select(
+            "cid",
+            F.when(F.col("_tomb"), "tomb")
+            .when(F.col("_new"), "new")
+            .otherwise("live")
+            .alias("st"),
+        )
+    )
+    return occupancy_cells(tagged)
+
+
+def _stream_ivf_maintain_sql() -> str:
+    from .ivf_sql import hier_assign_ctes
+
+    return f"""
+WITH nn AS (SELECT COUNT(*) AS n,
+                   GREATEST(1, COUNT(*) - GREATEST(50, COUNT(*) // 10)) AS cut
+            FROM embeddings),
+base AS (SELECT e.vec_id, e.embedding FROM embeddings e, nn
+         WHERE e.vec_id < nn.cut),
+{hier_assign_ctes(src="base", assign_src="embeddings")},
+tagged AS (
+  SELECT h.cid_hier AS cid,
+         CASE WHEN h.vec_id >= nn.cut THEN 'new'
+              WHEN h.vec_id % 37 = 5 THEN 'tomb'
+              ELSE 'live' END AS st
+  FROM hier h, nn
+),
+agg AS (
+  SELECT cid,
+         SUM(CASE WHEN st = 'live' THEN 1 ELSE 0 END) AS n_live,
+         SUM(CASE WHEN st = 'tomb' THEN 1 ELSE 0 END) AS n_tomb,
+         SUM(CASE WHEN st = 'new' THEN 1 ELSE 0 END) AS n_new
+  FROM tagged GROUP BY cid
+),
+tot AS (SELECT SUM(n_live + n_new) AS total, COUNT(*) AS k FROM agg)
+SELECT CAST(a.cid AS BIGINT) AS cid,
+       CAST(a.n_live AS BIGINT) AS n_live,
+       CAST(a.n_tomb AS BIGINT) AS n_tomb,
+       CAST(a.n_new AS BIGINT) AS n_new,
+       (10 * (a.n_live + a.n_new) * t.k > 11 * t.total) AS needs_split,
+       (50 * a.n_live < 49 * (a.n_live + a.n_tomb)) AS needs_compact
+FROM agg a, tot t
+"""
+
+
+SPECS["stream_ivf_maintain"] = QuerySpec(
+    _stream_ivf_maintain,
+    _stream_ivf_maintain_sql(),
+    "streaming IVF maintenance cycle: 4 real insert+delete micro-batches "
+    "through foreachBatch (frozen base quantizer, delta index + tombstone "
+    "log on disk), occupancy/flags from the streamed state only",
+)
+
+
+# ---------------------------------------------------------------------------
 # stream_lsh_dedup: incremental near-dup detection AT INGEST.
 #
 # The batch dedup family answers "which pairs exist in the corpus"; a

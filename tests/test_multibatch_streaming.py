@@ -263,3 +263,50 @@ def test_stream_lsh_dedup_exercises_both_arms_and_matches_batch(spark):
     assert planted and all(a % 3 != b % 3 for a, b in planted)  # cross-batch
     within = [(a, b) for a, b, _ in streamed if a % 3 == b % 3]
     assert within  # the within-batch arm is live too
+
+
+def test_stream_ivf_maintain_multibatch_equals_batch_twin(spark, monkeypatch):
+    """stream_ivf_maintain drains FOUR real insert+delete micro-batches
+    (staging splits the op log on vec_id % 4, maxFilesPerTrigger=1 —
+    every batch carries both op kinds by construction); the final
+    occupancy/flags frame must equal the one-shot batch `maintain`
+    cycle over the same base/delta/tombstones — the chain-invariance
+    contract under the frozen base quantizer."""
+    from signal_messenger_vector_database_spark.io.sources import (
+        parquet_row_count,
+    )
+    from signal_messenger_vector_database_spark.operators.ann import (
+        hier_super_count,
+        scaled_cluster_count,
+    )
+    from signal_messenger_vector_database_spark.operators.ivf_index import (
+        maintain,
+    )
+    from signal_messenger_vector_database_spark.plans.streaming_queries import (
+        _stream_ivf_maintain,
+    )
+
+    monkeypatch.delenv("SMVD_IVF_CACHE_DIR", raising=False)
+    streamed = {tuple(r) for r in _stream_ivf_maintain(spark, SF).collect()}
+
+    n = parquet_row_count(SF, "embeddings")
+    cut = max(1, n - max(50, n // 10))
+    emb = load_table(spark, SF, "embeddings")
+    k = scaled_cluster_count(cut)
+    out = maintain(
+        spark,
+        emb.filter(F.col("vec_id") < cut),
+        emb.filter(F.col("vec_id") >= cut),
+        f"{SF}/embeddings|smt-base|{cut}",
+        f"{SF}/embeddings|smt-delta|{n - cut}",
+        k,
+        hier_super_count(k),
+        tombstones=emb.filter(
+            (F.col("vec_id") < cut) & (F.col("vec_id") % 37 == 5)
+        ).select("vec_id"),
+    )
+    batch = {tuple(r) for r in out["cells"].collect()}
+    assert streamed == batch and len(streamed) >= k  # every cell accounted
+    # both op kinds actually flowed through the stream
+    assert any(r[3] > 0 for r in streamed)  # n_new
+    assert any(r[2] > 0 for r in streamed)  # n_tomb
