@@ -926,9 +926,15 @@ _GOPHER_TOP_WORD_FRAC = 0.12
 
 
 def _gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _gopher_frame(load_table(spark, sf_dir, "documents"))
+
+
+def _gopher_frame(docs: DataFrame) -> DataFrame:
+    """The Gopher keep/drop rules over ANY (doc_id, text) frame — ONE
+    definition shared by the standalone catalog query and the composed
+    ``curation_pipeline`` stage (the r8 shared-definition rule)."""
     from ..operators.dedup import normalized_text
 
-    docs = load_table(spark, sf_dir, "documents")
     words = F.split(normalized_text(F.col("text")), " ")
     # Single-pass shape: EVERY rule's feature is a moment of the per-doc
     # (word, count) table — total words Σc, character mass Σ(c·len),
@@ -980,13 +986,17 @@ def _gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _gopher_quality_filter_sql() -> str:
+def _gopher_quality_filter_sql(src: str = "documents") -> str:
+    # ``src`` parameterizes the corpus relation (default renders
+    # byte-identical for the standalone query); curation_pipeline embeds
+    # this whole statement as a nested-WITH derived table over its
+    # augmented corpus CTE.
     stop = ", ".join(f"'{w}'" for w in _GOPHER_STOPWORDS)
     return f"""
 WITH w AS (
   SELECT doc_id,
          string_split(lower(regexp_replace(trim(coalesce(text, '')), '\\s+', ' ', 'g')), ' ') AS words
-  FROM documents
+  FROM {src}
 ),
 base AS (
   SELECT doc_id, words,
@@ -2447,4 +2457,349 @@ SPECS["dataset_datasheet"] = QuerySpec(
     _dataset_datasheet,
     _dataset_datasheet_sql(),
     "per-source release datasheet: volume, mean quality, language mode + share, exact-dup fraction",
+)
+
+
+# --- composed LLM-curation pipeline (VERDICT r13 #6) ----------------------
+# Every curation stage in the catalog is proven separately; THIS is the
+# shape a real training-data pipeline actually runs — one end-to-end
+# funnel, each stage consuming the previous stage's survivors:
+#
+#   0 corpus          documents + planted near-dups (the crawl shape:
+#                     every 10th doc duplicated under id+1e6 with one
+#                     appended token — the minhash_lsh_pairs convention,
+#                     so the dedup stages demonstrably FIRE)
+#   1 gopher          Gopher keep/drop rules (_gopher_frame — the shared
+#                     definition with the standalone query)
+#   2 exact_dedup     md5-fingerprint keep-first (min doc_id per fp)
+#   3 neardup         MinHash-LSH pairs -> connected components -> keep
+#                     the component's min doc_id (planted copies die here)
+#   4 decontaminate   train-split survivors minus any doc sharing a
+#                     5-gram with the ORIGINAL corpus's test split (the
+#                     benchmark is defined on raw documents, not on the
+#                     pipeline's own survivors)
+#   5 mixture         per-source md5-bucket sampling (domain_mixture's
+#                     deterministic keep rule)
+#   6 packed          context-window packing of the final survivors
+#                     (n_docs = number of 2048-token packs; n_tokens
+#                     unchanged from stage 5 — packing preserves mass)
+#
+# Output: the funnel itself — (stage_id, stage, n_docs, n_tokens) — the
+# observability frame a production pipeline emits per run; every stage's
+# document count AND token mass is hash-checked against the oracle's
+# recomputation of the identical composition (nested CTE chain from the
+# stages' existing shared fragments).  Scale shape: each stage is the
+# already-probed linear form (hash groupBy, banded equi-join, gram
+# equi-join, md5 thresholds, bucketed prefix sum); the funnel aggregates
+# are one pass per stage over persisted stage frames — exactly the
+# materialize-between-stages discipline a 100 TB pipeline runs with.
+
+
+def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.sources import ensure_parallelism, parquet_row_count
+    from ..operators.dedup import (
+        connected_components,
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_with_shingles,
+    )
+    from .similarity import _JACCARD_THRESHOLD
+
+    base = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    )
+    planted_near = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" planteddup")).alias("text"),
+        "source",
+    )
+    # verbatim copies so the EXACT stage demonstrably fires too (the
+    # near-planted copies differ by one token and survive stage 2)
+    planted_exact = base.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text", "source"
+    )
+    docs0 = base.unionByName(planted_near).unionByName(planted_exact)
+
+    # 1: Gopher quality rules (shared definition)
+    keep_ids = _gopher_frame(docs0).filter(F.col("keep")).select("doc_id")
+    docs1 = docs0.join(keep_ids, "doc_id")
+
+    # 2: exact dedup, keep-first by fingerprint
+    fp = docs1.select("doc_id", fingerprint_md5("text").alias("fp"))
+    keepers = fp.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    docs2 = (
+        docs1.join(fp, "doc_id")
+        .join(keepers, "fp")
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "text", "source")
+        .persist()  # 3 consumers: LSH sets+sigs, the funnel row, docs3
+    )
+
+    # 3: near-dup clusters, keep the component's min id
+    combined = minhash_with_shingles(
+        docs2.select("doc_id", "text"), id_col="doc_id", text_col="text"
+    ).persist()
+    pairs = jaccard_verify(
+        lsh_candidate_pairs(combined.drop("shingles"), id_col="doc_id"),
+        combined.select("doc_id", "shingles"),
+        id_col="doc_id",
+        threshold=_JACCARD_THRESHOLD,
+    )
+    labels = connected_components(pairs)
+    docs3 = (
+        docs2.join(
+            labels.select(F.col("id").alias("doc_id"), "label"), "doc_id", "left"
+        )
+        .filter(F.col("label").isNull() | (F.col("label") == F.col("doc_id")))
+        .select("doc_id", "text", "source")
+        .persist()
+    )
+
+    # 4: decontaminate the train split against the ORIGINAL test split
+    test_grams = (
+        load_table(spark, sf_dir, "documents")
+        .filter(_split_assign(F.col("doc_id")) == "test")
+        .select(F.explode(_word_ngrams("text", _DECON_N)).alias("g"))
+        .distinct()
+    )
+    train3 = docs3.filter(_split_assign(F.col("doc_id")) == "train")
+    contaminated = (
+        train3.select("doc_id", F.explode(_word_ngrams("text", _DECON_N)).alias("g"))
+        .distinct()
+        .join(test_grams, "g")
+        .select("doc_id")
+        .distinct()
+    )
+    docs4 = train3.join(contaminated, "doc_id", "left_anti")
+
+    # 5: per-source mixture sampling (domain_mixture's keep rule)
+    rate = F.coalesce(
+        *[
+            F.when(F.col("source") == s, F.lit(r))
+            for s, r in _MIXTURE_RATES.items()
+        ],
+        F.lit(_MIXTURE_DEFAULT),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+    )
+    docs5 = docs4.filter(bucket < rate * 65536).persist()
+
+    # 6: context-window packing (the token_packing bucketed prefix sum;
+    # width from the cheap parquet row count — docs5 ⊆ docs0's id range)
+    width = max(100, -(-(parquet_row_count(sf_dir, "documents") * 3) // 10_000))
+    toks = docs5.select(
+        "doc_id",
+        token_count("text").alias("tokens"),
+        (F.col("doc_id") / width).cast("long").alias("bkt"),
+    )
+    w_in = Window.partitionBy("bkt").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    within = toks.withColumn("cum_in", F.sum("tokens").over(w_in))
+    offsets = (
+        toks.groupBy("bkt")
+        .agg(F.sum("tokens").alias("btot"))
+        .select(
+            "bkt",
+            F.coalesce(
+                F.sum("btot").over(
+                    Window.orderBy("bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("offset"),
+        )
+    )
+    packed = within.join(F.broadcast(offsets), "bkt").select(
+        F.floor(
+            (F.col("offset") + F.col("cum_in") - F.col("tokens"))
+            / F.lit(_PACK_BUDGET)
+        ).alias("pack_id"),
+        "tokens",
+    )
+
+    def stage_row(df: DataFrame, sid: int, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum(token_count("text")), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
+        ).select(
+            F.lit(sid).cast("int").alias("stage_id"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+            "n_tokens",
+        )
+
+    pack_row = packed.agg(
+        F.count_distinct("pack_id").cast("long").alias("n_docs"),
+        F.coalesce(F.sum("tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+    ).select(
+        F.lit(6).cast("int").alias("stage_id"),
+        F.lit("packed").alias("stage"),
+        "n_docs",
+        "n_tokens",
+    )
+    funnel = (
+        stage_row(docs0, 0, "corpus")
+        .unionByName(stage_row(docs1, 1, "gopher"))
+        .unionByName(stage_row(docs2, 2, "exact_dedup"))
+        .unionByName(stage_row(docs3, 3, "neardup"))
+        .unionByName(stage_row(docs4, 4, "decontaminate"))
+        .unionByName(stage_row(docs5, 5, "mixture"))
+        .unionByName(pack_row)
+    )
+    return funnel.orderBy("stage_id")
+
+
+def _curation_pipeline_sql() -> str:
+    from .pipeline import _SQL_FINGERPRINT
+    from .similarity import _sql_minhash_cols, _sql_shingle_cte
+
+    fpx = _SQL_FINGERPRINT.format(c="text")
+    tok = _SQL_TOKENS
+    gram5 = (
+        f"CASE WHEN len(w) >= {_DECON_N} "
+        f"THEN list_transform(generate_series(1, len(w) - {_DECON_N} + 1), "
+        f"i -> array_to_string(list_slice(w, i, i + {_DECON_N} - 1), ' ')) "
+        f"ELSE list_value(array_to_string(w, ' ')) END"
+    )
+    jac = (
+        "CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) / "
+        "(len(sa.shingles) + len(sb.shingles) "
+        "- len(list_intersect(sa.shingles, sb.shingles)))"
+    )
+    from .similarity import _JACCARD_THRESHOLD
+
+    return f"""
+WITH RECURSIVE docs0 AS MATERIALIZED (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' planteddup' AS text, source
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text, source
+  FROM documents WHERE doc_id % 20 = 0
+),
+g AS MATERIALIZED ({_gopher_quality_filter_sql(src="docs0")}),
+docs1 AS MATERIALIZED (
+  SELECT d.doc_id, d.text, d.source
+  FROM docs0 d JOIN g USING (doc_id) WHERE g.keep
+),
+fp AS MATERIALIZED (SELECT doc_id, {fpx} AS fp FROM docs1),
+keepers AS MATERIALIZED (SELECT fp, MIN(doc_id) AS keep_id FROM fp GROUP BY fp),
+docs2 AS MATERIALIZED (
+  SELECT d.doc_id, d.text, d.source
+  FROM docs1 d JOIN fp USING (doc_id) JOIN keepers USING (fp)
+  WHERE d.doc_id = keepers.keep_id
+),
+t AS MATERIALIZED ({_sql_shingle_cte(table="docs2")}),
+sig AS MATERIALIZED (SELECT doc_id, shingles, {_sql_minhash_cols()} FROM t),
+banded AS MATERIALIZED (
+  SELECT doc_id, 0 AS band, md5(mh_0 || mh_1 || mh_2 || mh_3) AS key FROM sig
+  UNION ALL SELECT doc_id, 1, md5(mh_4 || mh_5 || mh_6 || mh_7) FROM sig
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+pairs AS MATERIALIZED (
+  SELECT id_a, id_b
+  FROM cand
+  JOIN sig sa ON cand.id_a = sa.doc_id
+  JOIN sig sb ON cand.id_b = sb.doc_id
+  WHERE ROUND({jac}, 4) >= {_JACCARD_THRESHOLD}
+),
+edges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+labels AS MATERIALIZED (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster
+  FROM reach GROUP BY src
+),
+docs3 AS MATERIALIZED (
+  SELECT d.doc_id, d.text, d.source
+  FROM docs2 d LEFT JOIN labels l USING (doc_id)
+  WHERE l.cluster IS NULL OR l.cluster = d.doc_id
+),
+train3 AS MATERIALIZED (
+  SELECT * FROM docs3 WHERE {_SQL_HEX4_MD5} % 10 < 8
+),
+testg AS MATERIALIZED (
+  SELECT DISTINCT g FROM (
+    SELECT unnest({gram5}) AS g FROM (
+      SELECT string_split({_SQL_NORM_TEXT}, ' ') AS w
+      FROM documents WHERE {_SQL_HEX4_MD5} % 10 >= 9
+    )
+  )
+),
+traing AS MATERIALIZED (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, unnest({gram5}) AS g FROM (
+      SELECT doc_id, string_split({_SQL_NORM_TEXT}, ' ') AS w FROM train3
+    )
+  )
+),
+contaminated AS MATERIALIZED (SELECT DISTINCT t.doc_id FROM traing t JOIN testg USING (g)),
+docs4 AS MATERIALIZED (
+  SELECT * FROM train3
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+docs5 AS MATERIALIZED (
+  SELECT * FROM docs4 WHERE {_SQL_HEX4_MD5} < ({_mixture_rate_sql()}) * 65536
+),
+packt AS MATERIALIZED (
+  SELECT doc_id, {tok} AS tokens,
+         SUM({tok}) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM docs5
+),
+packs AS MATERIALIZED (
+  SELECT CAST(floor((cum - tokens) / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id,
+         tokens
+  FROM packt
+)
+SELECT 0 AS stage_id, 'corpus' AS stage,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COALESCE(SUM({tok}), 0) AS BIGINT) AS n_tokens FROM docs0
+UNION ALL
+SELECT 1, 'gopher', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM({tok}), 0) AS BIGINT) FROM docs1
+UNION ALL
+SELECT 2, 'exact_dedup', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM({tok}), 0) AS BIGINT) FROM docs2
+UNION ALL
+SELECT 3, 'neardup', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM({tok}), 0) AS BIGINT) FROM docs3
+UNION ALL
+SELECT 4, 'decontaminate', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM({tok}), 0) AS BIGINT) FROM docs4
+UNION ALL
+SELECT 5, 'mixture', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM({tok}), 0) AS BIGINT) FROM docs5
+UNION ALL
+SELECT 6, 'packed', CAST(COUNT(DISTINCT pack_id) AS BIGINT),
+       CAST(COALESCE(SUM(tokens), 0) AS BIGINT) FROM packs
+ORDER BY stage_id
+"""
+
+
+SPECS["curation_pipeline"] = QuerySpec(
+    _curation_pipeline,
+    _curation_pipeline_sql(),
+    "end-to-end LLM curation funnel: planted-dup corpus -> gopher -> "
+    "exact dedup -> minhash near-dup clusters -> test-split "
+    "decontamination -> mixture sampling -> context-window packing; "
+    "output = per-stage (n_docs, n_tokens) funnel",
 )

@@ -503,3 +503,39 @@ def test_pq_trained_recall_consistency_and_lift(spark):
     assert t.recall == t.n_hits / 10.0
     assert t.shortlist_recall == t.n_short_hits / 10.0
     assert t.shortlist_recall >= s.shortlist_recall
+
+
+def test_curation_pipeline_every_stage_fires(spark):
+    """The composed funnel's oracle hash-check proves Spark == DuckDB,
+    but NOT that each stage actually removes documents (a no-op stage
+    would agree on both engines).  Pin the funnel shape: monotone
+    non-increasing, and the planted-dup construction guarantees the
+    gopher, exact-dedup, near-dup, decontaminate, and mixture stages
+    each strictly shrink the survivor set at this fixture scale, while
+    packing preserves stage-5's token mass exactly."""
+    from signal_messenger_vector_database_spark.plans.traindata import (
+        _curation_pipeline,
+    )
+
+    rows = {r.stage: r for r in _curation_pipeline(spark, SF).collect()}
+    order = [
+        "corpus",
+        "gopher",
+        "exact_dedup",
+        "neardup",
+        "decontaminate",
+        "mixture",
+    ]
+    for a, b in zip(order, order[1:]):
+        assert rows[b].n_docs <= rows[a].n_docs, (a, b)
+    # strict shrink at every curation stage (exact copies planted at
+    # doc_id+2e6 die at exact_dedup; near copies at +1e6 die at neardup)
+    assert rows["gopher"].n_docs < rows["corpus"].n_docs
+    assert rows["exact_dedup"].n_docs < rows["gopher"].n_docs
+    assert rows["neardup"].n_docs < rows["exact_dedup"].n_docs
+    assert rows["decontaminate"].n_docs < rows["neardup"].n_docs
+    assert rows["mixture"].n_docs < rows["decontaminate"].n_docs
+    assert rows["mixture"].n_docs > 0
+    # packing preserves token mass and yields ceil-ish pack count
+    assert rows["packed"].n_tokens == rows["mixture"].n_tokens
+    assert 1 <= rows["packed"].n_docs <= rows["mixture"].n_docs
