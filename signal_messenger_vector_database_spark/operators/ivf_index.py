@@ -82,12 +82,25 @@ build step, Spark-shaped.
 from __future__ import annotations
 
 import hashlib
+import logging
 import os
 import shutil
 import uuid
 import weakref
 
 from pyspark.sql import DataFrame, SparkSession
+
+_log = logging.getLogger(__name__)
+
+# observable self-heal tally (ADVICE r13): a healthy deployment sees 0
+# or the occasional executor-loss blip; a count climbing once per seam
+# access is a false-positive heal loop silently defeating the memo.
+_MEMO_HEAL_COUNT = 0
+
+
+def memo_heal_count() -> int:
+    """Number of memo self-heal rebuilds this process has performed."""
+    return _MEMO_HEAL_COUNT
 
 from .ann import ivf_assign_hier
 
@@ -217,13 +230,18 @@ def _memo_value_healthy(val) -> bool:
     consumer's action with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND.  Detect
     exactly that state driver-side (no job): a frame whose RDD reports
     ``isCheckpointed`` (materialization happened) but whose block-
-    manager storage info shows fewer cached partitions than the RDD
-    has is a dead handle — the seam drops the entry and REBUILDS from
-    the caller's still-lineaged input instead of serving it.  A
-    never-materialized lazy checkpoint (isCheckpointed False) is
-    healthy by construction: its lineage is intact.  Anything
-    unreachable (Connect, non-LogicalRDD plans) is assumed healthy —
-    the pre-r13 behavior, never worse."""
+    manager storage info shows ZERO cached partitions is a dead
+    handle — the seam drops the entry and REBUILDS from the caller's
+    still-lineaged input instead of serving it.  Zero, not
+    fewer-than-n (ADVICE r13): a benign partial-caching state (block-
+    manager accounting of empty partitions, a transient eviction race)
+    must not silently rebuild on EVERY hit and defeat the memo; a
+    genuinely partial loss still fails the in-flight action, and the
+    NEXT access sees the unpersist cascade (all blocks dropped) and
+    heals.  A never-materialized lazy checkpoint (isCheckpointed
+    False) is healthy by construction: its lineage is intact.
+    Anything unreachable (Connect, non-LogicalRDD plans) is assumed
+    healthy — the pre-r13 behavior, never worse."""
     for jrdd in _memo_frame_jrdds(val):
         try:
             if not jrdd.isCheckpointed():
@@ -238,7 +256,7 @@ def _memo_value_healthy(val) -> bool:
                 if info.id() == jrdd.id():
                     cached = info.numCachedPartitions()
                     break
-            if cached < n:
+            if cached == 0:
                 return False
         except Exception:
             continue
@@ -306,7 +324,16 @@ def _memo_get_or_build(
             return got[2]
         # dead handle (checkpoint blocks lost — executor loss, or
         # blocks externally unpersisted): fall through to rebuild,
-        # which replaces the entry like any stamp mismatch
+        # which replaces the entry like any stamp mismatch.  Counted
+        # and logged (ADVICE r13) so a false-positive heal LOOP —
+        # which would silently defeat the memo — is observable:
+        # memo_heal_count() climbing once per hit is the signature.
+        global _MEMO_HEAL_COUNT
+        _MEMO_HEAL_COUNT += 1
+        _log.warning(
+            "ivf memo self-heal #%d: dead checkpoint handle for family "
+            "%s — rebuilding", _MEMO_HEAL_COUNT, family[:2],
+        )
     val = build()
     if got is not None:
         del memo[family]
@@ -1135,6 +1162,16 @@ def cell_candidates(spark: SparkSession, path: str, cids) -> DataFrame:
                 .parquet(donor)
                 .filter(F.lit(False))
             )
+        # no donor either: the ENTIRE local index compacted away (zero
+        # cid= directories).  The root read would throw 'unable to
+        # infer schema' instead of the empty frame the contract
+        # promises (ADVICE r13) — return it with the canonical index
+        # schema (write_cell_index consumers store (vec_id, cid)).  A
+        # root that does not exist at all is a caller bug, not an
+        # empty index: fail loudly.
+        if os.path.isdir(path):
+            return spark.createDataFrame([], "vec_id long, cid long")
+        raise FileNotFoundError(f"cell index root does not exist: {path}")
     return read_cell_index(spark, path).filter(F.col("cid").isin(cids))
 
 

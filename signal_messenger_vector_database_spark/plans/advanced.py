@@ -177,21 +177,42 @@ SELECT c_custkey, hex(c_name) AS name_hex FROM customer WHERE c_custkey <= 100
 """
 
 
-# --- approx distinct (sketch; rows-only — HLL != exact by design) -------
+# --- approx distinct (HLL sketch, bound-checked — VERDICT r13 #8) --------
+# The estimate itself is engine-internal (Spark's HLL++ registers and
+# DuckDB's HLL cannot be replayed cross-engine), so for 6 rounds this
+# was the catalog's one rows-only entry — a check that could never
+# fail.  The published error bound CAN be the contract: each engine
+# independently asserts its own estimate lands within 4x the requested
+# relative standard deviation of the exact count (rsd=0.02 -> 8%;
+# 4 sigma under the HLL++ normality approximation, i.e. a ~1-in-16000
+# false-alarm rate — DuckDB's default HLL precision is far tighter).
+# Both sides output the exact count plus the 0/1 bound verdict: a
+# broken sketch now hash-mismatches instead of sailing through.
+_HLL_RSD = 0.02
+
+
 def _approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     return l.agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_partkey", rsd=_HLL_RSD).alias("approx"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     ).select(
-        "approx_parts",
-        "exact_parts",
-        F.round(
-            F.abs(F.col("approx_parts") - F.col("exact_parts"))
-            / F.col("exact_parts"),
-            4,
-        ).alias("rel_err"),
+        F.col("exact_parts").cast("long").alias("exact_parts"),
+        (
+            F.abs(F.col("approx") - F.col("exact_parts"))
+            <= F.lit(4 * _HLL_RSD) * F.col("exact_parts")
+        )
+        .cast("int")
+        .alias("within_4rsd"),
     )
+
+
+_APPROX_DISTINCT_SQL = f"""
+SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       CAST(ABS(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))
+            <= {4 * _HLL_RSD} * COUNT(DISTINCT l_partkey) AS INTEGER) AS within_4rsd
+FROM lineitem
+"""
 
 
 # --- unpivot / melt: wide -> long ---------------------------------------
@@ -417,7 +438,7 @@ SPECS: dict[str, QuerySpec] = {
     "asof_join": QuerySpec(_asof_join, _ASOF_JOIN_SQL, "as-of join via union+window (oracle: DuckDB ASOF JOIN)"),
     "interval_join": QuerySpec(_interval_join, _INTERVAL_JOIN_SQL, "equi-keyed interval join"),
     "hex_project": QuerySpec(_hex_project, _HEX_PROJECT_SQL, "P6 hex encode projection"),
-    "approx_distinct": QuerySpec(_approx_distinct, None, "HLL approx_count_distinct vs exact (sketch)"),
+    "approx_distinct": QuerySpec(_approx_distinct, _APPROX_DISTINCT_SQL, "HLL estimate bound-checked against exact (|est-exact| <= 4*rsd, per engine)"),
     "unpivot_metrics": QuerySpec(
         _unpivot_metrics, _UNPIVOT_SQL, "unpivot/melt wide metrics to long form"
     ),

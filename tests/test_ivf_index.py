@@ -647,9 +647,12 @@ def test_memo_self_heals_lost_checkpoint_blocks(spark, monkeypatch):
         jrdd.unpersist(True)
     assert not ivf_index._memo_value_healthy(first)
 
+    heals_before = ivf_index.memo_heal_count()
     healed = ivf_index.shared_hier_assignment(spark, emb, token, k, ns)
     assert healed is not first  # rebuilt, not the dead handle
     assert {r.vec_id: r.cid for r in healed.collect()} == rows
+    # the heal is OBSERVABLE (ADVICE r13): exactly one rebuild counted
+    assert ivf_index.memo_heal_count() == heals_before + 1
     # the healed entry replaced the dead one in place and is served on
     # the next hit
     assert ivf_index.shared_hier_assignment(spark, emb, token, k, ns) is healed
@@ -1282,3 +1285,29 @@ def test_maintain_empty_delta_list_is_the_no_ingest_cycle(spark, monkeypatch):
     )
     dec = out["decision"].collect()[0]
     assert dec.k == k and isinstance(dec.rebuild_recommended, bool)
+
+
+def test_cell_candidates_fully_compacted_index_is_empty_not_error(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r13: when EVERY cid= directory of a local index has been
+    compacted away (no schema donor remains), the contract's answer is
+    an empty frame with the canonical (vec_id, cid) schema — the old
+    fall-through to the root read threw 'unable to infer schema'.  A
+    root that does not exist at all is a caller bug and must fail
+    loudly instead of masquerading as an empty index."""
+    import pytest as _pytest
+
+    from signal_messenger_vector_database_spark.operators.ivf_index import (
+        cell_candidates,
+    )
+
+    monkeypatch.delenv("SMVD_IVF_CACHE_DIR", raising=False)
+    root = tmp_path / "compacted_away_idx"
+    root.mkdir()  # index root exists, zero cid= directories remain
+    got = cell_candidates(spark, str(root), [0, 1])
+    assert got.columns == ["vec_id", "cid"]
+    assert got.count() == 0
+
+    with _pytest.raises(FileNotFoundError):
+        cell_candidates(spark, str(tmp_path / "no_such_idx"), [0])

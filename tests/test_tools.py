@@ -23,11 +23,14 @@ sys.path.insert(0, REPO)
 
 def test_window_rotate_matches_pinned_window(monkeypatch):
     """The committed _WINDOW must be exactly what the tool generates
-    from the r01-r12 CORRECTNESS history (the documented input state in
+    from the r01-r13 CORRECTNESS history (the documented input state in
     the catalog comment block) and the documented --changed list — the
     rotation rule is executable, so the pinned list must not drift from
-    it.  History is pinned to <= r12 so the test stays true after the
-    r13 driver row lands.
+    it.  History is pinned to <= r13 so the test stays true after the
+    r14 driver row lands.  This regeneration check is ALSO the
+    displaced-entry enforcement (ADVICE r13): adding a round's queries
+    without re-rotating fails it, and the rotation rule itself puts
+    last round's displaced names at the head of the stale queue.
 
     NEXT-ROUND NOTE: when a round re-pins _WINDOW, update this test in
     the SAME commit — copy the new --changed list from the catalog
@@ -40,29 +43,28 @@ def test_window_rotate_matches_pinned_window(monkeypatch):
 
     real = window_rotate.latest_rounds
 
-    def r12_history():
+    def r13_history():
         import glob
         import re
 
         hist = {}
         for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
             rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
-            if rnd > 12:
+            if rnd > 13:
                 continue
             for name in json.load(open(f)):
                 hist[name] = max(rnd, hist.get(name, 0))
         return hist
 
-    monkeypatch.setattr(window_rotate, "latest_rounds", r12_history)
-    assert real is not r12_history  # sanity: we really swapped it
+    monkeypatch.setattr(window_rotate, "latest_rounds", r13_history)
+    assert real is not r13_history  # sanity: we really swapped it
 
     changed = [
-        "topk_ivf_tombstone",
-        "ivf_chain_assign",
-        "pq_encode_delta",
-        "topk_ivf_filtered",
-        "maxsim_retrieve",
-        "filtered_recall_curve",
+        "topk_ivf_lifecycle",
+        "topk_ivf_sq8",
+        "stream_ivf_maintain",
+        "curation_pipeline",
+        "approx_distinct",
     ]
     window, prov = window_rotate.compute_window(changed, 50)
     assert window == _WINDOW
@@ -84,9 +86,24 @@ def test_window_rotate_ordering_and_validation():
 
     with pytest.raises(SystemExit):
         window_rotate.compute_window(["no_such_query"], 50)
-    # rows-only entries can never turn hash-green: no window slot
-    with pytest.raises(SystemExit):
-        window_rotate.compute_window(["approx_distinct"], 50)
+    # rows-only entries can never turn hash-green: no window slot.  As
+    # of r14 the catalog has ZERO rows-only entries (approx_distinct
+    # gained a bound-check oracle), so pin the branch with a synthetic
+    # spec injected into the catalog lookup.
+    import signal_messenger_vector_database_spark.plans.catalog as _cat
+    from signal_messenger_vector_database_spark.plans.registry import (
+        QuerySpec,
+    )
+
+    real_all_specs = _cat.all_specs
+    fake = dict(real_all_specs())
+    fake["_fake_rows_only"] = QuerySpec(lambda s, d: None, None, "synthetic")
+    _cat.all_specs = lambda: fake
+    try:
+        with pytest.raises(SystemExit):
+            window_rotate.compute_window(["_fake_rows_only"], 50)
+    finally:
+        _cat.all_specs = real_all_specs
     # an over-full changed list must be an explicit error, not a
     # silent truncation
     from signal_messenger_vector_database_spark.plans.catalog import (
@@ -195,3 +212,34 @@ def test_fence_builder_defaults_are_canonical():
     split = capped_split_ctes(64, src="bt_corpus", hash_expr="v.vec_id // 2")
     assert "FROM bt_corpus e JOIN hier h" in split
     assert "md5(CAST(v.vec_id // 2 AS VARCHAR))" in split
+
+
+# --- connect_smoke gate ------------------------------------------------------
+
+
+def test_connect_smoke_gate_and_slice_names():
+    """The Connect smoke must (a) gate on exactly the grpcio+protobuf
+    pair — so a box WITH the extras cannot silently skip — and (b) name
+    only real catalog queries, all oracle-paired, covering the three
+    Connect-fallback seams it exists to exercise."""
+    import connect_smoke
+
+    ok, reason = connect_smoke.connect_available()
+    import importlib.util
+
+    expect = all(
+        importlib.util.find_spec(m) is not None
+        for m in ("grpc", "google.protobuf")
+    )
+    assert ok == expect, reason
+
+    from signal_messenger_vector_database_spark.plans.catalog import all_specs
+
+    specs = all_specs()
+    missing = [n for n in connect_smoke.SLICE if n not in specs]
+    assert not missing, missing
+    # seam coverage: memo consumers, ensure_parallelism consumers, and
+    # exact_cosine_pairs are all represented
+    assert {"semdedup", "decontaminate", "embedding_neardup_exact_baseline"} <= set(
+        connect_smoke.SLICE
+    )

@@ -393,40 +393,47 @@ def run_serve(scales: list[int]) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()
     dirs = {k: build_scaled(spark, k) for k in scales}
-    cache = "/tmp/smvd_serve_probe_cache"
-    shutil.rmtree(cache, ignore_errors=True)
-    os.makedirs(cache, exist_ok=True)
+    # tempdir, not a fixed /tmp name (cross-user collisions), and POPPED
+    # in finally like every other probe mode — code after the mode
+    # dispatch must not silently inherit the disk-cache tier (ADVICE r13)
+    import tempfile
+
+    cache = tempfile.mkdtemp(prefix="smvd_serve_probe_cache_")
     os.environ["SMVD_IVF_CACHE_DIR"] = cache
 
-    results = {}
-    for warmup in (True, False):
-      for k in (scales[:1] if warmup else scales):
-        sf_dir = dirs[k]
-        n = parquet_row_count(sf_dir, "embeddings")
-        kk = scaled_cluster_count(n)
-        emb = load_table(spark, sf_dir, "embeddings")
-        t0 = time.time()
-        shared_hier_assignment(
-            spark, emb, f"{sf_dir}/embeddings|{n}", kk, hier_super_count(kk)
-        ).write.format("noop").mode("overwrite").save()
-        build_sec = round(time.time() - t0, 2)
-        row = {"scale": k, "n": n, "k_cells": kk, "build_sec": build_sec}
-        for name in ("topk_ivf_filtered", "maxsim_retrieve"):
-            runs = []
-            for _ in range(3):
-                spark.catalog.clearCache()
-                t0 = time.time()
-                qs[name](spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                runs.append(round(time.time() - t0, 3))
-            row[name] = sorted(runs)[1]
-            row[f"{name}_runs"] = runs
-        if warmup:
-            continue
-        results[f"x{k}"] = row
-        print(json.dumps(row), flush=True)
-    print(json.dumps(results))
+    try:
+        results = {}
+        for warmup in (True, False):
+          for k in (scales[:1] if warmup else scales):
+            sf_dir = dirs[k]
+            n = parquet_row_count(sf_dir, "embeddings")
+            kk = scaled_cluster_count(n)
+            emb = load_table(spark, sf_dir, "embeddings")
+            t0 = time.time()
+            shared_hier_assignment(
+                spark, emb, f"{sf_dir}/embeddings|{n}", kk, hier_super_count(kk)
+            ).write.format("noop").mode("overwrite").save()
+            build_sec = round(time.time() - t0, 2)
+            row = {"scale": k, "n": n, "k_cells": kk, "build_sec": build_sec}
+            for name in ("topk_ivf_filtered", "maxsim_retrieve"):
+                runs = []
+                for _ in range(3):
+                    spark.catalog.clearCache()
+                    t0 = time.time()
+                    qs[name](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    runs.append(round(time.time() - t0, 3))
+                row[name] = sorted(runs)[1]
+                row[f"{name}_runs"] = runs
+            if warmup:
+                continue
+            results[f"x{k}"] = row
+            print(json.dumps(row), flush=True)
+        print(json.dumps(results))
+    finally:
+        os.environ.pop("SMVD_IVF_CACHE_DIR", None)
+        shutil.rmtree(cache, ignore_errors=True)
 
 
 def main() -> None:
