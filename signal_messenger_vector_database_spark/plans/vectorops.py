@@ -2235,19 +2235,24 @@ def _topk_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = shared_hier_assignment(
         spark, emb, f"{sf_dir}/embeddings|{n}", k, ns
     )
-    qd = _quantized(emb).select(
-        "vec_id", F.col("q").cast("array<double>").alias("code")
+    qcode = _quantized(emb.filter(F.col("vec_id") == 0)).select(
+        F.col("q").cast("array<double>").alias("qc")
     )
-    qcode = qd.filter(F.col("vec_id") == 0).select(F.col("code").alias("qc"))
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     qcells = route_query_cells(
         q, ivf_seed_centroids(emb, k), ns, n_cells=2
     )
-    # int8 scoring pass: routed cells only, integer dot products
+    # int8 scoring pass over the ROUTED CANDIDATES only: in production
+    # the codes are stored next to the assignment (quantize once at
+    # ingest, the PQ-codes discipline); query-time must therefore touch
+    # O(candidates) quantized rows, never re-encode the corpus — the
+    # ×64 probe caught the corpus-wide form growing 2.5× (wave 27)
+    cand = assign.join(F.broadcast(qcells), "cid").select("vec_id")
+    cand_codes = _quantized(emb.join(cand, "vec_id")).select(
+        "vec_id", F.col("q").cast("array<double>").alias("code")
+    )
     shortlist = (
-        assign.join(F.broadcast(qcells), "cid")
-        .join(qd, "vec_id")
-        .crossJoin(F.broadcast(qcode))
+        cand_codes.crossJoin(F.broadcast(qcode))
         .select(
             "vec_id",
             F.floor(cosine_similarity("code", "qc") * 10000 + 0.5)

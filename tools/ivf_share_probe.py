@@ -415,7 +415,17 @@ def run_serve(scales: list[int]) -> None:
             ).write.format("noop").mode("overwrite").save()
             build_sec = round(time.time() - t0, 2)
             row = {"scale": k, "n": n, "k_cells": kk, "build_sec": build_sec}
-            for name in ("topk_ivf_filtered", "maxsim_retrieve"):
+            # r14 adds the two new serving arms: IVF-SQ8 (int8-scored
+            # 2-cell shortlist + float re-rank — rides the same stored
+            # full-corpus assignment) and the composed lifecycle query
+            # (chain + tombstones + predicate + widened probe — its
+            # chain parts build per scale on first run, then serve).
+            for name in (
+                "topk_ivf_filtered",
+                "maxsim_retrieve",
+                "topk_ivf_sq8",
+                "topk_ivf_lifecycle",
+            ):
                 runs = []
                 for _ in range(3):
                     spark.catalog.clearCache()
