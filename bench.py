@@ -140,6 +140,7 @@ HEADLINE = [
     "topk_ivf_lifecycle",
     "topk_ivf_sq8",
     "curation_pipeline",
+    "topk_binary_rerank",
 ]
 
 

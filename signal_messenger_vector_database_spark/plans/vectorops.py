@@ -2692,3 +2692,122 @@ SPECS["pq_recall_trained"] = QuerySpec(
     _pq_recall_trained_sql(),
     "recall@10 of ADC over ONE-Lloyd-round trained codebooks (the training lift, measured)",
 )
+
+
+# --- binary (1-bit) quantization serving (r14) -------------------------------
+# The third point of the quantization matrix after PQ (trained/ADC/
+# residual/delta) and SQ8: sign-bit codes — 1 bit per dimension, a 32x
+# compression over fp32 — scanned with Hamming distance and fixed by an
+# exact float re-rank.  This is the compressed-linear-scan shape
+# production vector stores ship (pgvector `bit(n)` + hamming ops,
+# Milvus BINARY_VECTOR, the "binary quantization" arm of every 2024
+# embedding-at-scale writeup): at 100 TB the code table is small enough
+# to scan (or mmap) where the float table is not, XOR+popcount is the
+# cheapest distance arithmetic that exists, and recall is recovered by
+# re-ranking the short Hamming list with the true metric.  Composition
+# with the IVF router (route cells, Hamming within the cell) is the
+# same one-join change as topk_ivf_sq8.
+#
+# Portability: the 64 sign bits pack into TWO 32-bit halves held as
+# BIGINTs (a single 64-bit word would put bit 63 in the sign position),
+# so packing, XOR, and popcount are exact integer ops both engines
+# spell identically; the Hamming shortlist cut is (distance ASC,
+# vec_id) — no FP anywhere before the final re-rank.
+
+_BINARY_RERANK_SHORTLIST = 64
+
+
+def _pack_sign_bits(vec_col: str, start: int):
+    """Σ 2^i over dims [start, start+32) with a positive sign — exact
+    BIGINT < 2^32.  Strictly-positive counts as 1 (ties at 0.0 are 0
+    in both engines)."""
+    terms = [
+        F.when(
+            F.element_at(F.col(vec_col), start + i + 1) > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+        for i in range(32)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("long")
+
+
+def _topk_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = emb.select(
+        "vec_id",
+        _pack_sign_bits("embedding", 0).alias("lo"),
+        _pack_sign_bits("embedding", 32).alias("hi"),
+    )
+    qc = codes.filter(F.col("vec_id") == 0).select(
+        F.col("lo").alias("qlo"), F.col("hi").alias("qhi")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    hamming = F.bit_count(
+        F.col("lo").bitwiseXOR(F.col("qlo"))
+    ) + F.bit_count(F.col("hi").bitwiseXOR(F.col("qhi")))
+    shortlist = (
+        codes.crossJoin(F.broadcast(qc))
+        .select("vec_id", hamming.cast("int").alias("hd"))
+        .orderBy("hd", "vec_id")
+        .limit(_BINARY_RERANK_SHORTLIST)
+        .select("vec_id")
+    )
+    return (
+        emb.join(F.broadcast(shortlist), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            portable_round(cosine_similarity("embedding", "qv"), 4).alias(
+                "sim"
+            ),
+        )
+        .orderBy(F.desc("sim"), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+def _topk_binary_rerank_sql() -> str:
+    from .ivf_sql import SQL_COS
+
+    def pack(start: int) -> str:
+        terms = " + ".join(
+            f"CASE WHEN embedding[{start + i + 1}] > 0 THEN {1 << i} ELSE 0 END"
+            for i in range(32)
+        )
+        return f"CAST({terms} AS BIGINT)"
+
+    cos_eq = SQL_COS.format(a="e.embedding", b="q.qv")
+    return f"""
+WITH codes AS (
+  SELECT vec_id, {pack(0)} AS lo, {pack(32)} AS hi FROM embeddings
+),
+qc AS (SELECT lo AS qlo, hi AS qhi FROM codes WHERE vec_id = 0),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+short AS (
+  SELECT vec_id FROM (
+    SELECT c.vec_id,
+           CAST(bit_count(xor(c.lo, qc.qlo)) + bit_count(xor(c.hi, qc.qhi))
+                AS INTEGER) AS hd
+    FROM codes c, qc
+  ) ORDER BY hd, vec_id
+  LIMIT {_BINARY_RERANK_SHORTLIST}
+)
+SELECT e.vec_id,
+       FLOOR(({cos_eq}) * 10000 + 0.5) / 10000 AS sim
+FROM embeddings e JOIN short USING (vec_id), q
+ORDER BY sim DESC, e.vec_id
+LIMIT 10
+"""
+
+
+SPECS["topk_binary_rerank"] = QuerySpec(
+    _topk_binary_rerank,
+    _topk_binary_rerank_sql(),
+    "binary (1-bit sign) quantization serving: 64-bit Hamming scan over "
+    "packed codes (two exact BIGINT halves, XOR+popcount), exact float "
+    "re-rank of the top-64 — the 32x-compressed linear-scan arm",
+)

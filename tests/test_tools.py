@@ -64,6 +64,7 @@ def test_window_rotate_matches_pinned_window(monkeypatch):
         "topk_ivf_sq8",
         "stream_ivf_maintain",
         "curation_pipeline",
+        "topk_binary_rerank",
         "approx_distinct",
     ]
     window, prov = window_rotate.compute_window(changed, 50)
