@@ -2714,7 +2714,13 @@ SPECS["pq_recall_trained"] = QuerySpec(
 # spell identically; the Hamming shortlist cut is (distance ASC,
 # vec_id) — no FP anywhere before the final re-rank.
 
-_BINARY_RERANK_SHORTLIST = 64
+# measured at sf0.1 (quant_recall_matrix methodology): the exact
+# top-10's coverage by the Hamming shortlist is 5/8/10/10 at widths
+# 64/128/256/512 — 64-bit codes on 64-dim embeddings need ~256
+# candidates for full recall@10, and a 256-row float re-rank is still
+# negligible next to the code scan.  Production dims (768+) pack more
+# bits and shrink this.
+_BINARY_RERANK_SHORTLIST = 256
 
 
 def _pack_sign_bits(vec_col: str, start: int):
@@ -2770,16 +2776,20 @@ def _topk_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_pack_sign_bits(start: int) -> str:
+    """DuckDB twin of ``_pack_sign_bits`` — ONE definition shared by
+    every binary-code oracle (topk_binary_rerank, quant_recall_matrix)."""
+    terms = " + ".join(
+        f"CASE WHEN embedding[{start + i + 1}] > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(32)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
 def _topk_binary_rerank_sql() -> str:
     from .ivf_sql import SQL_COS
 
-    def pack(start: int) -> str:
-        terms = " + ".join(
-            f"CASE WHEN embedding[{start + i + 1}] > 0 THEN {1 << i} ELSE 0 END"
-            for i in range(32)
-        )
-        return f"CAST({terms} AS BIGINT)"
-
+    pack = _sql_pack_sign_bits
     cos_eq = SQL_COS.format(a="e.embedding", b="q.qv")
     return f"""
 WITH codes AS (
@@ -2810,4 +2820,156 @@ SPECS["topk_binary_rerank"] = QuerySpec(
     "binary (1-bit sign) quantization serving: 64-bit Hamming scan over "
     "packed codes (two exact BIGINT halves, XOR+popcount), exact float "
     "re-rank of the top-64 — the 32x-compressed linear-scan arm",
+)
+
+
+# --- quantization recall matrix (r14) ----------------------------------------
+# The repo's rule: an approximation ships with its MEASURED operating
+# point (filtered_recall_curve for the probe width, pq_recall_at_k /
+# pq_recall_trained for ADC).  This query does the same for the two
+# r14 quantizers: recall@10 (and shortlist-recall@64 — what survives
+# into a 64-candidate re-rank) of the SQ8 int8-cosine ranking and of
+# the 64-bit sign-code Hamming ranking, each brute-force over the
+# whole corpus (measuring the QUANTIZER, not the router — the routed
+# serving arms compose it with the probe curve).  Every ranking cut is
+# on the exact 1e-4 integer grid (sq8/exact) or exact integers
+# (Hamming), tie-broken by vec_id — both engines cut identical sets.
+
+_QRM_K = 10
+_QRM_SHORTLIST = 64
+
+
+def _quant_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    grid = lambda c: F.floor(c * 10000 + 0.5).cast("long")  # noqa: E731
+    exact = (
+        emb.crossJoin(F.broadcast(q))
+        .select("vec_id", grid(cosine_similarity("embedding", "qv")).alias("s"))
+        .orderBy(F.desc("s"), "vec_id")
+        .limit(_QRM_K)
+        .select("vec_id")
+    )
+
+    qd = _quantized(emb).select(
+        "vec_id", F.col("q").cast("array<double>").alias("code")
+    )
+    qc = qd.filter(F.col("vec_id") == 0).select(F.col("code").alias("qc"))
+    sq8_ranked = (
+        qd.crossJoin(F.broadcast(qc))
+        .select("vec_id", grid(cosine_similarity("code", "qc")).alias("s"))
+        .orderBy(F.desc("s"), "vec_id")
+    )
+
+    bits = emb.select(
+        "vec_id",
+        _pack_sign_bits("embedding", 0).alias("lo"),
+        _pack_sign_bits("embedding", 32).alias("hi"),
+    )
+    bq = bits.filter(F.col("vec_id") == 0).select(
+        F.col("lo").alias("qlo"), F.col("hi").alias("qhi")
+    )
+    hamming = F.bit_count(
+        F.col("lo").bitwiseXOR(F.col("qlo"))
+    ) + F.bit_count(F.col("hi").bitwiseXOR(F.col("qhi")))
+    bin_ranked = (
+        bits.crossJoin(F.broadcast(bq))
+        .select("vec_id", (-hamming).cast("long").alias("s"))
+        .orderBy(F.desc("s"), "vec_id")
+    )
+
+    def row(method: str, ranked: DataFrame) -> DataFrame:
+        top = ranked.limit(_QRM_K).select("vec_id")
+        short = ranked.limit(_QRM_SHORTLIST).select("vec_id")
+        hits = top.join(exact, "vec_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits")
+        )
+        short_hits = short.join(exact, "vec_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_short_hits")
+        )
+        return hits.crossJoin(short_hits).select(
+            F.lit(method).alias("method"),
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.lit(float(_QRM_K))).alias(
+                "recall"
+            ),
+            "n_short_hits",
+            (
+                F.col("n_short_hits").cast("double") / F.lit(float(_QRM_K))
+            ).alias("shortlist_recall"),
+        )
+
+    return row("binary", bin_ranked).unionByName(
+        row("sq8", sq8_ranked)
+    ).orderBy("method")
+
+
+def _quant_recall_matrix_sql() -> str:
+    from .ivf_sql import SQL_COS
+
+    cos_eq = SQL_COS.format(a="e.embedding", b="q.qv")
+    cos_code = (
+        "list_dot_product(d.code, qc.qc) / "
+        "(sqrt(list_dot_product(d.code, d.code)) * "
+        "sqrt(list_dot_product(qc.qc, qc.qc)))"
+    )
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+exact AS (
+  SELECT vec_id FROM (
+    SELECT e.vec_id,
+           CAST(FLOOR(({cos_eq}) * 10000 + 0.5) AS BIGINT) AS s
+    FROM embeddings e, q
+  ) ORDER BY s DESC, vec_id LIMIT {_QRM_K}
+),
+qd AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> floor(x / {_SQL_QSCALE} + 0.5)) AS code
+  FROM embeddings
+),
+qc AS (SELECT code AS qc FROM qd WHERE vec_id = 0),
+sq8r AS (
+  SELECT d.vec_id,
+         CAST(FLOOR(({cos_code}) * 10000 + 0.5) AS BIGINT) AS s
+  FROM qd d, qc
+),
+bits AS (
+  SELECT vec_id, {_sql_pack_sign_bits(0)} AS lo, {_sql_pack_sign_bits(32)} AS hi
+  FROM embeddings
+),
+bq AS (SELECT lo AS qlo, hi AS qhi FROM bits WHERE vec_id = 0),
+binr AS (
+  SELECT b.vec_id,
+         CAST(-(bit_count(xor(b.lo, bq.qlo)) + bit_count(xor(b.hi, bq.qhi)))
+              AS BIGINT) AS s
+  FROM bits b, bq
+),
+sq8_top AS (SELECT vec_id FROM sq8r ORDER BY s DESC, vec_id LIMIT {_QRM_K}),
+sq8_short AS (SELECT vec_id FROM sq8r ORDER BY s DESC, vec_id LIMIT {_QRM_SHORTLIST}),
+bin_top AS (SELECT vec_id FROM binr ORDER BY s DESC, vec_id LIMIT {_QRM_K}),
+bin_short AS (SELECT vec_id FROM binr ORDER BY s DESC, vec_id LIMIT {_QRM_SHORTLIST})
+SELECT 'binary' AS method,
+       CAST((SELECT COUNT(*) FROM bin_top JOIN exact USING (vec_id)) AS BIGINT) AS n_hits,
+       CAST((SELECT COUNT(*) FROM bin_top JOIN exact USING (vec_id)) AS DOUBLE) / {_QRM_K} AS recall,
+       CAST((SELECT COUNT(*) FROM bin_short JOIN exact USING (vec_id)) AS BIGINT) AS n_short_hits,
+       CAST((SELECT COUNT(*) FROM bin_short JOIN exact USING (vec_id)) AS DOUBLE) / {_QRM_K} AS shortlist_recall
+UNION ALL
+SELECT 'sq8',
+       CAST((SELECT COUNT(*) FROM sq8_top JOIN exact USING (vec_id)) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM sq8_top JOIN exact USING (vec_id)) AS DOUBLE) / {_QRM_K},
+       CAST((SELECT COUNT(*) FROM sq8_short JOIN exact USING (vec_id)) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM sq8_short JOIN exact USING (vec_id)) AS DOUBLE) / {_QRM_K}
+ORDER BY method
+"""
+
+
+SPECS["quant_recall_matrix"] = QuerySpec(
+    _quant_recall_matrix,
+    _quant_recall_matrix_sql(),
+    "measured operating points of the r14 quantizers: recall@10 and "
+    "shortlist-recall@64 of the SQ8 int8-cosine ranking and the 64-bit "
+    "sign-code Hamming ranking vs exact cosine (grid-quantized cuts, "
+    "identical in both engines)",
 )

@@ -65,6 +65,7 @@ def test_window_rotate_matches_pinned_window(monkeypatch):
         "stream_ivf_maintain",
         "curation_pipeline",
         "topk_binary_rerank",
+        "quant_recall_matrix",
         "approx_distinct",
     ]
     window, prov = window_rotate.compute_window(changed, 50)
