@@ -305,6 +305,15 @@ PROBES_WAVE20C = [
 ]
 SUBST_PROBES = {"simhash_hamming_pairs_auto"}
 
+# wave 28 (r14): the composed curation funnel — seven stages end to
+# end (gopher -> exact dedup -> LSH near-dup + connected components ->
+# decontaminate -> mixture -> packing).  Every stage was probed
+# separately in earlier waves; this measures the COMPOSITION (persist
+# points, the CC driver loop, the 7 funnel aggregates) as one unit.
+PROBES_WAVE28 = [
+    "curation_pipeline",
+]
+
 # sixth wave: stateful Structured Streaming drains (AvailableNow over
 # the replicated events directory; slower — each query builds a
 # checkpoint).  First run of this wave caught the glob-arm silent empty
@@ -560,6 +569,7 @@ def main() -> None:
         "20": PROBES_WAVE20,
         "20b": PROBES_WAVE20B,
         "20c": PROBES_WAVE20C,
+        "28": PROBES_WAVE28,
     }
     probes = PROBES
     for a in sys.argv[1:]:
