@@ -230,18 +230,23 @@ def _memo_value_healthy(val) -> bool:
     consumer's action with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND.  Detect
     exactly that state driver-side (no job): a frame whose RDD reports
     ``isCheckpointed`` (materialization happened) but whose block-
-    manager storage info shows ZERO cached partitions is a dead
-    handle — the seam drops the entry and REBUILDS from the caller's
-    still-lineaged input instead of serving it.  Zero, not
-    fewer-than-n (ADVICE r13): a benign partial-caching state (block-
-    manager accounting of empty partitions, a transient eviction race)
-    must not silently rebuild on EVERY hit and defeat the memo; a
-    genuinely partial loss still fails the in-flight action, and the
-    NEXT access sees the unpersist cascade (all blocks dropped) and
-    heals.  A never-materialized lazy checkpoint (isCheckpointed
-    False) is healthy by construction: its lineage is intact.
-    Anything unreachable (Connect, non-LogicalRDD plans) is assumed
-    healthy — the pre-r13 behavior, never worse."""
+    manager storage info shows FEWER cached partitions than the RDD
+    has is a dead handle — the seam drops the entry and REBUILDS from
+    the caller's still-lineaged input instead of serving it.
+    Fewer-than-n, deliberately NOT zero-only (r14 review, reversing
+    the first cut at ADVICE r13): losing ONE executor's share of the
+    blocks leaves cached > 0 while every consumer action fails with
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND — Spark performs no unpersist
+    cascade on the failed action, so a zero-only predicate would
+    serve that dead handle until process restart.  The ADVICE's
+    false-positive worry (a benign partial-caching state silently
+    rebuilding on every hit, defeating the memo) is answered by
+    OBSERVABILITY instead of by narrowing the predicate: every heal
+    is counted (``memo_heal_count``) and logged, so a rebuild loop is
+    one grep away.  A never-materialized lazy checkpoint
+    (isCheckpointed False) is healthy by construction: its lineage is
+    intact.  Anything unreachable (Connect, non-LogicalRDD plans) is
+    assumed healthy — the pre-r13 behavior, never worse."""
     for jrdd in _memo_frame_jrdds(val):
         try:
             if not jrdd.isCheckpointed():
@@ -256,7 +261,7 @@ def _memo_value_healthy(val) -> bool:
                 if info.id() == jrdd.id():
                     cached = info.numCachedPartitions()
                     break
-            if cached == 0:
+            if cached < n:
                 return False
         except Exception:
             continue
@@ -1165,12 +1170,17 @@ def cell_candidates(spark: SparkSession, path: str, cids) -> DataFrame:
         # no donor either: the ENTIRE local index compacted away (zero
         # cid= directories).  The root read would throw 'unable to
         # infer schema' instead of the empty frame the contract
-        # promises (ADVICE r13) — return it with the canonical index
-        # schema (write_cell_index consumers store (vec_id, cid)).  A
+        # promises (ADVICE r13) — return it with the canonical shape a
+        # donor-path read of a (vec_id, cid)-indexed root produces:
+        # vec_id as stored (long), cid as the partition-INFERRED int
+        # (r14 review — a long cid here would diverge from every
+        # non-empty read of the same root).  Extra stored columns
+        # cannot be reconstructed with zero directories left; indexes
+        # carrying them should not compact their last cell away.  A
         # root that does not exist at all is a caller bug, not an
         # empty index: fail loudly.
         if os.path.isdir(path):
-            return spark.createDataFrame([], "vec_id long, cid long")
+            return spark.createDataFrame([], "vec_id long, cid int")
         raise FileNotFoundError(f"cell index root does not exist: {path}")
     return read_cell_index(spark, path).filter(F.col("cid").isin(cids))
 

@@ -725,7 +725,14 @@ def _stream_ivf_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_assign = ivf_assign_hier(base, seeds, ns, n_centroids=k).select(
         "vec_id", "cid"
     )
-    delta_assign = spark.read.parquet(idx_dir).select("vec_id", "cid")
+    # distinct: foreachBatch is at-least-once — a replayed micro-batch
+    # re-appends its (vec_id, cid) rows (identical content, frozen
+    # quantizer), and without dedup a replay would inflate n_new and
+    # flip the split flags (r14 review; the tombstone log below gets
+    # the same protection)
+    delta_assign = (
+        spark.read.parquet(idx_dir).select("vec_id", "cid").distinct()
+    )
     tombs = (
         spark.read.parquet(tomb_dir)
         .select("vec_id")

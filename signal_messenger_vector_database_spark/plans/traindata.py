@@ -2570,7 +2570,11 @@ def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    docs4 = train3.join(contaminated, "doc_id", "left_anti")
+    # persisted like its siblings: docs4 feeds both its funnel row and
+    # docs5, and its lineage carries the heaviest tail stage (the
+    # 5-gram explode + distinct + gram join + anti-join) — unpersisted
+    # it would recompute per consumer (r14 review)
+    docs4 = train3.join(contaminated, "doc_id", "left_anti").persist()
 
     # 5: per-source mixture sampling (domain_mixture's keep rule)
     rate = F.coalesce(

@@ -2819,7 +2819,8 @@ SPECS["topk_binary_rerank"] = QuerySpec(
     _topk_binary_rerank_sql(),
     "binary (1-bit sign) quantization serving: 64-bit Hamming scan over "
     "packed codes (two exact BIGINT halves, XOR+popcount), exact float "
-    "re-rank of the top-64 — the 32x-compressed linear-scan arm",
+    "re-rank of the top-256 (the measured full-recall@10 width — "
+    "quant_recall_matrix) — the 32x-compressed linear-scan arm",
 )
 
 

@@ -1302,12 +1302,27 @@ def test_cell_candidates_fully_compacted_index_is_empty_not_error(
         cell_candidates,
     )
 
+    from signal_messenger_vector_database_spark.operators.ivf_index import (
+        write_cell_index,
+    )
+
     monkeypatch.delenv("SMVD_IVF_CACHE_DIR", raising=False)
     root = tmp_path / "compacted_away_idx"
     root.mkdir()  # index root exists, zero cid= directories remain
     got = cell_candidates(spark, str(root), [0, 1])
-    assert got.columns == ["vec_id", "cid"]
     assert got.count() == 0
+
+    # the empty shape must MATCH a real donor-path read of the same
+    # index layout (r14 review: vec_id long as stored, cid as the
+    # partition-INFERRED int — a fabricated long cid would diverge
+    # from every non-empty read)
+    real_root = tmp_path / "real_idx"
+    write_cell_index(
+        spark.createDataFrame([(1, 0), (2, 1)], "vec_id long, cid int"),
+        str(real_root),
+    )
+    real = cell_candidates(spark, str(real_root), [0])
+    assert got.dtypes == real.dtypes, (got.dtypes, real.dtypes)
 
     with _pytest.raises(FileNotFoundError):
         cell_candidates(spark, str(tmp_path / "no_such_idx"), [0])

@@ -57,6 +57,7 @@ SLICE = [
     "exact_dedup",
     "minhash_lsh_pairs",
     "decontaminate",
+    "curation_pipeline",
     "semdedup",
     "ivf_maintenance",
     "topk_ivf_filtered",
