@@ -150,13 +150,20 @@ def explode_band_keys(banded: DataFrame, id_col: str) -> DataFrame:
     ).select(id_col, "bk.band", "bk.key")
 
 
-def lsh_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, persist_sigs: bool = True
+) -> DataFrame:
     """Docs sharing any band key.  The self-join is an equi-join on
     (band_id, band_key) — i.e. a shuffle on the bucket, never a cross
     join.  The signature table is persisted: both join sides read it, and
     at scale the signature build (a full pass over the corpus) must not
-    run twice."""
-    signatures = signatures.persist()
+    run twice.  Callers whose ``signatures`` is already a projection of a
+    frame THEY persist (curation_pipeline's combined minhash table) pass
+    ``persist_sigs=False`` — the internal persist is unreachable from
+    outside and would otherwise pin a duplicate cached copy for the
+    session (ADVICE r14)."""
+    if persist_sigs:
+        signatures = signatures.persist()
     banded = signatures.select(F.col(id_col), *band_key_cols())
     exploded = explode_band_keys(banded, id_col)
     a = exploded.alias("a")

@@ -643,6 +643,7 @@ SPECS["stream_ingest_index"] = QuerySpec(
 
 
 def _stream_ivf_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
     import uuid
 
@@ -664,9 +665,38 @@ def _stream_ivf_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.filter(F.col("vec_id") < cut)
     seeds = ivf_seed_centroids(base, k)
 
+    # ONE parent tempdir for the query's corpus-scale staging (op log,
+    # delta index, tombstone log, checkpoint), removed in the finally
+    # below once the occupancy frame is materialized — 3 bench repeats
+    # per round were accumulating corpus-sized /tmp state (ADVICE r14).
+    parent = tempfile.mkdtemp(prefix="smvd-ivf-maint-")
+    try:
+        return _stream_ivf_maintain_run(
+            spark, emb, base, seeds, cut, k, ns, parent
+        )
+    finally:
+        shutil.rmtree(parent, ignore_errors=True)
+
+
+def _stream_ivf_maintain_run(
+    spark: SparkSession,
+    emb: DataFrame,
+    base: DataFrame,
+    seeds: DataFrame,
+    cut: int,
+    k: int,
+    ns: int,
+    parent: str,
+) -> DataFrame:
+    import os
+    import uuid
+
+    from ..operators.ann import ivf_assign_hier
+    from ..operators.ivf_index import occupancy_cells
+
     # Stage the op log as FOUR files split on vec_id % 4: every
     # micro-batch carries inserts AND deletes (maxFilesPerTrigger=1).
-    stage = tempfile.mkdtemp(prefix="smvd-ivf-maint-") + "/ops"
+    stage = os.path.join(parent, "ops")
     ops = (
         emb.filter(F.col("vec_id") >= cut)
         .select("vec_id", "embedding", F.lit("ins").alias("op"))
@@ -685,8 +715,8 @@ def _stream_ivf_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
             "append"
         ).parquet(stage)
 
-    idx_dir = tempfile.mkdtemp(prefix="smvd-ivf-maint-") + "/delta_idx"
-    tomb_dir = tempfile.mkdtemp(prefix="smvd-ivf-maint-") + "/tomb_log"
+    idx_dir = os.path.join(parent, "delta_idx")
+    tomb_dir = os.path.join(parent, "tomb_log")
 
     def _cycle(batch_df, batch_id: int) -> None:
         # frozen quantizer: assign ONLY this micro-batch's inserts —
@@ -712,7 +742,7 @@ def _stream_ivf_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .queryName(f"ivf_maintain_{uuid.uuid4().hex[:8]}")
         .outputMode("append")
         .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="smvd-ckpt-maint-")
+            "checkpointLocation", os.path.join(parent, "ckpt")
         )
         .trigger(availableNow=True)
         .start()
@@ -751,7 +781,10 @@ def _stream_ivf_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("st"),
         )
     )
-    return occupancy_cells(tagged)
+    # materialize NOW (localCheckpoint is eager): the caller's finally
+    # removes the staged delta-index/tombstone parquet this frame reads —
+    # the k-row occupancy table must be computed before that happens
+    return occupancy_cells(tagged).localCheckpoint()
 
 
 def _stream_ivf_maintain_sql() -> str:

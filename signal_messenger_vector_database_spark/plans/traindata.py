@@ -2495,7 +2495,15 @@ SPECS["dataset_datasheet"] = QuerySpec(
 # materialize-between-stages discipline a 100 TB pipeline runs with.
 
 
-def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _curation_chain(spark: SparkSession, sf_dir: str) -> dict:
+    """The stage chain docs0..docs5 built ONCE — the shared definition
+    behind ``curation_pipeline`` (the funnel) and ``curation_attrition``
+    (the per-reason removal report).  Returns every stage frame plus the
+    intermediates attrition attributes removals to, and ``persisted`` —
+    the frames this builder pinned, which the CALLER must unpersist once
+    its (small) output is materialized: bench runs each headline query
+    3x in one session, and stage frames left pinned accumulate across
+    the 55-query run (ADVICE r14)."""
     from ..io.sources import ensure_parallelism, parquet_row_count
     from ..operators.dedup import (
         connected_components,
@@ -2504,6 +2512,18 @@ def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_with_shingles,
     )
     from .similarity import _JACCARD_THRESHOLD
+
+    # Planted-copy ids live at doc_id + 1e6 / + 2e6 (the minhash_lsh_pairs
+    # convention).  The fixture convention (TESTDATA.md) is contiguous ids
+    # 0..n-1, so the metadata-only row count IS the id range; a corpus at
+    # or past 1M docs would silently collide planted ids with real ones —
+    # at that scale derive the offsets from max(doc_id)+1 in BOTH engines
+    # instead (ADVICE r14).
+    n_corpus = parquet_row_count(sf_dir, "documents")
+    assert n_corpus < 1_000_000, (
+        f"planted-dup offsets (+1e6/+2e6) collide with real doc_ids at "
+        f"{n_corpus} docs; derive offsets from max(doc_id)+1"
+    )
 
     base = ensure_parallelism(
         load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
@@ -2520,9 +2540,10 @@ def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs0 = base.unionByName(planted_near).unionByName(planted_exact)
 
-    # 1: Gopher quality rules (shared definition)
-    keep_ids = _gopher_frame(docs0).filter(F.col("keep")).select("doc_id")
-    docs1 = docs0.join(keep_ids, "doc_id")
+    # 1: Gopher quality rules (shared definition).  Persisted: the keep
+    # filter and (in attrition) the per-rule reason split both read it.
+    g = _gopher_frame(docs0).persist()
+    docs1 = docs0.join(g.filter(F.col("keep")).select("doc_id"), "doc_id")
 
     # 2: exact dedup, keep-first by fingerprint
     fp = docs1.select("doc_id", fingerprint_md5("text").alias("fp"))
@@ -2535,15 +2556,22 @@ def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()  # 3 consumers: LSH sets+sigs, the funnel row, docs3
     )
 
-    # 3: near-dup clusters, keep the component's min id
+    # 3: near-dup clusters, keep the component's min id.  combined is
+    # the ONE persisted minhash materialization; the sig/shingle
+    # projections inside the pair join read it from cache, so the
+    # operators' internal persists are turned OFF (they would pin
+    # unreachable duplicate copies for the session — ADVICE r14).
     combined = minhash_with_shingles(
         docs2.select("doc_id", "text"), id_col="doc_id", text_col="text"
     ).persist()
     pairs = jaccard_verify(
-        lsh_candidate_pairs(combined.drop("shingles"), id_col="doc_id"),
+        lsh_candidate_pairs(
+            combined.drop("shingles"), id_col="doc_id", persist_sigs=False
+        ),
         combined.select("doc_id", "shingles"),
         id_col="doc_id",
         threshold=_JACCARD_THRESHOLD,
+        persist_sets=False,
     )
     labels = connected_components(pairs)
     docs3 = (
@@ -2588,11 +2616,35 @@ def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
         .cast("int")
     )
-    docs5 = docs4.filter(bucket < rate * 65536).persist()
+    mix_keep = bucket < rate * 65536
+    docs5 = docs4.filter(mix_keep).persist()
+    return {
+        "docs0": docs0,
+        "g": g,
+        "docs1": docs1,
+        "fp": fp,
+        "keepers": keepers,
+        "docs2": docs2,
+        "labels": labels,
+        "docs3": docs3,
+        "train3": train3,
+        "contaminated": contaminated,
+        "docs4": docs4,
+        "mix_keep": mix_keep,
+        "docs5": docs5,
+        "n_corpus": n_corpus,
+        "persisted": [g, docs2, combined, docs3, docs4, docs5],
+    }
+
+
+def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _curation_chain(spark, sf_dir)
+    docs0, docs1, docs2 = c["docs0"], c["docs1"], c["docs2"]
+    docs3, docs4, docs5 = c["docs3"], c["docs4"], c["docs5"]
 
     # 6: context-window packing (the token_packing bucketed prefix sum;
     # width from the cheap parquet row count — docs5 ⊆ docs0's id range)
-    width = max(100, -(-(parquet_row_count(sf_dir, "documents") * 3) // 10_000))
+    width = max(100, -(-(c["n_corpus"] * 3) // 10_000))
     toks = docs5.select(
         "doc_id",
         token_count("text").alias("tokens"),
@@ -2656,7 +2708,14 @@ def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage_row(docs5, 5, "mixture"))
         .unionByName(pack_row)
     )
-    return funnel.orderBy("stage_id")
+    # materialize the 7-row funnel NOW (localCheckpoint is eager), then
+    # release the stage frames: the persists exist for the multi-consumer
+    # build, not for the session's lifetime (ADVICE r14 — 3 bench runs
+    # per query were accumulating pinned stage frames across the run)
+    out = funnel.localCheckpoint()
+    for fr in c["persisted"]:
+        fr.unpersist()
+    return out.orderBy("stage_id")
 
 
 def _curation_pipeline_sql() -> str:

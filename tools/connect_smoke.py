@@ -107,9 +107,13 @@ def main() -> None:
         t0 = time.time()
         try:
             n = len(specs[name].fn(spark, sf_dir).collect())
-            print(f"  {name:36s} rows={n:6d}  OK {time.time() - t0:5.1f}s")
+            # zero rows is a failure — the per-query line must say so,
+            # not print OK and then contradict the exit summary (ADVICE r14)
             if n == 0:
+                print(f"  {name:36s} rows={n:6d}  FAIL (zero rows)")
                 failures.append((name, "zero rows"))
+            else:
+                print(f"  {name:36s} rows={n:6d}  OK {time.time() - t0:5.1f}s")
         except Exception as ex:  # noqa: BLE001 — a smoke reports, not raises
             print(f"  {name:36s} FAIL {type(ex).__name__}: {str(ex)[:160]}")
             failures.append((name, str(ex)[:200]))
