@@ -678,7 +678,7 @@ def _stream_ivf_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(parent, ignore_errors=True)
 
 
-def _stream_ivf_maintain_run(
+def _drain_op_log(
     spark: SparkSession,
     emb: DataFrame,
     base: DataFrame,
@@ -687,12 +687,20 @@ def _stream_ivf_maintain_run(
     k: int,
     ns: int,
     parent: str,
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Stage the insert+delete op log, stream it through foreachBatch
+    against the FROZEN base quantizer, and return the resulting state
+    frames ``(base_assign, delta_assign, tombs)`` — the shared first
+    half of the streaming maintenance family (``stream_ivf_maintain``
+    computes occupancy flags from them; ``stream_ivf_compact`` goes on
+    to ACT: materialize the disk index, compact the flagged cells, and
+    serve off the result).  ``tombs`` carries a ``_tomb=True`` marker
+    column; both log reads are deduplicated against at-least-once
+    replay."""
     import os
     import uuid
 
     from ..operators.ann import ivf_assign_hier
-    from ..operators.ivf_index import occupancy_cells
 
     # Stage the op log as FOUR files split on vec_id % 4: every
     # micro-batch carries inserts AND deletes (maxFilesPerTrigger=1).
@@ -769,6 +777,14 @@ def _stream_ivf_maintain_run(
         .distinct()
         .withColumn("_tomb", F.lit(True))
     )
+    return base_assign, delta_assign, tombs
+
+
+def _occupancy_from_streamed(
+    base_assign: DataFrame, delta_assign: DataFrame, tombs: DataFrame
+) -> DataFrame:
+    from ..operators.ivf_index import occupancy_cells
+
     tagged = (
         base_assign.withColumn("_new", F.lit(False))
         .unionByName(delta_assign.withColumn("_new", F.lit(True)))
@@ -781,23 +797,36 @@ def _stream_ivf_maintain_run(
             .alias("st"),
         )
     )
+    return occupancy_cells(tagged)
+
+
+def _stream_ivf_maintain_run(
+    spark: SparkSession,
+    emb: DataFrame,
+    base: DataFrame,
+    seeds: DataFrame,
+    cut: int,
+    k: int,
+    ns: int,
+    parent: str,
+) -> DataFrame:
+    base_assign, delta_assign, tombs = _drain_op_log(
+        spark, emb, base, seeds, cut, k, ns, parent
+    )
+    # occupancy from the STREAMED state only (shared occupancy_cells).
     # materialize NOW (localCheckpoint is eager): the caller's finally
     # removes the staged delta-index/tombstone parquet this frame reads —
     # the k-row occupancy table must be computed before that happens
-    return occupancy_cells(tagged).localCheckpoint()
+    return _occupancy_from_streamed(
+        base_assign, delta_assign, tombs
+    ).localCheckpoint()
 
 
-def _stream_ivf_maintain_sql() -> str:
-    from .ivf_sql import hier_assign_ctes
-
-    return f"""
-WITH nn AS (SELECT COUNT(*) AS n,
-                   GREATEST(1, COUNT(*) - GREATEST(50, COUNT(*) // 10)) AS cut
-            FROM embeddings),
-base AS (SELECT e.vec_id, e.embedding FROM embeddings e, nn
-         WHERE e.vec_id < nn.cut),
-{hier_assign_ctes(src="base", assign_src="embeddings")},
-tagged AS (
+# Shared oracle fragments of the streaming maintenance family: the
+# frozen-quantizer tagging + per-cell occupancy aggregate, verbatim in
+# BOTH stream_ivf_maintain (reports flags) and stream_ivf_compact (acts
+# on them) — one definition, so the two oracles cannot drift.
+_SQL_OCC_CTES = """tagged AS (
   SELECT h.cid_hier AS cid,
          CASE WHEN h.vec_id >= nn.cut THEN 'new'
               WHEN h.vec_id % 37 = 5 THEN 'tomb'
@@ -811,7 +840,20 @@ agg AS (
          SUM(CASE WHEN st = 'new' THEN 1 ELSE 0 END) AS n_new
   FROM tagged GROUP BY cid
 ),
-tot AS (SELECT SUM(n_live + n_new) AS total, COUNT(*) AS k FROM agg)
+tot AS (SELECT SUM(n_live + n_new) AS total, COUNT(*) AS k FROM agg)"""
+
+
+def _stream_ivf_maintain_sql() -> str:
+    from .ivf_sql import hier_assign_ctes
+
+    return f"""
+WITH nn AS (SELECT COUNT(*) AS n,
+                   GREATEST(1, COUNT(*) - GREATEST(50, COUNT(*) // 10)) AS cut
+            FROM embeddings),
+base AS (SELECT e.vec_id, e.embedding FROM embeddings e, nn
+         WHERE e.vec_id < nn.cut),
+{hier_assign_ctes(src="base", assign_src="embeddings")},
+{_SQL_OCC_CTES}
 SELECT CAST(a.cid AS BIGINT) AS cid,
        CAST(a.n_live AS BIGINT) AS n_live,
        CAST(a.n_tomb AS BIGINT) AS n_tomb,
@@ -828,6 +870,191 @@ SPECS["stream_ivf_maintain"] = QuerySpec(
     "streaming IVF maintenance cycle: 4 real insert+delete micro-batches "
     "through foreachBatch (frozen base quantizer, delta index + tombstone "
     "log on disk), occupancy/flags from the streamed state only",
+)
+
+
+# ---------------------------------------------------------------------------
+# stream_ivf_compact: the maintenance cycle ACTING (VERDICT r14 #5).
+#
+# ``stream_ivf_maintain`` stops at flags; the production loop closes it:
+# after the drain, the streamed state is materialized as a
+# cid-partitioned DISK index (write_cell_index — base ∪ delta), the
+# streamed occupancy's ``needs_compact`` cells are REWRITTEN in place by
+# ``compact_cells`` (tombstoned rows dropped; only flagged cells'
+# directories are opened), and a query is served OFF THE COMPACTED
+# index: 2-cell probe via route_query_cells (centroids frozen at the
+# base corpus), candidates from the post-compaction ``cell_candidates``
+# read, tombstone anti-join for the rows still sitting in UNflagged
+# cells, exact cosine re-rank.  Output = the served top-5 plus two
+# audit columns (n_cells_compacted, n_rows_removed) — so the oracle
+# hash-checks BOTH that compaction fired on exactly the flagged cells
+# AND that it is answer-invariant (the ``topk_ivf_tombstone`` shape:
+# compaction only removes rows the tombstone anti-join excludes
+# anyway, so the served answer equals the never-compacted oracle
+# recomputation).  The oracle derives n_rows_removed as Σ n_tomb over
+# flagged cells: the disk index contains base ∪ delta, every tombstone
+# targets a base id, so each flagged cell's removable rows are exactly
+# its tombstoned members.  Conventions shared with the maintenance
+# family throughout (cut, %37 deletes, 4 micro-batch drain).
+
+
+def _stream_ivf_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..io.sources import parquet_row_count
+    from ..operators.ann import (
+        hier_super_count,
+        ivf_seed_centroids,
+        scaled_cluster_count,
+    )
+
+    n = parquet_row_count(sf_dir, "embeddings")
+    cut = max(1, n - max(50, n // 10))
+    k = scaled_cluster_count(cut)  # BASE geometry — frozen at index build
+    ns = hier_super_count(k)
+    spark = streaming_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < cut)
+    seeds = ivf_seed_centroids(base, k)
+    parent = tempfile.mkdtemp(prefix="smvd-ivf-compact-")
+    try:
+        return _stream_ivf_compact_run(
+            spark, emb, base, seeds, cut, k, ns, parent
+        )
+    finally:
+        shutil.rmtree(parent, ignore_errors=True)
+
+
+def _stream_ivf_compact_run(
+    spark: SparkSession,
+    emb: DataFrame,
+    base: DataFrame,
+    seeds: DataFrame,
+    cut: int,
+    k: int,
+    ns: int,
+    parent: str,
+) -> DataFrame:
+    import os
+
+    from ..functions.text import portable_round
+    from ..functions.vector import cosine_similarity
+    from ..operators.ann import route_query_cells
+    from ..operators.ivf_index import (
+        cell_candidates,
+        compact_cells,
+        exclude_tombstones,
+        write_cell_index,
+    )
+
+    base_assign, delta_assign, tombs = _drain_op_log(
+        spark, emb, base, seeds, cut, k, ns, parent
+    )
+    # flags from the STREAMED state (shared occupancy_cells), computed
+    # BEFORE the rewrite and pinned eagerly — compact_cells is about to
+    # mutate the very directories this plan would otherwise re-read
+    occ = _occupancy_from_streamed(
+        base_assign, delta_assign, tombs
+    ).localCheckpoint()
+    idx_path = os.path.join(parent, "cell_idx")
+    write_cell_index(base_assign.unionByName(delta_assign), idx_path)
+    stats = compact_cells(
+        spark,
+        idx_path,
+        tombs.select("vec_id"),
+        occ.filter(F.col("needs_compact")).select("cid"),
+    )  # returns materialized per-cell stats; flagged dirs rewritten
+    comp = stats.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells_compacted"),
+        F.coalesce(F.sum("n_removed"), F.lit(0))
+        .cast("long")
+        .alias("n_rows_removed"),
+    )
+    # serve OFF THE COMPACTED INDEX: routed cells read from disk
+    # (cell_candidates opens only the 2 routed directories), tombstone
+    # anti-join for unflagged cells' remaining deletes, exact re-rank
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    qcells = route_query_cells(q, seeds, ns, n_cells=2)
+    cids = [r.cid for r in qcells.select("cid").collect()]  # bounded: 2 rows
+    cand = cell_candidates(spark, idx_path, cids).select("vec_id")
+    live = exclude_tombstones(cand, tombs.select("vec_id"))
+    served = (
+        emb.join(live, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            portable_round(cosine_similarity("embedding", "qv"), 4).alias(
+                "sim"
+            ),
+        )
+        .orderBy(F.desc("sim"), F.col("vec_id"))
+        .limit(5)
+        .crossJoin(F.broadcast(comp))
+    )
+    # materialize before the caller's finally removes the disk index
+    return served.localCheckpoint().orderBy(F.desc("sim"), F.col("vec_id"))
+
+
+def _stream_ivf_compact_sql() -> str:
+    from .ivf_sql import SQL_COS, hier_assign_ctes
+
+    cos_qs = SQL_COS.format(a="q.qv", b="s.sv")
+    cos_qc = SQL_COS.format(a="q.qv", b="c2.cv")
+    cos_eq = SQL_COS.format(a="e.embedding", b="q.qv")
+    return f"""
+WITH nn AS (SELECT COUNT(*) AS n,
+                   GREATEST(1, COUNT(*) - GREATEST(50, COUNT(*) // 10)) AS cut
+            FROM embeddings),
+base AS (SELECT e.vec_id, e.embedding FROM embeddings e, nn
+         WHERE e.vec_id < nn.cut),
+{hier_assign_ctes(src="base", assign_src="embeddings")},
+{_SQL_OCC_CTES},
+flagged AS (
+  SELECT cid FROM agg WHERE 50 * n_live < 49 * (n_live + n_tomb)
+),
+comp AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_cells_compacted,
+         CAST(COALESCE(SUM(a.n_tomb), 0) AS BIGINT) AS n_rows_removed
+  FROM agg a JOIN flagged f ON a.cid = f.cid
+),
+tomb AS (SELECT e.vec_id FROM embeddings e, nn
+         WHERE e.vec_id < nn.cut AND e.vec_id % 37 = 5),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qs AS (
+  SELECT sid FROM (
+    SELECT s.sid,
+           ROW_NUMBER() OVER (ORDER BY ({cos_qs}) DESC, s.sid) AS rk
+    FROM s, q
+  ) WHERE rk <= 3
+),
+qcells AS (
+  SELECT cid FROM (
+    SELECT c2.cid,
+           ROW_NUMBER() OVER (ORDER BY ({cos_qc}) DESC, c2.cid) AS rk
+    FROM c2s c2 JOIN qs USING (sid), q
+  ) WHERE rk <= 2
+)
+SELECT e.vec_id,
+       FLOOR(({cos_eq}) * 10000 + 0.5) / 10000 AS sim,
+       comp.n_cells_compacted, comp.n_rows_removed
+FROM embeddings e
+JOIN hier h ON e.vec_id = h.vec_id
+JOIN qcells qc ON h.cid_hier = qc.cid, q, comp
+WHERE e.vec_id NOT IN (SELECT vec_id FROM tomb)
+ORDER BY sim DESC, e.vec_id
+LIMIT 5
+"""
+
+
+SPECS["stream_ivf_compact"] = QuerySpec(
+    _stream_ivf_compact,
+    _stream_ivf_compact_sql(),
+    "the streaming maintenance cycle ACTING: drain insert+delete "
+    "micro-batches, materialize the cid-partitioned disk index, "
+    "compact_cells on the streamed needs_compact cells, then serve a "
+    "2-cell routed query off the compacted index — answer-invariant by "
+    "construction, with hash-checked compaction audit columns",
 )
 
 

@@ -2718,12 +2718,16 @@ def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("stage_id")
 
 
-def _curation_pipeline_sql() -> str:
+def _curation_chain_ctes_sql() -> str:
+    """The docs0..docs5 CTE chain — the oracle twin of
+    ``_curation_chain``, shared verbatim by the ``curation_pipeline``
+    and ``curation_attrition`` oracles (one definition, no drift).
+    Callers prepend ``WITH RECURSIVE`` (the connected-components reach
+    CTE needs it) and append their own SELECT."""
     from .pipeline import _SQL_FINGERPRINT
     from .similarity import _sql_minhash_cols, _sql_shingle_cte
 
     fpx = _SQL_FINGERPRINT.format(c="text")
-    tok = _SQL_TOKENS
     gram5 = (
         f"CASE WHEN len(w) >= {_DECON_N} "
         f"THEN list_transform(generate_series(1, len(w) - {_DECON_N} + 1), "
@@ -2737,8 +2741,7 @@ def _curation_pipeline_sql() -> str:
     )
     from .similarity import _JACCARD_THRESHOLD
 
-    return f"""
-WITH RECURSIVE docs0 AS MATERIALIZED (
+    return f"""docs0 AS MATERIALIZED (
   SELECT doc_id, text, source FROM documents
   UNION ALL
   SELECT doc_id + 1000000 AS doc_id, text || ' planteddup' AS text, source
@@ -2821,7 +2824,13 @@ docs4 AS MATERIALIZED (
 ),
 docs5 AS MATERIALIZED (
   SELECT * FROM docs4 WHERE {_SQL_HEX4_MD5} < ({_mixture_rate_sql()}) * 65536
-),
+)"""
+
+
+def _curation_pipeline_sql() -> str:
+    tok = _SQL_TOKENS
+    return f"""
+WITH RECURSIVE {_curation_chain_ctes_sql()},
 packt AS MATERIALIZED (
   SELECT doc_id, {tok} AS tokens,
          SUM({tok}) OVER (ORDER BY doc_id
@@ -2865,4 +2874,174 @@ SPECS["curation_pipeline"] = QuerySpec(
     "exact dedup -> minhash near-dup clusters -> test-split "
     "decontamination -> mixture sampling -> context-window packing; "
     "output = per-stage (n_docs, n_tokens) funnel",
+)
+
+
+# --- curation removal attribution (VERDICT r14 #6) -------------------------
+# The funnel says how many docs survived each stage; a production
+# curation report also says WHY the dead ones died — which Gopher rule,
+# exact vs near dup class, split exclusion vs benchmark contamination,
+# mixture downsampling — because that's the number a data engineer
+# tunes against (raise a Gopher threshold, widen a mixture rate).  The
+# stage chain already computes every feature; this query re-reads the
+# SAME ``_curation_chain`` frames and emits (stage_id, stage, reason,
+# n_docs, n_tokens) per removal class:
+#   1 gopher         the FIRST failing rule in a fixed precedence
+#                    (word_count -> mean_word_len -> stop_words ->
+#                    top_word_frac) — deterministic single attribution
+#   2 exact_dedup    'exact_dup' (doc_id != its fingerprint's keep_id)
+#   3 neardup        'near_dup' (non-minimum member of a component)
+#   4 decontaminate  'not_train_split' (val/test docs leave the train
+#                    corpus) and 'contaminated' (train docs sharing a
+#                    5-gram with the test split)
+#   5 mixture        'mixture_sampled' (md5-bucket above the source rate)
+# Stage-1 rows appear only for rules that fired (GROUP BY reason);
+# stages 2-5 are constant-reason aggregates and always emit one row
+# (0-count when nothing died — both engines agree on both shapes).
+# Cost: rides the shared chain (each stage linear, the same persisted
+# frames), plus |victims|-sized aggregates — nothing beyond the funnel.
+
+
+def _curation_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _curation_chain(spark, sf_dir)
+
+    reason1 = (
+        F.when(
+            ~F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS),
+            "word_count",
+        )
+        .when(
+            ~F.col("mean_word_len").between(
+                _GOPHER_MEAN_LEN_LO, _GOPHER_MEAN_LEN_HI
+            ),
+            "mean_word_len",
+        )
+        .when(F.col("stop_hits") < _GOPHER_MIN_STOP_HITS, "stop_words")
+        .otherwise("top_word_frac")
+    )
+    gopher_victims = c["docs0"].join(
+        c["g"].filter(~F.col("keep")).select("doc_id", reason1.alias("reason")),
+        "doc_id",
+    )
+    row1 = (
+        gopher_victims.groupBy("reason")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum(token_count("text")), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        .select(
+            F.lit(1).cast("int").alias("stage_id"),
+            F.lit("gopher").alias("stage"),
+            "reason",
+            "n_docs",
+            "n_tokens",
+        )
+    )
+
+    def const_row(df: DataFrame, sid: int, stage: str, reason: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum(token_count("text")), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
+        ).select(
+            F.lit(sid).cast("int").alias("stage_id"),
+            F.lit(stage).alias("stage"),
+            F.lit(reason).alias("reason"),
+            "n_docs",
+            "n_tokens",
+        )
+
+    exact_victims = (
+        c["docs1"]
+        .join(c["fp"], "doc_id")
+        .join(c["keepers"], "fp")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+    )
+    near_victims = c["docs2"].join(
+        c["labels"].select(F.col("id").alias("doc_id"), "label"), "doc_id"
+    ).filter(F.col("label") != F.col("doc_id"))
+    split_victims = c["docs3"].filter(
+        _split_assign(F.col("doc_id")) != "train"
+    )
+    contam_victims = c["train3"].join(c["contaminated"], "doc_id")
+    mix_victims = c["docs4"].filter(~c["mix_keep"])
+
+    report = (
+        row1.unionByName(const_row(exact_victims, 2, "exact_dedup", "exact_dup"))
+        .unionByName(const_row(near_victims, 3, "neardup", "near_dup"))
+        .unionByName(
+            const_row(split_victims, 4, "decontaminate", "not_train_split")
+        )
+        .unionByName(
+            const_row(contam_victims, 4, "decontaminate", "contaminated")
+        )
+        .unionByName(const_row(mix_victims, 5, "mixture", "mixture_sampled"))
+    )
+    # same persist lifecycle as the funnel: materialize the small
+    # report, release the stage frames (ADVICE r14)
+    out = report.localCheckpoint()
+    for fr in c["persisted"]:
+        fr.unpersist()
+    return out.orderBy("stage_id", "reason")
+
+
+def _curation_attrition_sql() -> str:
+    tok = _SQL_TOKENS
+    agg = (
+        "CAST(COUNT(*) AS BIGINT) AS n_docs,\n"
+        f"       CAST(COALESCE(SUM({tok}), 0) AS BIGINT) AS n_tokens"
+    )
+    return f"""
+WITH RECURSIVE {_curation_chain_ctes_sql()}
+SELECT 1 AS stage_id, 'gopher' AS stage, reason, {agg}
+FROM (
+  SELECT d.doc_id, d.text,
+         CASE WHEN NOT (g.n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+              THEN 'word_count'
+              WHEN NOT (g.mean_word_len BETWEEN {_GOPHER_MEAN_LEN_LO} AND {_GOPHER_MEAN_LEN_HI})
+              THEN 'mean_word_len'
+              WHEN g.stop_hits < {_GOPHER_MIN_STOP_HITS} THEN 'stop_words'
+              ELSE 'top_word_frac' END AS reason
+  FROM docs0 d JOIN g USING (doc_id) WHERE NOT g.keep
+) GROUP BY reason
+UNION ALL
+SELECT 2, 'exact_dedup', 'exact_dup', {agg}
+FROM (
+  SELECT d.doc_id, d.text
+  FROM docs1 d JOIN fp USING (doc_id) JOIN keepers USING (fp)
+  WHERE d.doc_id <> keepers.keep_id
+)
+UNION ALL
+SELECT 3, 'neardup', 'near_dup', {agg}
+FROM (
+  SELECT d.doc_id, d.text
+  FROM docs2 d JOIN labels l USING (doc_id)
+  WHERE l.cluster <> d.doc_id
+)
+UNION ALL
+SELECT 4, 'decontaminate', 'not_train_split', {agg}
+FROM (SELECT doc_id, text FROM docs3 WHERE NOT ({_SQL_HEX4_MD5} % 10 < 8))
+UNION ALL
+SELECT 4, 'decontaminate', 'contaminated', {agg}
+FROM (SELECT t3.doc_id, t3.text FROM train3 t3 JOIN contaminated USING (doc_id))
+UNION ALL
+SELECT 5, 'mixture', 'mixture_sampled', {agg}
+FROM (
+  SELECT doc_id, text FROM docs4
+  WHERE NOT ({_SQL_HEX4_MD5} < ({_mixture_rate_sql()}) * 65536)
+)
+ORDER BY stage_id, reason
+"""
+
+
+SPECS["curation_attrition"] = QuerySpec(
+    _curation_attrition,
+    _curation_attrition_sql(),
+    "curation removal attribution: per (stage, reason) doc/token counts "
+    "of what each funnel stage dropped — first-failing Gopher rule, "
+    "exact vs near dup, split exclusion vs contamination, mixture "
+    "downsampling — off the same shared stage chain as the funnel",
 )

@@ -2824,6 +2824,140 @@ SPECS["topk_binary_rerank"] = QuerySpec(
 )
 
 
+# --- routed binary serving (VERDICT r14 #3) ---------------------------------
+# The 100 TB serving form of the binary arm: topk_binary_rerank is the
+# honest compressed-LINEAR-SCAN shape; production composes the same
+# codes with the IVF router — route the query's 2 nearest cells, scan
+# sign-bit codes within those cells only, exact float re-rank of the
+# Hamming shortlist.  Exactly the one-join change topk_ivf_sq8 made to
+# its scalar codes (the code comment there claimed it; this query
+# proves it, oracle-paired): cost at scale is O(2 x cell_size)
+# XOR+popcounts — the cheapest per-candidate arithmetic in the whole
+# quantization matrix — instead of O(n).  Stored-codes discipline as
+# sq8: codes are computed for the ROUTED candidates only (in
+# production they are stored next to the assignment, packed once at
+# ingest); query-time never re-encodes the corpus (the wave-27 x64
+# lesson).  No FP before the re-rank: the shortlist cut is (integer
+# Hamming ASC, vec_id) in both engines.
+
+
+def _topk_ivf_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import cosine_similarity
+    from ..io.sources import parquet_row_count
+    from ..operators.ann import (
+        hier_super_count,
+        ivf_seed_centroids,
+        route_query_cells,
+        scaled_cluster_count,
+    )
+    from ..operators.ivf_index import shared_hier_assignment
+
+    n = parquet_row_count(sf_dir, "embeddings")
+    k = scaled_cluster_count(n)
+    ns = hier_super_count(k)
+    emb = load_table(spark, sf_dir, "embeddings")
+    # the SAME build-once family every full-corpus consumer rides
+    assign = shared_hier_assignment(
+        spark, emb, f"{sf_dir}/embeddings|{n}", k, ns
+    )
+    qc = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(
+            _pack_sign_bits("embedding", 0).alias("qlo"),
+            _pack_sign_bits("embedding", 32).alias("qhi"),
+        )
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    qcells = route_query_cells(
+        q, ivf_seed_centroids(emb, k), ns, n_cells=2
+    )
+    cand = assign.join(F.broadcast(qcells), "cid").select("vec_id")
+    cand_codes = emb.join(cand, "vec_id").select(
+        "vec_id",
+        _pack_sign_bits("embedding", 0).alias("lo"),
+        _pack_sign_bits("embedding", 32).alias("hi"),
+    )
+    hamming = F.bit_count(
+        F.col("lo").bitwiseXOR(F.col("qlo"))
+    ) + F.bit_count(F.col("hi").bitwiseXOR(F.col("qhi")))
+    shortlist = (
+        cand_codes.crossJoin(F.broadcast(qc))
+        .select("vec_id", hamming.cast("int").alias("hd"))
+        .orderBy("hd", "vec_id")
+        .limit(_BINARY_RERANK_SHORTLIST)
+        .select("vec_id")
+    )
+    return (
+        emb.join(F.broadcast(shortlist), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            portable_round(cosine_similarity("embedding", "qv"), 4).alias(
+                "sim"
+            ),
+        )
+        .orderBy(F.desc("sim"), F.col("vec_id"))
+        .limit(5)
+    )
+
+
+def _topk_ivf_binary_sql() -> str:
+    from .ivf_sql import SQL_COS, hier_assign_ctes
+
+    pack = _sql_pack_sign_bits
+    cos_qs = SQL_COS.format(a="q.qv", b="s.sv")
+    cos_qc = SQL_COS.format(a="q.qv", b="c2.cv")
+    cos_eq = SQL_COS.format(a="e.embedding", b="q.qv")
+    return f"""
+WITH {hier_assign_ctes()},
+codes AS (
+  SELECT vec_id, {pack(0)} AS lo, {pack(32)} AS hi FROM embeddings
+),
+qc AS (SELECT lo AS qlo, hi AS qhi FROM codes WHERE vec_id = 0),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qs AS (
+  SELECT sid FROM (
+    SELECT s.sid,
+           ROW_NUMBER() OVER (ORDER BY ({cos_qs}) DESC, s.sid) AS rk
+    FROM s, q
+  ) WHERE rk <= 3
+),
+qcells AS (
+  SELECT cid FROM (
+    SELECT c2.cid,
+           ROW_NUMBER() OVER (ORDER BY ({cos_qc}) DESC, c2.cid) AS rk
+    FROM c2s c2 JOIN qs USING (sid), q
+  ) WHERE rk <= 2
+),
+short AS (
+  SELECT vec_id FROM (
+    SELECT c.vec_id,
+           CAST(bit_count(xor(c.lo, qc.qlo)) + bit_count(xor(c.hi, qc.qhi))
+                AS INTEGER) AS hd
+    FROM codes c
+    JOIN hier h ON c.vec_id = h.vec_id
+    JOIN qcells cc ON h.cid_hier = cc.cid, qc
+  ) ORDER BY hd, vec_id
+  LIMIT {_BINARY_RERANK_SHORTLIST}
+)
+SELECT e.vec_id,
+       FLOOR(({cos_eq}) * 10000 + 0.5) / 10000 AS sim
+FROM embeddings e JOIN short USING (vec_id), q
+ORDER BY sim DESC, e.vec_id
+LIMIT 5
+"""
+
+
+SPECS["topk_ivf_binary"] = QuerySpec(
+    _topk_ivf_binary,
+    _topk_ivf_binary_sql(),
+    "routed binary-quantization serving: 2-cell IVF probe, XOR+popcount "
+    "Hamming over the routed candidates' sign-bit codes only "
+    "(stored-codes discipline), exact float re-rank — the sq8 "
+    "composition with the cheapest scorer in the quantization matrix",
+)
+
+
 # --- quantization recall matrix (r14) ----------------------------------------
 # The repo's rule: an approximation ships with its MEASURED operating
 # point (filtered_recall_curve for the probe width, pq_recall_at_k /
@@ -2842,6 +2976,14 @@ _QRM_SHORTLIST = 64
 
 def _quant_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vector import cosine_similarity
+    from ..io.sources import parquet_row_count
+    from ..operators.ann import (
+        hier_super_count,
+        ivf_seed_centroids,
+        route_query_cells,
+        scaled_cluster_count,
+    )
+    from ..operators.ivf_index import shared_hier_assignment
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
@@ -2881,6 +3023,28 @@ def _quant_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("s"), "vec_id")
     )
 
+    # binary_routed (r15): the same Hamming ranking RESTRICTED to the
+    # 2-cell IVF probe — the operating point topk_ivf_binary actually
+    # serves, so the router's recall cost on top of the quantizer's is a
+    # measured number, not a claim
+    n = parquet_row_count(sf_dir, "embeddings")
+    k = scaled_cluster_count(n)
+    ns = hier_super_count(k)
+    assign = shared_hier_assignment(
+        spark, emb, f"{sf_dir}/embeddings|{n}", k, ns
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    qcells = route_query_cells(qv, ivf_seed_centroids(emb, k), ns, n_cells=2)
+    cand = assign.join(F.broadcast(qcells), "cid").select("vec_id")
+    bin_routed_ranked = (
+        bits.join(cand, "vec_id")
+        .crossJoin(F.broadcast(bq))
+        .select("vec_id", (-hamming).cast("long").alias("s"))
+        .orderBy(F.desc("s"), "vec_id")
+    )
+
     def row(method: str, ranked: DataFrame) -> DataFrame:
         top = ranked.limit(_QRM_K).select("vec_id")
         short = ranked.limit(_QRM_SHORTLIST).select("vec_id")
@@ -2902,22 +3066,28 @@ def _quant_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shortlist_recall"),
         )
 
-    return row("binary", bin_ranked).unionByName(
-        row("sq8", sq8_ranked)
-    ).orderBy("method")
+    return (
+        row("binary", bin_ranked)
+        .unionByName(row("binary_routed", bin_routed_ranked))
+        .unionByName(row("sq8", sq8_ranked))
+        .orderBy("method")
+    )
 
 
 def _quant_recall_matrix_sql() -> str:
-    from .ivf_sql import SQL_COS
+    from .ivf_sql import SQL_COS, hier_assign_ctes
 
     cos_eq = SQL_COS.format(a="e.embedding", b="q.qv")
+    cos_qs = SQL_COS.format(a="q.qv", b="s.sv")
+    cos_qc = SQL_COS.format(a="q.qv", b="c2.cv")
     cos_code = (
         "list_dot_product(d.code, qc.qc) / "
         "(sqrt(list_dot_product(d.code, d.code)) * "
         "sqrt(list_dot_product(qc.qc, qc.qc)))"
     )
     return f"""
-WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+WITH {hier_assign_ctes()},
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 exact AS (
   SELECT vec_id FROM (
     SELECT e.vec_id,
@@ -2947,15 +3117,43 @@ binr AS (
               AS BIGINT) AS s
   FROM bits b, bq
 ),
+qs AS (
+  SELECT sid FROM (
+    SELECT s.sid,
+           ROW_NUMBER() OVER (ORDER BY ({cos_qs}) DESC, s.sid) AS rk
+    FROM s, q
+  ) WHERE rk <= 3
+),
+qcells AS (
+  SELECT cid FROM (
+    SELECT c2.cid,
+           ROW_NUMBER() OVER (ORDER BY ({cos_qc}) DESC, c2.cid) AS rk
+    FROM c2s c2 JOIN qs USING (sid), q
+  ) WHERE rk <= 2
+),
+binrr AS (
+  SELECT b.vec_id, b.s
+  FROM binr b
+  JOIN hier h ON b.vec_id = h.vec_id
+  JOIN qcells cc ON h.cid_hier = cc.cid
+),
 sq8_top AS (SELECT vec_id FROM sq8r ORDER BY s DESC, vec_id LIMIT {_QRM_K}),
 sq8_short AS (SELECT vec_id FROM sq8r ORDER BY s DESC, vec_id LIMIT {_QRM_SHORTLIST}),
 bin_top AS (SELECT vec_id FROM binr ORDER BY s DESC, vec_id LIMIT {_QRM_K}),
-bin_short AS (SELECT vec_id FROM binr ORDER BY s DESC, vec_id LIMIT {_QRM_SHORTLIST})
+bin_short AS (SELECT vec_id FROM binr ORDER BY s DESC, vec_id LIMIT {_QRM_SHORTLIST}),
+binr_top AS (SELECT vec_id FROM binrr ORDER BY s DESC, vec_id LIMIT {_QRM_K}),
+binr_short AS (SELECT vec_id FROM binrr ORDER BY s DESC, vec_id LIMIT {_QRM_SHORTLIST})
 SELECT 'binary' AS method,
        CAST((SELECT COUNT(*) FROM bin_top JOIN exact USING (vec_id)) AS BIGINT) AS n_hits,
        CAST((SELECT COUNT(*) FROM bin_top JOIN exact USING (vec_id)) AS DOUBLE) / {_QRM_K} AS recall,
        CAST((SELECT COUNT(*) FROM bin_short JOIN exact USING (vec_id)) AS BIGINT) AS n_short_hits,
        CAST((SELECT COUNT(*) FROM bin_short JOIN exact USING (vec_id)) AS DOUBLE) / {_QRM_K} AS shortlist_recall
+UNION ALL
+SELECT 'binary_routed',
+       CAST((SELECT COUNT(*) FROM binr_top JOIN exact USING (vec_id)) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM binr_top JOIN exact USING (vec_id)) AS DOUBLE) / {_QRM_K},
+       CAST((SELECT COUNT(*) FROM binr_short JOIN exact USING (vec_id)) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM binr_short JOIN exact USING (vec_id)) AS DOUBLE) / {_QRM_K}
 UNION ALL
 SELECT 'sq8',
        CAST((SELECT COUNT(*) FROM sq8_top JOIN exact USING (vec_id)) AS BIGINT),
@@ -2969,8 +3167,9 @@ ORDER BY method
 SPECS["quant_recall_matrix"] = QuerySpec(
     _quant_recall_matrix,
     _quant_recall_matrix_sql(),
-    "measured operating points of the r14 quantizers: recall@10 and "
-    "shortlist-recall@64 of the SQ8 int8-cosine ranking and the 64-bit "
-    "sign-code Hamming ranking vs exact cosine (grid-quantized cuts, "
-    "identical in both engines)",
+    "measured operating points of the quantizers: recall@10 and "
+    "shortlist-recall@64 of the SQ8 int8-cosine ranking, the 64-bit "
+    "sign-code Hamming ranking, and (r15) the ROUTED Hamming ranking "
+    "(2-cell IVF probe — the point topk_ivf_binary serves) vs exact "
+    "cosine (grid-quantized cuts, identical in both engines)",
 )

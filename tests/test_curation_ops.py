@@ -539,3 +539,45 @@ def test_curation_pipeline_every_stage_fires(spark):
     # packing preserves token mass and yields ceil-ish pack count
     assert rows["packed"].n_tokens == rows["mixture"].n_tokens
     assert 1 <= rows["packed"].n_docs <= rows["mixture"].n_docs
+
+
+def test_curation_attrition_accounts_every_removal(spark):
+    """The attrition report must RECONCILE with the funnel exactly: per
+    stage, the victims' doc and token counts sum to the funnel's
+    stage-over-stage delta — no removal unattributed, none
+    double-counted (the single-attribution precedence rule for the
+    gopher stage is what makes this a partition, not a multi-label
+    tally)."""
+    from signal_messenger_vector_database_spark.plans.traindata import (
+        _curation_attrition,
+        _curation_pipeline,
+    )
+
+    funnel = {r.stage: r for r in _curation_pipeline(spark, SF).collect()}
+    att = _curation_attrition(spark, SF).collect()
+    by_stage: dict[int, int] = {}
+    by_stage_tok: dict[int, int] = {}
+    for r in att:
+        by_stage[r.stage_id] = by_stage.get(r.stage_id, 0) + r.n_docs
+        by_stage_tok[r.stage_id] = by_stage_tok.get(r.stage_id, 0) + r.n_tokens
+    deltas = [
+        (1, "corpus", "gopher"),
+        (2, "gopher", "exact_dedup"),
+        (3, "exact_dedup", "neardup"),
+        (4, "neardup", "decontaminate"),
+        (5, "decontaminate", "mixture"),
+    ]
+    for sid, prev, cur in deltas:
+        assert by_stage[sid] == funnel[prev].n_docs - funnel[cur].n_docs, sid
+        assert (
+            by_stage_tok[sid]
+            == funnel[prev].n_tokens - funnel[cur].n_tokens
+        ), sid
+    # the planted-dup construction keeps both dedup reasons live, and
+    # the fixture exercises both decontamination reasons
+    reasons = {(r.stage_id, r.reason) for r in att}
+    assert (2, "exact_dup") in reasons and (3, "near_dup") in reasons
+    assert (4, "not_train_split") in reasons and (4, "contaminated") in reasons
+    assert next(
+        r.n_docs for r in att if r.reason == "exact_dup"
+    ) > 0 and next(r.n_docs for r in att if r.reason == "near_dup") > 0

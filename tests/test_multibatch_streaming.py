@@ -310,3 +310,77 @@ def test_stream_ivf_maintain_multibatch_equals_batch_twin(spark, monkeypatch):
     # both op kinds actually flowed through the stream
     assert any(r[3] > 0 for r in streamed)  # n_new
     assert any(r[2] > 0 for r in streamed)  # n_tomb
+
+
+def test_stream_ivf_compact_acts_and_serves(spark, monkeypatch):
+    """stream_ivf_compact must (a) actually COMPACT — the planted %37
+    tombstones push cells over the needs_compact threshold at this
+    fixture, so the audit columns are non-zero — and (b) serve an
+    answer INVARIANT under the compaction: the streamed+compacted
+    disk-index serve equals the same 2-cell routed, tombstone-excluded
+    top-5 computed directly from the batch assignment (compaction only
+    removes rows the anti-join excludes anyway)."""
+    from signal_messenger_vector_database_spark.functions.text import (
+        portable_round,
+    )
+    from signal_messenger_vector_database_spark.functions.vector import (
+        cosine_similarity,
+    )
+    from signal_messenger_vector_database_spark.io.sources import (
+        parquet_row_count,
+    )
+    from signal_messenger_vector_database_spark.operators.ann import (
+        hier_super_count,
+        ivf_assign_hier,
+        ivf_seed_centroids,
+        route_query_cells,
+        scaled_cluster_count,
+    )
+    from signal_messenger_vector_database_spark.plans.streaming_queries import (
+        _stream_ivf_compact,
+    )
+
+    monkeypatch.delenv("SMVD_IVF_CACHE_DIR", raising=False)
+    rows = _stream_ivf_compact(spark, SF).collect()
+    assert len(rows) == 5
+    # (a) compaction fired: audit columns constant and non-zero
+    assert len({(r.n_cells_compacted, r.n_rows_removed) for r in rows}) == 1
+    assert rows[0].n_cells_compacted > 0 and rows[0].n_rows_removed > 0
+
+    # (b) answer-invariance vs the direct batch computation
+    n = parquet_row_count(SF, "embeddings")
+    cut = max(1, n - max(50, n // 10))
+    k = scaled_cluster_count(cut)
+    ns = hier_super_count(k)
+    emb = load_table(spark, SF, "embeddings")
+    base = emb.filter(F.col("vec_id") < cut)
+    seeds = ivf_seed_centroids(base, k)
+    assign = ivf_assign_hier(emb, seeds, ns, n_centroids=k).select(
+        "vec_id", "cid"
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    qcells = route_query_cells(q, seeds, ns, n_cells=2)
+    tombs = emb.filter(
+        (F.col("vec_id") < cut) & (F.col("vec_id") % 37 == 5)
+    ).select("vec_id")
+    expected = (
+        emb.join(
+            assign.join(qcells.select("cid"), "cid")
+            .join(tombs, "vec_id", "left_anti")
+            .select("vec_id"),
+            "vec_id",
+        )
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            portable_round(cosine_similarity("embedding", "qv"), 4).alias(
+                "sim"
+            ),
+        )
+        .orderBy(F.desc("sim"), F.col("vec_id"))
+        .limit(5)
+        .collect()
+    )
+    assert [(r.vec_id, r.sim) for r in rows] == [
+        (r.vec_id, r.sim) for r in expected
+    ]

@@ -23,11 +23,11 @@ sys.path.insert(0, REPO)
 
 def test_window_rotate_matches_pinned_window(monkeypatch):
     """The committed _WINDOW must be exactly what the tool generates
-    from the r01-r13 CORRECTNESS history (the documented input state in
+    from the r01-r14 CORRECTNESS history (the documented input state in
     the catalog comment block) and the documented --changed list — the
     rotation rule is executable, so the pinned list must not drift from
-    it.  History is pinned to <= r13 so the test stays true after the
-    r14 driver row lands.  This regeneration check is ALSO the
+    it.  History is pinned to <= r14 so the test stays true after the
+    r15 driver row lands.  This regeneration check is ALSO the
     displaced-entry enforcement (ADVICE r13): adding a round's queries
     without re-rotating fails it, and the rotation rule itself puts
     last round's displaced names at the head of the stale queue.
@@ -43,30 +43,29 @@ def test_window_rotate_matches_pinned_window(monkeypatch):
 
     real = window_rotate.latest_rounds
 
-    def r13_history():
+    def r14_history():
         import glob
         import re
 
         hist = {}
         for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
             rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
-            if rnd > 13:
+            if rnd > 14:
                 continue
             for name in json.load(open(f)):
                 hist[name] = max(rnd, hist.get(name, 0))
         return hist
 
-    monkeypatch.setattr(window_rotate, "latest_rounds", r13_history)
-    assert real is not r13_history  # sanity: we really swapped it
+    monkeypatch.setattr(window_rotate, "latest_rounds", r14_history)
+    assert real is not r14_history  # sanity: we really swapped it
 
     changed = [
-        "topk_ivf_lifecycle",
-        "topk_ivf_sq8",
-        "stream_ivf_maintain",
-        "curation_pipeline",
-        "topk_binary_rerank",
+        "topk_ivf_binary",
+        "stream_ivf_compact",
+        "curation_attrition",
         "quant_recall_matrix",
-        "approx_distinct",
+        "curation_pipeline",
+        "stream_ivf_maintain",
     ]
     window, prov = window_rotate.compute_window(changed, 50)
     assert window == _WINDOW
@@ -173,6 +172,54 @@ def test_bench_normalization_picks_newest_round_numerically(tmp_path):
     )
     assert norm["vs"] == "BENCH_r10.json"
     assert norm["raw_ratio"] == 0.5
+
+
+def test_bench_median_ratio_prefers_sidecar_medians(tmp_path):
+    """The r15 self-adjudicating signal: median_ratio divides this run's
+    per-query medians by the PRIOR round's medians — sourced from the
+    same-round local sidecar when the driver artifact (first-run only)
+    is the chosen prior — so a first-run memo-build spike cannot fake a
+    regression in the permanent stdout record."""
+    import importlib
+
+    bench = importlib.import_module("bench")
+
+    prev = {
+        "queries": {"q1": 4.0, "q2": 1.0},  # first runs (q1 spiked)
+        "canary": {"sec": 1.0},
+        "canary_shuffle": {"sec": 1.0},
+    }
+    _mk_prev(tmp_path, 9, {"n": 1, "rc": 0, "parsed": prev})
+    (tmp_path / "BENCH_local_r9.json").write_text(
+        json.dumps(dict(prev, queries_median={"q1": 2.0, "q2": 1.0}))
+    )
+    out = {"canary": {"sec": 1.0}, "canary_shuffle": {"sec": 1.0}}
+    norm = bench._shared_subset_normalized(
+        str(tmp_path),
+        {"q1": 4.0, "q2": 1.0},
+        out,
+        medians={"q1": 2.1, "q2": 0.9},
+    )
+    assert norm["vs"] == "BENCH_r9.json"
+    # medians 3.0 vs sidecar medians 3.0 -> 1.0; first-run ratio is 5/5
+    assert norm["median_ratio"] == round(3.0 / 3.0, 3)
+    assert norm["raw_ratio"] == 1.0
+
+    # fallback: no sidecar -> prior FIRST-RUN timings stand in (exact
+    # for pre-r14 single-shot artifacts)
+    (tmp_path / "BENCH_local_r9.json").unlink()
+    norm2 = bench._shared_subset_normalized(
+        str(tmp_path),
+        {"q1": 4.0, "q2": 1.0},
+        out,
+        medians={"q1": 2.0, "q2": 0.5},
+    )
+    assert norm2["median_ratio"] == round(2.5 / 5.0, 3)
+    # and without medians at all the field is None (old callers)
+    norm3 = bench._shared_subset_normalized(
+        str(tmp_path), {"q1": 4.0, "q2": 1.0}, out
+    )
+    assert norm3["median_ratio"] is None
 
 
 def test_bench_normalization_absent_or_broken_prior(tmp_path):
