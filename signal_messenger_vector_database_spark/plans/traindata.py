@@ -2711,7 +2711,13 @@ def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the 7-row funnel NOW (localCheckpoint is eager), then
     # release the stage frames: the persists exist for the multi-consumer
     # build, not for the session's lifetime (ADVICE r14 — 3 bench runs
-    # per query were accumulating pinned stage frames across the run)
+    # per query were accumulating pinned stage frames across the run).
+    # SMVD_PLAN_ONLY=1 (tools/dump_plans.py) skips the materialization so
+    # EXPLAIN.md shows the real funnel plan, not a checkpoint scan.
+    import os
+
+    if os.environ.get("SMVD_PLAN_ONLY") == "1":
+        return funnel.orderBy("stage_id")
     out = funnel.localCheckpoint()
     for fr in c["persisted"]:
         fr.unpersist()
@@ -2981,7 +2987,12 @@ def _curation_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(const_row(mix_victims, 5, "mixture", "mixture_sampled"))
     )
     # same persist lifecycle as the funnel: materialize the small
-    # report, release the stage frames (ADVICE r14)
+    # report, release the stage frames (ADVICE r14); SMVD_PLAN_ONLY
+    # skips it for plan dumps
+    import os
+
+    if os.environ.get("SMVD_PLAN_ONLY") == "1":
+        return report.orderBy("stage_id", "reason")
     out = report.localCheckpoint()
     for fr in c["persisted"]:
         fr.unpersist()

@@ -2718,8 +2718,15 @@ SPECS["pq_recall_trained"] = QuerySpec(
 # top-10's coverage by the Hamming shortlist is 5/8/10/10 at widths
 # 64/128/256/512 — 64-bit codes on 64-dim embeddings need ~256
 # candidates for full recall@10, and a 256-row float re-rank is still
-# negligible next to the code scan.  Production dims (768+) pack more
-# bits and shrink this.
+# negligible next to the code scan.  Production dims: MEASURED by
+# tools/quant_dim_probe.py (SCALING.md wave 29c) at the reference's
+# 768 dims (src/rag/sqlx.rs:42), n=20k clustered corpus — coverage@256
+# = 0.95 at 1.3% of the corpus vs the 64-d fixture needing ~13% of its
+# corpus for the same coverage: more bits shrink the shortlist as a
+# FRACTION of n by ~10x, while the ABSOLUTE width for full recall
+# still grows with n (sign codes have fixed resolution) — which is
+# exactly why the serving form routes cells first (topk_ivf_binary)
+# instead of widening a global Hamming scan.
 _BINARY_RERANK_SHORTLIST = 256
 
 

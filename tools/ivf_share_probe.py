@@ -36,6 +36,11 @@ Usage:
     python tools/ivf_share_probe.py --serve     # wave 26: serving marginal
                                                 # cost off a pre-built index
                                                 # (filtered ANN + MaxSim)
+    python tools/ivf_share_probe.py --stream-compact
+                                                # wave 29b: the acting
+                                                # streaming compaction cycle
+                                                # e2e + pre/post-compaction
+                                                # serving contrast
 """
 
 from __future__ import annotations
@@ -420,11 +425,17 @@ def run_serve(scales: list[int]) -> None:
             # full-corpus assignment) and the composed lifecycle query
             # (chain + tombstones + predicate + widened probe — its
             # chain parts build per scale on first run, then serve).
+            # r15 adds the binary pair: topk_ivf_binary (routed Hamming
+            # — expected ~flat like sq8) and topk_binary_rerank (the
+            # deliberate full-corpus Hamming scan — expected LINEAR;
+            # the contrast IS the routed composition's justification).
             for name in (
                 "topk_ivf_filtered",
                 "maxsim_retrieve",
                 "topk_ivf_sq8",
                 "topk_ivf_lifecycle",
+                "topk_ivf_binary",
+                "topk_binary_rerank",
             ):
                 runs = []
                 for _ in range(3):
@@ -444,6 +455,141 @@ def run_serve(scales: list[int]) -> None:
     finally:
         os.environ.pop("SMVD_IVF_CACHE_DIR", None)
         shutil.rmtree(cache, ignore_errors=True)
+
+
+def run_stream_compact(scales: list[int]) -> None:
+    """Wave 29b (VERDICT r14 #5 done-criterion): the ACTING streaming
+    maintenance cycle at scale, two readings per scale —
+
+      e2e_sec        — `stream_ivf_compact` end-to-end (stage the op
+                       log, drain 4 micro-batches, write the disk
+                       index, compact the streamed flagged cells,
+                       serve).  Expected ~linear in corpus: the
+                       assignment + index write dominate.
+      serve pre/post — the wave-24 contrast, now measured on the SERVE
+                       side: a disk index with a HEAVY tombstone load
+                       (80% of the routed cells' rows — the probe
+                       chooses its own density; the catalog query's
+                       %37 convention leaves compaction semantically
+                       live but cost-invisible), routed 2-cell serve
+                       timed BEFORE compaction (scan includes doomed
+                       rows + anti-join) and AFTER (smaller cells,
+                       smaller anti-join input).  The drop is the
+                       steady-state dividend a compaction pass buys
+                       every subsequent query.
+    """
+    import shutil
+    import tempfile
+
+    from scaling_probe import build_scaled
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from signal_messenger_vector_database_spark.functions.vector import (
+        cosine_similarity,
+    )
+    from signal_messenger_vector_database_spark.io.sources import (
+        load_table,
+        parquet_row_count,
+    )
+    from signal_messenger_vector_database_spark.operators.ann import (
+        hier_super_count,
+        ivf_seed_centroids,
+        route_query_cells,
+        scaled_cluster_count,
+    )
+    from signal_messenger_vector_database_spark.operators.ivf_index import (
+        cell_candidates,
+        compact_cells,
+        exclude_tombstones,
+        shared_hier_assignment,
+        write_cell_index,
+    )
+    from signal_messenger_vector_database_spark.session import get_spark
+
+    spark = get_spark("ivf-stream-compact-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+    dirs = {k: build_scaled(spark, k) for k in scales}
+    root = tempfile.mkdtemp(prefix="smvd_stream_compact_probe_")
+
+    def timed_serve(idx, emb, seeds, ns, kk, tombs):
+        q = emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qv")
+        )
+        qcells = route_query_cells(q, seeds, ns, n_cells=2)
+        cids = [r.cid for r in qcells.select("cid").collect()]
+        runs = []
+        for _ in range(3):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            cand = cell_candidates(spark, idx, cids).select("vec_id")
+            live = exclude_tombstones(cand, tombs)
+            (
+                emb.join(live, "vec_id")
+                .crossJoin(F.broadcast(q))
+                .select(
+                    "vec_id",
+                    cosine_similarity("embedding", "qv").alias("sim"),
+                )
+                .orderBy(F.desc("sim"), "vec_id")
+                .limit(5)
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            runs.append(round(time.time() - t0, 3))
+        return sorted(runs)[1], cids
+
+    try:
+        results = {}
+        for warmup in (True, False):
+          for k in (scales[:1] if warmup else scales):
+            sf_dir = dirs[k]
+            n = parquet_row_count(sf_dir, "embeddings")
+            t0 = time.time()
+            qs["stream_ivf_compact"](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            e2e_sec = round(time.time() - t0, 2)
+
+            # pre/post serving contrast on a heavy-tombstone index
+            kk = scaled_cluster_count(n)
+            ns = hier_super_count(kk)
+            emb = load_table(spark, sf_dir, "embeddings")
+            seeds = ivf_seed_centroids(emb, kk)
+            assign = shared_hier_assignment(
+                spark, emb, f"{sf_dir}/embeddings|scp|{n}", kk, ns
+            )
+            idx = os.path.join(root, f"x{k}")
+            shutil.rmtree(idx, ignore_errors=True)
+            write_cell_index(assign, idx)
+            tombs = emb.filter(F.col("vec_id") % 5 != 0).select(
+                "vec_id"
+            )  # 80% doomed: the steady state a lazy compactor drifts into
+            pre_sec, cids = timed_serve(idx, emb, seeds, ns, kk, tombs)
+            t0 = time.time()
+            stats = compact_cells(spark, idx, tombs, cids).collect()
+            compact_sec = round(time.time() - t0, 2)
+            post_sec, _ = timed_serve(idx, emb, seeds, ns, kk, tombs)
+            if warmup:
+                continue
+            row = {
+                "scale": k,
+                "n": n,
+                "k_cells": kk,
+                "e2e_sec": e2e_sec,
+                "serve_pre_sec": pre_sec,
+                "compact_sec": compact_sec,
+                "serve_post_sec": post_sec,
+                "rows_removed": int(sum(s.n_removed for s in stats)),
+            }
+            results[f"x{k}"] = row
+            print(json.dumps(row), flush=True)
+        print(json.dumps(results))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def main() -> None:
@@ -468,6 +614,8 @@ def main() -> None:
             mode = "delta-chain"
         elif a == "--serve":
             mode = "serve"
+        elif a == "--stream-compact":
+            mode = "stream-compact"
         else:
             sys.exit(f"unrecognized argument {a!r}")
     if mode == "pq":
@@ -484,6 +632,9 @@ def main() -> None:
         return
     if mode == "serve":
         run_serve(scales)
+        return
+    if mode == "stream-compact":
+        run_stream_compact(scales)
         return
 
     from scaling_probe import build_scaled
