@@ -337,6 +337,14 @@ def main() -> None:
     slim["queries"] = {n: round(v, 2) for n, v in timings.items()}
     if slim.get("stamp") is None:
         del slim["stamp"]
+    # stdout-only trims (r15 review: the line measured 1931 chars, ~70
+    # from the 2000-char tail cutoff that truncates HEADS — the r10
+    # incident).  Methodology metadata lives in the sidecar: drop
+    # runs_per_query and the canary_jobs job count (~35 chars back).
+    del slim["runs_per_query"]
+    slim["canary_jobs"] = {
+        kk: vv for kk, vv in slim["canary_jobs"].items() if kk != "jobs"
+    }
     print(json.dumps(slim))
 
 

@@ -48,15 +48,28 @@ _COS_VC = SQL_COS.format(a="v.v", b="c2.cv")
 # the default so every historical consumer's SQL is byte-identical.
 
 
-def hier_assign_ctes(src: str = "embeddings", assign_src: str | None = None) -> str:
+def hier_assign_ctes(
+    src: str = "embeddings",
+    assign_src: str | None = None,
+    materialized: bool = False,
+) -> str:
     """``src`` is the relation the GEOMETRY and CENTROIDS derive from;
     ``assign_src`` (default: src — rendering byte-identical for every
     historical consumer) is the relation whose vectors get ASSIGNED.
     Passing a different assign_src is the DELTA-maintenance shape
     (VERDICT r11 #2): centroids frozen at the base corpus, only the
     incoming vectors routed — the SQL twin of
-    operators/ivf_index.py::shared_hier_assignment_delta."""
+    operators/ivf_index.py::shared_hier_assignment_delta.
+
+    ``materialized=True`` pins the expensive ``hier`` CTE with the
+    DuckDB MATERIALIZED hint — opt in from any oracle that references
+    ``hier`` more than twice (directly or through derived CTEs):
+    DuckDB re-evaluates non-materialized CTEs per reference, so the
+    n x ns assignment chain multiplies (the curation_pipeline lesson,
+    memory'd as an oracle-parity rule).  Default False renders
+    byte-identical SQL for every historical consumer."""
     asrc = assign_src or src
+    mat = "MATERIALIZED " if materialized else ""
     return f"""p AS (
   SELECT GREATEST(8, COUNT(*) // 125) AS k,
          GREATEST(2, CAST(FLOOR(SQRT(GREATEST(8, COUNT(*) // 125))) AS INTEGER)) AS ns
@@ -80,7 +93,7 @@ v2s AS (
     FROM {asrc} e, s
   ) WHERE rk <= 3  -- nprobe=3, the measured default
 ),
-hier AS (
+hier AS {mat}(
   SELECT vec_id, cid AS cid_hier FROM (
     SELECT v.vec_id, c2.cid,
            ROW_NUMBER() OVER (PARTITION BY v.vec_id

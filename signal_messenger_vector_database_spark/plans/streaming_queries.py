@@ -645,16 +645,13 @@ SPECS["stream_ingest_index"] = QuerySpec(
 def _stream_ivf_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
-    import uuid
 
     from ..io.sources import parquet_row_count
     from ..operators.ann import (
         hier_super_count,
-        ivf_assign_hier,
         ivf_seed_centroids,
         scaled_cluster_count,
     )
-    from ..operators.ivf_index import occupancy_cells
 
     n = parquet_row_count(sf_dir, "embeddings")
     cut = max(1, n - max(50, n // 10))
@@ -675,7 +672,13 @@ def _stream_ivf_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, emb, base, seeds, cut, k, ns, parent
         )
     finally:
-        shutil.rmtree(parent, ignore_errors=True)
+        # under SMVD_PLAN_ONLY the returned frame is LAZY and still
+        # reads these files (dump_plans explains it later) — leak the
+        # tempdir for that tool run instead of deleting under the plan
+        import os
+
+        if os.environ.get("SMVD_PLAN_ONLY") != "1":
+            shutil.rmtree(parent, ignore_errors=True)
 
 
 def _drain_op_log(
@@ -810,22 +813,32 @@ def _stream_ivf_maintain_run(
     ns: int,
     parent: str,
 ) -> DataFrame:
+    import os
+
     base_assign, delta_assign, tombs = _drain_op_log(
         spark, emb, base, seeds, cut, k, ns, parent
     )
     # occupancy from the STREAMED state only (shared occupancy_cells).
     # materialize NOW (localCheckpoint is eager): the caller's finally
     # removes the staged delta-index/tombstone parquet this frame reads —
-    # the k-row occupancy table must be computed before that happens
-    return _occupancy_from_streamed(
-        base_assign, delta_assign, tombs
-    ).localCheckpoint()
+    # the k-row occupancy table must be computed before that happens.
+    # SMVD_PLAN_ONLY=1 (tools/dump_plans.py) skips the checkpoint so
+    # EXPLAIN.md shows the real occupancy plan, not a checkpoint scan
+    # (the drain above already ran; the scan nodes listed their files)
+    occ = _occupancy_from_streamed(base_assign, delta_assign, tombs)
+    if os.environ.get("SMVD_PLAN_ONLY") == "1":
+        return occ
+    return occ.localCheckpoint()
 
 
 # Shared oracle fragments of the streaming maintenance family: the
 # frozen-quantizer tagging + per-cell occupancy aggregate, verbatim in
 # BOTH stream_ivf_maintain (reports flags) and stream_ivf_compact (acts
-# on them) — one definition, so the two oracles cannot drift.
+# on them) — one definition, so the two oracles cannot drift.  ``agg``
+# is MATERIALIZED: both oracles reference it at least twice, and each
+# re-evaluation would re-run the whole hier chain underneath (the
+# DuckDB CTE re-evaluation rule).  ``tot`` (the split-flag denominator)
+# lives only in the maintain SQL — compact's flag set needs agg alone.
 _SQL_OCC_CTES = """tagged AS (
   SELECT h.cid_hier AS cid,
          CASE WHEN h.vec_id >= nn.cut THEN 'new'
@@ -833,14 +846,13 @@ _SQL_OCC_CTES = """tagged AS (
               ELSE 'live' END AS st
   FROM hier h, nn
 ),
-agg AS (
+agg AS MATERIALIZED (
   SELECT cid,
          SUM(CASE WHEN st = 'live' THEN 1 ELSE 0 END) AS n_live,
          SUM(CASE WHEN st = 'tomb' THEN 1 ELSE 0 END) AS n_tomb,
          SUM(CASE WHEN st = 'new' THEN 1 ELSE 0 END) AS n_new
   FROM tagged GROUP BY cid
-),
-tot AS (SELECT SUM(n_live + n_new) AS total, COUNT(*) AS k FROM agg)"""
+)"""
 
 
 def _stream_ivf_maintain_sql() -> str:
@@ -853,7 +865,8 @@ WITH nn AS (SELECT COUNT(*) AS n,
 base AS (SELECT e.vec_id, e.embedding FROM embeddings e, nn
          WHERE e.vec_id < nn.cut),
 {hier_assign_ctes(src="base", assign_src="embeddings")},
-{_SQL_OCC_CTES}
+{_SQL_OCC_CTES},
+tot AS (SELECT SUM(n_live + n_new) AS total, COUNT(*) AS k FROM agg)
 SELECT CAST(a.cid AS BIGINT) AS cid,
        CAST(a.n_live AS BIGINT) AS n_live,
        CAST(a.n_tomb AS BIGINT) AS n_tomb,
@@ -923,7 +936,12 @@ def _stream_ivf_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, emb, base, seeds, cut, k, ns, parent
         )
     finally:
-        shutil.rmtree(parent, ignore_errors=True)
+        # see _stream_ivf_maintain: under SMVD_PLAN_ONLY the lazy frame
+        # still reads the disk index — leak the tool run's tempdir
+        import os
+
+        if os.environ.get("SMVD_PLAN_ONLY") != "1":
+            shutil.rmtree(parent, ignore_errors=True)
 
 
 def _stream_ivf_compact_run(
@@ -992,7 +1010,11 @@ def _stream_ivf_compact_run(
         .limit(5)
         .crossJoin(F.broadcast(comp))
     )
-    # materialize before the caller's finally removes the disk index
+    # materialize before the caller's finally removes the disk index;
+    # SMVD_PLAN_ONLY keeps it lazy for plan dumps (the compaction above
+    # already ran — the explained plan is the real served shape)
+    if os.environ.get("SMVD_PLAN_ONLY") == "1":
+        return served.orderBy(F.desc("sim"), F.col("vec_id"))
     return served.localCheckpoint().orderBy(F.desc("sim"), F.col("vec_id"))
 
 
@@ -1008,7 +1030,7 @@ WITH nn AS (SELECT COUNT(*) AS n,
             FROM embeddings),
 base AS (SELECT e.vec_id, e.embedding FROM embeddings e, nn
          WHERE e.vec_id < nn.cut),
-{hier_assign_ctes(src="base", assign_src="embeddings")},
+{hier_assign_ctes(src="base", assign_src="embeddings", materialized=True)},
 {_SQL_OCC_CTES},
 flagged AS (
   SELECT cid FROM agg WHERE 50 * n_live < 49 * (n_live + n_tomb)

@@ -3040,10 +3040,7 @@ def _quant_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = shared_hier_assignment(
         spark, emb, f"{sf_dir}/embeddings|{n}", k, ns
     )
-    qv = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qv")
-    )
-    qcells = route_query_cells(qv, ivf_seed_centroids(emb, k), ns, n_cells=2)
+    qcells = route_query_cells(q, ivf_seed_centroids(emb, k), ns, n_cells=2)
     cand = assign.join(F.broadcast(qcells), "cid").select("vec_id")
     bin_routed_ranked = (
         bits.join(cand, "vec_id")
