@@ -2965,6 +2965,184 @@ SPECS["topk_ivf_binary"] = QuerySpec(
 )
 
 
+# --- three-tier cascade serving (r15) ---------------------------------------
+# The staged-refinement shape production vector stores actually ship
+# (FAISS IndexRefine / "binary quantization + rescoring" in every 2024
+# deployment writeup; pgvector's bit(n) prefilter + halfvec rescore):
+# each tier touches FEWER candidates with a MORE precise (and more
+# expensive) scorer, so per-query cost concentrates where precision
+# matters.  Tier 0 routes 2 IVF cells (O(k) centroid arithmetic);
+# tier 1 scans the routed candidates' 1-bit sign codes with
+# XOR+popcount Hamming (32x-compressed, the cheapest arithmetic —
+# keeps 64); tier 2 re-ranks the 64 with int8 symmetric-quantized
+# cosine (4x-compressed integer dots — keeps 20); tier 3 re-ranks the
+# 20 with exact float cosine (keeps 5).  At 100 TB: the float table is
+# touched for 20 rows per query, the int8 table for 64, the bit table
+# for O(2 x cell) — the memory/IO hierarchy maps onto the storage
+# tiers.  Every inter-tier cut is portable by construction: exact
+# integers (Hamming), the 1e-4 grid (int8 cosine), vec_id tie-breaks —
+# both engines cut identical sets, so the composed answer hash-checks.
+# Widths: tier-1 keeps _QRM_SHORTLIST (64, the measured
+# shortlist-recall@64 operating point in quant_recall_matrix), tier 2
+# keeps _SQ8_RERANK (20, the sq8 arm's width).
+
+# 64 == _QRM_SHORTLIST (defined below; literal here — the quant matrix
+# section follows this one), 20 == the sq8 arm's rerank width
+_CASCADE_T1, _CASCADE_T2 = 64, _SQ8_RERANK
+
+
+def _topk_ivf_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import cosine_similarity
+    from ..io.sources import parquet_row_count
+    from ..operators.ann import (
+        hier_super_count,
+        ivf_seed_centroids,
+        route_query_cells,
+        scaled_cluster_count,
+    )
+    from ..operators.ivf_index import shared_hier_assignment
+
+    n = parquet_row_count(sf_dir, "embeddings")
+    k = scaled_cluster_count(n)
+    ns = hier_super_count(k)
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = shared_hier_assignment(
+        spark, emb, f"{sf_dir}/embeddings|{n}", k, ns
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    qb = emb.filter(F.col("vec_id") == 0).select(
+        _pack_sign_bits("embedding", 0).alias("qlo"),
+        _pack_sign_bits("embedding", 32).alias("qhi"),
+    )
+    qcode = _quantized(emb.filter(F.col("vec_id") == 0)).select(
+        F.col("q").cast("array<double>").alias("qc")
+    )
+    # tier 0: route
+    qcells = route_query_cells(q, ivf_seed_centroids(emb, k), ns, n_cells=2)
+    cand = assign.join(F.broadcast(qcells), "cid").select("vec_id")
+    # tier 1: 1-bit Hamming over the routed candidates (stored codes)
+    cand_bits = emb.join(cand, "vec_id").select(
+        "vec_id",
+        _pack_sign_bits("embedding", 0).alias("lo"),
+        _pack_sign_bits("embedding", 32).alias("hi"),
+    )
+    hamming = F.bit_count(
+        F.col("lo").bitwiseXOR(F.col("qlo"))
+    ) + F.bit_count(F.col("hi").bitwiseXOR(F.col("qhi")))
+    t1 = (
+        cand_bits.crossJoin(F.broadcast(qb))
+        .select("vec_id", hamming.cast("int").alias("hd"))
+        .orderBy("hd", "vec_id")
+        .limit(_CASCADE_T1)
+        .select("vec_id")
+    )
+    # tier 2: int8 cosine over the tier-1 survivors (1e-4 grid cut)
+    t1_codes = _quantized(emb.join(F.broadcast(t1), "vec_id")).select(
+        "vec_id", F.col("q").cast("array<double>").alias("code")
+    )
+    t2 = (
+        t1_codes.crossJoin(F.broadcast(qcode))
+        .select(
+            "vec_id",
+            F.floor(cosine_similarity("code", "qc") * 10000 + 0.5)
+            .cast("long")
+            .alias("asim"),
+        )
+        .orderBy(F.desc("asim"), "vec_id")
+        .limit(_CASCADE_T2)
+        .select("vec_id")
+    )
+    # tier 3: exact float re-rank of the 20 survivors
+    return (
+        emb.join(F.broadcast(t2), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            portable_round(cosine_similarity("embedding", "qv"), 4).alias(
+                "sim"
+            ),
+        )
+        .orderBy(F.desc("sim"), F.col("vec_id"))
+        .limit(5)
+    )
+
+
+def _topk_ivf_cascade_sql() -> str:
+    from .ivf_sql import SQL_COS, hier_assign_ctes
+
+    pack = _sql_pack_sign_bits
+    cos_qs = SQL_COS.format(a="q.qv", b="s.sv")
+    cos_qc = SQL_COS.format(a="q.qv", b="c2.cv")
+    cos_eq = SQL_COS.format(a="e.embedding", b="q.qv")
+    cos_code = (
+        "list_dot_product(d.code, qcode.qc) / "
+        "(sqrt(list_dot_product(d.code, d.code)) * "
+        "sqrt(list_dot_product(qcode.qc, qcode.qc)))"
+    )
+    return f"""
+WITH {hier_assign_ctes()},
+codes AS (
+  SELECT vec_id, {pack(0)} AS lo, {pack(32)} AS hi FROM embeddings
+),
+qb AS (SELECT lo AS qlo, hi AS qhi FROM codes WHERE vec_id = 0),
+qd AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> floor(x / {_SQL_QSCALE} + 0.5)) AS code
+  FROM embeddings
+),
+qcode AS (SELECT code AS qc FROM qd WHERE vec_id = 0),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qs AS (
+  SELECT sid FROM (
+    SELECT s.sid,
+           ROW_NUMBER() OVER (ORDER BY ({cos_qs}) DESC, s.sid) AS rk
+    FROM s, q
+  ) WHERE rk <= 3
+),
+qcells AS (
+  SELECT cid FROM (
+    SELECT c2.cid,
+           ROW_NUMBER() OVER (ORDER BY ({cos_qc}) DESC, c2.cid) AS rk
+    FROM c2s c2 JOIN qs USING (sid), q
+  ) WHERE rk <= 2
+),
+t1 AS (
+  SELECT vec_id FROM (
+    SELECT c.vec_id,
+           CAST(bit_count(xor(c.lo, qb.qlo)) + bit_count(xor(c.hi, qb.qhi))
+                AS INTEGER) AS hd
+    FROM codes c
+    JOIN hier h ON c.vec_id = h.vec_id
+    JOIN qcells cc ON h.cid_hier = cc.cid, qb
+  ) ORDER BY hd, vec_id
+  LIMIT {_CASCADE_T1}
+),
+t2 AS (
+  SELECT vec_id FROM (
+    SELECT d.vec_id,
+           CAST(FLOOR(({cos_code}) * 10000 + 0.5) AS BIGINT) AS asim
+    FROM qd d JOIN t1 USING (vec_id), qcode
+  ) ORDER BY asim DESC, vec_id
+  LIMIT {_CASCADE_T2}
+)
+SELECT e.vec_id,
+       FLOOR(({cos_eq}) * 10000 + 0.5) / 10000 AS sim
+FROM embeddings e JOIN t2 USING (vec_id), q
+ORDER BY sim DESC, e.vec_id
+LIMIT 5
+"""
+
+
+SPECS["topk_ivf_cascade"] = QuerySpec(
+    _topk_ivf_cascade,
+    _topk_ivf_cascade_sql(),
+    "three-tier cascade serving (FAISS IndexRefine shape): 2-cell IVF "
+    "route -> 1-bit Hamming keeps 64 -> int8 cosine keeps 20 -> exact "
+    "float keeps 5; every inter-tier cut exact-integer or 1e-4-grid "
+    "with vec_id tie-breaks, so the composed answer hash-checks",
+)
+
+
 # --- quantization recall matrix (r14) ----------------------------------------
 # The repo's rule: an approximation ships with its MEASURED operating
 # point (filtered_recall_curve for the probe width, pq_recall_at_k /

@@ -63,6 +63,7 @@ def test_window_rotate_matches_pinned_window(monkeypatch):
         "topk_ivf_binary",
         "stream_ivf_compact",
         "curation_attrition",
+        "topk_ivf_cascade",
         "quant_recall_matrix",
         "curation_pipeline",
         "stream_ivf_maintain",

@@ -436,6 +436,7 @@ def run_serve(scales: list[int]) -> None:
                 "topk_ivf_lifecycle",
                 "topk_ivf_binary",
                 "topk_binary_rerank",
+                "topk_ivf_cascade",
             ):
                 runs = []
                 for _ in range(3):

@@ -123,6 +123,87 @@ def binary_ranking(corpus: np.ndarray, queries: np.ndarray) -> np.ndarray:
     return np.argsort(ham, axis=1, kind="stable")
 
 
+def hier_route(
+    corpus: np.ndarray, queries: np.ndarray, n_cells: int = 2, nprobe: int = 3
+) -> tuple[np.ndarray, list[np.ndarray]]:
+    """NumPy port of the engine's two-level IVF rule
+    (operators/ann.py::ivf_assign_hier / route_query_cells, the
+    plans/ivf_sql.py CTE twin): seeded centroids = first k vectors,
+    supers = first ns, k = max(8, n//125), ns = max(2, floor(sqrt k));
+    every argmax tie-breaks to the LOWEST id (argsort stable on the
+    negated scores), matching ORDER BY cos DESC, id.  Returns the
+    per-vector cell assignment and each query's n_cells routed cells."""
+    n = len(corpus)
+    k = max(8, n // 125)
+    ns = max(2, int(np.sqrt(k)))
+    cents, sups = corpus[:k], corpus[:ns]
+    c2s = np.argmax(cents @ sups.T, axis=1)
+    top_sup = np.argsort(-(corpus @ sups.T), axis=1, kind="stable")[:, :nprobe]
+    vc = corpus @ cents.T
+    assign = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        cids = np.nonzero(np.isin(c2s, top_sup[i]))[0]
+        assign[i] = cids[np.argmax(vc[i, cids])]
+    q_sup = np.argsort(-(queries @ sups.T), axis=1, kind="stable")[:, :nprobe]
+    qc = queries @ cents.T
+    routed = []
+    for j in range(len(queries)):
+        cids = np.nonzero(np.isin(c2s, q_sup[j]))[0]
+        order = cids[np.argsort(-qc[j, cids], kind="stable")]
+        routed.append(order[:n_cells])
+    return assign, routed
+
+
+def routed_metrics(
+    corpus: np.ndarray,
+    queries: np.ndarray,
+    truth: np.ndarray,
+    t1: int = 64,
+    t2: int = 20,
+) -> dict:
+    """The serving forms at this dimension: routed-binary recall@10
+    (topk_ivf_binary's shape) and the three-tier cascade recall@5
+    (topk_ivf_cascade: route -> Hamming keeps t1 -> int8 cosine keeps
+    t2 -> exact keeps 5), plus the routed candidate fraction."""
+    assign, routed = hier_route(corpus, queries)
+    cb = corpus > 0
+
+    def sq8(x):
+        scale = np.maximum(np.abs(x).max(axis=1, keepdims=True) / 127.0, 1e-12)
+        c = np.floor(x / scale + 0.5)
+        return c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+
+    csq = sq8(corpus)
+    exact5 = truth[:, :5]
+    r10_hits, r5_hits, frac, ceil_hits = [], [], [], []
+    for j, q in enumerate(queries):
+        cand = np.nonzero(np.isin(assign, routed[j]))[0]
+        frac.append(len(cand) / len(corpus))
+        # the router's own ceiling: exact cosine within the routed set —
+        # what any scorer could at best recover; cascade loss below this
+        # is the quantizers', loss at this line is the router's
+        ceil_hits.append(
+            len(set(cand) & set(truth[j])) / truth.shape[1]
+        )
+        qb = q > 0
+        ham = (cb[cand] ^ qb).sum(axis=1)
+        order = cand[np.argsort(ham, kind="stable")]
+        r10_hits.append(len(set(order[:10]) & set(truth[j])) / truth.shape[1])
+        keep1 = order[:t1]
+        qs = sq8(q[None, :])[0]
+        keep2 = keep1[
+            np.argsort(-(csq[keep1] @ qs), kind="stable")[:t2]
+        ]
+        final5 = keep2[np.argsort(-(corpus[keep2] @ q), kind="stable")[:5]]
+        r5_hits.append(len(set(final5) & set(exact5[j])) / 5.0)
+    return {
+        "routed_candidate_frac": round(float(np.mean(frac)), 4),
+        "router_ceiling_recall@10": round(float(np.mean(ceil_hits)), 3),
+        "binary_routed_recall@10": round(float(np.mean(r10_hits)), 3),
+        "cascade_recall@5": round(float(np.mean(r5_hits)), 3),
+    }
+
+
 def pq_ranking(
     rng: np.random.Generator, corpus: np.ndarray, queries: np.ndarray
 ) -> np.ndarray:
@@ -194,12 +275,16 @@ def main() -> None:
             row[f"pq_coverage@{PQ_SHORTLIST}"] = round(
                 coverage_at(pq, truth, PQ_SHORTLIST), 3
             )
+            row.update(routed_metrics(corpus, queries, truth))
             print(json.dumps(row), flush=True)
             summary[f"d{dim}/{variant}"] = {
                 "binary_r10": row["binary_recall@10"],
                 "binary_full_width": row["binary_full_recall_width"],
                 "sq8_r10": row["sq8_recall@10"],
                 "pq_r10": row["pq_recall@10"],
+                "routed_frac": row["routed_candidate_frac"],
+                "binary_routed_r10": row["binary_routed_recall@10"],
+                "cascade_r5": row["cascade_recall@5"],
             }
     print(json.dumps(summary))
 
