@@ -3143,6 +3143,133 @@ SPECS["topk_ivf_cascade"] = QuerySpec(
 )
 
 
+# --- batched multi-query serving (late r15) ---------------------------------
+# Every routed query so far serves ONE vector per invocation — the
+# point-query shape.  A serving tier runs BATCHES: Q queries arrive
+# together and the engine amortizes one corpus/assignment pass across
+# all of them instead of launching Q jobs.  This query serves 5
+# queries (vec_id 0-4) in one plan: batch routing via
+# route_query_cells(id_col="qid") — per-query windows over the tiny
+# broadcast centroid frames, |Q| x n_super arithmetic, no corpus work
+# — then ONE equi-join of the (qid, cid) routing table against the
+# stored assignment produces every query's candidates at once, one
+# join attaches vectors, and a per-qid window takes each query's
+# top-5.  Cost shape at 100 TB: the corpus-side work is a single
+# shuffle-free routed-candidate join of size Σ|cells(q)| regardless
+# of Q (vs Q separate jobs each paying scheduling + scan setup);
+# per-query state is Q x nprobe rows of routing arithmetic.  The
+# final rank cut is grid-quantized (1e-4, vec_id tie-break) so both
+# engines cut identical per-query sets; the routing windows replay
+# route_query_cells' exact comparator per qid (the qs/qcells CTE pair
+# PARTITIONed BY qid).
+
+_BATCH_Q, _BATCH_K = 5, 5
+
+
+def _topk_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.vector import cosine_similarity
+    from ..io.sources import parquet_row_count
+    from ..operators.ann import (
+        hier_super_count,
+        ivf_seed_centroids,
+        route_query_cells,
+        scaled_cluster_count,
+    )
+    from ..operators.ivf_index import shared_hier_assignment
+
+    n = parquet_row_count(sf_dir, "embeddings")
+    k = scaled_cluster_count(n)
+    ns = hier_super_count(k)
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = shared_hier_assignment(
+        spark, emb, f"{sf_dir}/embeddings|{n}", k, ns
+    )
+    qset = emb.filter(F.col("vec_id") < _BATCH_Q).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    qcells = route_query_cells(
+        qset, ivf_seed_centroids(emb, k), ns, n_cells=2, id_col="qid"
+    )
+    cand = assign.join(F.broadcast(qcells), "cid").select("qid", "vec_id")
+    scored = (
+        cand.join(emb, "vec_id")
+        .join(F.broadcast(qset), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            F.floor(cosine_similarity("embedding", "qv") * 10000 + 0.5)
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("s"), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _BATCH_K)
+        .select(
+            "qid",
+            "vec_id",
+            (F.col("s").cast("double") / 10000).alias("sim"),
+        )
+        .orderBy("qid", F.desc("sim"), "vec_id")
+    )
+
+
+def _topk_ivf_batch_sql() -> str:
+    from .ivf_sql import SQL_COS, hier_assign_ctes
+
+    cos_qs = SQL_COS.format(a="q.qv", b="s.sv")
+    cos_qc = SQL_COS.format(a="q.qv", b="c2.cv")
+    cos_eq = SQL_COS.format(a="e.embedding", b="q.qv")
+    return f"""
+WITH {hier_assign_ctes()},
+qset AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         WHERE vec_id < {_BATCH_Q}),
+qs AS (
+  SELECT qid, sid FROM (
+    SELECT q.qid, s.sid,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+                              ORDER BY ({cos_qs}) DESC, s.sid) AS rk
+    FROM s, qset q
+  ) WHERE rk <= 3
+),
+qcells AS (
+  SELECT qid, cid FROM (
+    SELECT qs.qid, c2.cid,
+           ROW_NUMBER() OVER (PARTITION BY qs.qid
+                              ORDER BY ({cos_qc}) DESC, c2.cid) AS rk
+    FROM c2s c2 JOIN qs USING (sid)
+    JOIN qset q ON qs.qid = q.qid
+  ) WHERE rk <= 2
+)
+SELECT qid, vec_id, CAST(s AS DOUBLE) / 10000 AS sim FROM (
+  SELECT q.qid, e.vec_id,
+         CAST(FLOOR(({cos_eq}) * 10000 + 0.5) AS BIGINT) AS s,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.qid
+           ORDER BY CAST(FLOOR(({cos_eq}) * 10000 + 0.5) AS BIGINT) DESC,
+                    e.vec_id) AS rk
+  FROM embeddings e
+  JOIN hier h ON e.vec_id = h.vec_id
+  JOIN qcells qc ON h.cid_hier = qc.cid
+  JOIN qset q ON qc.qid = q.qid
+) WHERE rk <= {_BATCH_K}
+ORDER BY qid, sim DESC, vec_id
+"""
+
+
+SPECS["topk_ivf_batch"] = QuerySpec(
+    _topk_ivf_batch,
+    _topk_ivf_batch_sql(),
+    "batched multi-query serving: 5 queries routed per-qid in one plan "
+    "(route_query_cells id_col batch mode), ONE assignment equi-join "
+    "yields all queries' candidates, per-qid window takes each top-5 — "
+    "the serving-tier amortization shape (grid-quantized rank cut)",
+)
+
+
 # --- quantization recall matrix (r14) ----------------------------------------
 # The repo's rule: an approximation ships with its MEASURED operating
 # point (filtered_recall_curve for the probe width, pq_recall_at_k /

@@ -1326,3 +1326,64 @@ def test_cell_candidates_fully_compacted_index_is_empty_not_error(
 
     with _pytest.raises(FileNotFoundError):
         cell_candidates(spark, str(tmp_path / "no_such_idx"), [0])
+
+
+def test_batched_serving_equals_per_query_serving(spark, monkeypatch):
+    """topk_ivf_batch must return, for EVERY qid, exactly what a
+    single-query routed serve of that vector returns — the batch path
+    amortizes the corpus join and swaps orderBy/limit for a per-qid
+    window, and neither change may move an answer.  The single-query
+    side is recomputed here with the same operators but the
+    SINGLE-query code shape (1-row route frame, global orderBy/limit),
+    so the per-qid window keying is what this test actually pins."""
+    from signal_messenger_vector_database_spark.functions.vector import (
+        cosine_similarity,
+    )
+    from signal_messenger_vector_database_spark.io.sources import load_table
+    from signal_messenger_vector_database_spark.operators.ann import (
+        ivf_seed_centroids,
+        route_query_cells,
+    )
+    from signal_messenger_vector_database_spark.operators.ivf_index import (
+        shared_hier_assignment,
+    )
+    from signal_messenger_vector_database_spark.plans.vectorops import (
+        _BATCH_K,
+        _BATCH_Q,
+        _topk_ivf_batch,
+    )
+
+    monkeypatch.delenv("SMVD_IVF_CACHE_DIR", raising=False)
+    batch = _topk_ivf_batch(spark, SF).collect()
+    assert len(batch) == _BATCH_Q * _BATCH_K
+    by_qid = {}
+    for r in batch:
+        by_qid.setdefault(r.qid, []).append((r.vec_id, r.sim))
+
+    emb, n, k, ns = _load(spark)
+    assign = shared_hier_assignment(spark, emb, f"{SF}/embeddings|{n}", k, ns)
+    for qid in range(_BATCH_Q):
+        q = emb.filter(F.col("vec_id") == qid).select(
+            F.col("embedding").alias("qv")
+        )
+        qcells = route_query_cells(
+            q, ivf_seed_centroids(emb, k), ns, n_cells=2
+        )
+        single = (
+            emb.join(
+                assign.join(F.broadcast(qcells), "cid").select("vec_id"),
+                "vec_id",
+            )
+            .crossJoin(F.broadcast(q))
+            .select(
+                "vec_id",
+                F.floor(cosine_similarity("embedding", "qv") * 10000 + 0.5)
+                .cast("long")
+                .alias("s"),
+            )
+            .orderBy(F.desc("s"), "vec_id")
+            .limit(_BATCH_K)
+            .collect()
+        )
+        expected = [(r.vec_id, r.s / 10000) for r in single]
+        assert by_qid[qid] == expected, qid

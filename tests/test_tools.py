@@ -64,6 +64,7 @@ def test_window_rotate_matches_pinned_window(monkeypatch):
         "stream_ivf_compact",
         "curation_attrition",
         "topk_ivf_cascade",
+        "topk_ivf_batch",
         "quant_recall_matrix",
         "curation_pipeline",
         "stream_ivf_maintain",
