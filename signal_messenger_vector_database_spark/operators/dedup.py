@@ -314,26 +314,51 @@ def _simhash_fp_parts(
             F.array_distinct(F.split(normalized_text(text_col), " "))
         ).alias("w"),
     )
-    h = F.md5(F.col("w"))
-    aggs = []
-    for name, start, bits in parts:
-        hv = _hex_slice_to_int(h, start, bits // 4)
-        for b in range(bits):
-            aggs.append(
-                F.sum(F.when(_bit_vote(hv, b), 1).otherwise(-1)).alias(
-                    f"s_{name}_{b}"
-                )
+    # r15: hoist each part's hash value into ONE projected column (one
+    # md5 + one hex-slice per word row) instead of inlining the
+    # md5/instr chain into every per-bit aggregate (correct only via
+    # codegen CSE), and render the per-bit sums / the fingerprint
+    # reassembly as F.expr strings — the Column-composed form cost
+    # seconds of py4j round-trips per build at 64 bits.  Identical
+    # integer arithmetic throughout (shiftright/& bit tests, same +1/-1
+    # votes, same power-of-two reassembly): values are bit-for-bit the
+    # old ones.
+    def _hex_slice_sql(h_sql: str, start: int, n_chars: int) -> str:
+        terms = [
+            f"CAST((instr('0123456789abcdef', substring({h_sql}, "
+            f"{start + i}, 1)) - 1) AS BIGINT) * {16 ** (n_chars - 1 - i)}"
+            for i in range(n_chars)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    hvs = words.select(
+        F.col(id_col),
+        *[
+            F.expr(_hex_slice_sql("md5(w)", start, bits // 4)).alias(
+                f"hv_{name}"
             )
-    sums = words.groupBy(id_col).agg(*aggs)
+            for name, start, bits in parts
+        ],
+    )
+    # one struct-of-sums aggregate per part (a single parsed expression
+    # each — 64 separate F.expr calls cost ~one ANTLR parse per bit)
+    aggs = []
+    for name, _start, bits in parts:
+        fields = ", ".join(
+            f"'s{b}', sum(CASE WHEN (shiftright(hv_{name}, {b}) & 1) = 1 "
+            f"THEN 1 ELSE -1 END)"
+            for b in range(bits)
+        )
+        aggs.append(F.expr(f"named_struct({fields})").alias(f"ss_{name}"))
+    sums = hvs.groupBy(id_col).agg(*aggs)
     outs = []
     for name, _start, bits in parts:
-        fp = None
-        for b in range(bits):
-            term = F.when(
-                F.col(f"s_{name}_{b}") > 0, F.lit(2**b)
-            ).otherwise(F.lit(0))
-            fp = term if fp is None else fp + term
-        outs.append(fp.cast("long").alias(f"fp_{name}"))
+        terms = " + ".join(
+            f"(CASE WHEN ss_{name}.s{b} > 0 THEN CAST({2 ** b} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+            for b in range(bits)
+        )
+        outs.append(F.expr(f"CAST({terms} AS BIGINT)").alias(f"fp_{name}"))
     return sums.select(F.col(id_col), *outs)
 
 
@@ -592,7 +617,13 @@ def connected_components(
     """
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    edges = fwd.union(rev)
+    # r15 optimization (guide §5 — materialize what a loop reuses): the
+    # edge list is joined EVERY iteration, and without a cut each round
+    # re-evaluated the whole upstream pair pipeline (for the LSH callers:
+    # band join + Jaccard verify per round — measured as the bulk of
+    # curation_pipeline's cost).  One eager checkpoint of the tiny
+    # (2 x n_pairs) edge list runs that pipeline exactly once.
+    edges = fwd.union(rev).localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -605,6 +636,11 @@ def connected_components(
             .groupBy(F.col("dst").alias("nid"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # min-label propagation only ever LOWERS a label, so "changed"
+        # is a flag computed in the same pass — the old shape ran an
+        # extra labels-vs-labels shuffle join per round just to count
+        # changes; this one counts rows of the already-checkpointed
+        # frame (r15, same labels bit-for-bit).
         new_labels = (
             labels.join(nbr_min, labels["id"] == nbr_min["nid"], "left")
             .select(
@@ -612,16 +648,14 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
+                (
+                    F.coalesce("nbr_label", F.col("label")) < F.col("label")
+                ).alias("_changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels = new_labels.select("id", "label")
         if changed == 0:
             break
     return labels

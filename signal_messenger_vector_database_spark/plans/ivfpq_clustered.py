@@ -104,6 +104,45 @@ def _rc_vec(topic, tag):
     return F.array(*dims)
 
 
+def _rc_vec_expr(topic_sql: str, tag_sql: str) -> "Column":
+    """``_rc_vec`` rendered as ONE ``F.expr`` string (r15): composing
+    the 64-dim chunked projection out of individual Column ops cost
+    seconds of py4j round-trips per query build (the ivf_recall_
+    clustered measurement); the rendered string parses in milliseconds
+    and evaluates the identical conv/substring/md5 arithmetic —
+    bit-identical values, oracle unchanged."""
+    dims = []
+    for c in range(_RC_D // 8):
+        hc = f"md5(concat({topic_sql}, ':{c}'))"
+        hp = f"md5(concat({tag_sql}, ':{c}'))"
+        for j in range(8):
+            cen = f"CAST(conv(substring({hc}, {j * 4 + 1}, 4), 16, 10) AS DOUBLE)"
+            per = f"CAST(conv(substring({hp}, {j * 4 + 1}, 4), 16, 10) AS DOUBLE)"
+            dims.append(
+                f"{cen} / 65536.0D + ({per} / 65536.0D - 0.5D) / 16.0D"
+            )
+    return F.expr("array(" + ", ".join(dims) + ")")
+
+
+def _rc_vec_py(topic: str, tag: str) -> list:
+    """Driver-side Python replay of ``_rc_vec`` (r15): every component
+    is a dyadic rational (multiple of 2^-20, < ~1.07), exact in IEEE
+    doubles, so Python reproduces the engine columns bit-for-bit — the
+    frozen 5-query eval constants no longer need a collect job that
+    re-analyzed and re-ran the 16-md5 projection for 5 rows."""
+    import hashlib
+
+    out = []
+    for c in range(_RC_D // 8):
+        hc = hashlib.md5(f"{topic}:{c}".encode()).hexdigest()
+        hp = hashlib.md5(f"{tag}:{c}".encode()).hexdigest()
+        for j in range(8):
+            cen = int(hc[j * 4 : (j + 1) * 4], 16)
+            per = int(hp[j * 4 : (j + 1) * 4], 16)
+            out.append(cen / 65536.0 + (per / 65536.0 - 0.5) / 16.0)
+    return out
+
+
 def _rc_sql_corpus_cte(
     name: str, id_expr: str, tag: str, where: str = ""
 ) -> str:
@@ -153,9 +192,8 @@ def _rc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         F.col("doc_id").alias("vec_id"),
-        _rc_vec(
-            F.col("topic"),
-            F.concat(F.lit("r"), F.col("doc_id").cast("string")),
+        _rc_vec_expr(
+            "topic", "concat('r', CAST(doc_id AS STRING))"
         ).alias("embedding"),
     ).localCheckpoint(eager=False)
 
@@ -215,23 +253,16 @@ def _ivf_pq_clustered_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         _RCSUB, _RCK, _RCROUNDS,
     )
 
-    # five frozen topic-center queries (the ivf_recall_clustered collect
-    # pattern: bounded eval constants, re-injected as a local relation —
-    # Python's dyadic arithmetic replays the engine doubles exactly)
+    # five frozen topic-center queries: computed driver-side in PYTHON
+    # from the 5 topic strings (r15 — ``_rc_vec_py`` replays the dyadic
+    # arithmetic bit-identically; the old collect job re-analyzed and
+    # re-ran the 16-md5 projection just to fetch 5 rows)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.concat_ws("|", "lang", "source").alias("topic")
     )
     q_rows = [
-        (r["qid"], r["qv"])
-        for r in docs.filter(F.col("doc_id") < _RC_NQ)
-        .select(
-            F.col("doc_id").cast("int").alias("qid"),
-            _rc_vec(
-                F.col("topic"),
-                F.concat(F.lit("q"), F.col("doc_id").cast("string")),
-            ).alias("qv"),
-        )
-        .collect()
+        (int(r["doc_id"]), _rc_vec_py(r["topic"], f"q{r['doc_id']}"))
+        for r in docs.filter(F.col("doc_id") < _RC_NQ).collect()
     ]
     queries = spark.createDataFrame(q_rows, "qid int, qv array<double>")
 

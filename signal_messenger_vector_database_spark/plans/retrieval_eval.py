@@ -476,6 +476,67 @@ def _cl_d2(a: str, b: str) -> Column:
     )
 
 
+def _hex4_sql_spark(h_sql: str) -> str:
+    """Spark-SQL rendering of ``_hex_slice_to_int(h, 1, 4)`` — the same
+    instr-based digit arithmetic, value-identical BIGINT."""
+    terms = [
+        f"CAST((instr('0123456789abcdef', substring({h_sql}, {1 + i}, 1)) - 1)"
+        f" AS BIGINT) * {16 ** (3 - i)}"
+        for i in range(4)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _cl_vec_expr(topic_sql: str, tag_sql: str, d: int = _CL_D) -> Column:
+    """``_cl_vec`` rendered as ONE ``F.expr`` string (r15): composing
+    the 2*d-md5 projection out of individual Column ops cost 2-4 s of
+    py4j round-trips PER QUERY BUILD (measured); the rendered string
+    parses in milliseconds and evaluates the identical arithmetic —
+    same instr digit sums, same double divisions, bit-identical
+    values."""
+    dims = []
+    for i in range(d):
+        c = _hex4_sql_spark(f"md5(concat({topic_sql}, ':{i}'))")
+        p = _hex4_sql_spark(f"md5(concat({tag_sql}, ':{i}'))")
+        dims.append(
+            f"CAST({c} AS DOUBLE) / 65536.0D"
+            f" + (CAST({p} AS DOUBLE) / 65536.0D - 0.5D) / 16.0D"
+        )
+    return F.expr("array(" + ", ".join(dims) + ")")
+
+
+def _literal_cells_expr(rows: list[tuple[int, list[float]]]) -> Column:
+    """(cid, vector) literals as ONE parsed array-of-structs expression
+    — the in-place argmin's broadcast side.  CAST('<repr>' AS DOUBLE)
+    round-trips Python floats exactly (Java parseDouble)."""
+    parts = []
+    for cid, cv in rows:
+        arr = ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in cv)
+        parts.append(
+            f"named_struct('cid', CAST({cid} AS BIGINT), 'cv', array({arr}))"
+        )
+    return F.expr("array(" + ", ".join(parts) + ")")
+
+
+def _cl_vec_py(topic: str, tag: str, d: int = _CL_D) -> list[float]:
+    """Driver-side Python replay of ``_cl_vec``: every component is a
+    dyadic rational (multiple of 2^-20, bounded by ~1.07), so IEEE
+    doubles carry the arithmetic exactly and Python reproduces the
+    engine columns bit-for-bit — the same exactness argument the
+    driver-side ``ranked`` cell routing has always relied on.  r15: the
+    seeds and query vectors are frozen eval constants; computing them
+    here removes two collect JOBS (one of which re-analyzed and re-ran
+    the 2*d-md5 projection just to fetch 5 rows)."""
+    import hashlib
+
+    out = []
+    for i in range(d):
+        c = int(hashlib.md5(f"{topic}:{i}".encode()).hexdigest()[:4], 16)
+        p = int(hashlib.md5(f"{tag}:{i}".encode()).hexdigest()[:4], 16)
+        out.append(c / 65536.0 + (p / 65536.0 - 0.5) / 16.0)
+    return out
+
+
 def _ivf_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ranking import two_phase_topk
 
@@ -498,46 +559,52 @@ def _ivf_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_spread = ensure_parallelism(docs)
     vecs = docs_spread.select(
         "doc_id",
-        _cl_vec(
-            F.col("topic"),
-            F.concat(F.lit("d"), F.col("doc_id").cast("string")),
+        _cl_vec_expr(
+            "topic", "concat('d', CAST(doc_id AS STRING))"
         ).alias("v"),
     ).localCheckpoint(eager=False)
-    # Seeds and query vectors are FROZEN index/eval constants (the
-    # kmeans-codebook collect pattern): materialize the 32 + 5 rows ONCE
-    # driver-side and re-inject as local relations — otherwise every
-    # F.broadcast() of these subtrees re-runs the parquet scan + md5
-    # projection as its own job (measured: 23 jobs / 14.6 s warm at
-    # sf0.1 before, 8 jobs / ~3 s after).  The doubles collected are the
-    # doubles Spark computed — bit-identical to the inline form, so the
-    # oracle is unchanged.
+    # Seeds and query vectors are FROZEN index/eval constants.  r15:
+    # computed driver-side in PYTHON from the 32 topic strings (one
+    # 32-row pushed-down scan) instead of two collect jobs over the md5
+    # projection — ``_cl_vec_py`` replays the dyadic arithmetic
+    # bit-identically (see its docstring), so both engines still rank
+    # the exact same doubles and the oracle is unchanged.
+    topics = {
+        r["doc_id"]: r["topic"]
+        for r in docs.filter(F.col("doc_id") < max(_CL_K, _CL_NQ)).collect()
+    }
     seed_rows = [
-        (r["doc_id"], r["v"])
-        for r in vecs.filter(F.col("doc_id") < _CL_K).collect()
+        (int(i), _cl_vec_py(topics[i], f"d{i}")) for i in sorted(topics)
     ]
-    q_rows = [
-        (r["qid"], r["qv"])
-        for r in docs.filter(F.col("doc_id") < _CL_NQ)
-        .select(
-            F.col("doc_id").cast("int").alias("qid"),
-            _cl_vec(
-                F.col("topic"),
-                F.concat(F.lit("q"), F.col("doc_id").cast("string")),
-            ).alias("qv"),
-        )
-        .collect()
-    ]
-    seeds = spark.createDataFrame(seed_rows, "cid long, cv array<double>")
+    q_rows = [(int(i), _cl_vec_py(topics[i], f"q{i}")) for i in range(_CL_NQ)]
     queries = spark.createDataFrame(q_rows, "qid int, qv array<double>")
 
-    # assignment: n x K exact-d2 argmin (min over (d2, cid) structs ==
-    # the oracle's ROW_NUMBER ORDER BY d2, cid)
-    assign = (
-        vecs.crossJoin(F.broadcast(seeds))
-        .groupBy("doc_id")
-        .agg(F.min(F.struct(_cl_d2("v", "cv").alias("d2"), F.col("cid"))).alias("m"))
-        .select("doc_id", F.col("m.cid").alias("cid"))
+    # assignment: n x K exact-d2 argmin, IN PLACE (the kmeans_lloyd3
+    # pattern, applied here in r15): the 32 seed cells collapse to one
+    # literal array-of-structs and every vector folds its argmin inside
+    # the projection — no n*K cross-join row expansion and no
+    # groupBy(doc_id) exchange (the old shape shuffled n pre-aggregated
+    # rows).  array_min over (d2, cid) structs replays min(struct)'s
+    # tie-break; the zip_with fold is the same left-to-right double
+    # sequence as _cl_d2, so the assignment is bit-identical and the
+    # oracle's ROW_NUMBER ORDER BY d2, cid twin is unchanged.
+    seed_lit = _literal_cells_expr(seed_rows)
+    best = F.array_min(
+        F.transform(
+            seed_lit,
+            lambda s: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("v"), s["cv"], lambda x, y: (x - y) * (x - y)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+                s["cid"].alias("cid"),
+            ),
+        )
     )
+    assign = vecs.select("doc_id", best["cid"].alias("cid"))
 
     # query routing: 5 x K ranked cells, one row per (arm, probed cell).
     # Both operands are the frozen constants above, so the ranking runs
@@ -968,14 +1035,16 @@ def _bte_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.concat_ws("|", "lang", "source").alias("topic")
     )
-    sk = F.concat(F.col("topic"), F.lit("#"), F.col("doc_id").cast("string"))
+    # r15: expr-rendered projection (see _cl_vec_expr — the Column-
+    # composed form cost seconds of py4j churn per build, twice here)
+    sk_sql = "concat(topic, '#', CAST(doc_id AS STRING))"
     sides = []
     for side, tag in ((0, "a"), (1, "b")):
         sides.append(
             docs.select(
                 (F.col("doc_id") * 2 + F.lit(side)).alias("vec_id"),
-                _cl_vec(
-                    sk, F.concat(F.lit(tag), F.col("doc_id").cast("string"))
+                _cl_vec_expr(
+                    sk_sql, f"concat('{tag}', CAST(doc_id AS STRING))"
                 ).alias("embedding"),
             )
         )

@@ -2538,21 +2538,38 @@ def _curation_chain(spark: SparkSession, sf_dir: str) -> dict:
     planted_exact = base.filter(F.col("doc_id") % 20 == 0).select(
         (F.col("doc_id") + 2_000_000).alias("doc_id"), "text", "source"
     )
-    docs0 = base.unionByName(planted_near).unionByName(planted_exact)
+    # r15 optimization (guide §2.3/§5 — compute once, don't re-derive):
+    # the funnel and the attrition report both sum token_count over SIX
+    # stage frames, and token_count is a full-text regex pass — the old
+    # shape re-tokenized the corpus per stage row (measured: the three
+    # 96-task docs0/docs1 scan stages were the largest in the funnel's
+    # event log).  Tokenize ONCE on the augmented corpus, carry the int
+    # column through every stage, and persist docs0 itself: its lineage
+    # (3 parquet scans + union + tokenize) is re-evaluated by ~5
+    # consumers (g build, stage rows 0-1, docs2 build, attrition joins).
+    docs0 = (
+        base.unionByName(planted_near)
+        .unionByName(planted_exact)
+        .withColumn("tokens", token_count("text"))
+        .persist()
+    )
 
     # 1: Gopher quality rules (shared definition).  Persisted: the keep
     # filter and (in attrition) the per-rule reason split both read it.
     g = _gopher_frame(docs0).persist()
     docs1 = docs0.join(g.filter(F.col("keep")).select("doc_id"), "doc_id")
 
-    # 2: exact dedup, keep-first by fingerprint
-    fp = docs1.select("doc_id", fingerprint_md5("text").alias("fp"))
-    keepers = fp.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    # 2: exact dedup, keep-first by fingerprint.  r15: ONE exchange (a
+    # row_number window on fp, ordered by the unique doc_id) instead of
+    # the old groupBy(fp)+join-back-on-doc_id+join-on-fp shape — same
+    # keep-first rows (min doc_id per fp == rn 1), two fewer shuffles
+    # (guide §2.4).  fp/keepers stay exposed for the attrition report,
+    # which attributes exact-dup victims to their keeper.
+    w_fp = Window.partitionBy(fingerprint_md5("text")).orderBy("doc_id")
+    d1r = docs1.withColumn("_rn", F.row_number().over(w_fp))
     docs2 = (
-        docs1.join(fp, "doc_id")
-        .join(keepers, "fp")
-        .filter(F.col("doc_id") == F.col("keep_id"))
-        .select("doc_id", "text", "source")
+        d1r.filter(F.col("_rn") == 1)
+        .select("doc_id", "text", "source", "tokens")
         .persist()  # 3 consumers: LSH sets+sigs, the funnel row, docs3
     )
 
@@ -2579,7 +2596,7 @@ def _curation_chain(spark: SparkSession, sf_dir: str) -> dict:
             labels.select(F.col("id").alias("doc_id"), "label"), "doc_id", "left"
         )
         .filter(F.col("label").isNull() | (F.col("label") == F.col("doc_id")))
-        .select("doc_id", "text", "source")
+        .select("doc_id", "text", "source", "tokens")
         .persist()
     )
 
@@ -2622,8 +2639,7 @@ def _curation_chain(spark: SparkSession, sf_dir: str) -> dict:
         "docs0": docs0,
         "g": g,
         "docs1": docs1,
-        "fp": fp,
-        "keepers": keepers,
+        "d1r": d1r,
         "docs2": docs2,
         "labels": labels,
         "docs3": docs3,
@@ -2633,7 +2649,7 @@ def _curation_chain(spark: SparkSession, sf_dir: str) -> dict:
         "mix_keep": mix_keep,
         "docs5": docs5,
         "n_corpus": n_corpus,
-        "persisted": [g, docs2, combined, docs3, docs4, docs5],
+        "persisted": [docs0, g, docs2, combined, docs3, docs4, docs5],
     }
 
 
@@ -2647,7 +2663,7 @@ def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     width = max(100, -(-(c["n_corpus"] * 3) // 10_000))
     toks = docs5.select(
         "doc_id",
-        token_count("text").alias("tokens"),
+        "tokens",  # computed once on docs0 (r15: no re-tokenize)
         (F.col("doc_id") / width).cast("long").alias("bkt"),
     )
     w_in = Window.partitionBy("bkt").orderBy("doc_id").rowsBetween(
@@ -2678,11 +2694,11 @@ def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def stage_row(df: DataFrame, sid: int, name: str) -> DataFrame:
+        # sums the carried int column — the full-text re-tokenize per
+        # stage row was the funnel's largest stage family (r15)
         return df.agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.coalesce(F.sum(token_count("text")), F.lit(0))
-            .cast("long")
-            .alias("n_tokens"),
+            F.coalesce(F.sum("tokens"), F.lit(0)).cast("long").alias("n_tokens"),
         ).select(
             F.lit(sid).cast("int").alias("stage_id"),
             F.lit(name).alias("stage"),
@@ -2933,9 +2949,7 @@ def _curation_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
         gopher_victims.groupBy("reason")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.coalesce(F.sum(token_count("text")), F.lit(0))
-            .cast("long")
-            .alias("n_tokens"),
+            F.coalesce(F.sum("tokens"), F.lit(0)).cast("long").alias("n_tokens"),
         )
         .select(
             F.lit(1).cast("int").alias("stage_id"),
@@ -2947,11 +2961,10 @@ def _curation_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def const_row(df: DataFrame, sid: int, stage: str, reason: str) -> DataFrame:
+        # the carried once-computed tokens column (see _curation_chain)
         return df.agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.coalesce(F.sum(token_count("text")), F.lit(0))
-            .cast("long")
-            .alias("n_tokens"),
+            F.coalesce(F.sum("tokens"), F.lit(0)).cast("long").alias("n_tokens"),
         ).select(
             F.lit(sid).cast("int").alias("stage_id"),
             F.lit(stage).alias("stage"),
@@ -2960,12 +2973,9 @@ def _curation_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
         )
 
-    exact_victims = (
-        c["docs1"]
-        .join(c["fp"], "doc_id")
-        .join(c["keepers"], "fp")
-        .filter(F.col("doc_id") != F.col("keep_id"))
-    )
+    # r15: victims are rn > 1 of the shared keep-first window (same rows
+    # as the old fp/keepers join-back, two fewer shuffles)
+    exact_victims = c["d1r"].filter(F.col("_rn") > 1)
     near_victims = c["docs2"].join(
         c["labels"].select(F.col("id").alias("doc_id"), "label"), "doc_id"
     ).filter(F.col("label") != F.col("doc_id"))
