@@ -417,7 +417,24 @@ def _simhash_band_join(
     ).select(
         "id", *fp_names, F.col("bk.band").alias("band"), F.col("bk.val").alias("val")
     )
-    cand = (
+    # r15: hash-partition the band table by the join key, pinned at the
+    # session's parallelism.  The verify join's OUTPUT explodes
+    # quadratically in bucket population while its INPUT is small, so
+    # AQE coalesces the tiny input to one partition and the whole
+    # quadratic verify serializes on one core (measured: the sf0.1
+    # fixture-geometry verify ran as a single task).  Keying the
+    # repartition on (band, val) is exactly the shuffle a distributed
+    # join performs at scale — one exchange, reused by both self-join
+    # sides — and the explicit partition count stops AQE from
+    # un-spreading it.
+    bands = bands.repartition(
+        bands.sparkSession.sparkContext.defaultParallelism, "band", "val"
+    )
+    hamming = None
+    for n in fp_names:
+        t = F.bit_count(F.col(f"{n}_a").bitwiseXOR(F.col(f"{n}_b")))
+        hamming = t if hamming is None else hamming + t
+    return (
         bands.alias("a")
         .join(
             bands.alias("b"),
@@ -431,16 +448,17 @@ def _simhash_band_join(
             *[F.col(f"a.{n}").alias(f"{n}_a") for n in fp_names],
             *[F.col(f"b.{n}").alias(f"{n}_b") for n in fp_names],
         )
-        # a pair sharing k bands appears k times; dedup BEFORE the verify
+        # r15 (guide §2.3 — filter before the shuffle): the integer
+        # Hamming verify is cheaper than shuffling every banded
+        # candidate into the dedup exchange, and a pair's distance is
+        # the same in every band it collides in, so verify-then-distinct
+        # emits exactly the distinct-then-verify pair set while the
+        # distinct only ever sees qualifying pairs (thousands, not the
+        # multi-million candidate stream at the fixture geometry).
+        .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= ham_max)
         .distinct()
     )
-    hamming = None
-    for n in fp_names:
-        t = F.bit_count(F.col(f"{n}_a").bitwiseXOR(F.col(f"{n}_b")))
-        hamming = t if hamming is None else hamming + t
-    return cand.select(
-        "id_a", "id_b", hamming.cast("int").alias("hamming")
-    ).filter(F.col("hamming") <= ham_max)
 
 
 def simhash_hamming_pairs_wide(

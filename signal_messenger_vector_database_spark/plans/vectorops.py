@@ -2733,17 +2733,15 @@ _BINARY_RERANK_SHORTLIST = 256
 def _pack_sign_bits(vec_col: str, start: int):
     """Σ 2^i over dims [start, start+32) with a positive sign — exact
     BIGINT < 2^32.  Strictly-positive counts as 1 (ties at 0.0 are 0
-    in both engines)."""
-    terms = [
-        F.when(
-            F.element_at(F.col(vec_col), start + i + 1) > 0, F.lit(1 << i)
-        ).otherwise(F.lit(0))
+    in both engines).  r15: rendered as ONE F.expr string (the 64
+    chained when-terms cost ~300 py4j round-trips per build); identical
+    CASE/element_at arithmetic, bit-identical codes."""
+    terms = " + ".join(
+        f"CASE WHEN element_at({vec_col}, {start + i + 1}) > 0 "
+        f"THEN {1 << i} ELSE 0 END"
         for i in range(32)
-    ]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out.cast("long")
+    )
+    return F.expr(f"CAST({terms} AS BIGINT)")
 
 
 def _topk_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
