@@ -648,7 +648,7 @@ def connected_components(
         .select("id", F.col("id").alias("label"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["src"] == labels["id"])
             .groupBy(F.col("dst").alias("nid"))
@@ -672,9 +672,12 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = new_labels.filter(F.col("_changed")).count()
         labels = new_labels.select("id", "label")
-        if changed == 0:
+        # round 1 always changes a label when any edge exists (the
+        # larger endpoint of any pair lowers), so its convergence probe
+        # is a wasted job; isEmpty short-circuits on the first
+        # non-empty checkpointed partition instead of scanning all.
+        if it > 0 and new_labels.filter(F.col("_changed")).isEmpty():
             break
     return labels
 
