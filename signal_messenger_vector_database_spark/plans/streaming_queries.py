@@ -677,6 +677,7 @@ def _stream_ivf_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         # tempdir for that tool run instead of deleting under the plan
         import os
 
+        seeds.unpersist()  # pinned by _drain_op_log for the drain
         if os.environ.get("SMVD_PLAN_ONLY") != "1":
             shutil.rmtree(parent, ignore_errors=True)
 
@@ -720,14 +721,22 @@ def _drain_op_log(
                 F.lit("del").alias("op"),
             )
         )
+        .persist()  # r15: the 4 staging writes below each re-scanned
+        # the embeddings parquet + union without it
     )
     for i in range(4):
         ops.filter(F.col("vec_id") % 4 == i).coalesce(1).write.mode(
             "append"
         ).parquet(stage)
+    ops.unpersist()
 
     idx_dir = os.path.join(parent, "delta_idx")
     tomb_dir = os.path.join(parent, "tomb_log")
+
+    # r15: pin the tiny seed table for the drain — every micro-batch's
+    # frozen-quantizer assignment (and the base assignment below)
+    # otherwise re-scans the embeddings parquet to rebuild it
+    seeds = seeds.persist()
 
     def _cycle(batch_df, batch_id: int) -> None:
         # frozen quantizer: assign ONLY this micro-batch's inserts —
@@ -940,6 +949,7 @@ def _stream_ivf_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         # still reads the disk index — leak the tool run's tempdir
         import os
 
+        seeds.unpersist()  # pinned by _drain_op_log for the drain
         if os.environ.get("SMVD_PLAN_ONLY") != "1":
             shutil.rmtree(parent, ignore_errors=True)
 
