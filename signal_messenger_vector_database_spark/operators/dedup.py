@@ -417,18 +417,23 @@ def _simhash_band_join(
     ).select(
         "id", *fp_names, F.col("bk.band").alias("band"), F.col("bk.val").alias("val")
     )
-    # r15: hash-partition the band table by the join key, pinned at the
-    # session's parallelism.  The verify join's OUTPUT explodes
-    # quadratically in bucket population while its INPUT is small, so
-    # AQE coalesces the tiny input to one partition and the whole
-    # quadratic verify serializes on one core (measured: the sf0.1
-    # fixture-geometry verify ran as a single task).  Keying the
-    # repartition on (band, val) is exactly the shuffle a distributed
-    # join performs at scale — one exchange, reused by both self-join
-    # sides — and the explicit partition count stops AQE from
-    # un-spreading it.
+    # r15: ROUND-ROBIN spread of the band table, pinned at the session's
+    # parallelism.  The verify join's OUTPUT explodes quadratically in
+    # bucket population while its INPUT is small, so AQE coalesces the
+    # tiny input to one partition and the whole quadratic verify
+    # serializes on one core (measured: single-task stages at sf0.1 AND
+    # at the x16 probe replica — ~10 MB of band rows is under the 64 MB
+    # advisory).  The spread must be KEYLESS: the broadcast-hash probe
+    # distributes the quadratic pair work uniformly by INPUT row, while
+    # hash-partitioning on (band, val) concentrates each bucket's full
+    # m^2 work on one task (measured at the x16 replica: keyed 338 s,
+    # unspread 235 s, round-robin 80 s — same box, minutes apart).  The
+    # explicit partition count is what stops AQE from un-spreading it;
+    # it derives from defaultParallelism, so it is scale-adaptive, and
+    # the extra exchange is one linear pass of narrow rows next to the
+    # quadratic verify it parallelizes.
     bands = bands.repartition(
-        bands.sparkSession.sparkContext.defaultParallelism, "band", "val"
+        bands.sparkSession.sparkContext.defaultParallelism
     )
     hamming = None
     for n in fp_names:
