@@ -2598,13 +2598,15 @@ def _curation_chain(spark: SparkSession, sf_dir: str) -> dict:
         persist_sets=False,
     )
     labels = connected_components(pairs)
+    # single consumer now (the decontamination gram explode below; the
+    # funnel/attrition read stage-3 state from the fate frame's flags),
+    # built over cached docs2 + the checkpointed labels — no persist
     docs3 = (
         docs2.join(
             labels.select(F.col("id").alias("doc_id"), "label"), "doc_id", "left"
         )
         .filter(F.col("label").isNull() | (F.col("label") == F.col("doc_id")))
         .select("doc_id", "text", "source", "tokens")
-        .persist()
     )
 
     # 4: decontaminate the train split against the ORIGINAL test split
@@ -2623,12 +2625,6 @@ def _curation_chain(spark: SparkSession, sf_dir: str) -> dict:
         # absorbs within-doc gram multiplicity, so the old (doc_id, g)
         # pre-join distinct was a full extra exchange for nothing (r15)
     )
-    # persisted like its siblings: docs4 feeds both its funnel row and
-    # docs5, and its lineage carries the heaviest tail stage (the
-    # 5-gram explode + distinct + gram join + anti-join) — unpersisted
-    # it would recompute per consumer (r14 review)
-    docs4 = train3.join(contaminated, "doc_id", "left_anti").persist()
-
     # 5: per-source mixture sampling (domain_mixture's keep rule)
     rate = F.coalesce(
         *[
@@ -2642,7 +2638,45 @@ def _curation_chain(spark: SparkSession, sf_dir: str) -> dict:
         .cast("int")
     )
     mix_keep = bucket < rate * 65536
-    docs5 = docs4.filter(mix_keep).persist()
+
+    # r15 "fate frame" (guide §2.3 — decide with small rows): ONE
+    # narrow per-doc frame carrying every stage's survival flag, so the
+    # funnel's 7 stage aggregates and the attrition report's 6 victim
+    # classes each come from a SINGLE pass over it instead of one
+    # aggregate scan per stage frame.  Flags replay the stage filters
+    # exactly: s1 = gopher keep; s2 adds keep-first (_rn == 1); s3 adds
+    # the near-dup component rule (no label or own-component min); s4
+    # adds train-split membership and non-contamination; s5 adds the
+    # mixture draw.  A doc dies at exactly ONE stage, so the victim
+    # classes below partition the dead set (the property
+    # test_curation_attrition_accounts_every_removal pins).  The heavy
+    # full-text stage frames docs4/docs5 are no longer materialized at
+    # all — packing reads (doc_id, tokens) off the fate frame.
+    fate = (
+        docs0.select("doc_id", "tokens", "source")
+        .join(g, "doc_id")
+        .join(d1r.select("doc_id", "_rn"), "doc_id", "left")
+        .join(
+            labels.select(F.col("id").alias("doc_id"), "label"),
+            "doc_id",
+            "left",
+        )
+        .join(contaminated.withColumn("_contam", F.lit(True)), "doc_id", "left")
+        .withColumn("_train", _split_assign(F.col("doc_id")) == "train")
+        .withColumn("_mix", mix_keep)
+        .withColumn("s1", F.col("keep"))
+        .withColumn("s2", F.col("s1") & (F.col("_rn") == 1))
+        .withColumn(
+            "s3",
+            F.col("s2")
+            & (F.col("label").isNull() | (F.col("label") == F.col("doc_id"))),
+        )
+        .withColumn(
+            "s4", F.col("s3") & F.col("_train") & F.col("_contam").isNull()
+        )
+        .withColumn("s5", F.col("s4") & F.col("_mix"))
+        .persist()
+    )
     return {
         "docs0": docs0,
         "g": g,
@@ -2653,23 +2687,23 @@ def _curation_chain(spark: SparkSession, sf_dir: str) -> dict:
         "docs3": docs3,
         "train3": train3,
         "contaminated": contaminated,
-        "docs4": docs4,
         "mix_keep": mix_keep,
-        "docs5": docs5,
+        "fate": fate,
         "n_corpus": n_corpus,
-        "persisted": [docs0, g, docs2, combined, docs3, docs4, docs5],
+        "persisted": [docs0, g, docs2, combined, fate],
     }
 
 
 def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _curation_chain(spark, sf_dir)
-    docs0, docs1, docs2 = c["docs0"], c["docs1"], c["docs2"]
-    docs3, docs4, docs5 = c["docs3"], c["docs4"], c["docs5"]
+    fate = c["fate"]
 
     # 6: context-window packing (the token_packing bucketed prefix sum;
-    # width from the cheap parquet row count — docs5 ⊆ docs0's id range)
+    # width from the cheap parquet row count — stage-5 survivors ⊆
+    # docs0's id range).  Reads (doc_id, tokens) off the fate frame —
+    # the old full-text docs5 frame is never materialized (r15).
     width = max(100, -(-(c["n_corpus"] * 3) // 10_000))
-    toks = docs5.select(
+    toks = fate.filter(F.col("s5")).select(
         "doc_id",
         "tokens",  # computed once on docs0 (r15: no re-tokenize)
         (F.col("doc_id") / width).cast("long").alias("bkt"),
@@ -2701,19 +2735,6 @@ def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tokens",
     )
 
-    def stage_row(df: DataFrame, sid: int, name: str) -> DataFrame:
-        # sums the carried int column — the full-text re-tokenize per
-        # stage row was the funnel's largest stage family (r15)
-        return df.agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.coalesce(F.sum("tokens"), F.lit(0)).cast("long").alias("n_tokens"),
-        ).select(
-            F.lit(sid).cast("int").alias("stage_id"),
-            F.lit(name).alias("stage"),
-            "n_docs",
-            "n_tokens",
-        )
-
     pack_row = packed.agg(
         F.count_distinct("pack_id").cast("long").alias("n_docs"),
         F.coalesce(F.sum("tokens"), F.lit(0)).cast("long").alias("n_tokens"),
@@ -2723,15 +2744,41 @@ def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "n_tokens",
     )
-    funnel = (
-        stage_row(docs0, 0, "corpus")
-        .unionByName(stage_row(docs1, 1, "gopher"))
-        .unionByName(stage_row(docs2, 2, "exact_dedup"))
-        .unionByName(stage_row(docs3, 3, "neardup"))
-        .unionByName(stage_row(docs4, 4, "decontaminate"))
-        .unionByName(stage_row(docs5, 5, "mixture"))
-        .unionByName(pack_row)
+    # stage rows 0-5 from ONE conditional aggregation over the fate
+    # frame (r15): the old shape ran one aggregate scan per persisted
+    # stage frame — six jobs over six frames for twelve numbers.  Same
+    # counts/sums by construction (each flag replays its stage filter).
+    names = [
+        (0, "corpus", None),
+        (1, "gopher", "s1"),
+        (2, "exact_dedup", "s2"),
+        (3, "neardup", "s3"),
+        (4, "decontaminate", "s4"),
+        (5, "mixture", "s5"),
+    ]
+    aggs = []
+    for sid, _name, flag in names:
+        cond = F.lit(True) if flag is None else F.col(flag)
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"c{sid}")
+        )
+        aggs.append(
+            F.coalesce(F.sum(F.when(cond, F.col("tokens"))), F.lit(0))
+            .cast("long")
+            .alias(f"t{sid}")
+        )
+    wide = fate.agg(*aggs)
+    stack = ", ".join(
+        f"{sid}, '{name}', c{sid}, t{sid}" for sid, name, _ in names
     )
+    funnel = wide.selectExpr(
+        f"stack(6, {stack}) AS (stage_id, stage, n_docs, n_tokens)"
+    ).select(
+        F.col("stage_id").cast("int").alias("stage_id"),
+        "stage",
+        "n_docs",
+        "n_tokens",
+    ).unionByName(pack_row)
     # materialize the 7-row funnel NOW (localCheckpoint is eager), then
     # release the stage frames: the persists exist for the multi-consumer
     # build, not for the session's lifetime (ADVICE r14 — 3 bench runs
@@ -2949,60 +2996,65 @@ def _curation_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("stop_hits") < _GOPHER_MIN_STOP_HITS, "stop_words")
         .otherwise("top_word_frac")
     )
-    gopher_victims = c["docs0"].join(
-        c["g"].filter(~F.col("keep")).select("doc_id", reason1.alias("reason")),
-        "doc_id",
+    # r15: every victim class is a predicate over the fate frame's
+    # flags, so the whole report is ONE grouped aggregation over it
+    # (the old shape ran six separate aggregate jobs over six stage
+    # frames).  A doc dies at exactly one stage, so the classes
+    # partition the dead set — same rows as the old per-stage filters:
+    #   !s1                      -> gopher, per-rule reason (precedence)
+    #   s1 & !s2 (_rn > 1)       -> exact_dup
+    #   s2 & !s3                 -> near_dup
+    #   s3 & !_train             -> not_train_split
+    #   s3 & _train & contam     -> contaminated
+    #   s4 & !s5                 -> mixture_sampled
+    fate = c["fate"]
+    victim = (
+        F.when(~F.col("s1"), F.struct(F.lit(1).alias("sid"), F.lit("gopher").alias("stage"), reason1.alias("reason")))
+        .when(~F.col("s2"), F.struct(F.lit(2).alias("sid"), F.lit("exact_dedup").alias("stage"), F.lit("exact_dup").alias("reason")))
+        .when(~F.col("s3"), F.struct(F.lit(3).alias("sid"), F.lit("neardup").alias("stage"), F.lit("near_dup").alias("reason")))
+        .when(~F.col("_train"), F.struct(F.lit(4).alias("sid"), F.lit("decontaminate").alias("stage"), F.lit("not_train_split").alias("reason")))
+        .when(~F.col("s4"), F.struct(F.lit(4).alias("sid"), F.lit("decontaminate").alias("stage"), F.lit("contaminated").alias("reason")))
+        .when(~F.col("s5"), F.struct(F.lit(5).alias("sid"), F.lit("mixture").alias("stage"), F.lit("mixture_sampled").alias("reason")))
     )
-    row1 = (
-        gopher_victims.groupBy("reason")
+    grouped = (
+        fate.withColumn("_v", victim)
+        .filter(F.col("_v").isNotNull())
+        .groupBy(
+            F.col("_v.sid").cast("int").alias("stage_id"),
+            F.col("_v.stage").alias("stage"),
+            F.col("_v.reason").alias("reason"),
+        )
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.coalesce(F.sum("tokens"), F.lit(0)).cast("long").alias("n_tokens"),
         )
-        .select(
-            F.lit(1).cast("int").alias("stage_id"),
-            F.lit("gopher").alias("stage"),
-            "reason",
-            "n_docs",
-            "n_tokens",
-        )
     )
-
-    def const_row(df: DataFrame, sid: int, stage: str, reason: str) -> DataFrame:
-        # the carried once-computed tokens column (see _curation_chain)
-        return df.agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.coalesce(F.sum("tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+    # the old per-class const_row aggregates emitted a 0-count row even
+    # for an EMPTY class (agg with no groupBy), while the gopher stage
+    # was a groupBy (absent classes stay absent) — replay that exactly:
+    # left-join the five fixed classes and coalesce to 0
+    const_classes = spark.createDataFrame(
+        [
+            (2, "exact_dedup", "exact_dup"),
+            (3, "neardup", "near_dup"),
+            (4, "decontaminate", "not_train_split"),
+            (4, "decontaminate", "contaminated"),
+            (5, "mixture", "mixture_sampled"),
+        ],
+        "stage_id int, stage string, reason string",
+    )
+    report = grouped.filter(F.col("stage_id") == 1).unionByName(
+        const_classes.join(
+            F.broadcast(grouped.filter(F.col("stage_id") > 1)),
+            ["stage_id", "stage", "reason"],
+            "left",
         ).select(
-            F.lit(sid).cast("int").alias("stage_id"),
-            F.lit(stage).alias("stage"),
-            F.lit(reason).alias("reason"),
-            "n_docs",
-            "n_tokens",
+            "stage_id",
+            "stage",
+            "reason",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
         )
-
-    # r15: victims are rn > 1 of the shared keep-first window (same rows
-    # as the old fp/keepers join-back, two fewer shuffles)
-    exact_victims = c["d1r"].filter(F.col("_rn") > 1)
-    near_victims = c["docs2"].join(
-        c["labels"].select(F.col("id").alias("doc_id"), "label"), "doc_id"
-    ).filter(F.col("label") != F.col("doc_id"))
-    split_victims = c["docs3"].filter(
-        _split_assign(F.col("doc_id")) != "train"
-    )
-    contam_victims = c["train3"].join(c["contaminated"], "doc_id")
-    mix_victims = c["docs4"].filter(~c["mix_keep"])
-
-    report = (
-        row1.unionByName(const_row(exact_victims, 2, "exact_dedup", "exact_dup"))
-        .unionByName(const_row(near_victims, 3, "neardup", "near_dup"))
-        .unionByName(
-            const_row(split_victims, 4, "decontaminate", "not_train_split")
-        )
-        .unionByName(
-            const_row(contam_victims, 4, "decontaminate", "contaminated")
-        )
-        .unionByName(const_row(mix_victims, 5, "mixture", "mixture_sampled"))
     )
     # same persist lifecycle as the funnel: materialize the small
     # report, release the stage frames (ADVICE r14); SMVD_PLAN_ONLY
