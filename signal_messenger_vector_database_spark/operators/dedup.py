@@ -431,7 +431,13 @@ def _simhash_band_join(
     # explicit partition count is what stops AQE from un-spreading it;
     # it derives from defaultParallelism, so it is scale-adaptive, and
     # the extra exchange is one linear pass of narrow rows next to the
-    # quadratic verify it parallelizes.
+    # quadratic verify it parallelizes.  REGIME BOUNDARY: the spread
+    # only parallelizes the verify while the planner broadcasts one
+    # side of the self-join; past the broadcast threshold a
+    # (band, val)-keyed sort-merge join would re-concentrate each
+    # bucket's m^2 work on one task and waste this exchange — at that
+    # scale salt the bucket key (guide §2.5) instead of (or on top of)
+    # the round-robin spread.
     bands = bands.repartition(
         bands.sparkSession.sparkContext.defaultParallelism
     )
@@ -633,8 +639,10 @@ def connected_components(
     ``localCheckpoint`` truncates the lineage so the plan doesn't grow
     exponentially with iterations (on a cluster use
     ``spark.sparkContext.setCheckpointDir`` + ``checkpoint`` for
-    fault-tolerant truncation). The convergence probe is a count()
-    aggregate, not a collect of the labels.
+    fault-tolerant truncation). The convergence probe is an isEmpty()
+    over the in-pass ``_changed`` flag (computed in the propagation
+    round itself, skipped on round 1 where any edge guarantees a
+    change), not a collect of the labels.
 
     Returns (id, label) where label = min doc id in the component.
     """

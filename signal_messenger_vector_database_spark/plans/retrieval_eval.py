@@ -576,7 +576,15 @@ def _ivf_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed_rows = [
         (int(i), _cl_vec_py(topics[i], f"d{i}")) for i in sorted(topics)
     ]
-    q_rows = [(int(i), _cl_vec_py(topics[i], f"q{i}")) for i in range(_CL_NQ)]
+    # iterate over the ids PRESENT below _CL_NQ (mirroring the old
+    # doc_id < _CL_NQ collect): on a corpus with fewer than _CL_NQ docs
+    # (or non-contiguous small ids) this degrades gracefully to fewer
+    # queries instead of a KeyError (ADVICE r15)
+    q_rows = [
+        (int(i), _cl_vec_py(topics[i], f"q{i}"))
+        for i in sorted(topics)
+        if i < _CL_NQ
+    ]
     queries = spark.createDataFrame(q_rows, "qid int, qv array<double>")
 
     # assignment: n x K exact-d2 argmin, IN PLACE (the kmeans_lloyd3

@@ -2570,8 +2570,8 @@ def _curation_chain(spark: SparkSession, sf_dir: str) -> dict:
     # row_number window on fp, ordered by the unique doc_id) instead of
     # the old groupBy(fp)+join-back-on-doc_id+join-on-fp shape — same
     # keep-first rows (min doc_id per fp == rn 1), two fewer shuffles
-    # (guide §2.4).  fp/keepers stay exposed for the attrition report,
-    # which attributes exact-dup victims to their keeper.
+    # (guide §2.4).  d1r's _rn stays exposed for the fate frame's s2
+    # flag (exact-dup victims are the _rn > 1 rows of this window).
     w_fp = Window.partitionBy(fingerprint_md5("text")).orderBy("doc_id")
     d1r = docs1.withColumn("_rn", F.row_number().over(w_fp))
     docs2 = (
