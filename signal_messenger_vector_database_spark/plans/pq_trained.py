@@ -220,13 +220,30 @@ def pq_train_inplace(
 
     for _ in range(rounds):
         a = assign(cb)
+        # centroid update: the d per-position means as d aggregate
+        # columns in ONE groupBy (r16, guide §2.4 — d is a small static
+        # geometry constant).  The old posexplode + groupBy(sub_j, code,
+        # pos) + groupBy(sub_j, code) shape paid a second exchange and
+        # pushed n*M*d rows into the partial aggregate; this pushes
+        # n*M rows through one exchange of k*M groups.  Same values:
+        # avg over the identical per-(sub_j, code, pos) groups, same
+        # 1e-4 floor-round, array positions in the same 0..d-1 order
+        # the old array_sort(collect_list(struct(pos, m))) produced.
         cb = (
-            a.select("sub_j", "code", F.posexplode("sv").alias("pos", "val"))
-            .groupBy("sub_j", "code", "pos")
-            .agg(portable_round(F.avg("val"), 4).alias("m"))
-            .groupBy("sub_j", "code")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pv"))
-            .select("sub_j", "code", F.col("pv.m").alias("cw"))
+            a.groupBy("sub_j", "code")
+            .agg(
+                *[
+                    portable_round(
+                        F.avg(F.col("sv").getItem(i)), 4
+                    ).alias(f"_m{i}")
+                    for i in range(d)
+                ]
+            )
+            .select(
+                "sub_j",
+                "code",
+                F.array(*[F.col(f"_m{i}") for i in range(d)]).alias("cw"),
+            )
             .localCheckpoint(eager=False)
         )
     final = assign(cb).select("vec_id", "sub_j", "code").localCheckpoint(eager=False)

@@ -1227,9 +1227,13 @@ def _dsir_ngram_features(ws):
 
 
 def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.sources import ensure_parallelism
     from ..operators.dedup import normalized_text
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread the single-file scan BEFORE the per-feature md5 pass — the
+    # dominant compute ran in ONE task of local[32] (r16, guide §2.5;
+    # a 1.3 s single-task map stage in the event log at sf0.1)
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     feats = _dsir_ngram_features(F.split(normalized_text(F.col("text")), " "))
     bucket = (
         F.conv(F.substring(F.md5(F.col("f")), 1, 4), 16, 10).cast("int")
@@ -1241,32 +1245,43 @@ def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .persist()
     )
-    raw = bc.groupBy("b").agg(F.sum("c").alias("cr"))
-    tgt = (
-        bc.filter(F.col("lang") == _DSIR_TARGET_LANG)
-        .groupBy("b")
-        .agg(F.sum("c").alias("ct"))
-    )
-    n_raw = raw.agg(F.sum("cr").cast("double").alias("_nr"))
-    n_tgt = tgt.agg(F.sum("ct").cast("double").alias("_nt"))
-    # smoothed log-ratio per bucket; missing target buckets count 0
-    ratio = (
-        raw.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(n_raw))
-        .crossJoin(F.broadcast(n_tgt))
+    # r16 (guide §2.3/§2.4): raw + target bucket counts from ONE
+    # conditional aggregation over bc, corpus totals as window sums over
+    # the <= _DSIR_BUCKETS-row result — the old shape ran FOUR aggregate
+    # passes over bc (raw, tgt, and two scalar totals each shipped via
+    # its own broadcast job) plus a bucket join.  cr/ct/_nr/_nt are
+    # exact LONG sums (order-free), so every lr double is bit-identical
+    # to the old raw⋈tgt⋈totals form and the oracle is unchanged.
+    w_all = Window.partitionBy()
+    per_b = (
+        bc.groupBy("b")
+        .agg(
+            F.sum("c").alias("cr"),
+            F.sum(
+                F.when(F.col("lang") == _DSIR_TARGET_LANG, F.col("c"))
+            ).alias("ct"),
+        )
         .select(
             "b",
-            (
-                F.log(
-                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
-                    / (F.col("_nt") + F.lit(float(_DSIR_BUCKETS)))
-                )
-                - F.log(
-                    (F.col("cr") + F.lit(1.0))
-                    / (F.col("_nr") + F.lit(float(_DSIR_BUCKETS)))
-                )
-            ).alias("lr"),
+            "cr",
+            "ct",
+            F.sum("cr").over(w_all).cast("double").alias("_nr"),
+            F.sum("ct").over(w_all).cast("double").alias("_nt"),
         )
+    )
+    # smoothed log-ratio per bucket; missing target buckets count 0
+    ratio = per_b.select(
+        "b",
+        (
+            F.log(
+                (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                / (F.col("_nt") + F.lit(float(_DSIR_BUCKETS)))
+            )
+            - F.log(
+                (F.col("cr") + F.lit(1.0))
+                / (F.col("_nr") + F.lit(float(_DSIR_BUCKETS)))
+            )
+        ).alias("lr"),
     )
     return (
         bc.join(F.broadcast(ratio), "b")
@@ -1499,9 +1514,19 @@ _DUPSPAN_G = 8  # anchor-gram chars; first md5 hex in {'0','8'} = 1/8 density
 
 def _span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents as (doc_id, t) with the F6 null coalesce — the shared
-    base of the three span operators."""
-    return load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("t")
+    base of the three span operators.  Spread across the cores (r16,
+    guide §2.5 input skew): the single-file fixture scan ran the
+    per-position md5 Generate of ``_span_windows`` — the dominant
+    compute — in ONE task (event log: a 2.9 s single-task stage at
+    sf0.1, and two consumers raced to populate the persisted window
+    table, paying it twice).  All downstream aggregates are integer
+    counts / distinct-hash semantics — order-free at any scale."""
+    from ..io.sources import ensure_parallelism
+
+    return ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("t")
+        )
     )
 
 
@@ -1562,10 +1587,14 @@ def _dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted: feeds BOTH the dup-set aggregate and the per-doc flag
     # join (see _span_windows' docstring)
     wins = _span_windows(docs).persist()
+    # >= 2 distinct docs ⟺ min(doc_id) != max(doc_id) (doc_id is never
+    # null): same filter, but min/max partial-aggregate map-side where
+    # count_distinct pays a per-(h, doc_id) distinct expansion (r16,
+    # guide §2.3 — aggregate before you shuffle)
     dup = (
         wins.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi"))
+        .filter(F.col("_lo") != F.col("_hi"))
         .select("h", F.lit(1).alias("_dup"))
     )
     agg = (
@@ -2183,9 +2212,14 @@ _BP_DF = 3  # a segment in >= 3 distinct docs is boilerplate
 
 
 def _boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.sources import ensure_parallelism
     from ..operators.dedup import strip_boilerplate
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread before the segment explode + md5 pass (r16, guide §2.5 —
+    # the single-file scan serialized the dominant map on one core);
+    # all downstream aggregates are integer counts / the per-doc
+    # ORDER BY start splice — order-free under repartitioning
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return strip_boilerplate(docs, seg_words=_SEG_WORDS, min_df=_BP_DF)
 
 
@@ -2570,14 +2604,16 @@ def _curation_chain(spark: SparkSession, sf_dir: str) -> dict:
     # row_number window on fp, ordered by the unique doc_id) instead of
     # the old groupBy(fp)+join-back-on-doc_id+join-on-fp shape — same
     # keep-first rows (min doc_id per fp == rn 1), two fewer shuffles
-    # (guide §2.4).  d1r's _rn stays exposed for the fate frame's s2
-    # flag (exact-dup victims are the _rn > 1 rows of this window).
+    # (guide §2.4).  The fate frame's s2 flag reads docs2 MEMBERSHIP
+    # (r16) — the _rn == 1 filter below is the only consumer of the
+    # window itself (exact-dup victims are the non-member docs1 rows).
     w_fp = Window.partitionBy(fingerprint_md5("text")).orderBy("doc_id")
     d1r = docs1.withColumn("_rn", F.row_number().over(w_fp))
     docs2 = (
         d1r.filter(F.col("_rn") == 1)
         .select("doc_id", "text", "source", "tokens")
-        .persist()  # 3 consumers: LSH sets+sigs, the funnel row, docs3
+        .persist()  # consumers: LSH sets+sigs, the decontam gram arm,
+        # and the fate frame's joins
     )
 
     # 3: near-dup clusters, keep the component's min id.  combined is
@@ -2597,34 +2633,77 @@ def _curation_chain(spark: SparkSession, sf_dir: str) -> dict:
         threshold=_JACCARD_THRESHOLD,
         persist_sets=False,
     )
-    labels = connected_components(pairs)
-    # single consumer now (the decontamination gram explode below; the
-    # funnel/attrition read stage-3 state from the fate frame's flags),
-    # built over cached docs2 + the checkpointed labels — no persist
-    docs3 = (
-        docs2.join(
-            labels.select(F.col("id").alias("doc_id"), "label"), "doc_id", "left"
-        )
-        .filter(F.col("label").isNull() | (F.col("label") == F.col("doc_id")))
-        .select("doc_id", "text", "source", "tokens")
-    )
 
-    # 4: decontaminate the train split against the ORIGINAL test split
+    # 4: decontaminate the train split against the ORIGINAL test split.
+    # r16 (guide §2.6 — overlap independent jobs): the gram arm is
+    # computed over DOCS2's train split, not docs3's, which decouples
+    # it from the LSH/CC arm entirely; a background thread materializes
+    # it while the connected-components loop below runs its eager
+    # propagation rounds (the two arms were the two largest serial
+    # blocks of the chain — ~2.3 s + ~1.9 s at sf0.1, measured).
+    # FLAG-IDENTICAL: contaminated is only ever read through the fate
+    # frame's s4 = s3 & _train & no-contam (and the attrition victim
+    # chain, which tests !s1..!s3 first) — the extra members of the
+    # docs2-train superset are exactly the s3-dead docs, for which s4
+    # is False and the victim class is already decided by an earlier
+    # when-branch, so no flag, count, or reason row changes.  The
+    # oracle keeps its train3-based CTE for the same reason.
     test_grams = (
-        load_table(spark, sf_dir, "documents")
-        .filter(_split_assign(F.col("doc_id")) == "test")
+        # spread the single-file scan before the gram explode (§2.5 —
+        # it otherwise runs the whole test-split ngram pass on 1 task)
+        ensure_parallelism(
+            load_table(spark, sf_dir, "documents").filter(
+                _split_assign(F.col("doc_id")) == "test"
+            )
+        )
         .select(F.explode(_word_ngrams("text", _DECON_N)).alias("g"))
         .distinct()
     )
-    train3 = docs3.filter(_split_assign(F.col("doc_id")) == "train")
+    train2 = docs2.filter(_split_assign(F.col("doc_id")) == "train")
     contaminated = (
-        train3.select("doc_id", F.explode(_word_ngrams("text", _DECON_N)).alias("g"))
+        train2.select("doc_id", F.explode(_word_ngrams("text", _DECON_N)).alias("g"))
         .join(test_grams, "g")
         .select("doc_id")
         .distinct()  # the only distinct needed: the final doc_id set
         # absorbs within-doc gram multiplicity, so the old (doc_id, g)
         # pre-join distinct was a full extra exchange for nothing (r15)
+        .persist()  # prefetched below; read once by the fate join
     )
+
+    import os as _os
+    import threading
+
+    prefetch: threading.Thread | None = None
+    if _os.environ.get("SMVD_PLAN_ONLY") != "1":
+        # serialize the shared prefix first (one cache fill, no
+        # duplicate-compute race between the two arms), then overlap
+        docs2.count()
+        from pyspark import inheritable_thread_target
+
+        def _prefetch_contaminated() -> None:
+            try:
+                spark.sparkContext.setJobDescription(
+                    "curation: decontam arm prefetch"
+                )
+                contaminated.count()
+            except Exception as e:  # non-fatal: lineage is intact and
+                # the fate join recomputes it (and surfaces any real
+                # error) if the prefetch died
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "curation decontam prefetch failed (benign): %s", e
+                )
+
+        prefetch = threading.Thread(
+            target=inheritable_thread_target(spark)(_prefetch_contaminated),
+            daemon=True,
+        )
+        prefetch.start()
+
+    labels = connected_components(pairs)
+    if prefetch is not None:
+        prefetch.join()
     # 5: per-source mixture sampling (domain_mixture's keep rule)
     rate = F.coalesce(
         *[
@@ -2652,10 +2731,22 @@ def _curation_chain(spark: SparkSession, sf_dir: str) -> dict:
     # test_curation_attrition_accounts_every_removal pins).  The heavy
     # full-text stage frames docs4/docs5 are no longer materialized at
     # all — packing reads (doc_id, tokens) off the fate frame.
+    # s2 via docs2 MEMBERSHIP instead of re-joining d1r's window (r16,
+    # guide §2.4): docs2 IS the _rn == 1 filter of the same window and
+    # is already persisted, so the old d1r join re-ran the fingerprint
+    # window (one exchange + sort over docs1) inside the fate job for a
+    # flag the cache already encodes.  Identical values: every s1-true
+    # doc is in docs1 (so old _rn was non-null there — _rn == 1 ⟺
+    # docs2 membership), and for s1-false docs both forms collapse to
+    # false under the s1 conjunction.
     fate = (
         docs0.select("doc_id", "tokens", "source")
         .join(g, "doc_id")
-        .join(d1r.select("doc_id", "_rn"), "doc_id", "left")
+        .join(
+            docs2.select("doc_id").withColumn("_in2", F.lit(True)),
+            "doc_id",
+            "left",
+        )
         .join(
             labels.select(F.col("id").alias("doc_id"), "label"),
             "doc_id",
@@ -2665,7 +2756,7 @@ def _curation_chain(spark: SparkSession, sf_dir: str) -> dict:
         .withColumn("_train", _split_assign(F.col("doc_id")) == "train")
         .withColumn("_mix", mix_keep)
         .withColumn("s1", F.col("keep"))
-        .withColumn("s2", F.col("s1") & (F.col("_rn") == 1))
+        .withColumn("s2", F.col("s1") & F.coalesce(F.col("_in2"), F.lit(False)))
         .withColumn(
             "s3",
             F.col("s2")
@@ -2684,13 +2775,11 @@ def _curation_chain(spark: SparkSession, sf_dir: str) -> dict:
         "d1r": d1r,
         "docs2": docs2,
         "labels": labels,
-        "docs3": docs3,
-        "train3": train3,
         "contaminated": contaminated,
         "mix_keep": mix_keep,
         "fate": fate,
         "n_corpus": n_corpus,
-        "persisted": [docs0, g, docs2, combined, fate],
+        "persisted": [docs0, g, docs2, combined, contaminated, fate],
     }
 
 

@@ -61,8 +61,13 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
     )
     if evdir:
-        b = b.config("spark.eventLog.enabled", "true").config(
-            "spark.eventLog.dir", f"file://{evdir}"
+        b = (
+            b.config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.dir", f"file://{evdir}")
+            # single plain-text file: Spark 4 defaults to rolling
+            # zstd-compressed logs and this sandbox has no zstandard
+            .config("spark.eventLog.rolling.enabled", "false")
+            .config("spark.eventLog.compress", "false")
         )
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -120,13 +125,34 @@ def main() -> None:
         _report_eventlog(os.path.join(evdir, app_id))
 
 
+def _eventlog_lines(path: str):
+    """Yield event-log JSON lines.  Spark 4 writes rolling logs as a
+    directory ``eventlog_v2_<appId>/events_*`` (optionally .zstd); older
+    versions write a single file at ``<dir>/<appId>``."""
+    import glob
+
+    v2 = os.path.join(os.path.dirname(path), f"eventlog_v2_{os.path.basename(path)}")
+    files = (
+        sorted(glob.glob(os.path.join(v2, "events_*")))
+        if os.path.isdir(v2)
+        else [path]
+    )
+    for p in files:
+        if p.endswith(".zstd"):
+            raise SystemExit(
+                f"compressed event log {p}: set "
+                "spark.eventLog.rolling.enabled=false (no zstandard here)"
+            )
+        with open(p) as f:
+            yield from f
+
+
 def _report_eventlog(path: str) -> None:
     """Per-query-run breakdown from the Spark event log: per job, wall
     time and summed task time; stage-level detail for the slowest jobs."""
     jobs: dict[int, dict] = {}
     stages: dict[int, dict] = {}
-    with open(path) as f:
-        for line in f:
+    for line in _eventlog_lines(path):
             try:
                 ev = json.loads(line)
             except ValueError:
