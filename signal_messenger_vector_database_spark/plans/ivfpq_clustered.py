@@ -200,22 +200,39 @@ def _rc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # the exact squared-L2 fold is retrieval_eval's _cl_d2 (ONE definition
 # — the shared-definition rule)
-from .retrieval_eval import _cl_d2 as _rc_d2  # noqa: E402
+from .retrieval_eval import _cl_d2 as _rc_d2  # noqa: E402,F401
+from .retrieval_eval import d2_unrolled as _rc_d2_unrolled  # noqa: E402
 
 
 def _ivf_pq_clustered_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vector import cosine_similarity
-    from ..operators.ann import (
-        hier_super_count,
-        ivf_seed_centroids,
-        scaled_cluster_count,
-    )
+    from ..operators.ann import hier_super_count, scaled_cluster_count
     from ..operators.ranking import two_phase_topk
 
     n = parquet_row_count(sf_dir, "documents")
     k = scaled_cluster_count(n)
     vecs = _rc_corpus(spark, sf_dir)
-    cents = ivf_seed_centroids(vecs, k)
+    # seed centroids straight off the k-row FILTERED docs scan instead
+    # of through the vecs checkpoint (r16): ivf_seed_centroids(vecs, k)
+    # forced the probed-cells job below to materialize the WHOLE n-row
+    # corpus projection just to read k seed rows — the doc_id < k
+    # predicate now pushes down to the parquet scan and the projection
+    # runs on k rows.  Identical doubles: _rc_vec_expr is a pure
+    # function of (topic, 'r'+doc_id), so filtering before or after
+    # the projection yields the same rows bit-for-bit.
+    cents = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < k)
+        .select(
+            "doc_id", F.concat_ws("|", "lang", "source").alias("topic")
+        )
+        .select(
+            F.col("doc_id").alias("cid"),
+            _rc_vec_expr(
+                "topic", "concat('r', CAST(doc_id AS STRING))"
+            ).alias("cv"),
+        )
+    )
     # lineage cut: the assignment feeds the residual table AND the
     # candidate join — without it the two-level build runs per branch.
     # Routed through the r11 build-once index seam (inline when
@@ -334,8 +351,12 @@ def _ivf_pq_clustered_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("np", "qid", "vec_id", "cid")
         .localCheckpoint(eager=False)
     )
+    # broadcast the candidate set (r16, guide §3.1): cand is bounded by
+    # |Q| * Σnp * cell-size (the scaled-k rule caps cells), so at any
+    # corpus size the ADC join should leave the n*M-row code table af
+    # UNSHUFFLED — the default plan shuffled both sides on vec_id.
     dists = (
-        af.join(cand, "vec_id")
+        af.join(F.broadcast(cand), "vec_id")
         .join(F.broadcast(lut), ["qid", "cid", "sub_j", "code"])
         .groupBy("np", "qid", "vec_id")
         .agg(F.sum("ld").alias("adc"))
@@ -347,7 +368,7 @@ def _ivf_pq_clustered_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     exact = two_phase_topk(
         vecs.crossJoin(F.broadcast(queries)).select(
-            "qid", "vec_id", _rc_d2("embedding", "qv").alias("d2")
+            "qid", "vec_id", _rc_d2_unrolled("embedding", "qv", _RC_D).alias("d2")
         ),
         "qid",
         [F.asc("d2"), F.asc("vec_id")],

@@ -356,19 +356,23 @@ def _op_exact_topk(spark: SparkSession, sf_dir: str, qfull: DataFrame) -> DataFr
     same literals both engines).  ONE copy shared by the operating-point
     measurement and the nprobe operating curve."""
     from ..io.sources import ensure_parallelism
+    from .retrieval_eval import d2_unrolled
 
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("embedding").cast("array<double>"),
-            F.col("qv"),
-            lambda a, b: (a - b) * (a - b),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = emb.crossJoin(F.broadcast(qfull)).select(
-        "qid", "vec_id", portable_round(d2, 4).alias("d2")
+    # unrolled d2 (r16, see d2_unrolled): the zip_with/aggregate fold is
+    # CodegenFallback and ran interpreted on every (vector, query) row;
+    # the elementwise float->double cast is hoisted into a projected
+    # column (same element values, same left-to-right sum)
+    scored = (
+        emb.crossJoin(F.broadcast(qfull))
+        .withColumn("_e", F.col("embedding").cast("array<double>"))
+        .select(
+            "qid",
+            "vec_id",
+            portable_round(
+                d2_unrolled("_e", "qv", _OPM * _OPD), 4
+            ).alias("d2"),
+        )
     )
     return _two_phase_topk(
         scored, "qid", [F.asc("d2"), F.asc("vec_id")], _OPTOPK
@@ -831,8 +835,21 @@ def _ivf_pq_operating_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     arms = spark.createDataFrame(
         [(str(a), a) for a in _CURVE_ARMS] + [("all", k)], "arm string, np int"
     )
+    # r16 (guide §3.1): the 'all' arm (np = k — every cell probed) made
+    # the candidate set O(|Q| * n), which forced the old af ⋈ cand join
+    # to shuffle BOTH sides on vec_id.  Split it out: for 'all' the
+    # cell routing is a no-op (every vector qualifies for every query),
+    # so its ADC distances are exactly af ⋈ broadcast(lut) — the
+    # pq_operating_point shape, af never shuffled — and the BOUNDED
+    # arms' candidate set (<= |Q| * Σnp * cell-size, capped by the
+    # scaled-k rule) broadcasts, leaving af unshuffled there too.
+    # Identical rows: probed at np = k keeps all k cells (rk <= k holds
+    # for every cell), so old cand_'all' was every (qid, vec_id) pair —
+    # the same 16 integer ld terms per (qid, vec_id) are summed either
+    # way (LONG sum, order-free).
+    bounded_arms = arms.filter(F.col("arm") != "all")
     probed_arm = probed.join(
-        F.broadcast(arms), F.col("rk") <= F.col("np")
+        F.broadcast(bounded_arms), F.col("rk") <= F.col("np")
     ).select("arm", "np", "qid", "cid")
     # lineage cut: cand feeds BOTH the ADC branch and the candidate-count
     # aggregate — without the checkpoint each branch re-runs the full
@@ -846,11 +863,23 @@ def _ivf_pq_operating_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     af, trained = _op_trained_parts(spark, sf_dir)
     lut = _op_lut(trained, spark)
-    dists = (
-        af.join(cand, "vec_id")
-        .join(F.broadcast(lut), ["qid", "sub_j", "code"])
-        .groupBy("arm", "qid", "vec_id")
+    # full per-(qid, vec_id) ADC once — the 'all' arm needs every pair
+    # anyway, and the ADC sum is arm-independent, so the bounded arms
+    # just ATTACH their arm tag to the aggregated table via the
+    # broadcast candidate set instead of re-scoring through a second
+    # af pass.  Checkpointed: two consumers (the 'all' row set and the
+    # bounded attach).
+    adc_full = (
+        af.join(F.broadcast(lut), ["sub_j", "code"])
+        .groupBy("qid", "vec_id")
         .agg(F.sum("ld").alias("adc"))
+        .localCheckpoint(eager=False)
+    )
+    dists_bounded = adc_full.join(
+        F.broadcast(cand), ["qid", "vec_id"]
+    ).select("arm", "qid", "vec_id", "adc")
+    dists = dists_bounded.unionByName(
+        adc_full.select(F.lit("all").alias("arm"), "qid", "vec_id", "adc")
     )
     keyed = dists.withColumn("_g", F.concat_ws("#", "arm", "qid"))
     short = _two_phase_topk(
@@ -870,7 +899,16 @@ def _ivf_pq_operating_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     perq = grid.join(F.broadcast(hits), ["arm", "qid"], "left").select(
         "arm", "np", "qid", F.coalesce("nh", F.lit(0)).alias("nh")
     )
-    candn = cand.groupBy("arm").agg(F.count(F.lit(1)).alias("sum_cand"))
+    # 'all' candidate count is exactly |Q| * n (one assignment row per
+    # embedding row, every cell probed) — the split above removed the
+    # O(|Q| * n) rows from cand, so the row is emitted as a literal
+    candn = cand.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("sum_cand")
+    ).unionByName(
+        spark.createDataFrame(
+            [("all", 5 * n)], "arm string, sum_cand long"
+        )
+    )
     return (
         perq.groupBy("arm", "np")
         .agg(
