@@ -35,6 +35,10 @@ seeded-IVF+PQ serving seam with trained codebooks on top).  Retired
 queries stay correctness-covered by the driver window and remain in
 the catalog; round-over-round comparison is unaffected because
 shared_subset_normalized compares the intersection of query sets.
+Retirees are listed in RETIRED_HEADLINE below and tools/window_rotate
+guarantees each a driver-window correctness row at least every 3
+rounds (VERDICT r15 #8) — retirement removes a query from the TIMED
+set, never from the verified one.
 
 TWO canaries (fixed queries, stable code, re-measured 3x each;
 round-over-round BENCH ratios divide by the matching one to cancel the
@@ -94,6 +98,13 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Queries retired from HEADLINE under the cap policy (module
+# docstring): still in the catalog and oracle-paired; the window
+# rotation keeps each correctness-fresh at least every 3 rounds.
+RETIRED_HEADLINE = [
+    "topk_ivf_pq",  # r15: subsumed by topk_ivf_binary / topk_ivf_pq_trained
+]
 
 HEADLINE = [
     "topk_cosine",

@@ -79,6 +79,25 @@ def compute_window(
     window = list(dict.fromkeys(changed))
     never = [n for n in paired if n not in hist and n not in window]
     window += never[: size - len(window)]
+    # bench-retired queries (bench.py RETIRED_HEADLINE — the HEADLINE
+    # cap policy's retirees) are guaranteed a driver row at least every
+    # 3 rounds (VERDICT r15 #8): out of the bench AND out of the
+    # window, their correctness coverage would otherwise quietly age
+    # out.  cur-2 staleness puts them in every other window.
+    try:
+        from bench import RETIRED_HEADLINE
+    except ImportError:
+        RETIRED_HEADLINE = []
+    cur = max(hist.values(), default=0) + 1
+    overdue = [
+        n
+        for n in RETIRED_HEADLINE
+        if n in specs
+        and specs[n].oracle is not None
+        and n not in window
+        and hist.get(n, -(10**6)) <= cur - 2
+    ]
+    window += overdue[: size - len(window)]
     stale = sorted(
         (n for n in paired if n in hist and n not in window),
         key=lambda n: (hist[n], order[n]),
